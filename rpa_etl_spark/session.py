@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+Single place where execution knobs live. Test/bench runs use local[N]; the
+same confs are what we would ship to a 1000-executor cluster (AQE on, skew
+join handling on, Arrow for the few pandas-UDF paths, explicit shuffle
+parallelism — on a real cluster `spark.sql.shuffle.partitions` would be
+sized ~2-3x total cores and AQE coalesces the rest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Confs chosen for scale, not just for the local test harness:
+    - AQE + skew-join: runtime re-planning (partition coalescing, skew
+      splitting, dynamic broadcast) — essential at 100 TB where static
+      estimates are wrong.
+    - Arrow: every pandas-UDF boundary is Arrow-batched.
+    - UTC session timezone: deterministic timestamp semantics everywhere.
+    - parquet pushdown/pruning left at defaults (on): all declared queries
+      are expressed declaratively so Catalyst can push filters into scans.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _DEF_SHUFFLE_PARTITIONS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
