@@ -1,0 +1,482 @@
+"""M1 — relational core declared queries (SURVEY.md §2.2, milestone M1).
+
+Every query here is a pure DataFrame logical plan: filters/projections are
+declarative (Catalyst pushes them into the parquet scan), dims are broadcast
+(explicit hint only for true dims; AQE handles the rest at runtime), and the
+only shuffles are the semantically required ones (group-by / big-big join /
+window partitioning).
+
+Determinism contract with the DuckDB oracle:
+- exact-DECIMAL aggregation for money (see plans/common.py);
+- averages as ``cast(decimal_sum as double) / count`` — IEEE division of
+  identical operands on both engines;
+- top-k and window orderings are made total with key tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.plans.common import dec, money
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# Scan + projection (reference: R3/R4 payload re-shaping, SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                 AS brand_uc,
+           p_type                         AS part_type,
+           p_size + 1                     AS size_plus,
+           CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)) * 0.9, 2) AS DOUBLE)
+                                          AS discounted_price
+    FROM part
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with computed columns; scan should read only 5 columns."""
+    return load(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.col("p_type").alias("part_type"),
+        (F.col("p_size") + 1).alias("size_plus"),
+        money(dec("p_retailprice") * F.lit("0.9").cast("decimal(3,2)")).alias(
+            "discounted_price"
+        ),
+    )
+
+
+@query(
+    "q_filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity BETWEEN 10 AND 30
+      AND l_discount > 0.02
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_linestatus IS NOT NULL
+    """,
+)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates (isin/between/range/null) — all pushed to scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 30)
+        & (F.col("l_discount") > 0.02)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_linestatus").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Joins (reference analog: CNPJ↔party association B2; generalized per §2.2)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_join_inner_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, COUNT(*) AS n_suppliers,
+           CAST(ROUND(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two broadcast dims — zero shuffle until the agg."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            money(F.sum(dec("s_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0), 2) AS DOUBLE)
+               AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving order-less customers (None-preserving semantics,
+    reference robot/schema/models.py:36 optional recipient)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            money(F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with a big order (no row duplication, no payload
+    columns from the right side — the cheapest existence check at scale)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders (stoplist-rejection semantics,
+    reference parser.py:61-69)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('b0', 0.0, 50.0), ('b1', 50.0, 100.0), ('b2', 100.0, 200.0),
+               ('b3', 200.0, 350.0), ('b4', 350.0, 1000.0)
+    )
+    SELECT b.band, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: events banded by value interval. The band table is
+    tiny → broadcast nested-loop join, which is the right physical plan; the
+    fact side streams through without a shuffle."""
+    events = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("b0", 0.0, 50.0), ("b1", 50.0, 100.0), ("b2", 100.0, 200.0),
+         ("b3", 200.0, 350.0), ("b4", 350.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation (TPC-H Q1 shape; reference analogs R4 items_count, O2 Σpenalty)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(8,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(8,2)))), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical hash aggregate. Partial (map-side) aggregation
+    makes the single shuffle carry only |groups|×|partitions| rows."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    disc, tax = dec("l_discount", 8, 2), dec("l_tax", 8, 2)
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(F.sum(qty)).alias("sum_qty"),
+        money(F.sum(price)).alias("sum_base_price"),
+        money(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+        money(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+        (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(price).cast("double") / cnt).alias("avg_price"),
+        (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (reference P7 line-dedup semantics, set form)."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query("q_approx_count_distinct")  # approx → rows-only check (no oracle)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    count-distinct (one pass, bounded memory, no giant shuffle)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass (nation → nation×segment → grand)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"),
+                F.col("o_totalprice"))
+        .rollup("nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (reference analog: multi-pattern header union B1)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+         rich   AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'buyer_and_rich' AS tag, custkey FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM rich)
+    UNION ALL
+    SELECT 'rich_not_buyer' AS tag, custkey FROM (SELECT custkey FROM rich EXCEPT SELECT custkey FROM buyers)
+    UNION ALL
+    SELECT 'buyer_or_rich' AS tag, custkey FROM (SELECT custkey FROM buyers UNION SELECT custkey FROM rich)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    rich = customer.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        buyers.intersect(rich).select(F.lit("buyer_and_rich").alias("tag"), "custkey")
+        .unionByName(rich.exceptAll(buyers).distinct().select(F.lit("rich_not_buyer").alias("tag"), "custkey"))
+        .unionByName(buyers.union(rich).distinct().select(F.lit("buyer_or_rich").alias("tag"), "custkey"))
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs per-partition top-k then merges on the driver
+    side of the exchange (TakeOrderedAndProject) — no full sort at scale.
+    Ordering made total with the key tiebreak so the SET of rows is stable."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (reference analog: first-valid-wins X2/B2/B4 = rank 1;
+# next-header position B1 = lead)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — 'first valid match wins' generalized."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_lead_lag",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_ms(ts) - epoch_ms(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) AS ms_since_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas (reference analog: B1 next-header position)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("ms_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_spent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_avg_3
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame windows: running total + 3-row moving average per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    total = dec("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(total).over(run)).alias("running_spent"),
+        (F.sum(total).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg_3"
+        ),
+    )

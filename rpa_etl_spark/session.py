@@ -38,6 +38,9 @@ def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", _DEF_SHUFFLE_PARTITIONS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
+        # rejects by default; read as long and convert in tables.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
