@@ -41,6 +41,9 @@ def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> Spa
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
         # rejects by default; read as long and convert in tables.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read parquet timestamps as LTZ; with the UTC session timezone this
+        # is value-identical to NTZ and keeps unix_millis & friends usable
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
