@@ -1,0 +1,248 @@
+"""Invoice parsing (reference parity: X1–X4, B1–B5) as column expressions.
+
+Re-implements the *semantics* of `/root/reference/robot/core/parser.py`
+(pattern scans :12-14,78-128; block segmentation :134-208; per-block
+extractors :214-319; full composition :321-379) Spark-first:
+
+- pattern scans → ``regexp_extract_all`` + higher-order ``filter``;
+- block segmentation → ``regexp_instr`` marker positions + substring
+  slicing *inside the row* (per-document text is small; exploding match
+  positions into rows and shuffling them back would be strictly worse at
+  100 TB);
+- per-field failure isolation (reference try/except→None) → null-tolerant
+  expressions (``when``/``try_cast``/empty-array guards).
+
+One simplification vs the reference: we take the first marker occurrence
+per block type instead of concatenating repeated same-type blocks
+(parser.py:196-204) — the declared-query corpus has single-occurrence
+blocks; the general case would union positions per type before slicing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.functions import validators as V
+
+# pattern semantics of parser.py:12-14 (re-derived, not copied)
+CNPJ_RE = r"\d{2}\.?\d{3}\.?\d{3}/?\d{4}-?\d{2}"
+NFE_KEY_RE = r"\d{44}"
+VALUE_RE = r"R?\$?\s*\d{1,3}(?:\.\d{3})*,\d{2}"
+DATE_TIME_RE = r"\d{2}/\d{2}/\d{4}(?: \d{2}:\d{2}:\d{2})?"
+COMPETENCE_RE = r"\d{2}/\d{4}"
+
+BLOCK_MARKERS = {
+    "ISSUER": r"PRESTADOR DE SERVI[ÇC]OS|EMITENTE|RAZ[ÃA]O SOCIAL DO PRESTADOR",
+    "RECIPIENT": r"TOMADOR DE SERVI[ÇC]OS|DESTINAT[ÁA]RIO",
+    "ITEMS": r"DISCRIMINA[ÇC][ÃA]O DOS SERVI[ÇC]OS|DESCRI[ÇC][ÃA]O DOS SERVI[ÇC]OS",
+    "FINANCIALS": r"VALOR TOTAL DA NOTA|TOTAL GERAL",
+}
+
+ITEM_SKIP_KEYWORDS = ["TOTAL", "VALOR", "DATA", "VENCIMENTO", "CNPJ", "CPF"]
+
+PARTY_STOP_TOKENS = [
+    "CNPJ", "CPF", "LTDA", "ME", "EPP", "SA", "S.A", "EIRELI", "PRESTADOR",
+    "TOMADOR", "SERVICOS", "SERVIÇOS", "DE", "DO", "DA", "RAZAO", "SOCIAL",
+    "NOME", "ENDERECO", "ENDEREÇO", "MUNICIPIO", "MUNICÍPIO", "UF", "CEP",
+]
+
+
+def find_cnpjs(col: Column) -> Column:
+    """X1 — all checksum-valid CNPJs in a text (parser.py:87-94)."""
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(CNPJ_RE), 0),
+        lambda c: V.cnpj_is_valid(c),
+    )
+
+
+def find_valid_nfe_key(col: Column) -> Column:
+    """X2 — first fully-valid 44-digit NF-e key, NULL if none
+    (parser.py:78-85)."""
+    valid = F.filter(
+        F.regexp_extract_all(col, F.lit(NFE_KEY_RE), 0),
+        lambda k: V.nfe_key_is_valid(k),
+    )
+    return F.when(F.size(valid) > 0, F.element_at(valid, 1))
+
+
+def find_values(col: Column) -> Column:
+    """X3 — all monetary-value tokens (parser.py:14, used :265)."""
+    return F.regexp_extract_all(col, F.lit(VALUE_RE), 0)
+
+
+def extract_emission_date(col: Column) -> Column:
+    """X4 — emission date: labeled match first, else first bare date
+    (parser.py:96-128 priority semantics)."""
+    labeled = F.regexp_extract(col, r"EMISS[ÃA]O[:\s]*(" + DATE_TIME_RE + ")", 1)
+    bare = F.regexp_extract(col, "(" + DATE_TIME_RE + ")", 1)
+    return F.when(labeled != "", labeled).when(bare != "", bare)
+
+
+def extract_competence_date(col: Column) -> Column:
+    """X4 — competence `MM/YYYY` near its label (parser.py:102-119)."""
+    m = F.regexp_extract(col, r"COMPET[ÊE]NCIA[:\s]*(" + COMPETENCE_RE + ")", 1)
+    return F.when(m != "", m)
+
+
+def _marker_pos(col: Column, pattern: str) -> Column:
+    return F.regexp_instr(col, F.lit("(?i)" + pattern))
+
+
+def extract_blocks(col: Column) -> Column:
+    """B1 — segment text into HEADER/ISSUER/RECIPIENT/ITEMS/FINANCIALS by
+    marker positions (parser.py:134-208). Returns a 5-field struct; each
+    block runs `[marker_i, next_marker)`, HEADER is the prefix."""
+    pos = {name: _marker_pos(col, pat) for name, pat in BLOCK_MARKERS.items()}
+    all_pos = F.array(*pos.values())
+    text_end = F.length(col) + 1
+
+    def next_after(p: Column) -> Column:
+        later = F.filter(all_pos, lambda x: x > p)
+        return F.coalesce(F.array_min(later), text_end)
+
+    def block(p: Column) -> Column:
+        return F.when(p > 0, col.substr(p, next_after(p) - p))
+
+    first_marker = F.coalesce(F.array_min(F.filter(all_pos, lambda x: x > 0)), text_end)
+    return F.struct(
+        col.substr(F.lit(1), first_marker - 1).alias("HEADER"),
+        block(pos["ISSUER"]).alias("ISSUER"),
+        block(pos["RECIPIENT"]).alias("RECIPIENT"),
+        block(pos["ITEMS"]).alias("ITEMS"),
+        block(pos["FINANCIALS"]).alias("FINANCIALS"),
+    )
+
+
+def extract_party(block: Column) -> Column:
+    """B2 — party from a block (parser.py:214-245): first checksum-valid
+    CNPJ; name = first line that survives the stoplist cleanse and is not a
+    CNPJ-only or marker line. Returns struct<name,cnpj_cpf> (NULL if no
+    valid CNPJ)."""
+    cnpjs = find_cnpjs(block)
+    cnpj = F.when(F.size(cnpjs) > 0, V.cnpj_format(F.element_at(cnpjs, 1)))
+    lines = F.split(block, "\n")
+    marker_re = "|".join(BLOCK_MARKERS.values())
+    name_lines = F.filter(
+        lines,
+        lambda ln: ~ln.rlike(r"^[\s\d./-]*$")
+        & ~ln.rlike(CNPJ_RE)  # CNPJ-carrying lines are not names (parser.py:233)
+        & ~F.upper(ln).rlike("(?i)" + marker_re)
+        & _name_survives(ln),
+    )
+    name = F.when(
+        F.size(name_lines) > 0,
+        _cleanse_name(F.element_at(name_lines, 1)),
+    )
+    return F.when(cnpj.isNotNull(), F.struct(name.alias("name"), cnpj.alias("cnpj_cpf")))
+
+
+def _cleanse_name(col: Column) -> Column:
+    c = F.upper(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.regexp_replace(c, r"[.\-,]+$", "")
+
+
+def _name_survives(col: Column) -> Column:
+    """P11 stoplist test (parser.py:22-70): some meaningful token remains."""
+    tokens = F.split(_cleanse_name(col), " ")
+    stop = F.array([F.lit(t) for t in PARTY_STOP_TOKENS])
+    return F.size(F.array_except(tokens, stop)) > 0
+
+
+def extract_items(block: Column) -> Column:
+    """B3 — items from the ITEMS block (parser.py:247-295): skip short or
+    metadata lines; description = line minus value tokens; unit_value =
+    last valid monetary token (NULL for continuation lines)."""
+    lines = F.split(block, "\n")
+    skip = "|".join(ITEM_SKIP_KEYWORDS)
+    marker_re = "|".join(BLOCK_MARKERS.values())
+    candidates = F.filter(
+        lines,
+        lambda ln: (F.length(F.trim(ln)) >= 10)
+        & ~F.upper(ln).rlike("(?i)" + marker_re)
+        & ~F.upper(F.trim(ln)).rlike(r"^(" + skip + ")"),
+    )
+    return F.transform(
+        candidates,
+        lambda ln: F.struct(
+            F.trim(F.regexp_replace(ln, VALUE_RE, "")).alias("description"),
+            F.element_at(
+                F.filter(find_values(ln), lambda v: V.money_is_valid(v)), -1
+            ).alias("unit_value"),
+            ln.alias("raw"),
+        ),
+    )
+
+
+def extract_total(block: Column) -> Column:
+    """B4 — total from the FINANCIALS block (parser.py:297-319): priority
+    regexes, first match passing monetary validation, returned formatted."""
+    labeled = F.regexp_extract(
+        block, r"(?i)(?:VALOR TOTAL DA NOTA|TOTAL GERAL|VALOR TOTAL)[:\s]*(" + VALUE_RE + ")", 1
+    )
+    any_value = F.element_at(
+        F.filter(find_values(block), lambda v: V.money_is_valid(v)), -1
+    )
+    cand = F.when(labeled != "", labeled).otherwise(any_value)
+    parsed = V.money_parse(cand)
+    return F.when(parsed.isNotNull(), V.money_format_br(parsed))
+
+
+def parse_invoices(df, text_col: str = "text"):
+    """B5 as a staged DataFrame pipeline (the scalable form of
+    :func:`extract_invoice`).
+
+    Each stage materializes intermediates as *named columns*, so downstream
+    expressions reference cheap attribute refs instead of re-embedding the
+    whole upstream expression tree — without this, the fully-inlined parse
+    is combinatorially large (blocks × party × 9 output fields) and blows
+    codegen. Catalyst keeps the stages separate because CollapseProject
+    refuses to duplicate non-cheap expressions referenced more than once.
+    All stages are narrow — one fused scan→parse pass, no shuffle.
+    """
+    text = F.col(text_col)
+    blocks = extract_blocks(text)
+    df = df.withColumn("_blocks", blocks)
+    df = df.withColumns(
+        {
+            "_b_issuer": F.col("_blocks")["ISSUER"],
+            "_b_recipient": F.col("_blocks")["RECIPIENT"],
+            "_b_items": F.col("_blocks")["ITEMS"],
+            "_b_fin": F.col("_blocks")["FINANCIALS"],
+        }
+    ).drop("_blocks")
+    df = df.withColumns(
+        {
+            "emission_date": extract_emission_date(text),
+            "competence_date": extract_competence_date(text),
+            "chave_acesso": find_valid_nfe_key(text),
+            "issuer": extract_party(F.col("_b_issuer")),
+            "recipient": extract_party(F.col("_b_recipient")),
+            "items": extract_items(F.col("_b_items")),
+            "total": extract_total(F.col("_b_fin")),
+        }
+    )
+    return df.drop("_b_issuer", "_b_recipient", "_b_items", "_b_fin")
+
+
+def extract_invoice(text: Column, source_filename: Column | None = None) -> Column:
+    """B5 — full parse composition (parser.py:321-379): blocks → per-field
+    extraction, each field independently null-on-failure. Returns the
+    canonical nested invoice struct (FIXTURES.md B2 schema)."""
+    blocks = extract_blocks(text)
+    issuer = extract_party(blocks["ISSUER"])
+    recipient = extract_party(blocks["RECIPIENT"])
+    items = extract_items(blocks["ITEMS"])
+    total = extract_total(blocks["FINANCIALS"])
+    return F.struct(
+        extract_emission_date(text).alias("emission_date"),
+        extract_competence_date(text).alias("competence_date"),
+        find_valid_nfe_key(text).alias("chave_acesso"),
+        issuer.alias("issuer"),
+        recipient.alias("recipient"),
+        items.alias("items"),
+        F.struct(total.alias("total")).alias("financials"),
+        (source_filename if source_filename is not None else F.lit(None).cast("string")).alias(
+            "source_filename"
+        ),
+    )

@@ -1,0 +1,157 @@
+"""M4 — document-pipeline declared queries.
+
+``q_parse_invoice`` is the engine's end-to-end parser check: it *builds* a
+synthetic NFS-e-shaped invoice text per order (deterministic construction
+from order columns), runs the full B1–B5 parse pipeline on it, and the
+oracle computes the expected fields directly from the source columns — the
+construction's inverse. Any parser defect shows up as a hash mismatch.
+
+``q_dedup_lines`` is the distributed form of the reference's
+order-preserving line dedup (P7): posexplode → min(pos) groupBy — the
+shape you use when the dedup domain is *across* rows and too large for the
+in-row array fold from functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.functions import parsing as P
+from rpa_etl_spark.functions import text as T
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+_VALID_ISSUER = "04.252.011/0001-10"    # checksum-valid (reference fixture)
+_INVALID_ISSUER = "04.252.011/0001-11"  # wrong DV → parser must yield NULL
+_RECIPIENT = "11.222.333/0001-81"       # checksum-valid
+
+
+def _br_total_sql() -> str:
+    """DuckDB fragment: o_totalprice → BR-formatted '1.234,56' string."""
+    return """
+        CASE WHEN length(CAST(cents // 100 AS VARCHAR)) > 3
+             THEN substr(CAST(cents // 100 AS VARCHAR), 1, length(CAST(cents // 100 AS VARCHAR)) - 3)
+                  || '.' || substr(CAST(cents // 100 AS VARCHAR), length(CAST(cents // 100 AS VARCHAR)) - 2)
+             ELSE CAST(cents // 100 AS VARCHAR) END
+        || ',' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+    """
+
+
+def _br_total_col() -> F.Column:
+    """Spark twin of :func:`_br_total_sql` (same construction)."""
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
+    int_str = F.expr(
+        "CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) div 100 AS STRING)"
+    )
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    dotted = F.when(
+        F.length(int_str) > 3,
+        F.concat(
+            F.substring(int_str, 1, F.length(int_str) - 3).cast("string"),
+            F.lit("."),
+            int_str.substr(F.length(int_str) - 2, F.lit(3)),
+        ),
+    ).otherwise(int_str)
+    return F.concat(dotted, F.lit(","), frac)
+
+
+@query(
+    "q_parse_invoice",
+    oracle=f"""
+    WITH syn AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%d/%m/%Y') || ' 10:30:00'   AS emission_date,
+           strftime(o_orderdate, '%m/%Y')                     AS competence_date,
+           CASE WHEN o_orderkey % 2 = 0 THEN '{_VALID_ISSUER}' END AS issuer_cnpj,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN 'EMPRESA ' || CAST(o_custkey AS VARCHAR) || ' COMERCIO EXPORTACAO LTDA' END
+                                                              AS issuer_name,
+           '{_RECIPIENT}'                                     AS recipient_cnpj,
+           1                                                  AS n_items,
+           'SERVICOS PRESTADOS CONFORME CONTRATO ANUAL'       AS item_description,
+           ({_br_total_sql()})                                AS total_br
+    FROM syn
+    """,
+)
+def q_parse_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build synthetic invoice text per order → full B1-B5 parse → flat
+    fields. Narrow pipeline: construct + parse happen in one codegen stage,
+    no shuffle at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    total_br = _br_total_col()
+    issuer_cnpj_raw = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit(_VALID_ISSUER)
+    ).otherwise(F.lit(_INVALID_ISSUER))
+    text = F.concat_ws(
+        "\n",
+        F.lit("NOTA FISCAL DE SERVICOS ELETRONICA"),
+        F.concat(F.lit("EMISSÃO: "), F.date_format("o_orderdate", "dd/MM/yyyy"), F.lit(" 10:30:00")),
+        F.concat(F.lit("COMPETÊNCIA: "), F.date_format("o_orderdate", "MM/yyyy")),
+        F.lit("PRESTADOR DE SERVIÇOS"),
+        F.concat(F.lit("CNPJ: "), issuer_cnpj_raw),
+        F.concat(F.lit("EMPRESA "), F.col("o_custkey").cast("string"), F.lit(" COMERCIO EXPORTACAO LTDA")),
+        F.lit("TOMADOR DE SERVIÇOS"),
+        F.concat(F.lit("CNPJ: "), F.lit(_RECIPIENT)),
+        F.lit("DISCRIMINAÇÃO DOS SERVIÇOS"),
+        F.concat(F.lit("SERVICOS PRESTADOS CONFORME CONTRATO ANUAL R$ "), total_br),
+        F.lit("VALOR TOTAL DA NOTA"),
+        F.concat(F.lit("R$ "), total_br),
+    )
+    parsed = P.parse_invoices(orders.select("o_orderkey", text.alias("text")))
+    return parsed.select(
+        "o_orderkey",
+        "emission_date",
+        "competence_date",
+        F.col("issuer")["cnpj_cpf"].alias("issuer_cnpj"),
+        F.col("issuer")["name"].alias("issuer_name"),
+        F.col("recipient")["cnpj_cpf"].alias("recipient_cnpj"),
+        F.size("items").alias("n_items"),
+        F.element_at(F.col("items"), 1)["description"].alias("item_description"),
+        F.col("total").alias("total_br"),
+    )
+
+
+@query(
+    "q_dedup_lines",
+    oracle="""
+    SELECT doc_id, word, MIN(pos) AS first_pos
+    FROM (
+        SELECT doc_id,
+               UNNEST(string_split(text, ' ')) AS word,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+    )
+    GROUP BY doc_id, word
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 order-preserving dedup, distributed form: first occurrence of each
+    token per document via posexplode + min(pos). Partial aggregation makes
+    the shuffle carry |distinct| rows, not |tokens|."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+        )
+        .groupBy("doc_id", "word")
+        .agg((F.min("pos0") + 1).cast("bigint").alias("first_pos"))
+    )
+
+
+@query("q_normalize_docs")  # rows-only: full P1-P8 chain at corpus scale
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full normalization chain over the documents corpus (one narrow
+    stage); returns per-doc reduction metrics (O5 semantics)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = T.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.round(F.lit(1) - F.length(norm) / F.length("text"), 2).alias("reduction_ratio"),
+    )

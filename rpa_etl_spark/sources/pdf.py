@@ -1,0 +1,123 @@
+"""PDF ingestion (reference parity: S1/S2/S3).
+
+Re-expresses `/root/reference/robot/pdf_reader.py:23-94` (PyMuPDF text
+extraction with page/encoding metadata) and `api/dependencies.py:12-49`
+(ingress gates: size cap, `%PDF` magic) Spark-first:
+
+- scan: ``spark.read.format("binaryFile")`` — distributed, splittable
+  listing, predicate-prunable on path/length metadata columns;
+- ingress validation: plain filters on the metadata columns (pushed to the
+  file index where possible);
+- extraction: ``mapInPandas`` over Arrow batches — one Python worker call
+  per batch of documents, never per row.
+
+PyMuPDF is not in this container, so the decode step is STUBBED: when
+``fitz`` is importable we use it; otherwise a deterministic fake extractor
+produces text derived from the bytes. The Spark-side plumbing (schema,
+batching, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAX_UPLOAD_BYTES = 10 * 1024 * 1024  # rpa_config.py:28 (10 MB cap)
+
+# PDFExtractionResult (robot/pdf_reader.py:4-21) as an engine schema
+PDF_EXTRACTION_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("text", StringType()),
+        StructField("page_count", IntegerType()),
+        StructField("has_unicode_issues", BooleanType()),
+        StructField("encoding", StringType()),
+        StructField("extraction_method", StringType()),
+        StructField("size_bytes", LongType()),
+    ]
+)
+
+
+def read_pdf_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S1 — distributed binary scan. At 100 TB of small PDFs the file index
+    is the bottleneck: use recursiveFileLookup + a coarse repartition so
+    extraction parallelism is not bound by file count per directory."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+    )
+
+
+def validate_pdf_ingress(df: DataFrame, max_bytes: int = MAX_UPLOAD_BYTES) -> DataFrame:
+    """S3 — ingress gates (api/dependencies.py:26-47): size cap + `%PDF`
+    magic prefix. `length` is a binaryFile metadata column, so the size gate
+    prunes before content is read."""
+    return df.where(
+        (F.col("length") <= max_bytes)
+        & (F.substring(F.col("content"), 1, 4) == F.lit(b"%PDF"))
+    )
+
+
+def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched extraction kernel. Real PyMuPDF when available, else a
+    deterministic stub (text derived from the byte content)."""
+    try:
+        import fitz  # PyMuPDF — not in this container; stub below runs
+
+        def extract(content: bytes) -> tuple[str, int, str]:
+            with fitz.open(stream=content, filetype="pdf") as doc:
+                text = "\n".join(page.get_text() for page in doc)
+                return text, doc.page_count, "pymupdf"
+
+    except ImportError:
+
+        def extract(content: bytes) -> tuple[str, int, str]:
+            # STUB: deterministic fake — body after the header, latin-1
+            # decoded. Real decode requires PyMuPDF (NotImplemented here).
+            body = content[content.find(b"\n") + 1:] if b"\n" in content else b""
+            text = body.decode("latin-1", errors="ignore")
+            pages = max(1, len(content) // 2048)
+            return text, pages, "stub"
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            content = bytes(content)
+            text, pages, method = extract(content)
+            rows.append(
+                {
+                    "path": path,
+                    "text": text,
+                    "page_count": pages,
+                    "has_unicode_issues": "�" in text or "\xa0" in text,
+                    "encoding": "utf-8",
+                    "extraction_method": method,
+                    "size_bytes": len(content),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in PDF_EXTRACTION_SCHEMA.fields])
+
+
+def extract_pdf_text(df: DataFrame) -> DataFrame:
+    """S1/S2 — binary → PDFExtractionResult rows via mapInPandas."""
+    return df.select("path", "content").mapInPandas(
+        _extract_batch, schema=PDF_EXTRACTION_SCHEMA
+    )
+
+
+def pdf_pipeline(spark: SparkSession, path_glob: str) -> DataFrame:
+    """scan → ingress gates → Arrow-batched extraction (one narrow chain)."""
+    return extract_pdf_text(validate_pdf_ingress(read_pdf_files(spark, path_glob)))
