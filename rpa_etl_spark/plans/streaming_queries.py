@@ -1,0 +1,108 @@
+"""M5 — streaming declared queries (batch-equivalent forms).
+
+Each query runs the *same transformation function* the streaming pipelines
+use (streaming/pipeline.py), in batch mode over the events table, so the
+DuckDB oracle can hash-check the windowing semantics. The streaming-mode
+execution of the identical functions is covered by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.streaming import pipeline as SP
+from rpa_etl_spark.tables import load
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts)                    AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SP.tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH both_windows AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM both_windows
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 — every event falls in exactly two
+    windows, which the oracle reproduces by unioning the two bucket
+    assignments."""
+    return SP.sliding_counts(load(spark, sf_dir, "events"))
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL '5 minutes'
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered
+    )
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window vs an independent SQL sessionization (lag +
+    cumulative new-session flags) — a strong cross-check of gap semantics."""
+    return SP.sessionize(load(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT DISTINCT ON (event_id) event_id, event_type
+        FROM (SELECT event_id, event_type FROM events
+              UNION ALL
+              SELECT event_id, event_type FROM events)
+    )
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by event_id over a deliberately duplicated input
+    (idempotence: same input twice ⇒ same output once)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    doubled = ev.unionByName(ev)
+    from pyspark.sql import functions as F
+
+    return (
+        SP.dedup_events(doubled.withColumn("value", F.lit(0.0))
+                        .withColumn("user_id", F.lit(0))
+                        .withColumn("props", F.lit("{}")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,102 @@
+"""Streaming-mode tests: the same transformations the batch oracle checks,
+run through readStream (file source, availableNow trigger)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from rpa_etl_spark.streaming import pipeline as SP
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(100):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": (base + timedelta(seconds=37 * i)).isoformat(sep=" "),
+                "user_id": i % 5,
+                "event_type": ["click", "view", "error"][i % 3],
+                "value": float(i),
+                "props": json.dumps({"k": i}),
+            }
+        )
+    # two files → two source splits; duplicate second half of file1 in file2
+    (tmp_path / "f1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    (tmp_path / "f2.json").write_text("\n".join(json.dumps(r) for r in rows[50:]))
+    return tmp_path
+
+
+def _run_stream(spark, stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if not stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    stream = SP.events_file_stream(spark, str(events_dir))
+    agg = SP.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("tumbling_out").collect()
+    }
+    batch = spark.read.schema(SP.EVENTS_STREAM_SCHEMA).json(str(events_dir))
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in SP.tumbling_counts(batch).collect()
+    }
+    assert got == want
+    assert len(want) > 3
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    stream = SP.events_file_stream(spark, str(events_dir))
+    deduped = SP.dedup_events(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_out")
+    # 150 input rows (100 + 50 duplicated) → 100 unique event_ids
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100
+
+
+def test_foreach_batch_audit_sink(spark, events_dir, tmp_path):
+    stream = SP.events_file_stream(spark, str(events_dir))
+    out_dir = str(tmp_path / "audit_out")
+    q = SP.run_foreach_batch_audit(stream, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    audit = spark.read.parquet(out_dir)
+    assert audit.count() == 150
+    cols = set(audit.columns)
+    assert {"timestamp", "stage", "status", "details", "error_policy", "batch_id"} <= cols
+    from pyspark.sql import functions as F
+
+    stages = {r["stage"] for r in audit.select("stage").distinct().collect()}
+    assert stages == {"READ", "VALIDATE"}
+    err = audit.where(F.col("status") == "FAILURE").limit(1).collect()[0]
+    assert err["error_policy"] == "ABORT"
+    assert json.loads(err["details"])["event_type"] == "error"
