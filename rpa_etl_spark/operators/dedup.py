@@ -1,0 +1,169 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five dedup families over a text corpus (`documents`), designed so the
+cheap exact pass always runs first and the expensive near-dup passes work
+on hash-bucketed candidates, never all-pairs:
+
+- exact:     sha256(normalized text) → groupBy → keep canonical id.
+  One shuffle keyed by the hash; at 100 TB use this before anything else.
+- n-gram Jaccard: word-shingle set overlap for candidate pairs.
+- MinHash+LSH:  k permutation-style hashes over shingles → band buckets →
+  candidates are pairs sharing ≥1 band bucket. Shuffle is keyed by
+  (band, bucket-hash): linear in corpus size, never quadratic.
+- SimHash:   64-bit signed-bit-sum signature (vectorized numpy pandas_udf);
+  near-dups = small Hamming distance, bucketed by signature prefix.
+- Embedding cosine: see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+MERSENNE_31 = (1 << 31) - 1
+
+
+def normalize_for_dedup(col: Column) -> Column:
+    """Cheap canonicalization before exact hashing: lower, collapse ws."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one hash-keyed shuffle; emits canonical id + copy count."""
+    h = F.sha2(normalize_for_dedup(F.col(text_col)), 256)
+    return (
+        df.select(F.col(id_col), h.alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (the near-dup unit). In-row transform — the
+    shingle set never leaves the document row."""
+    words = F.split(col, r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: min over shingles of (a_j·x + b_j) mod M31 where
+    x = xxhash64(shingle) — all JVM-side, one array column out.
+
+    Deterministic hash-family coefficients derive from the hash index, so
+    signatures are reproducible across runs/clusters.
+    """
+    x = lambda s: F.abs(F.xxhash64(s)) % MERSENNE_31  # noqa: E731
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, j=j: (x(s) * (2 * j + 1) + j * 0x9E3779B1) % MERSENNE_31,
+            )
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` equal slices, bucket
+    by (band index, slice hash), self-join buckets for candidates.
+
+    The self-join shuffles on the bucket key — candidate volume scales with
+    collisions, not |corpus|². Pairs are deduplicated (a<b) since two docs
+    can share several bands.
+    """
+    sig_len_hint = df.select(F.size(sig_col).alias("n")).limit(1)
+    rows_per_band = sig_len_hint.collect()[0]["n"] // bands
+
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band).cast(
+                        "string"
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over token lists (Arrow-batched, vectorized numpy:
+    per-token 64-bit hashes unpacked to sign contributions, summed, signed).
+    """
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            out[i] = 0
+            continue
+        # blake2b 8-byte digests: deterministic across processes (python's
+        # builtin hash() is PYTHONHASHSEED-randomized — unusable here)
+        import hashlib
+
+        hs = np.array(
+            [
+                np.frombuffer(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(),
+                    dtype=np.uint64,
+                )[0]
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        sums = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(sums > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (JVM bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers, mirroring what a real 100 TB pipeline does:
+
+- **Brute-force cosine top-k** for a bounded query set: broadcast the
+  queries, score against the full corpus scan (one pass, no shuffle of the
+  corpus), per-query top-k via window rank. Exact; cost = |Q|·|corpus|.
+- **Hyperplane-LSH ANN**: sign-bit signatures against deterministic
+  pseudo-random hyperplanes → bucket join → exact cosine only within
+  buckets. Sub-linear candidate volume; recall tested against brute force.
+
+Dot products run as JVM higher-order folds (zip_with + aggregate) over
+double-cast elements — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — strict left-to-right fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector. The query side is broadcast;
+    the corpus is scanned once; the only shuffle carries |Q|·k-bounded rows
+    into the per-query rank window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane: components from a
+    splitmix-style integer scramble of (plane, dim) — reproducible across
+    runs and engines without an RNG."""
+    comps = []
+    for d in range(dim):
+        z = (plane_idx * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        z ^= z >> 31
+        comps.append(((z % 2_000_001) / 1_000_000.0) - 1.0)  # [-1, 1]
+    return comps
+
+
+def lsh_signature(vec: Column, dim: int, num_planes: int = 16,
+                  table_salt: int = 0) -> Column:
+    """Sign-bit signature: bit_j = 1 iff vec · plane_j > 0. One long.
+    ``table_salt`` selects an independent plane family per LSH table."""
+    sig = F.lit(0).cast("long")
+    for j in range(num_planes):
+        plane = F.array(
+            [F.lit(c) for c in _hyperplane(dim, j + table_salt * 1009)]
+        )
+        bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + (bit * F.lit(1 << j))
+    return sig
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine evaluated only for candidates that
+    collide with the query in ≥1 of ``num_tables`` independent LSH tables
+    (multi-table = the standard recall amplifier: P[miss] decays
+    exponentially in table count).
+
+    At 100 TB the bucketed join replaces the |Q|·|corpus| scan with
+    |Q|·E[candidates]; tune num_planes up for sparser buckets and
+    num_tables up for recall. NB: on *uniformly random* vectors (like the
+    synthetic test embeddings) there is no locality for any ANN method to
+    exploit — recall targets only mean something on clustered real data.
+    """
+
+    def sig(df: DataFrame, ids: str, vec_alias: str) -> DataFrame:
+        tables = F.array(
+            *[
+                lsh_signature(F.col(vec_col), dim, num_planes, table_salt=t)
+                for t in range(num_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(ids),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(tables).alias("table_idx", "bucket"),
+        )
+
+    q = sig(queries, "query_id", "q_vec")
+    c = sig(corpus, "neighbor_id", "c_vec")
+    candidates = (
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])  # collided in ≥1 table
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= k
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    window: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a bounded id window
+    (the oracle-checkable slice of the general LSH-bucketed variant)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") - F.col("id_a") <= window),
+        )
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("score"))
+        .where(F.col("score") >= threshold)
+    )

@@ -1,0 +1,315 @@
+"""M6 — LLM-data declared queries: dedup, similarity search, text analysis
+(BASELINE.json north star) over `documents` and `embeddings`.
+
+Oracle-checked where ANSI SQL can express the math (exact dedup, n-gram
+Jaccard, cosine pairs/top-k, text stats, lang-id, quality, token counts,
+fingerprints). MinHash-LSH, SimHash and hyperplane-ANN depend on
+xxhash64/blake2b, which DuckDB cannot reproduce → rows-only checks, with
+recall/quality gates in tests/test_llmdata.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.operators import dedup as D
+from rpa_etl_spark.operators import similarity as SIM
+from rpa_etl_spark.operators import textstats as TS
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents
+    )
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_sha,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM doubled
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with injected duplicates — every text must
+    collapse to one canonical id with n_copies=2."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    )
+    return D.exact_dedup(doubled)
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1),
+                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+2])) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard_sim
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard similarity for near-dup pairs (bounded-window
+    candidates so the oracle form stays linear; the unbounded form goes
+    through MinHash-LSH candidates instead)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("grams")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("grams").alias("g_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("grams").alias("g_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") - F.col("id_a") <= 25),
+        )
+        .select(
+            "id_a", "id_b", D.jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard_sim")
+        )
+        .where(F.col("jaccard_sim") >= 0.2)
+    )
+
+
+@query("q_dedup_minhash")  # xxhash64-based → rows-only; recall gated in tests
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs joined back to exact Jaccard — the scale
+    path for unbounded near-dup discovery (shuffle keyed by band bucket)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", D.word_shingles(F.col("text"), 3).alias("grams")
+    )
+    signed = docs.select(
+        "doc_id", "grams", D.minhash_signature(F.col("grams"), 32).alias("minhash")
+    )
+    pairs = D.lsh_candidate_pairs(signed.select("doc_id", "minhash"), bands=8)
+    g = docs.select(F.col("doc_id").alias("id"), "grams")
+    return (
+        pairs.join(g.withColumnsRenamed({"id": "id_a", "grams": "g_a"}), "id_a")
+        .join(g.withColumnsRenamed({"id": "id_b", "grams": "g_b"}), "id_b")
+        .select(
+            "id_a", "id_b", D.jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard_sim")
+        )
+        .where(F.col("jaccard_sim") >= 0.5)
+    )
+
+
+@query("q_dedup_simhash")  # blake2b-based → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: prefix-bucketed signature join, pairs
+    within Hamming distance ≤ 8."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", D.simhash64(TS.tokens(F.col("text"))).alias("sig")
+    )
+    bucketed = docs.withColumn("bucket", F.shiftrightunsigned("sig", 48))
+    a = bucketed.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", D.hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+        )
+        .where(F.col("hamming") <= 8)
+    )
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.q_vec::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                   AS score
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 6) AS score_r, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 50 query vectors (exact
+    baseline; the scale path is q_ann_lsh)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 50), k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score_r"), "rank"
+    )
+
+
+@query("q_ann_lsh")  # approximate → rows-only; recall gated in tests
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (bucketed candidates only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 50), dim=64, k=10)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+               AS score_r
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bounded window, oracle form)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.cosine_near_dup_pairs(emb, threshold=0.8, window=50)
+    return out.select("id_a", "id_b", F.round("score", 6).alias("score_r"))
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(TS.whitespace_token_count(F.col("text"))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_EN = "['the','and','of','to','a','in','is','that','for','with']"
+
+
+@query(
+    "q_lang_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, n_chars,
+               string_split_regex(trim(text), '\\s+') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(words, w -> list_contains({_EN}, lower(w)))) AS en_hits,
+           CASE WHEN len(list_filter(words, w -> list_contains({_EN}, lower(w)))) > 0
+                THEN 'en' ELSE 'und' END AS lang_pred,
+           CAST((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN CAST(0.40 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END
+            + CASE WHEN len(words) > 0
+                        AND (CAST(n_chars AS DOUBLE)/len(words)) BETWEEN 3 AND 12
+                   THEN CAST(0.30 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END
+            + CASE WHEN len(list_filter(words, w -> list_contains({_EN}, lower(w)))) > 0
+                   THEN CAST(0.20 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END
+            + CASE WHEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                        / n_chars <= 0.1
+                   THEN CAST(0.10 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END)
+           AS DECIMAL(4,2)) AS quality,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(words,
+                       w -> CAST((length(w)*17 + ord(substr(w,1,1))) % 1000003 AS BIGINT))),
+               (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+    FROM toks
+    """,
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality score + token counts + rolling
+    fingerprint per document. The corpus text is English-wordlist salad, so
+    the en-markers dominate; the oracle reproduces the exact heuristics.
+    """
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = TS.tokens(text)
+    en_hits = TS._marker_hits(toks, "en")
+    return docs.select(
+        "doc_id",
+        en_hits.alias("en_hits"),
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        TS.quality_score(text).alias("quality"),
+        TS.bpe_ish_token_count(text).alias("bpe_tokens"),
+        TS.est_llm_tokens(text).alias("est_tokens"),
+        TS.fingerprint(text).alias("fingerprint"),
+    )
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id                                     AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END                  AS mime,
+           octet_length(encode(text))                 AS payload_bytes,
+           sha256(text)                               AS payload_sha256,
+           CAST(doc_id % 1920 + 1 AS INT)             AS meta_width,
+           CAST(doc_id % 1080 + 1 AS INT)             AS meta_height,
+           (doc_id % 300) / 10.0                      AS meta_duration_s
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: payload stays BinaryType with
+    typed metadata alongside; hashes/lengths computed JVM-side (the decode
+    stage itself is the mapInPandas path tested in test_llmdata.py)."""
+    from rpa_etl_spark.sources.multimodal import attach_media_columns
+
+    media = attach_media_columns(load(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "mime",
+        F.length("payload").cast("bigint").alias("payload_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+        "meta_width",
+        "meta_height",
+        "meta_duration_s",
+    )
