@@ -48,6 +48,21 @@ PARTY_STOP_TOKENS = [
 ]
 
 
+def _let(bindings: dict[str, Column], body) -> Column:
+    """Let-binding for column expressions: evaluate each binding ONCE, then
+    build the result from the bound references.
+
+    Implemented as ``transform`` over a one-element struct array — lambda
+    variables are materialized per row, so expensive sub-expressions stop
+    being duplicated into every use site (interpreted projections have no
+    common-subexpression elimination; without this, nested extractors
+    multiply their inputs' cost 3-5×)."""
+    packed = F.array(F.struct(*[c.alias(k) for k, c in bindings.items()]))
+    return F.element_at(
+        F.transform(packed, lambda p: body({k: p[k] for k in bindings})), 1
+    )
+
+
 def find_cnpjs(col: Column) -> Column:
     """X1 — all checksum-valid CNPJs in a text (parser.py:87-94)."""
     return F.filter(
@@ -63,7 +78,10 @@ def find_valid_nfe_key(col: Column) -> Column:
         F.regexp_extract_all(col, F.lit(NFE_KEY_RE), 0),
         lambda k: V.nfe_key_is_valid(k),
     )
-    return F.when(F.size(valid) > 0, F.element_at(valid, 1))
+    return _let(
+        {"v": valid},
+        lambda p: F.when(F.size(p["v"]) > 0, F.element_at(p["v"], 1)),
+    )
 
 
 def find_values(col: Column) -> Column:
@@ -117,24 +135,29 @@ def extract_blocks(col: Column) -> Column:
 def extract_party(block: Column) -> Column:
     """B2 — party from a block (parser.py:214-245): first checksum-valid
     CNPJ; name = first line that survives the stoplist cleanse and is not a
-    CNPJ-only or marker line. Returns struct<name,cnpj_cpf> (NULL if no
-    valid CNPJ)."""
-    cnpjs = find_cnpjs(block)
-    cnpj = F.when(F.size(cnpjs) > 0, V.cnpj_format(F.element_at(cnpjs, 1)))
+    CNPJ-carrying line. Returns struct<name,cnpj_cpf> (NULL if no valid
+    CNPJ). The block's first line is its marker (by construction of B1), so
+    name candidates start at line 2 — no marker regex needed."""
+    # lines[2:] — slice off the marker line
     lines = F.split(block, "\n")
-    marker_re = "|".join(BLOCK_MARKERS.values())
-    name_lines = F.filter(
-        lines,
+    candidates = F.filter(
+        F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
         lambda ln: ~ln.rlike(r"^[\s\d./-]*$")
         & ~ln.rlike(CNPJ_RE)  # CNPJ-carrying lines are not names (parser.py:233)
-        & ~F.upper(ln).rlike("(?i)" + marker_re)
         & _name_survives(ln),
     )
-    name = F.when(
-        F.size(name_lines) > 0,
-        _cleanse_name(F.element_at(name_lines, 1)),
+    return _let(
+        {"cs": find_cnpjs(block), "ns": candidates},
+        lambda p: F.when(
+            F.size(p["cs"]) > 0,
+            F.struct(
+                F.when(
+                    F.size(p["ns"]) > 0, _cleanse_name(F.element_at(p["ns"], 1))
+                ).alias("name"),
+                V.cnpj_format(F.element_at(p["cs"], 1)).alias("cnpj_cpf"),
+            ),
+        ),
     )
-    return F.when(cnpj.isNotNull(), F.struct(name.alias("name"), cnpj.alias("cnpj_cpf")))
 
 
 def _cleanse_name(col: Column) -> Column:
@@ -184,8 +207,10 @@ def extract_total(block: Column) -> Column:
         F.filter(find_values(block), lambda v: V.money_is_valid(v)), -1
     )
     cand = F.when(labeled != "", labeled).otherwise(any_value)
-    parsed = V.money_parse(cand)
-    return F.when(parsed.isNotNull(), V.money_format_br(parsed))
+    return _let(
+        {"p": V.money_parse(cand)},
+        lambda b: F.when(b["p"].isNotNull(), V.money_format_br(b["p"])),
+    )
 
 
 def parse_invoices(df, text_col: str = "text"):
@@ -201,16 +226,31 @@ def parse_invoices(df, text_col: str = "text"):
     All stages are narrow — one fused scan→parse pass, no shuffle.
     """
     text = F.col(text_col)
-    blocks = extract_blocks(text)
-    df = df.withColumn("_blocks", blocks)
+    # stage 1: marker positions — each regexp_instr runs exactly once
     df = df.withColumns(
         {
-            "_b_issuer": F.col("_blocks")["ISSUER"],
-            "_b_recipient": F.col("_blocks")["RECIPIENT"],
-            "_b_items": F.col("_blocks")["ITEMS"],
-            "_b_fin": F.col("_blocks")["FINANCIALS"],
+            "_p_issuer": _marker_pos(text, BLOCK_MARKERS["ISSUER"]),
+            "_p_recipient": _marker_pos(text, BLOCK_MARKERS["RECIPIENT"]),
+            "_p_items": _marker_pos(text, BLOCK_MARKERS["ITEMS"]),
+            "_p_fin": _marker_pos(text, BLOCK_MARKERS["FINANCIALS"]),
         }
-    ).drop("_blocks")
+    )
+    # stage 2: block slices — arithmetic over the 4 position attributes
+    all_pos = F.array("_p_issuer", "_p_recipient", "_p_items", "_p_fin")
+    text_end = F.length(text) + 1
+
+    def _block(p: Column) -> Column:
+        nxt = F.coalesce(F.array_min(F.filter(all_pos, lambda x: x > p)), text_end)
+        return F.when(p > 0, text.substr(p, nxt - p))
+
+    df = df.withColumns(
+        {
+            "_b_issuer": _block(F.col("_p_issuer")),
+            "_b_recipient": _block(F.col("_p_recipient")),
+            "_b_items": _block(F.col("_p_items")),
+            "_b_fin": _block(F.col("_p_fin")),
+        }
+    ).drop("_p_issuer", "_p_recipient", "_p_items", "_p_fin")
     df = df.withColumns(
         {
             "emission_date": extract_emission_date(text),

@@ -165,15 +165,28 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a bounded id window
-    (the oracle-checkable slice of the general LSH-bucketed variant)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    (the oracle-checkable slice of the general LSH-bucketed variant).
+
+    The window predicate alone would plan as a BroadcastNestedLoopJoin
+    (all-pairs — quadratic). Banding ids by ``window`` and exploding the
+    right side into (bucket, bucket−1) makes it an equi hash join: for
+    0 < b−a ≤ w, bucket(a) ∈ {bucket(b), bucket(b)−1}. Linear shuffle,
+    same result set.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        (F.col(id_col) / window).cast("long").alias("bucket"),
+    )
+    bkt = (F.col(id_col) / window).cast("long")
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("id_b") - F.col("id_a") <= window),
-        )
+        a.join(b, "bucket")
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= window))
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("score"))
         .where(F.col("score") >= threshold)
     )

@@ -74,21 +74,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("grams")
     )
+    # band ids by the window size → equi hash join on (lang, bucket)
+    # instead of an all-pairs BroadcastNestedLoopJoin (see
+    # similarity.cosine_near_dup_pairs for the identity)
     a = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("doc_id").alias("id_a"), F.col("lang"),
         F.col("grams").alias("g_a"),
+        (F.col("doc_id") / 25).cast("long").alias("bucket"),
     )
+    bkt = (F.col("doc_id") / 25).cast("long")
     b = docs.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("id_b"), F.col("lang"),
         F.col("grams").alias("g_b"),
+        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
     )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.col("id_b") - F.col("id_a") <= 25),
-        )
+        a.join(b, ["lang", "bucket"])
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= 25))
         .select(
             "id_a", "id_b", D.jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard_sim")
         )

@@ -47,5 +47,8 @@ def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the invoice-parse projections generate large methods; the default
+        # 8k-bytecode fallback threshold forces interpreted eval too eagerly
+        .config("spark.sql.codegen.hugeMethodLimit", "65535")
     )
     return builder.getOrCreate()
