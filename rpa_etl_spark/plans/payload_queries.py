@@ -1,0 +1,151 @@
+"""Round-2 coverage additions: as-of join, payload transforms (R3/R4),
+event contract (K2), audit-event emission (O4).
+
+The payload transforms mirror the reference's downstream-consumer tests
+(tests/contract/test_payload_transform.py:51-108): rename/nest into an ERP
+shape and flatten into an analytics-event shape. JSON output strings are
+built with deterministic field order so the DuckDB oracle can reproduce
+them with plain concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.operators.asof import asof_join
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.event_id AS purchase_id_asof,
+           p.value    AS purchase_value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent prior purchase.
+    Cross-checked against DuckDB's native ASOF JOIN — validates both the
+    union+window implementation and its tie/NULL semantics."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", time="ts",
+        right_values=["purchase_id", "purchase_value"],
+    )
+    return out.select("event_id", "user_id", "purchase_id_asof", "purchase_value_asof")
+
+
+@query(
+    "q_payload_erp",
+    oracle="""
+    SELECT o_orderkey,
+           '{"supplier":{"tax_id":"' || lpad(CAST((o_custkey * 7919) % 100000000000000 AS VARCHAR), 14, '0')
+           || '","name":"EMPRESA ' || CAST(o_custkey AS VARCHAR)
+           || '"},"total_amount":' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '}'
+               AS erp_json,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_amount
+    FROM orders
+    """,
+)
+def q_payload_erp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 — ERP payload: rename/nest into supplier.tax_id/name + total
+    (test_payload_transform.py:51-84 shape), serialized with to_json."""
+    orders = load(spark, sf_dir, "orders")
+    tax_id = F.lpad(((F.col("o_custkey") * 7919) % 100000000000000).cast("string"), 14, "0")
+    erp = F.struct(
+        F.struct(
+            tax_id.alias("tax_id"),
+            F.concat(F.lit("EMPRESA "), F.col("o_custkey").cast("string")).alias("name"),
+        ).alias("supplier"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_amount"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.to_json(erp).alias("erp_json"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_amount"),
+    )
+
+
+@query(
+    "q_payload_analytics",
+    oracle="""
+    SELECT event_id                                   AS source_event,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S')          AS event_time,
+           event_type,
+           user_id,
+           CAST(value AS DECIMAL(18,2))               IS NOT NULL AS has_value,
+           CAST(len(json_keys(props)) AS INT)         AS props_count
+    FROM events
+    """,
+)
+def q_payload_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — analytics-event flattening (test_payload_transform.py:87-108
+    shape: flat fields + counts + presence flags)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("source_event"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("event_time"),
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,2)").isNotNull().alias("has_value"),
+        F.size(F.map_keys(F.from_json("props", "map<string,int>"))).alias("props_count"),
+    )
+
+
+@query(
+    "q_audit_events",
+    oracle="""
+    SELECT o_orderkey, stage,
+           CASE WHEN stage = 'VALIDATE' AND o_orderkey % 7 = 0
+                THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+           (o_orderkey % 100) + stage_idx AS duration_ms
+    FROM orders, (VALUES ('READ', 1), ('NORMALIZE', 2), ('PARSE', 3), ('VALIDATE', 4))
+                 AS stages(stage, stage_idx)
+    """,
+)
+def q_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — per-document stage-event emission (orchestrator.py:118-298):
+    every document fans out to READ/NORMALIZE/PARSE/VALIDATE audit rows
+    with deterministic durations; VALIDATE fails for the key_invalid docs
+    (same proxy as q_trust_score)."""
+    orders = load(spark, sf_dir, "orders")
+    stages = F.array(
+        *[
+            F.struct(F.lit(s).alias("stage"), F.lit(i + 1).alias("stage_idx"))
+            for i, s in enumerate(["READ", "NORMALIZE", "PARSE", "VALIDATE"])
+        ]
+    )
+    exploded = orders.select("o_orderkey", F.explode(stages).alias("s"))
+    return exploded.select(
+        "o_orderkey",
+        F.col("s.stage").alias("stage"),
+        F.when(
+            (F.col("s.stage") == "VALIDATE") & (F.col("o_orderkey") % 7 == 0),
+            F.lit("FAILURE"),
+        )
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status"),
+        ((F.col("o_orderkey") % 100) + F.col("s.stage_idx")).alias("duration_ms"),
+    )

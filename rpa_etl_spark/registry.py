@@ -51,6 +51,7 @@ def load_all_plans() -> None:
         "rpa_etl_spark.plans.document_queries",
         "rpa_etl_spark.plans.streaming_queries",
         "rpa_etl_spark.plans.llmdata_queries",
+        "rpa_etl_spark.plans.payload_queries",
     ):
         try:
             __import__(mod)

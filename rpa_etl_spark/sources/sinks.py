@@ -1,0 +1,45 @@
+"""Sinks (reference parity: K1/K2 + R1 routing).
+
+The reference appends one-row pandas frames to a CSV (main.py:27-30) and
+maps results to a JSON event contract (orchestrator_models.py:51-66). The
+engine equivalents are distributed writers:
+
+- ``append_csv``      — K1: header-carrying CSV append.
+- ``write_event_json``— K2: event-contract rows as JSON lines.
+- ``write_routed``    — R1: partitioned-by-route parquet layout, so each
+  downstream consumer (auditoria_fiscal / processamento_normal /
+  revisao_manual) reads only its partition (partition pruning at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def append_csv(df: DataFrame, path: str) -> None:
+    """K1 — append tabular rows as CSV with headers (main.py:27-30)."""
+    df.write.mode("append").option("header", "true").csv(path)
+
+
+def write_event_json(df: DataFrame, path: str) -> None:
+    """K2 — JSON-lines event sink (map_to_event_contract semantics:
+    orchestrator_models.py:51-66). One JSON object per row."""
+    df.write.mode("append").json(path)
+
+
+def event_contract(df: DataFrame, tenant: str = "default") -> DataFrame:
+    """Shape rows into the K2 event-bus contract:
+    event_id/event_type/tenant_id/status/data."""
+    return df.select(
+        F.sha2(F.to_json(F.struct(*df.columns)), 256).alias("event_id"),
+        F.lit("pipeline.result.v1").alias("event_type"),
+        F.lit(tenant).alias("tenant_id"),
+        F.to_json(F.struct(*df.columns)).alias("data"),
+    )
+
+
+def write_routed(df: DataFrame, route_col: str, path: str) -> None:
+    """R1 — value-threshold routing as a partitioned layout
+    (test_pipeline_core.py:169-194): one directory per route."""
+    df.write.mode("overwrite").partitionBy(route_col).parquet(path)
