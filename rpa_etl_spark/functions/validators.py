@@ -41,12 +41,30 @@ def _digit(col: Column, i: int) -> Column:
     return F.substring(col, i, 1).try_cast("int")
 
 
+def _idiv(a: Column, p: int) -> Column:
+    """Exact integer division by a power of ten for values < 2^53:
+    (a − a%p)/p is exactly divisible, so the double division is exact."""
+    return ((a - a % p) / p).cast("long")
+
+
 def _weighted_mod11(col: Column, weights: list[int]) -> Column:
-    """(Σ digit_i × weight_i) % 11 — unrolled scalar sum: no lambdas/arrays,
-    so the whole checksum stays one flat codegen expression."""
-    total = _digit(col, 1) * F.lit(weights[0])
-    for i, w in enumerate(weights[1:], start=2):
-        total = total + _digit(col, i) * F.lit(w)
+    """(Σ digit_i × weight_i) % 11.
+
+    The digit string is parsed as ≤15-digit numeric chunks (ONE try_cast
+    per chunk), then digits come out via integer mod/div — roughly 2×
+    cheaper than per-digit substring+cast in interpreted eval, and the
+    whole checksum stays one flat scalar expression (no lambdas/arrays:
+    an earlier higher-order version was both slower and nondeterministic
+    under thread-shared constant folding)."""
+    n = len(weights)
+    total = None
+    for start in range(0, n, 15):
+        clen = min(15, n - start)
+        chunk = F.substring(col, start + 1, clen).try_cast("long")
+        for j in range(clen):
+            digit = _idiv(chunk % (10 ** (clen - j)), 10 ** (clen - j - 1))
+            term = digit * F.lit(weights[start + j])
+            total = term if total is None else total + term
     return total % 11
 
 

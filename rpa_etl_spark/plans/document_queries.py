@@ -102,7 +102,15 @@ def q_parse_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("VALOR TOTAL DA NOTA"),
         F.concat(F.lit("R$ "), total_br),
     )
-    parsed = P.parse_invoices(orders.select("o_orderkey", text.alias("text")))
+    # barrier: materialize the CONSTRUCTED text before the parser fans out
+    # (~11 consumers — regexp_instr positions, block slices, date/key
+    # scans). Without it Catalyst re-inlines the whole construction into
+    # every consumer (measured 5× slower). A corpus read from parquet
+    # doesn't need this — attribute refs are free to repeat.
+    base = orders.select("o_orderkey", text.alias("text")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parsed = P.parse_invoices(base)
     return parsed.select(
         "o_orderkey",
         "emission_date",

@@ -147,11 +147,17 @@ def q_nfe_key_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independent DuckDB implementation."""
     orders = load(spark, sf_dir, "orders")
     key = _synthetic_nfe_key(F.col("o_orderkey"))
-    return orders.select(
+    # barrier: the constructed key feeds 3 consumers (echo, full validation,
+    # DV recompute) — materialize once instead of letting Catalyst inline
+    # the construction into each
+    base = orders.select("o_orderkey", key.alias("nfe_key")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return base.select(
         "o_orderkey",
-        key.alias("nfe_key"),
-        V.nfe_key_is_valid(key).alias("is_valid"),
-        V.nfe_key_dv(key).cast("int").alias("expected_dv"),
+        "nfe_key",
+        V.nfe_key_is_valid(F.col("nfe_key")).alias("is_valid"),
+        V.nfe_key_dv(F.col("nfe_key")).cast("int").alias("expected_dv"),
     )
 
 
@@ -251,14 +257,21 @@ def q_monetary_br(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(okey4 == 2, F.concat(F.lit("R$ "), dotted, F.lit(","), frac, F.lit("9")))
         .otherwise(F.concat(F.lit("R$ -"), dotted, F.lit(","), frac))
     )
-    parsed = V.money_parse(raw)
-    return orders.select(
+    # barrier: constructed raw string feeds echo + validity + parse +
+    # format — materialize once (see q_parse_invoice note)
+    base = orders.select(
         "o_orderkey",
         raw.alias("raw"),
-        V.money_is_valid(raw).alias("is_valid"),
+        F.when(okey4 == 1, F.lit("USD")).otherwise(F.lit("BRL")).alias("currency"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    parsed = V.money_parse(F.col("raw"))
+    return base.select(
+        "o_orderkey",
+        "raw",
+        V.money_is_valid(F.col("raw")).alias("is_valid"),
         parsed.cast("double").alias("parsed_value"),
         F.when(parsed.isNotNull(), V.money_format_br(parsed)).alias("formatted_br"),
-        F.when(okey4 == 1, F.lit("USD")).otherwise(F.lit("BRL")).alias("currency"),
+        "currency",
     )
 
 

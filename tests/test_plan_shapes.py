@@ -1,0 +1,65 @@
+"""Physical-plan regression gates: the scale properties (broadcast where
+intended, pushdown reaching scans, no nested-loop joins in pair queries,
+column pruning) must survive refactors. Checked on the pre-AQE plan string
+— strategy choices appear there even though codegen nodes do not."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from rpa_etl_spark import registry
+
+registry.load_all_plans()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims_not_facts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_flagship")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoop" not in plan
+    # shipdate filter pushed into the lineitem scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+
+
+def test_filter_predicates_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_predicates")
+    pushed = re.search(r"PushedFilters: \[(.*?)\], ReadSchema", plan, re.S).group(1)
+    for frag in ("In(l_returnflag", "GreaterThanOrEqual(l_quantity", "GreaterThan(l_discount"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_scan_projects_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_project")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"}
+
+
+@pytest.mark.parametrize("name", ["q_dedup_ngram_jaccard", "q_dedup_embedding"])
+def test_pair_queries_use_hash_joins_not_bnlj(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastNestedLoop" not in plan, f"{name} regressed to all-pairs join"
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    for name, kind in (("q_join_semi", "LeftSemi"), ("q_join_anti", "LeftAnti")):
+        plan = _plan(spark, sf_dir, name)
+        assert kind in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q_topk")
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_asof")
+    # union+window implementation: no join operator at all
+    assert "Join" not in plan
+    assert "Window" in plan
