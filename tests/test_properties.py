@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the parser/validator kernels —
+the reference has none (SURVEY §5); these gate invariants the example
+tests can't sweep. Each example batches many values into one DataFrame so
+Spark job count stays low."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.functions import text as T
+from rpa_etl_spark.functions import validators as V
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+def _py_cnpj_dvs(base12: str) -> str:
+    def dv(digs, weights):
+        r = sum(int(d) * w for d, w in zip(digs, weights)) % 11
+        return 0 if r < 2 else 11 - r
+
+    d1 = dv(base12, [5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2])
+    d2 = dv(base12 + str(d1), [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2])
+    return f"{base12}{d1}{d2}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10**12 - 1), min_size=1, max_size=30))
+def test_generated_cnpjs_always_validate(spark, bases):
+    cnpjs = [_py_cnpj_dvs(str(b).zfill(12)) for b in bases]
+    # all-same-digit CNPJs (base 0) have valid checksums but are rejected
+    # by the repetition rule (validators.py:84-88) — exclude the degenerate
+    cnpjs = [c for c in cnpjs if len(set(c)) > 1] or ["04252011000110"]
+    df = spark.createDataFrame([(c,) for c in cnpjs], "c string")
+    bad = df.where(~V.cnpj_is_valid(F.col("c"))).count()
+    assert bad == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 10**12 - 1), min_size=1, max_size=20),
+    st.integers(1, 9),
+)
+def test_mutated_check_digit_always_invalid(spark, bases, delta):
+    def mutate(c: str) -> str:
+        return c[:13] + str((int(c[13]) + delta) % 10)
+
+    cnpjs = [mutate(_py_cnpj_dvs(str(b).zfill(12))) for b in bases]
+    df = spark.createDataFrame([(c,) for c in cnpjs], "c string")
+    ok = df.where(V.cnpj_is_valid(F.col("c"))).count()
+    assert ok == 0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10**11), min_size=1, max_size=30))
+def test_money_br_roundtrip_cents_exact(spark, cents_list):
+    """BR-format any cents value, parse it back → exactly cents/100."""
+    def br(cents: int) -> str:
+        ip, frac = divmod(cents, 100)
+        s = f"{ip:,}".replace(",", ".")
+        return f"R$ {s},{frac:02d}"
+
+    rows = [(c, br(c)) for c in cents_list]
+    df = spark.createDataFrame(rows, "cents long, raw string")
+    out = df.select(
+        "cents", (V.money_parse(F.col("raw")) * 100).cast("long").alias("back")
+    ).collect()
+    for r in out:
+        if r["cents"] <= 100_000_000_000:  # within the 1e9 validity cap
+            assert r["back"] == r["cents"], r
+    # values over the cap must be rejected
+    over = df.where(F.col("cents") > 100_000_000_000).select(
+        V.money_is_valid(F.col("raw")).alias("v")
+    )
+    assert over.where(F.col("v")).count() == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=" abcdetxy123,. ​\n/R$",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_normalize_text_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = T.normalize_text(F.col("t"))
+    out = df.select(once.alias("a"), T.normalize_text(once).alias("b"))
+    diff = out.where(F.col("a") != F.col("b")).count()
+    assert diff == 0
