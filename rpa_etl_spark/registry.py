@@ -52,6 +52,7 @@ def load_all_plans() -> None:
         "rpa_etl_spark.plans.streaming_queries",
         "rpa_etl_spark.plans.llmdata_queries",
         "rpa_etl_spark.plans.payload_queries",
+        "rpa_etl_spark.plans.tpch_shapes",
     ):
         try:
             __import__(mod)
