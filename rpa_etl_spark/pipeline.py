@@ -1,0 +1,125 @@
+"""End-to-end document pipeline — the engine's equivalent of the
+reference's primary entry point ``Orchestrator.process()``
+(robot/orchestrator.py:118-298), batched over a corpus.
+
+One call: raw document text in → full ``PipelineResult``-shaped rows out
+(parsed invoice struct, validation issues, trust score, status, route,
+content hashes, reduction metrics). Each reference stage maps to a narrow
+section of ONE fused Spark pass — no shuffle anywhere in the pipeline, so
+it scales linearly with the corpus:
+
+    READ      → caller provides text (or sources/pdf.pdf_pipeline output)
+    NORMALIZE → functions/text.normalize_text  (+ hash & reduction ratio)
+    PARSE     → functions/parsing.parse_invoices (staged B1-B5)
+    VALIDATE  → functions/validators checks → issues array
+    SCORE     → functions/scoring trust score + status (O2/O3)
+    ROUTE     → R1/R2 threshold + confidence routing
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.functions import parsing as P
+from rpa_etl_spark.functions import scoring as S
+from rpa_etl_spark.functions import text as T
+from rpa_etl_spark.functions import validators as V
+
+AUDIT_THRESHOLD = 10_000.0  # R1 — tests/e2e/test_pipeline_core.py:177
+
+
+def _issue(cond, code: str, field: str, severity: str):
+    return F.when(
+        cond,
+        F.struct(
+            F.lit(code).alias("code"),
+            F.lit(field).alias("field"),
+            F.lit(severity).alias("severity"),
+        ),
+    )
+
+
+def process_documents(df: DataFrame, text_col: str = "text",
+                      tenant_col: str | None = None) -> DataFrame:
+    """Run the full document pipeline over a corpus.
+
+    Input: any DataFrame with a raw-text column (plus optional tenant).
+    Output columns: everything from the input, plus
+    ``raw_sha256, normalized_text, norm_sha256, reduction_ratio,
+    emission_date, competence_date, chave_acesso, issuer, recipient,
+    items, total, validation_issues, trust_score, status, route``.
+    """
+    # NORMALIZE (P8 chain) + O1 hashes + O5 reduction ratio
+    df = df.withColumn("raw_sha256", F.sha2(F.col(text_col), 256))
+    df = df.withColumn("normalized_text", T.normalize_text(F.col(text_col)))
+    df = df.withColumns(
+        {
+            "norm_sha256": F.sha2(F.col("normalized_text"), 256),
+            "reduction_ratio": F.when(
+                F.length(text_col) > 0,
+                F.round(F.lit(1) - F.length("normalized_text") / F.length(text_col), 2),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+    # PARSE (B1-B5, staged)
+    df = P.parse_invoices(df, text_col="normalized_text")
+
+    # VALIDATE (V2/V3/V4 against parsed fields) → issues array (O2 table)
+    issuer_cnpj = F.col("issuer")["cnpj_cpf"]
+    total = F.col("total")
+    issues = F.array_compact(
+        F.array(
+            _issue(
+                issuer_cnpj.isNull() | ~V.cnpj_is_valid(issuer_cnpj),
+                "ISSUER_CNPJ_INVALID", "issuer.cnpj_cpf", "error",
+            ),
+            _issue(total.isNull(), "TOTAL_MISSING", "financials.total", "warning"),
+            _issue(
+                total.isNotNull() & ~V.money_is_valid(total),
+                "TOTAL_FORMAT", "financials.total", "warning",
+            ),
+            _issue(F.col("recipient").isNull(), "RECIPIENT_MISSING", "recipient", "warning"),
+            _issue(
+                F.col("chave_acesso").isNotNull()
+                & ~V.nfe_key_is_valid(F.col("chave_acesso")),
+                "NFE_KEY_INVALID", "chave_acesso", "warning",
+            ),
+        )
+    )
+    df = df.withColumn("validation_issues", issues)
+
+    # SCORE (O2) + STATUS (O3)
+    has = lambda code: F.exists(  # noqa: E731
+        F.col("validation_issues"), lambda i: i["code"] == F.lit(code)
+    )
+    score = S.trust_score(
+        S.penalty(has("ISSUER_CNPJ_INVALID"), S.PENALTY_ISSUER_CNPJ),
+        S.penalty(has("TOTAL_MISSING"), S.PENALTY_TOTAL_MISSING),
+        S.penalty(has("TOTAL_FORMAT"), S.PENALTY_TOTAL_FORMAT),
+        S.penalty(has("RECIPIENT_MISSING"), S.PENALTY_RECIPIENT_MISSING),
+        S.penalty(has("NFE_KEY_INVALID"), S.PENALTY_KEY_INVALID),
+    ).cast("decimal(4,2)")
+    df = df.withColumn("trust_score", score)
+    df = df.withColumn(
+        "status",
+        S.status_decision(
+            F.exists(F.col("validation_issues"), lambda i: i["severity"] == F.lit("error")),
+            F.size("validation_issues"),
+            F.col("trust_score"),
+        ),
+    )
+
+    # ROUTE (R1 value threshold + R2 confidence)
+    parsed_total = V.money_parse(F.col("total"))
+    df = df.withColumn(
+        "route",
+        F.when(F.col("status") == "error", F.lit("revisao_manual"))
+        .when(parsed_total.isNull(), F.lit("revisao_manual"))
+        .when(parsed_total > AUDIT_THRESHOLD, F.lit("auditoria_fiscal"))
+        .otherwise(F.lit("processamento_normal")),
+    )
+    if tenant_col is None:
+        df = df.withColumn("tenant_id", F.lit("unknown_tenant"))
+    return df
