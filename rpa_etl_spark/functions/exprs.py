@@ -1,0 +1,42 @@
+"""Expression-level let-binding.
+
+Catalyst has no common-subexpression elimination across the *arguments* of
+an expression tree built in Python: every place a Column object is spliced
+in, its whole subtree is duplicated and re-evaluated per row (interpreted
+projections evaluate each copy; codegen may or may not dedupe, and huge
+trees fall out of codegen entirely). For regex-heavy expressions this
+multiplies the dominant cost 4-10x — measured 15x on word-shingle
+construction and ~3x on the fiscal validators.
+
+``let`` evaluates each binding exactly once per row by packing the
+bindings into a one-element array of struct and building the body under a
+``transform`` lambda: lambda variables are materialized values, so every
+reference inside the body is a cheap attribute read.
+
+Works nested inside other higher-order-function lambdas (PySpark
+generates fresh lambda-variable names per level).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let(bindings: dict[str, Column], body: Callable[[dict[str, Column]], Column]) -> Column:
+    """Evaluate each binding ONCE, then build the result from bound refs.
+
+    >>> let({"d": expensive_digits(col)},
+    ...     lambda b: (F.length(b["d"]) == 14) & checksum(b["d"]))
+    """
+    packed = F.array(F.struct(*[c.alias(k) for k, c in bindings.items()]))
+    return F.element_at(
+        F.transform(packed, lambda p: body({k: p[k] for k in bindings})), 1
+    )
+
+
+def let1(binding: Column, body: Callable[[Column], Column]) -> Column:
+    """Single-binding sugar: ``let1(expensive, lambda x: f(x, x))``."""
+    return let({"v": binding}, lambda b: body(b["v"]))

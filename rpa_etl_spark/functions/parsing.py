@@ -24,6 +24,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from rpa_etl_spark.functions import validators as V
+from rpa_etl_spark.functions.exprs import let as _let_shared
+from rpa_etl_spark.functions.exprs import let1
 
 # pattern semantics of parser.py:12-14 (re-derived, not copied)
 CNPJ_RE = r"\d{2}\.?\d{3}\.?\d{3}/?\d{4}-?\d{2}"
@@ -48,19 +50,8 @@ PARTY_STOP_TOKENS = [
 ]
 
 
-def _let(bindings: dict[str, Column], body) -> Column:
-    """Let-binding for column expressions: evaluate each binding ONCE, then
-    build the result from the bound references.
-
-    Implemented as ``transform`` over a one-element struct array — lambda
-    variables are materialized per row, so expensive sub-expressions stop
-    being duplicated into every use site (interpreted projections have no
-    common-subexpression elimination; without this, nested extractors
-    multiply their inputs' cost 3-5×)."""
-    packed = F.array(F.struct(*[c.alias(k) for k, c in bindings.items()]))
-    return F.element_at(
-        F.transform(packed, lambda p: body({k: p[k] for k in bindings})), 1
-    )
+# shared let-binding (see functions/exprs.py for why this exists)
+_let = _let_shared
 
 
 def find_cnpjs(col: Column) -> Column:
@@ -138,6 +129,10 @@ def extract_party(block: Column) -> Column:
     CNPJ-carrying line. Returns struct<name,cnpj_cpf> (NULL if no valid
     CNPJ). The block's first line is its marker (by construction of B1), so
     name candidates start at line 2 — no marker regex needed."""
+    return let1(block, _extract_party_body)
+
+
+def _extract_party_body(block: Column) -> Column:
     # lines[2:] — slice off the marker line
     lines = F.split(block, "\n")
     candidates = F.filter(
@@ -176,6 +171,10 @@ def extract_items(block: Column) -> Column:
     """B3 — items from the ITEMS block (parser.py:247-295): skip short or
     metadata lines; description = line minus value tokens; unit_value =
     last valid monetary token (NULL for continuation lines)."""
+    return let1(block, _extract_items_body)
+
+
+def _extract_items_body(block: Column) -> Column:
     lines = F.split(block, "\n")
     skip = "|".join(ITEM_SKIP_KEYWORDS)
     marker_re = "|".join(BLOCK_MARKERS.values())
@@ -200,6 +199,10 @@ def extract_items(block: Column) -> Column:
 def extract_total(block: Column) -> Column:
     """B4 — total from the FINANCIALS block (parser.py:297-319): priority
     regexes, first match passing monetary validation, returned formatted."""
+    return let1(block, _extract_total_body)
+
+
+def _extract_total_body(block: Column) -> Column:
     labeled = F.regexp_extract(
         block, r"(?i)(?:VALOR TOTAL DA NOTA|TOTAL GERAL|VALOR TOTAL)[:\s]*(" + VALUE_RE + ")", 1
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from rpa_etl_spark.functions.exprs import let1
+
 # IBGE UF codes valid in an NF-e access key (validators.py:126-234 semantics)
 IBGE_UF_CODES = [
     11, 12, 13, 14, 15, 16, 17,          # Norte
@@ -77,6 +79,9 @@ def _mod11_check_digit(col: Column, weights: list[int]) -> Column:
 def cnpj_is_valid(col: Column) -> Column:
     """V2 — CNPJ checksum validation (validators.py:65-122 semantics):
     14 digits, not all-same-digit, both mod-11 check digits correct."""
+    # NOT let-bound: the input is a ≤18-char token, so duplicated
+    # digits_only evals are cheaper than a let barrier (the barrier is an
+    # interpreted higher-order function — it pays off on long text, not here)
     c = digits_only(col)
     return (
         (F.length(c) == 14)
@@ -93,11 +98,13 @@ def cnpj_is_matriz(col: Column) -> Column:
 
 def cnpj_format(col: Column) -> Column:
     """Reformat 14 digits as XX.XXX.XXX/XXXX-XX (validators.py:116-120)."""
-    c = digits_only(col)
-    return F.concat(
-        F.substring(c, 1, 2), F.lit("."), F.substring(c, 3, 3), F.lit("."),
-        F.substring(c, 6, 3), F.lit("/"), F.substring(c, 9, 4), F.lit("-"),
-        F.substring(c, 13, 2),
+    return let1(
+        digits_only(col),
+        lambda c: F.concat(
+            F.substring(c, 1, 2), F.lit("."), F.substring(c, 3, 3), F.lit("."),
+            F.substring(c, 6, 3), F.lit("/"), F.substring(c, 9, 4), F.lit("-"),
+            F.substring(c, 13, 2),
+        ),
     )
 
 
@@ -113,6 +120,7 @@ def nfe_key_is_valid(col: Column) -> Column:
     """V3 — full NF-e 44-digit key validation (validators.py:126-234):
     44 digits; UF ∈ IBGE set; year 2008-2030; month 1-12; modelo ∈ {55,65};
     embedded issuer CNPJ checksum-valid; final DV correct."""
+    # NOT let-bound — 44-char input, same trade-off as cnpj_is_valid
     c = digits_only(col)
     uf = F.substring(c, 1, 2).try_cast("int")
     yy = F.substring(c, 3, 2).try_cast("int")
@@ -157,32 +165,32 @@ def money_normalized(col: Column) -> Column:
     """Separator-normalize to a dot-decimal string (validators.py:287-296):
     if the last separator is a comma → BR format (dots are thousands);
     if the last separator is a dot → US format (commas are thousands)."""
-    s = money_strip_symbols(col)
-    last_comma = F.length(s) - F.locate(",", F.reverse(s)) + 1
-    last_dot = F.length(s) - F.locate(".", F.reverse(s)) + 1
-    has_comma = s.contains(",")
-    has_dot = s.contains(".")
-    br = F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", ".")
-    us = F.regexp_replace(s, ",", "")
-    return (
-        F.when(has_comma & (~has_dot | (last_comma > last_dot)), br)
-        .otherwise(us)
-    )
+    def body(s: Column) -> Column:
+        last_comma = F.length(s) - F.locate(",", F.reverse(s)) + 1
+        last_dot = F.length(s) - F.locate(".", F.reverse(s)) + 1
+        has_comma = s.contains(",")
+        has_dot = s.contains(".")
+        br = F.regexp_replace(F.regexp_replace(s, r"\.", ""), ",", ".")
+        us = F.regexp_replace(s, ",", "")
+        return F.when(has_comma & (~has_dot | (last_comma > last_dot)), br).otherwise(us)
+
+    return let1(money_strip_symbols(col), body)
 
 
 def money_parse(col: Column) -> Column:
     """Guarded decimal parse: DECIMAL(18,2) or NULL when invalid. Invalid =
     unparseable, negative, > 1e9, or more than 2 decimal places
     (validators.py:298-336 semantics, incl. the >2-dp reject)."""
-    norm = money_normalized(col)
-    exact = norm.try_cast("decimal(18,6)")
-    ok = (
-        exact.isNotNull()
-        & (exact >= 0)
-        & (exact <= F.lit(1_000_000_000))
-        & (exact == F.round(exact, 2))  # >2-dp reject
-    )
-    return F.when(ok, exact.cast("decimal(18,2)"))
+    def body(exact: Column) -> Column:
+        ok = (
+            exact.isNotNull()
+            & (exact >= 0)
+            & (exact <= F.lit(1_000_000_000))
+            & (exact == F.round(exact, 2))  # >2-dp reject
+        )
+        return F.when(ok, exact.cast("decimal(18,2)"))
+
+    return let1(money_normalized(col).try_cast("decimal(18,6)"), body)
 
 
 def money_is_valid(col: Column) -> Column:

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from rpa_etl_spark.functions.exprs import let1
+
 MERSENNE_31 = (1 << 31) - 1
 
 
@@ -46,15 +48,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (the near-dup unit). In-row transform — the
-    shingle set never leaves the document row."""
-    words = F.split(col, r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+    shingle set never leaves the document row.
+
+    The split is let-bound so each of the n ``element_at`` references in
+    the gram lambda reads a materialized array instead of re-running the
+    regex split (unbound form measured 15x slower at sf0.1)."""
+
+    def body(words: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+        return F.array_distinct(grams)
+
+    return let1(F.split(col, r"\s+"), body)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -70,18 +79,25 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
 
     Deterministic hash-family coefficients derive from the hash index, so
     signatures are reproducible across runs/clusters.
+
+    The shingle hashes are let-bound once: the ``num_hashes`` array_min
+    folds then each scan a materialized long array (otherwise every fold
+    re-evaluates the shingle expression AND re-hashes every element).
     """
-    x = lambda s: F.abs(F.xxhash64(s)) % MERSENNE_31  # noqa: E731
-    sigs = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, j=j: (x(s) * (2 * j + 1) + j * 0x9E3779B1) % MERSENNE_31,
-            )
-        ).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    hashed = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % MERSENNE_31)
+
+    def body(hs: Column) -> Column:
+        sigs = [
+            F.array_min(
+                F.transform(
+                    hs, lambda x, j=j: (x * (2 * j + 1) + j * 0x9E3779B1) % MERSENNE_31
+                )
+            ).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+        return F.array(*sigs)
+
+    return let1(hashed, body)
 
 
 def lsh_candidate_pairs(
@@ -89,6 +105,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 8,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` equal slices, bucket
     by (band index, slice hash), self-join buckets for candidates.
@@ -96,9 +113,13 @@ def lsh_candidate_pairs(
     The self-join shuffles on the bucket key — candidate volume scales with
     collisions, not |corpus|². Pairs are deduplicated (a<b) since two docs
     can share several bands.
+
+    Pass ``sig_len`` when known (it always is — the caller built the
+    signature); the fallback peeks at one row, which costs a Spark job.
     """
-    sig_len_hint = df.select(F.size(sig_col).alias("n")).limit(1)
-    rows_per_band = sig_len_hint.collect()[0]["n"] // bands
+    if sig_len is None:
+        sig_len = df.select(F.size(sig_col).alias("n")).limit(1).collect()[0]["n"]
+    rows_per_band = sig_len // bands
 
     banded = df.select(
         F.col(id_col),

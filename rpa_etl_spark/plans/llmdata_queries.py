@@ -108,7 +108,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = docs.select(
         "doc_id", "grams", D.minhash_signature(F.col("grams"), 32).alias("minhash")
     )
-    pairs = D.lsh_candidate_pairs(signed.select("doc_id", "minhash"), bands=8)
+    pairs = D.lsh_candidate_pairs(signed.select("doc_id", "minhash"), bands=8, sig_len=32)
     g = docs.select(F.col("doc_id").alias("id"), "grams")
     return (
         pairs.join(g.withColumnsRenamed({"id": "id_a", "grams": "g_a"}), "id_a")
