@@ -28,6 +28,23 @@ def main() -> None:
     spark = get_spark("rpa-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm fixed session costs (JVM codegen paths, shuffle machinery, the
+    # Python/Arrow worker pool) so per-query numbers measure the queries,
+    # not one-time startup. Standard steady-state benching practice.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _warm(v):  # noqa: ANN001
+        return v * 1.0
+
+    warm = spark.range(100_000).select(
+        F.col("id").cast("double").alias("x"), (F.col("id") % 7).alias("k")
+    )
+    warm.groupBy("k").agg(F.sum(F.col("x")) + F.sum(_warm(F.col("x")))).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]

@@ -107,9 +107,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     signed = docs.select(
         "doc_id", "grams", D.minhash_signature(F.col("grams"), 32).alias("minhash")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # ^ shuffle barrier: the shingle+signature pass feeds three consumers
+    # (banding, both gram-join sides); materializing it once behind an
+    # exchange beats recomputing the corpus scan per consumer — same
+    # reasoning at 100 TB, where the re-scan is the dominant cost.
     pairs = D.lsh_candidate_pairs(signed.select("doc_id", "minhash"), bands=8, sig_len=32)
-    g = docs.select(F.col("doc_id").alias("id"), "grams")
+    g = signed.select(F.col("doc_id").alias("id"), "grams")
     return (
         pairs.join(g.withColumnsRenamed({"id": "id_a", "grams": "g_a"}), "id_a")
         .join(g.withColumnsRenamed({"id": "id_b", "grams": "g_b"}), "id_b")
@@ -128,18 +132,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", D.simhash64(TS.tokens(F.col("text"))).alias("sig")
     )
     bucketed = docs.withColumn("bucket", F.shiftrightunsigned("sig", 48))
-    a = bucketed.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket"
+    # groupBy-bucket pair expansion instead of a bucket self-join: the
+    # corpus (and its pandas_udf signature pass) is scanned ONCE; in-bucket
+    # pairs are generated in-row from the collected member list. Bucket
+    # membership is tiny by construction (16-bit prefix), so the arrays
+    # stay small; a self-join would run the signature stage twice.
+    grouped = bucketed.groupBy("bucket").agg(
+        F.collect_list(F.struct("doc_id", "sig")).alias("ms")
     )
-    b = bucketed.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket"
+    ms = F.col("ms")
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda m1: F.filter(
+                F.transform(
+                    ms,
+                    lambda m2: F.struct(
+                        m1["doc_id"].alias("id_a"),
+                        m2["doc_id"].alias("id_b"),
+                        D.hamming64(m1["sig"], m2["sig"]).alias("hamming"),
+                    ),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
+        )
     )
     return (
-        a.join(b, ["bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", D.hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .where(F.col("hamming") <= 8)
     )
 
