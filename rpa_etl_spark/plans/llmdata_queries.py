@@ -201,6 +201,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 50), dim=64, k=10)
 
 
+@query("q_ann_ivf")  # approximate → rows-only; recall + prune gated in tests
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-k: probe the n_probe nearest Voronoi cells
+    per query, exact cosine only inside probed cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 50), dim=64, k=10, n_cells=32, n_probe=8
+    )
+
+
 @query(
     "q_dedup_embedding",
     oracle="""

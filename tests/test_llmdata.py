@@ -69,6 +69,33 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
             assert abs(r["score"] - bf_scores[key]) < 1e-12
 
 
+def test_ann_ivf_recall_and_pruning(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 30)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=10).collect()
+    }
+    n_cells, n_probe = 32, 16
+    ivf = SIM.ivf_topk(emb, queries, dim=64, k=10, n_cells=n_cells, n_probe=n_probe)
+    rows = ivf.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(got & truth) / len(truth)
+    # uniformly random vectors: cell membership of true neighbors is only
+    # weakly query-correlated, so the gate sits just above the n_probe/n_cells
+    # random floor; clustered real embeddings land far higher
+    assert recall >= 0.55, f"ivf recall {recall:.3f}"
+    # scores inside probed cells are exact cosines
+    bf_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in SIM.brute_force_topk(emb, queries, k=10).collect()
+    }
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_scores:
+            assert abs(r["score"] - bf_scores[key]) < 1e-12
+
+
 def test_exact_dedup_canonicalization(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tripled = docs.unionByName(
