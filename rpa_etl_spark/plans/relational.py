@@ -346,6 +346,69 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint slices + grand total in one pass —
+    the general form rollup/cube specialize)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice"),
+        )
+        .groupingSets([["nation"], ["segment"], []], "nation", "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS spent_30d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, peer-inclusive — deterministic under date
+    ties, unlike a ROWS frame): per-customer spend over a trailing 30-day
+    value window."""
+    days = F.datediff("o_orderdate", F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(dec("o_totalprice")).over(w)).alias("spent_30d"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (reference analog: multi-pattern header union B1)
 # --------------------------------------------------------------------------
