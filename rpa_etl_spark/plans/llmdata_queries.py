@@ -234,6 +234,77 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    WHERE bucket < 90 OR bucket >= 95
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/valid/test split assignment —
+    the training-data staple (stable across runs, clusters, engines; no
+    RNG). md5 of the id -> bucket 0-99 -> split ranges; the WHERE also
+    drops a 5% holdout band to exercise sampled-out rows. Narrow, scans
+    once, no shuffle; at 100 TB the filter is evaluated at the scan."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .where((F.col("bucket") < 90) | (F.col("bucket") >= 95))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("bucket") < 80, F.lit("train"))
+            .when(F.col("bucket") < 90, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+@query(
+    "q_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS q75,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS DOUBLE) AS q99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The approximate
+    sketch path for 100 TB is `approx_percentile` (KLL-style, mergeable
+    across partitions) — same plan shape, bounded memory; exact is used
+    here so the oracle can check values."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile(q, F.lit(0.25)).alias("q25"),
+        F.percentile(q, F.lit(0.50)).alias("q50"),
+        F.percentile(q, F.lit(0.75)).alias("q75"),
+        F.percentile(q, F.lit(0.99)).alias("q99"),
+    )
+
+
+@query(
     "q_text_stats",
     oracle="""
     SELECT lang, source,
