@@ -50,3 +50,30 @@ def salted_sum_count(
         F.round(F.sum("_psum"), 2).cast("double").alias("total"),
         F.sum("_pcnt").alias("n_rows"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt equi-join for a skewed fact key: each fact row
+    gets a deterministic salt in [0, n_salts); the dim side is replicated
+    once per salt value; the join runs on (key, salt). A hot fact key's
+    rows land on ``n_salts`` different reducers instead of one.
+
+    Row-identical to ``fact.join(dim, key, how)`` — salting only changes
+    the partitioning, dim replication guarantees every (key, salt)
+    combination finds its dim row. Cost: dim shuffle volume ×n_salts, so
+    use when the dim is small-ish but above the broadcast threshold and
+    AQE's runtime skew split isn't available (e.g. the skewed side feeds
+    a co-partitioned downstream op).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    replicated_dim = dim.select("*", salts)
+    return salted_fact.join(replicated_dim, [key, "_salt"], how).drop("_salt")

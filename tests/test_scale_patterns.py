@@ -66,3 +66,36 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Replicate-and-salt join must be row-identical to the plain join."""
+    from rpa_etl_spark.operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = sorted(
+        tuple(r) for r in orders.join(customer, "o_custkey").collect()
+    )
+    salted = sorted(
+        tuple(r) for r in salted_join(orders, customer, "o_custkey", n_salts=8).collect()
+    )
+    assert plain == salted
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout: a filter on the partition column must
+    show up as PartitionFilters (directory pruning — at 100 TB the
+    difference between scanning one partition and the whole lake)."""
+    path = str(tmp_path / "orders_by_status")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    # pruned read returns exactly the partition's rows
+    expect = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expect
