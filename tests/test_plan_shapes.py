@@ -63,3 +63,31 @@ def test_asof_join_is_single_window_no_join(spark, sf_dir):
     # union+window implementation: no join operator at all
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_no_query_plans_quadratic_joins(spark, sf_dir):
+    """Global hygiene sweep: no declared query may plan a CartesianProduct
+    or BroadcastNestedLoopJoin — every pair-generating operator must have
+    been rewritten into an equi-join (banding/bucketing/LSH). A BNLJ that
+    appears here would be quadratic at 100 TB.
+
+    Two deliberate exceptions where BNLJ IS the right plan — the nested
+    side is a tiny bounded broadcast and the corpus side streams through
+    without a shuffle (cost linear in the corpus):
+    - q_join_range: 5-row interval-band table (theta-join demo)
+    - q_sim_topk: 50-vector exact brute-force baseline
+    """
+    allowed_bnlj = {"q_join_range", "q_sim_topk"}
+    offenders = {}
+    for name in sorted(registry.QUERIES):
+        if name in allowed_bnlj:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        bad = [
+            kind
+            for kind in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kind in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"quadratic join shapes: {offenders}"
