@@ -414,6 +414,70 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
+    "q_pivot",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                               THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS automobile,
+           CAST(ROUND(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                               THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS building,
+           CAST(ROUND(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                               THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS machinery
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per nation by named market segment.
+    Explicit value list keeps it a single-pass conditional aggregation —
+    no extra distinct-values job, which is also the 100 TB rule: never
+    pivot on an unbounded key domain."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.col("c_mktsegment"), "o_totalprice")
+        .groupBy("nation")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(money(F.sum(dec("o_totalprice"))))
+        .withColumnsRenamed(
+            {"AUTOMOBILE": "automobile", "BUILDING": "building", "MACHINERY": "machinery"}
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (
+        SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    WHERE val IS NOT NULL
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, melt): per-customer metrics to (key, metric,
+    value) rows — narrow, no shuffle at any scale."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .where(F.col("val").isNotNull())
+    )
+
+
+@query(
     "q_set_ops",
     oracle="""
     WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
