@@ -126,3 +126,38 @@ def run_foreach_batch_audit(stream_df: DataFrame, out_dir: str, checkpoint: str)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def idempotent_batch_sink(out_dir: str):
+    """Exactly-once foreachBatch writer: each micro-batch lands in a
+    batch-id-keyed partition directory with dynamic partition overwrite, so
+    a REPLAYED batch (at-least-once delivery after a failure/restart)
+    overwrites its own previous output instead of appending duplicates.
+    This is the standard idempotent-sink recipe when the target store has
+    no transactions — the reference's idempotence contract
+    (tests/e2e/test_pipeline_robustez.py:48-68) applied to streaming.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            stage_events(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return sink
+
+
+def run_foreach_batch_audit_idempotent(
+    stream_df: DataFrame, out_dir: str, checkpoint: str
+):
+    """K2 audit sink with replay-safe (exactly-once) output."""
+    return (
+        stream_df.writeStream.foreachBatch(idempotent_batch_sink(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
