@@ -79,15 +79,19 @@ def _mod11_check_digit(col: Column, weights: list[int]) -> Column:
 def cnpj_is_valid(col: Column) -> Column:
     """V2 — CNPJ checksum validation (validators.py:65-122 semantics):
     14 digits, not all-same-digit, both mod-11 check digits correct."""
-    # NOT let-bound: the input is a ≤18-char token, so duplicated
-    # digits_only evals are cheaper than a let barrier (the barrier is an
-    # interpreted higher-order function — it pays off on long text, not here)
-    c = digits_only(col)
-    return (
-        (F.length(c) == 14)
-        & ~c.rlike(r"^(\d)\1{13}$")
-        & (_digit(c, 13) == _mod11_check_digit(c, _CNPJ_W1))
-        & (_digit(c, 14) == _mod11_check_digit(c, _CNPJ_W2))
+    # let-bound: per-row eval cost is a wash either way (short input), but
+    # the bound tree is ~6x smaller — and this expression is embedded many
+    # times in the parse pipeline, where codegen COMPILE time of the
+    # fully-inlined projection dominates cold runs (measured ~5s swing on
+    # q_parse_invoice)
+    return let1(
+        digits_only(col),
+        lambda c: (
+            (F.length(c) == 14)
+            & ~c.rlike(r"^(\d)\1{13}$")
+            & (_digit(c, 13) == _mod11_check_digit(c, _CNPJ_W1))
+            & (_digit(c, 14) == _mod11_check_digit(c, _CNPJ_W2))
+        ),
     )
 
 
@@ -120,23 +124,27 @@ def nfe_key_is_valid(col: Column) -> Column:
     """V3 — full NF-e 44-digit key validation (validators.py:126-234):
     44 digits; UF ∈ IBGE set; year 2008-2030; month 1-12; modelo ∈ {55,65};
     embedded issuer CNPJ checksum-valid; final DV correct."""
-    # NOT let-bound — 44-char input, same trade-off as cnpj_is_valid
-    c = digits_only(col)
-    uf = F.substring(c, 1, 2).try_cast("int")
-    yy = F.substring(c, 3, 2).try_cast("int")
-    mm = F.substring(c, 5, 2).try_cast("int")
-    cnpj = F.substring(c, 7, 14)
-    modelo = F.substring(c, 21, 2).try_cast("int")
-    dv = F.substring(c, 44, 1).try_cast("int")
-    return (
-        (F.length(c) == 44)
-        & uf.isin(IBGE_UF_CODES)
-        & (yy >= 8) & (yy <= 30)
-        & (mm >= 1) & (mm <= 12)
-        & modelo.isin(55, 65)
-        & cnpj_is_valid(cnpj)
-        & (dv == nfe_key_dv(c))
-    )
+    # let-bound for the same tree-size reason as cnpj_is_valid (this one
+    # inlines digits_only ~10x unbound, and rides inside the parser's
+    # NF-e key scan filter)
+    def body(c: Column) -> Column:
+        uf = F.substring(c, 1, 2).try_cast("int")
+        yy = F.substring(c, 3, 2).try_cast("int")
+        mm = F.substring(c, 5, 2).try_cast("int")
+        cnpj = F.substring(c, 7, 14)
+        modelo = F.substring(c, 21, 2).try_cast("int")
+        dv = F.substring(c, 44, 1).try_cast("int")
+        return (
+            (F.length(c) == 44)
+            & uf.isin(IBGE_UF_CODES)
+            & (yy >= 8) & (yy <= 30)
+            & (mm >= 1) & (mm <= 12)
+            & modelo.isin(55, 65)
+            & cnpj_is_valid(cnpj)
+            & (dv == nfe_key_dv(c))
+        )
+
+    return let1(digits_only(col), body)
 
 
 def nfe_key_format(col: Column) -> Column:
