@@ -414,6 +414,49 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
+    "q_scalar_subquery",
+    oracle="""
+    WITH seg_avg AS (
+        SELECT c.c_mktsegment AS seg, AVG(CAST(o.o_totalprice AS DECIMAL(18,2))) AS avg_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    )
+    SELECT o.o_orderkey, c.c_mktsegment AS segment,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
+          2 * (SELECT avg_price FROM seg_avg s WHERE s.seg = c.c_mktsegment)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end + correlated scalar subquery: orders above 2x their
+    segment's average price. Exercises the parser/analyzer path and
+    Catalyst's subquery decorrelation (rewritten to an aggregate + join —
+    no per-row subquery execution at any scale). All other declared
+    queries use the DataFrame API; this one proves the SQL surface against
+    the same oracle."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH seg_avg AS (
+            SELECT c.c_mktsegment AS seg,
+                   AVG(CAST(o.o_totalprice AS DECIMAL(18,2))) AS avg_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        )
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) >
+              2 * (SELECT avg_price FROM seg_avg s WHERE s.seg = c.c_mktsegment)
+        """
+    )
+
+
+@query(
     "q_pivot",
     oracle="""
     SELECT n.n_name AS nation,
