@@ -110,3 +110,92 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(_decode_image_batch, schema=IMAGE_FEATURES_SCHEMA)
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_payload", BinaryType()),
+        StructField("method", StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """resize stage (1 row → 1 row, payload-transforming): binary in,
+    binary out, target dims recorded. STUB decode: the 'resized' payload is
+    a deterministic byte slice sized width*height/64 standing in for the
+    re-encoded image; a real deployment swaps the kernel body for
+    PIL.Image.resize and re-encode — schema, batch shape and mime
+    filtering stay exactly as tested."""
+    n_out = max(1, width * height // 64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "resized_payload": [
+                        (p * (n_out // max(len(p), 1) + 1))[:n_out] for p in payloads
+                    ],
+                    "method": "stub-bilinear",
+                }
+            )
+
+    return (
+        media.where(F.col("mime").startswith("image/"))
+        .select("media_id", "payload")
+        .mapInPandas(kernel, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_s", DoubleType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
+    """frame-sample stage (1 video row → N frame rows): emits one frame per
+    1/fps seconds of metadata duration — the mapInPandas batch fans OUT, so
+    the output row count differs from the input (the shape a real ffmpeg
+    frame sampler has). STUB decode: frame payload is a deterministic
+    byte-rotation of the source payload per frame index."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, dur, payload in zip(
+                pdf["media_id"], pdf["meta_duration_s"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                n_frames = max(1, int(float(dur) * fps))
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i / fps)
+                    off = (i * 97) % max(len(p), 1)
+                    frames.append(p[off:] + p[:off])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_s": tss,
+                    "frame_payload": frames,
+                }
+            )
+
+    return (
+        media.where(F.col("mime").startswith("video/"))
+        .select("media_id", "meta_duration_s", "payload")
+        .mapInPandas(kernel, schema=FRAMES_SCHEMA)
+    )

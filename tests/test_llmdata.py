@@ -120,6 +120,40 @@ def test_multimodal_feature_extraction_stub(spark, sf_dir):
         assert f["decoder"] == "stub"
 
 
+def test_multimodal_resize_and_frame_sampling(spark, sf_dir):
+    from rpa_etl_spark.sources.multimodal import resize_images, sample_frames
+
+    docs = load(spark, sf_dir, "documents").limit(30)
+    media = attach_media_columns(docs)
+    media_rows = {r["media_id"]: r for r in media.collect()}
+
+    resized = resize_images(media, width=64, height=64).collect()
+    assert len(resized) == sum(
+        1 for r in media_rows.values() if r["mime"] == "image/png"
+    )
+    for r in resized:
+        assert (r["out_width"], r["out_height"]) == (64, 64)
+        assert len(bytes(r["resized_payload"])) == 64 * 64 // 64
+
+    frames = sample_frames(media, fps=0.5).collect()
+    videos = {m: r for m, r in media_rows.items() if r["mime"] == "video/mp4"}
+    # 1 video row fans out to max(1, floor(duration*fps)) frame rows
+    expected = sum(max(1, int(r["meta_duration_s"] * 0.5)) for r in videos.values())
+    assert len(frames) == expected
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    for mid, fs in by_media.items():
+        idxs = sorted(f["frame_idx"] for f in fs)
+        assert idxs == list(range(len(fs)))
+        for f in fs:
+            assert abs(f["frame_ts_s"] - f["frame_idx"] / 0.5) < 1e-9
+            # rotation preserves content length
+            assert len(bytes(f["frame_payload"])) == len(
+                bytes(videos[mid]["payload"])
+            )
+
+
 def test_quality_score_bands(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog " * 5),  # good
