@@ -1,0 +1,100 @@
+"""Connected components over a pair list — the step that turns near-dup
+CANDIDATE PAIRS into dedup DECISIONS.
+
+LSH/SimHash emit pairs (a,b); duplicates form clusters (a~b, b~c ⇒ a~c),
+and a corpus dedup keeps ONE canonical doc per cluster. That transitive
+closure is an iterative fixpoint — not expressible as a single SQL query —
+so it runs as repeated DataFrame joins (min-label propagation, a.k.a.
+"hash-to-min"):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+until no label changes. Each iteration is one shuffle keyed by vertex;
+convergence takes O(diameter) rounds (near-dup clusters are tiny and
+star-like, so 2-4 rounds in practice). Lineage is broken per round with
+``localCheckpoint`` — without it the plan doubles every iteration and
+the job DAG blows up by round ~8 (the classic iterative-Spark trap).
+
+At 100 TB: the edge list is orders of magnitude smaller than the corpus
+(only candidate pairs), so iterating on it is cheap relative to the
+scan that produced it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve (id_a, id_b) pairs into (id, component) where component is
+    the minimum member id of each connected cluster.
+
+    Deterministic; singleton vertices never appear in ``pairs`` and keep
+    themselves as canonical by construction downstream (left join + coalesce).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # initial label: min neighbor (including self)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("component"))
+        .withColumnsRenamed({"src": "id"})
+    )
+    for _ in range(max_iter):
+        # propagate: my new label = min(my label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnsRenamed({"id": "dst"}), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+            .withColumnsRenamed({"src": "id"})
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # break lineage: O(1) plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup dedup decision: every doc mapped to its cluster
+    canonical (min id); docs outside any pair are their own canonical.
+    Filter ``keep`` to materialize the deduplicated corpus."""
+    comps = connected_components(pairs)
+    return (
+        corpus.join(comps.withColumnsRenamed({"id": id_col}), id_col, "left")
+        .withColumn("canonical_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("keep", F.col(id_col) == F.col("canonical_id"))
+        .drop("component")
+    )

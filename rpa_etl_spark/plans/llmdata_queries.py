@@ -124,7 +124,44 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # blake2b-based → rows-only
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH tripled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+        UNION ALL SELECT doc_id + 2000000, text FROM documents
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY text) AS keep
+    FROM tripled
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup decision: candidate pairs → connected components
+    (iterative min-label propagation, operators/components.py) → one
+    canonical doc per cluster. The ALGORITHM is an iterative fixpoint no
+    single SQL query expresses; its RESULT on an exact-duplicate graph is
+    the per-text min id, which the oracle checks directly."""
+    from rpa_etl_spark.operators.components import dedup_by_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(docs.select((F.col("doc_id") + 10**6).alias("doc_id"), "text"))
+        .unionByName(docs.select((F.col("doc_id") + 2 * 10**6).alias("doc_id"), "text"))
+    )
+    h = corpus.select("doc_id", F.sha2("text", 256).alias("sha"))
+    pairs = (
+        h.alias("a")
+        .join(h.alias("b"), "sha")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dedup_by_components(corpus, pairs).select("doc_id", "canonical_id", "keep")
+
+
+@query("q_dedup_simhash")  # xxhash64-seeded signatures → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: prefix-bucketed signature join, pairs
     within Hamming distance ≤ 8."""
