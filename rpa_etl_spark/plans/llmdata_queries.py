@@ -342,6 +342,43 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey AND b.c_custkey - a.c_custkey <= 20
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: Levenshtein distance <= 2 between customer
+    names, candidates banded by id window (same banded-equi-join identity
+    as cosine_near_dup_pairs — no BroadcastNestedLoopJoin). The edit
+    distance runs only on candidate pairs, which is the rule at scale:
+    blocking first, expensive string metric second."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    window = 20
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("n_a"),
+        (F.col("c_custkey") / window).cast("long").alias("bucket"),
+    )
+    bkt = (F.col("c_custkey") / window).cast("long")
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("n_b"),
+        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= window))
+        .select("id_a", "id_b", F.levenshtein("n_a", "n_b").alias("lev"))
+        .where(F.col("lev") <= 2)
+    )
+
+
+@query(
     "q_text_stats",
     oracle="""
     SELECT lang, source,
