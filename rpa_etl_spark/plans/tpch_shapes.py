@@ -126,3 +126,63 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 8, 2)))).alias("lost_revenue"))
     )
     return agg.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+@query(
+    "q_tpch_q14_shape",
+    oracle=f"""
+    SELECT CAST(ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                        THEN {_REV.replace('l_', 'l.l_')}
+                                        ELSE CAST(0 AS DECIMAL(18,2)) END)
+                      / SUM({_REV.replace('l_', 'l.l_')}), 4) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promo revenue ratio): fact-dim join + conditional decimal
+    aggregate folded into a single global ratio. The part side broadcasts;
+    at real TPC-H scale part is 1/5 of lineitem and AQE picks shuffle join
+    — the declared plan leaves the choice to the optimizer."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 8, 2))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.00) * F.sum(promo) / F.sum(rev), 4)
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_having_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    """,
+)
+def q_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (HAVING over a grouped aggregate): orders whose total
+    lineitem quantity exceeds a threshold — post-aggregation filtering,
+    which Catalyst keeps above the partial/final agg so the shuffle still
+    carries only group partials."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    qty = F.sum(dec("l_quantity"))
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(money(qty).alias("total_qty"), qty.alias("_raw"))
+        .where(F.col("_raw") > 150)
+        .drop("_raw")
+    )
