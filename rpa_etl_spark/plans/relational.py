@@ -137,6 +137,83 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_full",
+    oracle="""
+    WITH buyers AS (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ),
+    rich AS (
+        SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT COALESCE(b.o_custkey, r.c_custkey) AS custkey,
+           b.n_orders, r.acctbal,
+           b.o_custkey IS NOT NULL AS is_buyer,
+           r.c_custkey IS NOT NULL AS is_rich
+    FROM buyers b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: buyers x high-balance customers, both unmatched
+    sides preserved, key coalesced — completes the outer-join family
+    (left is q_join_left)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    buyers = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    rich = customer.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    return (
+        buyers.join(rich, F.col("o_custkey") == F.col("c_custkey"), "full")
+        .select(
+            F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+            "n_orders",
+            "acctbal",
+            F.col("o_custkey").isNotNull().alias("is_buyer"),
+            F.col("c_custkey").isNotNull().alias("is_rich"),
+        )
+    )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_key
+        FROM orders
+    ),
+    d AS (
+        SELECT * FROM (VALUES ('O', 'open'), ('F', 'filled'), (NULL, 'pending-unknown'))
+                 AS t(status_key, status_label)
+    )
+    SELECT l.o_orderkey, d.status_label
+    FROM l JOIN d ON l.status_key IS NOT DISTINCT FROM d.status_key
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL dim rows instead of dropping — the semantics a dim lookup with an
+    explicit 'unknown' bucket needs. Plans as a hash join on the null-safe
+    key, not a nested loop."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), (None, "pending-unknown")],
+        "status_key string, status_label string",
+    )
+    return (
+        left.join(F.broadcast(dim), left["status_key"].eqNullSafe(dim["status_key"]))
+        .select("o_orderkey", "status_label")
+    )
+
+
+@query(
     "q_join_semi",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
