@@ -84,3 +84,22 @@ def test_batch_of_mixed_documents(spark, sf_dir):
     # word-salad corpus: no CNPJs anywhere → every doc errors to manual review
     assert all(r["status"] == "error" for r in rows)
     assert all(r["route"] == "revisao_manual" for r in rows)
+
+
+def test_pipeline_observed_metrics(spark, sf_dir):
+    """Observation metrics must match independently computed aggregates —
+    and arrive from the same single pass (no extra action needed)."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.pipeline import process_documents_with_metrics
+    from rpa_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    observed, obs = process_documents_with_metrics(docs)
+    rows = observed.collect()  # one action → metrics materialize
+    m = obs.get
+    assert m["n_docs"] == len(rows)
+    assert m["n_error"] == sum(1 for r in rows if r["status"] == "error")
+    assert m["n_audit"] == sum(1 for r in rows if r["route"] == "auditoria_fiscal")
+    expected_avg = sum(float(r["trust_score"]) for r in rows) / len(rows)
+    assert abs(m["avg_trust"] - expected_avg) < 1e-9
