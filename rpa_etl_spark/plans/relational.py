@@ -424,6 +424,78 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4)       OVER w AS balance_quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows (ntile / percent_rank / cume_dist) —
+    completes the ranking family beyond row_number/rank. Single global
+    window: at scale you'd partition by a bucketing key; the declared
+    query keeps the oracle simple."""
+    w = Window.orderBy(dec("c_acctbal"), F.col("c_custkey"))
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               UNNEST(generate_series(CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE),
+                                      INTERVAL 1 DAY)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.user_id, CAST(d.day AS DATE) AS day,
+           COALESCE(e.n_events, 0) AS n_events,
+           e.n_events IS NULL AS is_gap
+    FROM days d LEFT JOIN daily e ON d.user_id = e.user_id AND CAST(d.day AS DATE) = e.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user calendar from min..max day via
+    sequence+explode, left-joined against actual daily counts — missing
+    days appear as zero-count gap rows (the standard gap-filling shape;
+    the explode is per-key and bounded by the date span, so it scales
+    with users x days, never with raw event volume)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        days.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT n.n_name AS nation, c.c_mktsegment AS segment,
