@@ -103,3 +103,25 @@ def test_pipeline_observed_metrics(spark, sf_dir):
     assert m["n_audit"] == sum(1 for r in rows if r["route"] == "auditoria_fiscal")
     expected_avg = sum(float(r["trust_score"]) for r in rows) / len(rows)
     assert abs(m["avg_trust"] - expected_avg) < 1e-9
+
+
+def test_pipeline_handles_empty_and_degenerate_inputs(spark):
+    """Reference robustness contract (test_pipeline_robustez.py:71-97
+    semantics): empty corpus and degenerate texts must not crash — they
+    produce schema-stable rows with null fields and error/manual routes."""
+    from rpa_etl_spark.pipeline import process_documents
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = process_documents(empty)
+    assert out.count() == 0
+    assert "route" in out.columns  # schema fully resolved on empty input
+
+    degenerate = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "\n\n\n"), (4, "1"), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = process_documents(degenerate).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["status"] in ("success", "partial", "error")
+        assert r["route"] == "revisao_manual"  # nothing parseable → manual
