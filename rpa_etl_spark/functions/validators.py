@@ -253,19 +253,23 @@ def _cnpj_ok_np(d: np.ndarray) -> np.ndarray:
 
 @F.pandas_udf(BooleanType())
 def cnpj_is_valid_pd(cnpj: pd.Series) -> pd.Series:
+    """NULL in → NULL out (matches the expression form's 3-valued logic)."""
     clean = cnpj.str.replace(r"[^0-9]", "", regex=True)
-    ok = clean.str.len() == 14
-    out = np.zeros(len(cnpj), dtype=bool)
+    ok = (clean.str.len() == 14).fillna(False)
+    out = pd.array(np.zeros(len(cnpj), dtype=bool), dtype="boolean")
+    out[cnpj.isna().to_numpy()] = None
     if ok.any():
         out[np.flatnonzero(ok.to_numpy())] = _cnpj_ok_np(_digit_matrix(clean[ok], 14))
-    return pd.Series(out)
+    return pd.Series(out, dtype="boolean")
 
 
 @F.pandas_udf(BooleanType())
 def nfe_key_is_valid_pd(key: pd.Series) -> pd.Series:
+    """NULL in → NULL out (matches the expression form's 3-valued logic)."""
     clean = key.str.replace(r"[^0-9]", "", regex=True)
-    ok = clean.str.len() == 44
-    out = np.zeros(len(key), dtype=bool)
+    ok = (clean.str.len() == 44).fillna(False)
+    out = pd.array(np.zeros(len(key), dtype=bool), dtype="boolean")
+    out[key.isna().to_numpy()] = None
     if ok.any():
         d = _digit_matrix(clean[ok], 44)
         uf = d[:, 0] * 10 + d[:, 1]
@@ -282,23 +286,25 @@ def nfe_key_is_valid_pd(key: pd.Series) -> pd.Series:
             & _cnpj_ok_np(d[:, 6:20])
             & (d[:, 43] == dv)
         )
-    return pd.Series(out)
+    return pd.Series(out, dtype="boolean")
 
 
 @F.pandas_udf(IntegerType())
 def nfe_key_dv_pd(key: pd.Series) -> pd.Series:
-    """DV over the first 43 digits — 44-digit inputs only (0 otherwise);
-    the expression form handles arbitrary-length digit strings."""
+    """DV over the first 43 digits. NULL for null or non-44-digit input —
+    same as the expression form, whose per-digit try_casts null out when
+    the string is too short."""
     clean = key.str.replace(r"[^0-9]", "", regex=True)
-    ok = clean.str.len() == 44
-    out = np.zeros(len(key), dtype=np.int32)
+    ok = (clean.str.len() == 44).fillna(False)
+    out = pd.array(np.zeros(len(key), dtype=np.int32), dtype="Int32")
+    out[(~ok).to_numpy()] = None
     if ok.any():
         d = _digit_matrix(clean[ok], 44)
         r = d[:, :43] @ _NFE_W_NP % 11
         out[np.flatnonzero(ok.to_numpy())] = np.where(r <= 1, 0, 11 - r).astype(
             np.int32
         )
-    return pd.Series(out)
+    return pd.Series(out, dtype="Int32")
 
 
 def currency_detect(col: Column) -> Column:

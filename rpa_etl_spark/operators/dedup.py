@@ -56,12 +56,18 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     def body(words: Column) -> Column:
         grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(words, i + j) for j in range(n)]
             ),
         )
-        return F.array_distinct(grams)
+        # guard: with fewer than n words there are no shingles. sequence()
+        # with stop < start counts DOWN ([1,0], [1,0,-1], ...), so the
+        # unguarded transform would call element_at out of bounds and —
+        # under ANSI mode — kill the job on the first short document.
+        return F.when(
+            F.size(words) >= n, F.array_distinct(grams)
+        ).otherwise(F.array().cast("array<string>"))
 
     return let1(F.split(col, r"\s+"), body)
 

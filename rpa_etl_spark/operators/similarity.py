@@ -242,7 +242,18 @@ def ivf_topk(
         .select(vec_col)
         .collect()
     )
+    if not cents:
+        # empty corpus → empty result with the declared schema (same
+        # degrade-to-zero-rows behavior as every other declared query)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     cmat = np.stack([np.asarray(r[0]) for r in cents]).astype(np.float64)  # cells x dim
+    if cmat.shape[1] != dim:
+        raise ValueError(
+            f"ivf_topk: corpus vectors have dim {cmat.shape[1]}, expected {dim}"
+        )
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
 
     def cell_kernel(top: int):

@@ -64,13 +64,23 @@ def salted_join(
     once per salt value; the join runs on (key, salt). A hot fact key's
     rows land on ``n_salts`` different reducers instead of one.
 
-    Row-identical to ``fact.join(dim, key, how)`` — salting only changes
-    the partitioning, dim replication guarantees every (key, salt)
-    combination finds its dim row. Cost: dim shuffle volume ×n_salts, so
-    use when the dim is small-ish but above the broadcast threshold and
-    AQE's runtime skew split isn't available (e.g. the skewed side feeds
-    a co-partitioned downstream op).
+    Row-identical to ``fact.join(dim, key, how)`` for ``inner`` and
+    ``left`` joins: every fact row carries exactly one salt, so it meets
+    exactly one replica of its dim row (inner), and an unmatched fact row
+    null-extends exactly once (left). Dim-preserving joins (right/full/
+    semi/anti on the dim side) are NOT supported — the replicated dim
+    would emit its unmatched rows once per salt — so they raise rather
+    than silently corrupt.
+
+    Cost: dim shuffle volume ×n_salts; use when the dim is small-ish but
+    above the broadcast threshold and AQE's runtime skew split isn't
+    available (e.g. the skewed side feeds a co-partitioned downstream op).
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "dim replication would duplicate unmatched dim rows per salt"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )

@@ -168,35 +168,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", D.simhash64(TS.tokens(F.col("text"))).alias("sig")
     )
-    bucketed = docs.withColumn("bucket", F.shiftrightunsigned("sig", 48))
-    # groupBy-bucket pair expansion instead of a bucket self-join: the
-    # corpus (and its pandas_udf signature pass) is scanned ONCE; in-bucket
-    # pairs are generated in-row from the collected member list. Bucket
-    # membership is tiny by construction (16-bit prefix), so the arrays
-    # stay small; a self-join would run the signature stage twice.
-    grouped = bucketed.groupBy("bucket").agg(
-        F.collect_list(F.struct("doc_id", "sig")).alias("ms")
+    # shuffle barrier keyed by the join bucket: the pandas_udf signature
+    # pass materializes once and both self-join sides read the exchange.
+    # The self-join (not a groupBy + collect_list + in-row expansion)
+    # keeps pairs as STREAMED, spillable rows — a duplicate-heavy corpus
+    # puts every copy in one 16-bit-prefix bucket, and an in-row
+    # pair-array there would be O(copies^2) inside a single row.
+    bucketed = docs.withColumn(
+        "bucket", F.shiftrightunsigned("sig", 48)
+    ).repartition(spark.sparkContext.defaultParallelism, "bucket")
+    a = bucketed.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket"
     )
-    ms = F.col("ms")
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda m1: F.filter(
-                F.transform(
-                    ms,
-                    lambda m2: F.struct(
-                        m1["doc_id"].alias("id_a"),
-                        m2["doc_id"].alias("id_b"),
-                        D.hamming64(m1["sig"], m2["sig"]).alias("hamming"),
-                    ),
-                ),
-                lambda p: p["id_a"] < p["id_b"],
-            ),
-        )
+    b = bucketed.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket"
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
+        a.join(b, ["bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", D.hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+        )
         .where(F.col("hamming") <= 8)
     )
 

@@ -141,7 +141,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     "out_width": width,
                     "out_height": height,
                     "resized_payload": [
-                        (p * (n_out // max(len(p), 1) + 1))[:n_out] for p in payloads
+                        ((p or b"\0") * (n_out // max(len(p), 1) + 1))[:n_out]
+                        for p in payloads
                     ],
                     "method": "stub-bilinear",
                 }

@@ -60,3 +60,14 @@ def test_dedup_by_components_end_to_end(spark, sf_dir):
         (F.col("doc_id") % 10**6) != F.col("canonical_id")
     ).count()
     assert bad == 0
+
+
+def test_components_long_chain_converges_fast(spark):
+    """A 30-node chain (diameter 29) must converge within the default
+    round budget — pointer jumping gives O(log diameter) rounds. Before
+    the fix this silently returned split clusters."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 31)}

@@ -72,10 +72,11 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
 def test_ann_ivf_recall_and_pruning(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 30)
-    truth = {
-        (r["query_id"], r["neighbor_id"])
+    bf_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
         for r in SIM.brute_force_topk(emb, queries, k=10).collect()
     }
+    truth = set(bf_scores)
     n_cells, n_probe = 32, 16
     ivf = SIM.ivf_topk(emb, queries, dim=64, k=10, n_cells=n_cells, n_probe=n_probe)
     rows = ivf.collect()
@@ -86,10 +87,6 @@ def test_ann_ivf_recall_and_pruning(spark, sf_dir):
     # random floor; clustered real embeddings land far higher
     assert recall >= 0.55, f"ivf recall {recall:.3f}"
     # scores inside probed cells are exact cosines
-    bf_scores = {
-        (r["query_id"], r["neighbor_id"]): r["score"]
-        for r in SIM.brute_force_topk(emb, queries, k=10).collect()
-    }
     for r in rows:
         key = (r["query_id"], r["neighbor_id"])
         if key in bf_scores:
@@ -183,3 +180,26 @@ def test_lang_id_markers(spark):
         for r in df.select("doc_id", TS.lang_id(F.col("text")).alias("lang")).collect()
     }
     assert got[1] == "en" and got[2] == "de" and got[3] == "es" and got[4] == "und"
+
+
+def test_word_shingles_short_documents_no_crash(spark):
+    """Documents with fewer than n words must yield empty shingle sets —
+    the unguarded form crashed the whole job (descending sequence() +
+    ANSI element_at) on the first 1-2-word doc."""
+    rows = [(1, ""), (2, "one"), (3, "only two"), (4, "now three words"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", D.word_shingles(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["now three words"]
+    assert got[5] == []  # NULL text → empty set (no null arrays downstream)
+    # and the full minhash query path survives a mixed corpus
+    sigs = df.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        D.minhash_signature(D.word_shingles(F.col("text"), 3), 8).alias("mh"),
+    ).collect()
+    assert len(sigs) == 4

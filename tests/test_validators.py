@@ -115,6 +115,7 @@ def test_numpy_kernels_agree_with_expressions(spark):
         "123",                  # short
         "not a cnpj",           # garbage
         "",                     # empty
+        None,                   # NULL must propagate as NULL in both forms
     ]
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     rows = df.select(
@@ -123,7 +124,7 @@ def test_numpy_kernels_agree_with_expressions(spark):
         V.cnpj_is_valid_pd(F.col("s")).alias("np"),
     ).collect()
     for r in rows:
-        assert bool(r["expr"]) == bool(r["np"]), r["s"]
+        assert r["expr"] == r["np"], (r["s"], r["expr"], r["np"])
 
     # NF-e keys: build around an embedded valid CNPJ, vary fields
     import itertools
@@ -135,7 +136,7 @@ def test_numpy_kernels_agree_with_expressions(spark):
         base43 = f"{uf}{yy}{mm}04252011000110{modelo}" + "0" * 21
         for dv in "0123456789":
             keys.append(base43 + dv)
-    keys += ["1" * 44, "123", "", "garbage"]
+    keys += ["1" * 44, "123", "", "garbage", None]
     kdf = spark.createDataFrame([(k,) for k in keys], "k string")
     rows = kdf.select(
         "k",
@@ -145,6 +146,6 @@ def test_numpy_kernels_agree_with_expressions(spark):
         V.nfe_key_dv_pd(F.col("k")).alias("np_dv"),
     ).collect()
     for r in rows:
-        assert bool(r["expr_v"]) == bool(r["np_v"]), r["k"]
-        if len(r["k"]) == 44 and r["k"].isdigit():
-            assert r["expr_dv"] == r["np_dv"], r["k"]
+        assert r["expr_v"] == r["np_v"], (r["k"], r["expr_v"], r["np_v"])
+        if r["k"] is None or (len(r["k"]) == 44 and r["k"].isdigit()):
+            assert r["expr_dv"] == r["np_dv"], (r["k"], r["expr_dv"], r["np_dv"])
