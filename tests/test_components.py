@@ -71,3 +71,42 @@ def test_components_long_chain_converges_fast(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check: on deterministic pseudo-random graphs, the
+    distributed min-label fixpoint must equal a classic union-find."""
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng_state = 12345
+    def nxt(state):  # deterministic LCG, no RNG APIs
+        return (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+
+    for trial in range(3):
+        edges = []
+        for _ in range(60):
+            rng_state = nxt(rng_state)
+            a = rng_state % 40
+            rng_state = nxt(rng_state)
+            b = rng_state % 40
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        expected = union_find_components(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
