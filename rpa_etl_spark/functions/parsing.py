@@ -188,8 +188,11 @@ def _extract_items_body(block: Column) -> Column:
         candidates,
         lambda ln: F.struct(
             F.trim(F.regexp_replace(ln, VALUE_RE, "")).alias("description"),
-            F.element_at(
-                F.filter(find_values(ln), lambda v: V.money_is_valid(v)), -1
+            # try_element_at: a candidate line with NO valid monetary token
+            # (continuation lines — parser.py:291-293) must yield NULL, not
+            # an ANSI out-of-bounds error on the empty filtered array
+            F.try_element_at(
+                F.filter(find_values(ln), lambda v: V.money_is_valid(v)), F.lit(-1)
             ).alias("unit_value"),
             ln.alias("raw"),
         ),
@@ -206,8 +209,10 @@ def _extract_total_body(block: Column) -> Column:
     labeled = F.regexp_extract(
         block, r"(?i)(?:VALOR TOTAL DA NOTA|TOTAL GERAL|VALOR TOTAL)[:\s]*(" + VALUE_RE + ")", 1
     )
-    any_value = F.element_at(
-        F.filter(find_values(block), lambda v: V.money_is_valid(v)), -1
+    # try_element_at: NULL (→ TOTAL_MISSING issue downstream) when the
+    # block has no valid monetary token, instead of an ANSI array error
+    any_value = F.try_element_at(
+        F.filter(find_values(block), lambda v: V.money_is_valid(v)), F.lit(-1)
     )
     cand = F.when(labeled != "", labeled).otherwise(any_value)
     return _let(

@@ -124,7 +124,10 @@ def lsh_candidate_pairs(
     signature); the fallback peeks at one row, which costs a Spark job.
     """
     if sig_len is None:
-        sig_len = df.select(F.size(sig_col).alias("n")).limit(1).collect()[0]["n"]
+        first = df.select(F.size(sig_col).alias("n")).limit(1).collect()
+        if not first:  # empty corpus → empty pair set, not IndexError
+            return df.sparkSession.createDataFrame([], "id_a long, id_b long")
+        sig_len = first[0]["n"]
     rows_per_band = sig_len // bands
 
     banded = df.select(

@@ -254,7 +254,7 @@ def ivf_topk(
         raise ValueError(
             f"ivf_topk: corpus vectors have dim {cmat.shape[1]}, expected {dim}"
         )
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
 
     def cell_kernel(top: int):
         @F.pandas_udf(ArrayType(LongType()))

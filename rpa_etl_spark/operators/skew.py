@@ -14,8 +14,12 @@ AQE's skew-join splitting (enabled in session.py) already handles
 sort-merge skew at runtime; these are for when the skew is in an
 AGGREGATION or you need deterministic pre-planned handling.
 
-The salt is ``pmod(hash(entire row), n)`` — deterministic per row content,
-so results are reproducible (no rand()).
+The salt is POSITIONAL (hash of monotonically_increasing_id): a hot key
+whose rows are byte-identical — the common duplicate-heavy shape — still
+spreads across all n salts, which a content hash cannot do. Aggregation
+results are independent of which salt a row lands on (sum/count are
+algebraic over any split), so salt-assignment nondeterminism across task
+retries cannot change the output.
 """
 
 from __future__ import annotations
@@ -25,9 +29,11 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
-    """Deterministic row salt in [0, n_salts)."""
+    """Positional row salt in [0, n_salts) — spreads even byte-identical
+    rows (a content hash would pin every duplicate of a hot row to ONE
+    reducer, recreating the hotspot it exists to break)."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
 
 
@@ -81,9 +87,7 @@ def salted_join(
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "dim replication would duplicate unmatched dim rows per salt"
         )
-    salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
-    )
+    salted_fact = with_salt(fact, n_salts, "_salt")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_dim = dim.select("*", salts)
     return salted_fact.join(replicated_dim, [key, "_salt"], how).drop("_salt")

@@ -24,12 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
-_MARKERS = {
-    "ISSUER": r"PRESTADOR DE SERVI[ÇC]OS|EMITENTE",
-    "RECIPIENT": r"TOMADOR DE SERVI[ÇC]OS|DESTINAT[ÁA]RIO",
-    "ITEMS": r"DISCRIMINA[ÇC][ÃA]O DOS SERVI[ÇC]OS",
-    "FINANCIALS": r"VALOR TOTAL DA NOTA|TOTAL GERAL",
-}
+# single source of truth — a private copy here had drifted from the
+# parser's marker table, making the two block paths silently disagree
+from rpa_etl_spark.functions.parsing import BLOCK_MARKERS as _MARKERS  # noqa: E402
 
 
 @udtf(returnType="block_type: string, block_text: string, pos: int")
@@ -83,5 +80,11 @@ def percentile_summary(df: DataFrame, group_col: str, value_col: str) -> DataFra
             }
         )
 
-    schema = f"{group_col} string, n long, p25 double, p50 double, p75 double, p95 double"
+    # group column keeps its actual type — a hardcoded string here broke
+    # every non-string grouping key at Arrow serialization time
+    group_type = df.schema[group_col].dataType.simpleString()
+    schema = (
+        f"{group_col} {group_type}, n long, p25 double, p50 double, "
+        "p75 double, p95 double"
+    )
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(summarize, schema)

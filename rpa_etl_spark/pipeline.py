@@ -122,6 +122,9 @@ def process_documents(df: DataFrame, text_col: str = "text",
     )
     if tenant_col is None:
         df = df.withColumn("tenant_id", F.lit("unknown_tenant"))
+    elif tenant_col != "tenant_id":
+        # honor the documented contract: the output always carries tenant_id
+        df = df.withColumn("tenant_id", F.col(tenant_col))
     return df
 
 

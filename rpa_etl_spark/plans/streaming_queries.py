@@ -55,7 +55,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL '5 minutes'
                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -63,8 +63,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     sessions AS (
+        -- event_id tiebreak must match the LAG windows above: without it,
+        -- duplicate-ts rows at a session boundary are visited in
+        -- unspecified order and the cumulative flag can split them
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM ordered
     )

@@ -56,5 +56,10 @@ def load_all_plans() -> None:
     ):
         try:
             __import__(mod)
-        except ImportError:
-            pass  # milestone not built yet
+        except ModuleNotFoundError as e:
+            # tolerate only "this plan module doesn't exist yet" — an
+            # ImportError from INSIDE an existing module (typo'd symbol,
+            # missing dependency) must fail loudly, not silently shrink
+            # the declared-query surface
+            if e.name != mod:
+                raise

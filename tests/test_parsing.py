@@ -83,3 +83,28 @@ def test_idempotence(spark):
     df = spark.createDataFrame([(1, GOLDEN), (2, GOLDEN)], "doc_id long, text string")
     rows = P.parse_invoices(df).drop("doc_id", "text").collect()
     assert rows[0] == rows[1]
+
+
+def test_items_and_total_null_when_no_valid_value(spark):
+    """Per-field null-on-failure contract (parser.py:330-361): candidate
+    lines with no valid monetary token and FINANCIALS blocks with no
+    parseable value must yield NULLs, not ANSI array errors."""
+    from rpa_etl_spark.functions.parsing import parse_invoices
+
+    text = "\n".join(
+        [
+            "NOTA FISCAL",
+            "DISCRIMINAÇÃO DOS SERVIÇOS",
+            "SERVICOS PRESTADOS SEM NUMERO NENHUM",   # no value token at all
+            "OUTRA LINHA DE CONTINUACAO LONGA AQUI",  # continuation, no value
+            "VALOR TOTAL DA NOTA",
+            "SEM VALOR AQUI TAMBEM",                  # labeled block, no value
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = parse_invoices(df).collect()[0]
+    assert row["total"] is None
+    assert len(row["items"]) == 2
+    for item in row["items"]:
+        assert item["unit_value"] is None
+        assert len(item["description"]) > 0
