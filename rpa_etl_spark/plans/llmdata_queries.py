@@ -4,7 +4,7 @@
 Oracle-checked where ANSI SQL can express the math (exact dedup, n-gram
 Jaccard, cosine pairs/top-k, text stats, lang-id, quality, token counts,
 fingerprints). MinHash-LSH, SimHash and hyperplane-ANN depend on
-xxhash64/blake2b, which DuckDB cannot reproduce → rows-only checks, with
+xxhash64-seeded hashing, which DuckDB cannot reproduce → rows-only checks, with
 recall/quality gates in tests/test_llmdata.py instead.
 """
 

@@ -1,5 +1,5 @@
 """Quality gates for the approximate (rows-only) LLM-data operators: the
-DuckDB oracle can't reproduce xxhash64/blake2b, so recall and structural
+DuckDB oracle can't reproduce xxhash64-seeded hashing, so recall and structural
 correctness are asserted here instead. Everything is deterministic (seeded
 hash families), so thresholds are exact, not flaky."""
 
