@@ -92,6 +92,52 @@ def dedup_events(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return df.dropDuplicates(["event_id"])
 
 
+def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame,
+                    key: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the static
+    dim (re-read per batch, so slowly-changing dims pick up updates). The
+    static side is broadcast when small — no stream-side state at all."""
+    return stream_df.join(F.broadcast(dim_df), key, "left")
+
+
+def join_clicks_to_purchases(events: DataFrame,
+                             watermark: str = "10 minutes",
+                             horizon: str = "30 minutes",
+                             left_type: str = "click",
+                             right_type: str = "purchase") -> DataFrame:
+    """Stream-stream inner join: click → following purchase within a time
+    horizon. Both sides carry watermarks and the join condition bounds
+    purchase_ts to [click_ts, click_ts + horizon], so Spark can expire
+    buffered state — an UNBOUNDED stream-stream join would grow state
+    forever (the interval condition is what makes it production-safe)."""
+    clicks = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
 def stage_events(df: DataFrame) -> DataFrame:
     """O4 — derive an OrchestratorEvent-shaped audit row per input event
     (orchestrator_models.py:12-22 schema: stage/status/details)."""

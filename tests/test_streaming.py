@@ -130,3 +130,43 @@ def test_idempotent_sink_survives_batch_replay(spark, events_dir, tmp_path):
     SP.idempotent_batch_sink(out_dir)(replay_input, 0)
     after = spark.read.parquet(out_dir)
     assert after.count() == n_first, "replayed batch appended instead of overwriting"
+
+
+def test_stream_static_join_enrichment(spark, events_dir):
+    """Stream-static join: every micro-batch row picks up its dim
+    attributes; unmatched keys survive (left join)."""
+    from pyspark.sql import functions as F
+
+    stream = SP.events_file_stream(spark, str(events_dir / "f*.json"))
+    dim = spark.createDataFrame(
+        [(u, f"segment-{u % 2}") for u in range(3)],  # users 3,4 unmatched
+        "user_id long, segment string",
+    )
+    out = _run_stream(spark, SP.enrich_with_dim(stream, dim), "enriched")
+    rows = out.collect()
+    assert len(rows) == 150
+    for r in rows:
+        if r["user_id"] <= 2:
+            assert r["segment"] == f"segment-{r['user_id'] % 2}"
+        else:
+            assert r["segment"] is None
+
+
+def test_stream_stream_join_click_to_purchase(spark, events_dir):
+    """Stream-stream interval join must equal the same join run in batch
+    mode over the same files (state-expiry must not drop in-horizon
+    matches for this bounded corpus)."""
+    src = str(events_dir / "f*.json")
+    stream = SP.events_file_stream(spark, src)
+    joined = SP.join_clicks_to_purchases(stream, right_type="view")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in _run_stream(spark, joined, "cp_join").collect()
+    }
+    batch = spark.read.schema(SP.EVENTS_STREAM_SCHEMA).json(src)
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in SP.join_clicks_to_purchases(batch, right_type="view").collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
