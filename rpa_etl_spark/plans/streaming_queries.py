@@ -109,3 +109,32 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.click_id, c.user_id, c.click_ts,
+           v.purchase_id, v.purchase_ts, v.purchase_value
+    FROM clicks c JOIN views v
+      ON c.user_id = v.user_id
+     AND v.purchase_ts >= c.click_ts
+     AND v.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/pipeline.py::join_clicks_to_purchases) — the SAME function
+    serves the streaming test and this oracle-checked batch run, so the
+    join semantics are pinned from both sides. Click → following view
+    within a 30-minute horizon per user."""
+    ev = load(spark, sf_dir, "events")
+    return SP.join_clicks_to_purchases(ev, right_type="view")
