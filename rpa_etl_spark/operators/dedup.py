@@ -126,7 +126,10 @@ def lsh_candidate_pairs(
     if sig_len is None:
         first = df.select(F.size(sig_col).alias("n")).limit(1).collect()
         if not first:  # empty corpus → empty pair set, not IndexError
-            return df.sparkSession.createDataFrame([], "id_a long, id_b long")
+            id_type = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}"
+            )
         sig_len = first[0]["n"]
     rows_per_band = sig_len // bands
 

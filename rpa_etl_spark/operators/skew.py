@@ -2,38 +2,48 @@
 
 Two standard techniques, composable with any plan:
 
-- ``salted_agg``: two-phase aggregation — add a random-ish salt to the
-  group key, partially aggregate (spreads one hot key over N reducers),
-  then re-aggregate without the salt. Works for any algebraic aggregate
+- ``salted_sum_count``: two-phase aggregation — add a salt to the group
+  key, partially aggregate (spreads one hot key over N reducers), then
+  re-aggregate without the salt. Works for any algebraic aggregate
   (sum/count/min/max); here exposed for decimal-exact sum+count.
-- ``salted_broadcast_left``: replicate-and-salt pattern for joining a
-  skewed fact against a dim too big to broadcast whole but with known hot
-  keys: hot-key rows join against a replicated dim slice.
+- ``salted_join``: replicate-and-salt pattern for joining a skewed fact
+  against a dim above the broadcast threshold: the dim is replicated once
+  per salt so every fact row meets exactly one replica.
 
 AQE's skew-join splitting (enabled in session.py) already handles
 sort-merge skew at runtime; these are for when the skew is in an
 AGGREGATION or you need deterministic pre-planned handling.
 
-The salt is POSITIONAL (hash of monotonically_increasing_id): a hot key
-whose rows are byte-identical — the common duplicate-heavy shape — still
-spreads across all n salts, which a content hash cannot do. Aggregation
-results are independent of which salt a row lands on (sum/count are
-algebraic over any split), so salt-assignment nondeterminism across task
-retries cannot change the output.
+Salt derivation: a DETERMINISTIC content hash of ``salt_cols`` (default:
+all columns). Determinism is what makes salting retry-safe — a recomputed
+task assigns every row the same salt as the lost attempt, so partial
+aggregates can never double-count under shuffle-fetch recovery. The
+trade-off: byte-identical duplicate rows share a salt. When the data is
+duplicate-heavy, pass a distinguishing column (a unique id) as
+``salt_cols`` — positional salts (monotonically_increasing_id / rand)
+would spread duplicates too, but their assignment changes on recompute,
+which is exactly the nondeterministic-shuffle-retry correctness trap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
-    """Positional row salt in [0, n_salts) — spreads even byte-identical
-    rows (a content hash would pin every duplicate of a hot row to ONE
-    reducer, recreating the hotspot it exists to break)."""
+def with_salt(
+    df: DataFrame,
+    n_salts: int = 16,
+    col_name: str = "_salt",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic row salt in [0, n_salts): content hash of
+    ``salt_cols`` (default all columns). Retry-safe by construction; for
+    duplicate-heavy data pass a unique id column so identical payload
+    rows still spread (see module docstring for the trade-off)."""
+    cols = salt_cols if salt_cols is not None else df.columns
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
     )
 
 
@@ -42,12 +52,13 @@ def salted_sum_count(
     group_cols: list[str],
     value_col: str,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe exact sum+count: groupBy(key, salt) partial → groupBy(key)
     final. The hot key's rows spread across ``n_salts`` reducers in phase 1;
     phase 2 merges |keys|×|salts| tiny partials. Decimal-exact, so the
     result is bit-identical to the unsalted aggregation."""
-    salted = with_salt(df.select(*group_cols, value_col), n_salts)
+    salted = with_salt(df.select(*group_cols, value_col), n_salts, salt_cols=salt_cols)
     partial = salted.groupBy(*group_cols, "_salt").agg(
         F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_psum"),
         F.count(F.lit(1)).alias("_pcnt"),
@@ -64,6 +75,7 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Replicate-and-salt equi-join for a skewed fact key: each fact row
     gets a deterministic salt in [0, n_salts); the dim side is replicated
@@ -87,7 +99,7 @@ def salted_join(
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "dim replication would duplicate unmatched dim rows per salt"
         )
-    salted_fact = with_salt(fact, n_salts, "_salt")
+    salted_fact = with_salt(fact, n_salts, "_salt", salt_cols=salt_cols)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_dim = dim.select("*", salts)
     return salted_fact.join(replicated_dim, [key, "_salt"], how).drop("_salt")

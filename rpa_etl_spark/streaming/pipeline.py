@@ -95,9 +95,11 @@ def dedup_events(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 def enrich_with_dim(stream_df: DataFrame, dim_df: DataFrame,
                     key: str = "user_id") -> DataFrame:
     """Stream-static join: each micro-batch hash-joins against the static
-    dim (re-read per batch, so slowly-changing dims pick up updates). The
-    static side is broadcast when small — no stream-side state at all."""
-    return stream_df.join(F.broadcast(dim_df), key, "left")
+    dim (re-read per batch, so slowly-changing dims pick up updates). No
+    stream-side state at all. Join strategy is left to the optimizer —
+    AQE broadcasts the dim when it fits under the threshold; a forced
+    broadcast hint here would OOM callers with large dims."""
+    return stream_df.join(dim_df, key, "left")
 
 
 def join_clicks_to_purchases(events: DataFrame,
@@ -117,8 +119,8 @@ def join_clicks_to_purchases(events: DataFrame,
             "user_id",
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", watermark)
     )
+    clicks = _maybe_watermark(clicks, "click_ts", watermark)
     purchases = (
         events.where(F.col("event_type") == right_type)
         .select(
@@ -127,8 +129,8 @@ def join_clicks_to_purchases(events: DataFrame,
             F.col("ts").alias("purchase_ts"),
             F.col("value").alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", watermark)
     )
+    purchases = _maybe_watermark(purchases, "purchase_ts", watermark)
     return clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
