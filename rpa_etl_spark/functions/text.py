@@ -16,20 +16,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Brazilian UF codes + short tokens the noise filter must keep even when
-# shorter than 3 chars (semantics of text_normalizer.py:30-43).
+# Brazilian UF codes + fiscal abbreviations the noise filter keeps even when
+# shorter than 3 chars — exact reference set (text_normalizer.py:33-38).
 KEEP_SHORT_TOKENS = [
     "AC", "AL", "AP", "AM", "BA", "CE", "DF", "ES", "GO", "MA", "MT", "MS",
     "MG", "PA", "PB", "PR", "PE", "PI", "RJ", "RN", "RS", "RO", "RR", "SC",
-    "SP", "SE", "TO", "UF", "RG", "N", "Nº", "CEP",
+    "SP", "SE", "TO", "NF", "RG", "IE", "IM", "CPF",
 ]
 
 
 def scrub_chars(col: Column) -> Column:
-    """P2 — replace NBSP with space, drop zero-width chars, CRLF→LF
-    (text_normalizer.py:4-8)."""
+    """P2 — replace NBSP with space, drop zero-width space, CRLF→LF —
+    the reference's exact CLEAN_REPLACEMENTS set (text_normalizer.py:4-8)."""
     c = F.regexp_replace(col, "\u00a0", " ")
-    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
+    c = F.regexp_replace(c, "\u200b", "")
     return F.regexp_replace(c, "\r\n", "\n")
 
 
@@ -38,7 +38,9 @@ def normalize_whitespace(col: Column) -> Column:
     (text_normalizer.py:10-15)."""
     c = F.regexp_replace(col, "[ \t\f]+", " ")
     c = F.regexp_replace(c, "\n{2,}", "\n\n")
-    return F.trim(c)
+    # Python .strip() semantics: remove ALL leading/trailing whitespace
+    # (incl. newlines) — plain trim only removes spaces
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
 def join_split_numbers(col: Column) -> Column:
@@ -48,17 +50,19 @@ def join_split_numbers(col: Column) -> Column:
 
 
 def fix_decimal_commas(col: Column) -> Column:
-    """P4 — tighten decimal commas `1 , 50`→`1,50`; drop stray dots that are
-    not thousands separators (text_normalizer.py:22-28)."""
+    """P4 — tighten decimal commas `1 , 50`→`1,50`; DELETE dots (and any
+    surrounding whitespace) sitting between a digit and a 3-digit group —
+    i.e. BR thousands separators: `1.500,00`→`1500,00`, `3.14` untouched
+    (text_normalizer.py:22-28)."""
     c = F.regexp_replace(col, r"(\d)\s*,\s*(\d{2})", "$1,$2")
-    return F.regexp_replace(c, r"(\d)\.(?!\d{3}\b)", "$1")
+    return F.regexp_replace(c, r"(?<=\d)\s*\.\s*(?=\d{3}\b)", "")
 
 
 def fix_date_spacing(col: Column) -> Column:
-    """P5 — re-space date+time collisions `15/12/202410:30:00`
-    (text_normalizer.py:52-61)."""
+    """P5 — re-space date+time collisions `15/12/202410:30:00`; the reference
+    requires a full HH:MM:SS time (text_normalizer.py:52-61)."""
     return F.regexp_replace(
-        col, r"(\d{2}/\d{2}/\d{4})(\d{2}:\d{2})", "$1 $2"
+        col, r"(\d{2}/\d{2}/\d{4})(\d{2}:\d{2}:\d{2})", "$1 $2"
     )
 
 

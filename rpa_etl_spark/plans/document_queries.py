@@ -151,15 +151,66 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_normalize_docs")  # rows-only: full P1-P8 chain at corpus scale
+@query(
+    "q_normalize_docs",
+    oracle="""
+    WITH syn AS (
+        SELECT doc_id, text,
+               'NOTA' || chr(160) || 'FISCAL   DE  SERVICOS' || chr(13) || chr(10)
+               || 'EMISSÃO: 15/12/202410:30:00' || chr(10)
+               || 'CNPJ: 04 252 011 0001 10' || chr(10)
+               || 'TOTAL: R$ 1 . 500 , '
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || chr(10)
+               || 'LINHA DUPLICADA' || chr(10) || 'LINHA DUPLICADA' || chr(10)
+               || 'ab' || chr(10) || 'NF' || chr(10) || chr(10) || chr(10)
+               || text AS raw,
+               'NOTA FISCAL DE SERVICOS' || chr(10)
+               || 'EMISSÃO: 15/12/2024 10:30:00' || chr(10)
+               || 'CNPJ: 04252011000110' || chr(10)
+               || 'TOTAL: R$ 1500,'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || chr(10)
+               || 'LINHA DUPLICADA' || chr(10) || 'NF' || chr(10)
+               || text AS expected
+        FROM documents
+    )
+    SELECT doc_id,
+           expected AS normalized,
+           CAST(length(raw) AS INT) AS raw_len,
+           CAST(length(expected) AS INT) AS norm_len,
+           ROUND(1 - CAST(length(expected) AS DOUBLE) / length(raw), 2)
+               AS reduction_ratio
+    FROM syn
+    """,
+)
 def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full normalization chain over the documents corpus (one narrow
-    stage); returns per-doc reduction metrics (O5 semantics)."""
+    """Full P1-P8 normalization chain, hash-checked end-to-end: wrap every
+    document in a deterministic messy envelope (NBSP, CRLF, OCR digit
+    splits, glued date+time, BR thousands dot, duplicate + noise lines —
+    one trigger per chain stage), normalize, and return the normalized
+    text plus O5 reduction metrics. The oracle computes the EXPECTED
+    normalized string analytically (the construction's known fixed point),
+    so any chain divergence — P4 polarity, P6 whitelist, strip semantics —
+    is a hash mismatch, not just a row-count wobble. Narrow one-stage plan,
+    no shuffle at any scale."""
     docs = load(spark, sf_dir, "documents")
-    norm = T.normalize_text(F.col("text"))
+    dd = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    raw = F.concat(
+        F.lit("NOTA FISCAL   DE  SERVICOS\r\n"),
+        F.lit("EMISSÃO: 15/12/202410:30:00\n"),
+        F.lit("CNPJ: 04 252 011 0001 10\n"),
+        F.lit("TOTAL: R$ 1 . 500 , "),
+        dd,
+        F.lit("\n"),
+        F.lit("LINHA DUPLICADA\nLINHA DUPLICADA\nab\nNF\n\n\n"),
+        F.col("text"),
+    )
+    norm = T.normalize_text(raw)
     return docs.select(
         "doc_id",
-        F.length("text").alias("raw_len"),
+        norm.alias("normalized"),
+        F.length(raw).alias("raw_len"),
         F.length(norm).alias("norm_len"),
-        F.round(F.lit(1) - F.length(norm) / F.length("text"), 2).alias("reduction_ratio"),
+        F.round(F.lit(1) - F.length(norm) / F.length(raw), 2).alias(
+            "reduction_ratio"
+        ),
     )

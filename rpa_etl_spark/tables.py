@@ -32,19 +32,50 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make timestamp semantics session-independent.
+
+    The driver runs queries in its OWN session (not our factory), where
+    parquet timestamps may arrive as TIMESTAMP_NTZ and the timezone may
+    not be UTC. Both knobs are runtime-settable; setting them here means
+    every load() call — no matter who built the session — sees the same
+    deterministic UTC timestamp semantics the oracles assume.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    try:
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); some Spark
+        # configurations reject it unless read as a raw long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as a
         # raw nano count. Truncate to micros (same as DuckDB/Arrow readers).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer div — ns counts exceed double's 2^53 exact range
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # integer div — ns counts exceed double's 2^53 exact range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ-proofing: sessions without inferTimestampNTZ=false read parquet
+    # timestamps as TIMESTAMP_NTZ, which unix_millis/date_trunc reject.
+    # With the UTC session timezone the cast is value-identical.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -29,8 +29,13 @@ def test_join_split_numbers(spark):
 
 def test_fix_decimal_commas(spark):
     assert _run(spark, T.fix_decimal_commas, "R$ 400 , 00") == "R$ 400,00"
-    assert _run(spark, T.fix_decimal_commas, "1.500,00") == "1.500,00"  # real thousands kept
-    assert _run(spark, T.fix_decimal_commas, "4.50") == "450"  # stray dot dropped
+    # thousands dots are DELETED (text_normalizer.py:26): 1.500,00 → 1500,00
+    assert _run(spark, T.fix_decimal_commas, "1.500,00") == "1500,00"
+    assert _run(spark, T.fix_decimal_commas, "R$ 1 . 500,00") == "R$ 1500,00"
+    # non-thousands dots are untouched
+    assert _run(spark, T.fix_decimal_commas, "3.14") == "3.14"
+    assert _run(spark, T.fix_decimal_commas, "4.50") == "4.50"
+    assert _run(spark, T.fix_decimal_commas, "1.5000") == "1.5000"
 
 
 def test_fix_date_spacing(spark):
@@ -70,6 +75,61 @@ def test_normalize_text_full_chain(spark):
     assert "ab" not in lines  # P6 noise dropped
     assert "SP" in lines  # whitelisted short token kept
     assert any("15/12/2024 10:30:00" in ln for ln in lines)  # P5 re-spaced
+
+
+def _reference_normalize(text: str) -> str:
+    """Executable spec of the reference normalize_text chain
+    (text_normalizer.py:4-92), written fresh from the documented semantics:
+    CLEAN_REPLACEMENTS → whitespace collapse → digit-run join → date
+    re-spacing → comma/dot repair → line noise filter (UF + fiscal-abbrev
+    whitelist) → order-preserving dedup."""
+    import re
+
+    for pat, repl in (("\xa0", " "), ("​", ""), ("\r\n", "\n")):
+        text = text.replace(pat, repl)
+    text = re.sub(r"[ \t\f\v]+", " ", text)
+    text = re.sub(r"\n{2,}", "\n\n", text).strip()
+    text = re.sub(r"(?<=\d)\s+(?=\d)", "", text)
+    text = re.sub(r"(\d{2}/\d{2}/\d{4})(\d{2}:\d{2}:\d{2})", r"\1 \2", text)
+    text = re.sub(r"(\d)\s*,\s*(\d{2})", r"\1,\2", text)
+    text = re.sub(r"(?<=\d)\s*\.\s*(?=\d{3}\b)", "", text)
+    keep = set(T.KEEP_SHORT_TOKENS)
+    out, seen = [], set()
+    for ln in text.split("\n"):
+        ln = ln.strip()
+        if ln.upper() not in keep and len(ln) < 3 and not re.search(r"\d", ln):
+            continue
+        if ln in seen:
+            continue
+        seen.add(ln)
+        out.append(ln)
+    return "\n".join(out)
+
+
+def test_normalize_text_reference_parity(spark):
+    """Golden-fixture parity: the Spark chain must match the reference
+    semantics byte-for-byte on a crafted raw string covering P1-P7,
+    including the round-1/2 divergences (P4 polarity, P6 whitelist)."""
+    raw = (
+        "NOTA FISCAL DE SERVIÇOS\xa0ELETRÔNICA\r\n"
+        "NF\nIE\nIM\nCPF\nRG\nN\nNº\nCEP\nUF\nSP\nab\n"
+        "Valor Total:  R$ 1 . 500 , 00\n"
+        "Aliquota: 3.14\n"
+        "EMISSÃO: 15/12/202410:30:00\n"
+        "CNPJ: 04 252 011 000110\n"
+        "Linha duplicada\nLinha duplicada\n"
+        "​xy\n\n\n\nfim de documento"
+    )
+    assert _run(spark, T.normalize_text, raw) == _reference_normalize(raw)
+    # spot-check the two previously-divergent behaviors directly
+    out_lines = _run(spark, T.normalize_text, raw).split("\n")
+    for tok in ("NF", "IE", "IM", "CPF", "RG"):
+        assert tok in out_lines  # P6 whitelist keeps fiscal abbreviations
+    for tok in ("N", "Nº", "UF", "ab"):
+        assert tok not in out_lines  # short noise dropped
+    assert "CEP" in out_lines  # 3 chars → survives the length gate
+    assert any("R$ 1500,00" in ln for ln in out_lines)  # P4 deletes thousands dot
+    assert any("3.14" in ln for ln in out_lines)  # P4 keeps real decimals
 
 
 def test_remove_accents(spark):
