@@ -67,7 +67,55 @@ def main() -> None:
             }
         )
     )
+    _report_deltas(timings)
     spark.stop()
+
+
+def _report_deltas(timings: dict[str, float]) -> None:
+    """Round-over-round per-query deltas vs the latest BENCH_r{N}.json, on
+    stderr (stdout stays the one-JSON-line driver contract). A swing
+    outside the noise band gets flagged so a 50× environment wobble (seen
+    round 2) is investigated in the round it appears."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior_files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not prior_files:
+        return
+    try:
+        with open(prior_files[-1]) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return
+    if not prior:
+        return
+    name = os.path.basename(prior_files[-1])
+    flagged = []
+    for q, now in sorted(timings.items()):
+        then = prior.get(q)
+        if then is None:
+            continue
+        # noise band: 2x ratio or 0.5 s absolute, whichever is larger
+        if abs(now - then) > max(0.5, min(now, then)):
+            flagged.append((q, then, now))
+    total_then = sum(v for v in prior.values() if isinstance(v, (int, float)))
+    total_now = sum(timings.values())
+    print(
+        f"[bench-delta] vs {name}: total {total_then:.1f}s -> {total_now:.1f}s",
+        file=sys.stderr,
+    )
+    for q, then, now in flagged:
+        print(
+            f"[bench-delta]   {q}: {then:.2f}s -> {now:.2f}s "
+            f"({now / max(then, 1e-9):.1f}x) — outside noise band, investigate",
+            file=sys.stderr,
+        )
+    if not flagged:
+        print("[bench-delta]   all queries within noise band", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ from rpa_etl_spark.functions.exprs import let1
 # pattern semantics of parser.py:12-14 (re-derived, not copied)
 CNPJ_RE = r"\d{2}\.?\d{3}\.?\d{3}/?\d{4}-?\d{2}"
 NFE_KEY_RE = r"\d{44}"
-VALUE_RE = r"R?\$?\s*\d{1,3}(?:\.\d{3})*,\d{2}"
+VALUE_RE = r"R?\$?\s*\d{1,3}(?:[.,]\d{3})*(?:[.,]\d{2})"
 DATE_TIME_RE = r"\d{2}/\d{2}/\d{4}(?: \d{2}:\d{2}:\d{2})?"
 COMPETENCE_RE = r"\d{2}/\d{4}"
 
@@ -206,17 +206,24 @@ def extract_total(block: Column) -> Column:
 
 
 def _extract_total_body(block: Column) -> Column:
-    labeled = F.regexp_extract(
-        block, r"(?i)(?:VALOR TOTAL DA NOTA|TOTAL GERAL|VALOR TOTAL)[:\s]*(" + VALUE_RE + ")", 1
+    # Priority patterns mirror parser.py:304-310: each captures an
+    # AGGRESSIVE `[\d.,]+` run (the normalizer may have deleted thousands
+    # dots, so the strict grouped VALUE_RE would truncate `4450,00` to
+    # `450,00`); the first candidate that passes monetary validation wins
+    # and is returned re-formatted (validator reformats — parser.py:318).
+    num = r"([\d.,]+)"
+    pats = [
+        r"(?i)TOTAL\s+GERAL\s*:?\s*R?\$?\s*" + num,
+        r"(?i)VALOR\s+L[IÍ]QUIDO\s*:?\s*R?\$?\s*" + num,
+        r"(?i)VALOR\s+TOTAL\s*:?\s*R?\$?\s*" + num,
+        r"(?i)TOTAL\s*:?\s*R?\$?\s*" + num,
+        r"R\$\s*" + num,  # aggressive fallback (parser.py:309)
+    ]
+    parsed = F.coalesce(
+        *[V.money_parse(F.regexp_extract(block, p, 1)) for p in pats]
     )
-    # try_element_at: NULL (→ TOTAL_MISSING issue downstream) when the
-    # block has no valid monetary token, instead of an ANSI array error
-    any_value = F.try_element_at(
-        F.filter(find_values(block), lambda v: V.money_is_valid(v)), F.lit(-1)
-    )
-    cand = F.when(labeled != "", labeled).otherwise(any_value)
     return _let(
-        {"p": V.money_parse(cand)},
+        {"p": parsed},
         lambda b: F.when(b["p"].isNotNull(), V.money_format_br(b["p"])),
     )
 

@@ -111,7 +111,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 8,
-    sig_len: int | None = None,
+    sig_len: int = 32,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` equal slices, bucket
     by (band index, slice hash), self-join buckets for candidates.
@@ -120,17 +120,12 @@ def lsh_candidate_pairs(
     collisions, not |corpus|². Pairs are deduplicated (a<b) since two docs
     can share several bands.
 
-    Pass ``sig_len`` when known (it always is — the caller built the
-    signature); the fallback peeks at one row, which costs a Spark job.
+    ``sig_len`` is the signature length the caller built (default matches
+    :func:`minhash_signatures`). It is a required static parameter — a
+    peek-at-one-row fallback would cost a driver-side Spark job per call.
     """
-    if sig_len is None:
-        first = df.select(F.size(sig_col).alias("n")).limit(1).collect()
-        if not first:  # empty corpus → empty pair set, not IndexError
-            id_type = df.schema[id_col].dataType.simpleString()
-            return df.sparkSession.createDataFrame(
-                [], f"id_a {id_type}, id_b {id_type}"
-            )
-        sig_len = first[0]["n"]
+    if sig_len % bands:
+        raise ValueError(f"sig_len {sig_len} not divisible by bands {bands}")
     rows_per_band = sig_len // bands
 
     banded = df.select(

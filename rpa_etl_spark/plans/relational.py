@@ -435,16 +435,75 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-ranking windows (ntile / percent_rank / cume_dist) —
-    completes the ranking family beyond row_number/rank. Single global
-    window: at scale you'd partition by a bucketing key; the declared
-    query keeps the oracle simple."""
-    w = Window.orderBy(dec("c_acctbal"), F.col("c_custkey"))
-    return load(spark, sf_dir, "customer").select(
+    """Distribution-ranking windows (ntile / percent_rank / cume_dist)
+    computed SCALE-SAFELY: a naive ``Window.orderBy`` with no partition is
+    a single-partition total sort — a scale-killer. Instead:
+
+    1. ``repartitionByRange`` on the sort key → globally range-ordered
+       partitions (parallel sampling + shuffle, no single-node sort);
+    2. ``row_number`` within each range partition (window partitioned by
+       ``spark_partition_id`` — every window fits one task);
+    3. per-partition counts (a ~#partitions-row aggregate) prefix-summed
+       by an O(p) expression fold → global offset per partition + total n;
+    4. global row number = local row number + offset; ntile /
+       percent_rank / cume_dist are then closed-form expressions of
+       (global_rn, total_n) because the sort key (balance, custkey) is
+       unique.
+
+    Every shuffle moves O(n/p) rows per task; the only 'global' data is
+    the partition-count table (p rows, broadcast). This is the plan that
+    survives a 100× scale-up."""
+    k = 4
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", dec("c_acctbal").alias("bal")
+    )
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = cust.repartitionByRange(nparts, F.col("bal"), F.col("c_custkey"))
+    ranged = ranged.withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy("bal", "c_custkey")
+    local = ranged.withColumn("lrn", F.row_number().over(wloc))
+
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # Prefix-sum the per-partition counts in ONE O(p) expression fold over a
+    # p-row array (p = #partitions, never data rows): collect → sort by pid
+    # → aggregate-fold accumulating the running total. No BNLJ self-join
+    # (quadratic in p), no unpartitioned window.
+    zero = F.struct(
+        F.array().cast("array<struct<pid:int,offset:bigint>>").alias("offs"),
+        F.lit(0).cast("bigint").alias("tot"),
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("pid", "cnt"))),
+        zero,
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["offs"],
+                F.array(
+                    F.struct(x["pid"].alias("pid"), acc["tot"].alias("offset"))
+                ),
+            ).alias("offs"),
+            (acc["tot"] + x["cnt"]).alias("tot"),
+        ),
+    )
+    offsets = (
+        counts.agg(folded.alias("f"))
+        .select(F.explode("f.offs").alias("o"), F.col("f.tot").alias("n"))
+        .select("o.pid", "o.offset", "n")
+    )
+
+    rn = F.col("lrn") + F.col("offset")
+    n = F.col("n")
+    base = F.floor(n / k)  # rows per small bucket
+    rem = n % k            # first `rem` buckets get one extra row
+    big = base + 1
+    ntile = F.when(
+        rn <= rem * big, F.floor((rn - 1) / big) + 1
+    ).otherwise(rem + F.floor((rn - rem * big - 1) / F.greatest(base, F.lit(1))) + 1)
+    return local.join(F.broadcast(offsets), "pid").select(
         "c_custkey",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile.cast("int").alias("balance_quartile"),
+        ((rn - 1).cast("double") / (n - 1)).alias("pct_rank"),
+        (rn.cast("double") / n).alias("cume"),
     )
 
 

@@ -40,6 +40,85 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Export order for queries(): the driver iterates the dict in order and has
+# historically stopped after ~50 entries (time/size budget), leaving the tail
+# without a correctness verdict. Order therefore encodes VERIFICATION
+# PRIORITY, not module layout:
+#   1. queries that have never received a driver verdict (LLM-data ops,
+#      payload/audit transforms, as-of join, TPC-H shapes);
+#   2. the reference-soul queries (parse/validate/normalize/route) and any
+#      query whose plan changed this round;
+#   3. stable, repeatedly-green relational battery queries last — losing a
+#      verdict on one of these costs the least information.
+PRIORITY_ORDER = [
+    # -- tier 1: never driver-verified -------------------------------------
+    "q_payload_erp",
+    "q_payload_analytics",
+    "q_audit_events",
+    "q_join_asof",
+    "q_sample_hash",
+    "q_quantiles",
+    "q_having_large_orders",
+    "q_text_stats",
+    "q_lang_quality",
+    "q_multimodal_meta",
+    "q_fuzzy_match",
+    "q_sim_topk",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q10_shape",
+    "q_tpch_q14_shape",
+    # -- tier 2: reference soul + changed-this-round -----------------------
+    "q_flagship",
+    "q_parse_invoice",
+    "q_normalize_docs",
+    "q_dedup_lines",
+    "q_cnpj_valid",
+    "q_nfe_key_valid",
+    "q_monetary_br",
+    "q_trust_score",
+    "q_case_routing",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_window_lead_lag",
+    "q_window_ntile",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_session_window",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_agg_group",
+    "q_join_inner_broadcast",
+    "q_window_rank",
+    "q_topk",
+    "q_set_ops",
+    "q_scalar_subquery",
+    "q_rollup",
+    "q_gap_fill",
+    # -- tier 3: stable relational battery ---------------------------------
+    # (anything unlisted keeps registration order after the listed ones)
+]
+
+
+def _reorder() -> None:
+    """Rebuild QUERIES/ORACLES in PRIORITY_ORDER (unlisted names keep their
+    registration order after the prioritized block)."""
+    global QUERIES
+    ordered = [n for n in PRIORITY_ORDER if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
 def load_all_plans() -> None:
     """Import every module that registers queries (idempotent)."""
     from rpa_etl_spark.plans import flagship  # noqa: F401
@@ -63,3 +142,4 @@ def load_all_plans() -> None:
             # the declared-query surface
             if e.name != mod:
                 raise
+    _reorder()

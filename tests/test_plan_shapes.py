@@ -91,3 +91,48 @@ def test_no_query_plans_quadratic_joins(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"quadratic join shapes: {offenders}"
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """Return windowspecdefinition(...) fragments that have NO partition
+    columns — i.e. every top-level argument is an ORDER BY expression
+    (`... ASC/DESC NULLS ...`) or the frame spec. Such a window forces the
+    entire input through one task: a scale-killer."""
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i, depth, args, cur = m.end(), 1, [], ""
+        while i < len(plan) and depth:
+            ch = plan[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if not depth:
+                    break
+            if ch == "," and depth == 1:
+                args.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+            i += 1
+        args.append(cur.strip())
+        has_partition = any(
+            not (" ASC" in a or " DESC" in a or a.startswith("specifiedwindowframe"))
+            for a in args
+        )
+        if not has_partition:
+            out.append(plan[m.start() : i + 1][:120])
+    return out
+
+
+def test_no_query_plans_unpartitioned_windows(spark, sf_dir):
+    """No declared query may plan a Window with an empty PARTITION BY —
+    that is a single-partition total sort of the full input. Distribution
+    ranks (q_window_ntile) must use the range-partition + offset two-pass
+    instead."""
+    offenders = {}
+    for name in sorted(registry.QUERIES):
+        specs = _unpartitioned_window_specs(_plan(spark, sf_dir, name))
+        if specs:
+            offenders[name] = specs[:2]
+    assert not offenders, f"unpartitioned windows: {offenders}"
