@@ -88,8 +88,10 @@ def _report_deltas(timings: dict[str, float]) -> None:
         return
     try:
         with open(prior_files[-1]) as f:
-            prior = json.load(f).get("queries", {})
-    except (OSError, ValueError):
+            doc = json.load(f)
+        # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
+        prior = (doc.get("parsed") or doc).get("queries", {})
+    except (OSError, ValueError, AttributeError):
         return
     if not prior:
         return

@@ -11,10 +11,11 @@ extraction with page/encoding metadata) and `api/dependencies.py:12-49`
 - extraction: ``mapInPandas`` over Arrow batches — one Python worker call
   per batch of documents, never per row.
 
-PyMuPDF is not in this container, so the decode step is STUBBED: when
-``fitz`` is importable we use it; otherwise a deterministic fake extractor
-produces text derived from the bytes. The Spark-side plumbing (schema,
-batching, partitioning) is real and tested either way.
+The decode step is REAL either way: PyMuPDF (``fitz``) when importable,
+else the built-in pure-stdlib ``minipdf`` extractor (unencrypted PDFs,
+Flate/plain content streams, simple fonts — the machine-generated invoice
+class the reference processes; see sources/minipdf.py for scope). Tests
+generate spec-conformant PDFs and round-trip them through the decode.
 """
 
 from __future__ import annotations
@@ -72,10 +73,12 @@ def validate_pdf_ingress(df: DataFrame, max_bytes: int = MAX_UPLOAD_BYTES) -> Da
 
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched extraction kernel. Real PyMuPDF when available, else a
-    deterministic stub (text derived from the byte content)."""
+    """Arrow-batched extraction kernel. PyMuPDF when available (full format
+    coverage), else the built-in pure-Python ``minipdf`` extractor — a real
+    decoder for the common machine-generated class (unencrypted, Flate or
+    plain content streams, simple fonts), not a fake."""
     try:
-        import fitz  # PyMuPDF — not in this container; stub below runs
+        import fitz  # PyMuPDF — optional; minipdf below covers the common case
 
         def extract(content: bytes) -> tuple[str, int, str]:
             with fitz.open(stream=content, filetype="pdf") as doc:
@@ -83,14 +86,11 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 return text, doc.page_count, "pymupdf"
 
     except ImportError:
+        from rpa_etl_spark.sources import minipdf
 
         def extract(content: bytes) -> tuple[str, int, str]:
-            # STUB: deterministic fake — body after the header, latin-1
-            # decoded. Real decode requires PyMuPDF (NotImplemented here).
-            body = content[content.find(b"\n") + 1:] if b"\n" in content else b""
-            text = body.decode("latin-1", errors="ignore")
-            pages = max(1, len(content) // 2048)
-            return text, pages, "stub"
+            text, pages = minipdf.extract_text(content)
+            return text, pages, "minipdf"
 
     for pdf in batches:
         rows = []

@@ -159,21 +159,12 @@ def stage_events(df: DataFrame) -> DataFrame:
 
 
 def run_foreach_batch_audit(stream_df: DataFrame, out_dir: str, checkpoint: str):
-    """K2-style audit sink: every micro-batch appended as parquet via
-    foreachBatch (lets one sink fan out to several targets transactionally
-    per batch)."""
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        stage_events(batch_df).withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
-
-    return (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    """K2-style audit sink via foreachBatch (lets one sink fan out to
+    several targets transactionally per batch). Replay-safe by default: a
+    plain append sink would duplicate rows when a batch is replayed after a
+    failure/restart (foreachBatch is at-least-once), so this delegates to
+    the idempotent batch-id-partitioned writer."""
+    return run_foreach_batch_audit_idempotent(stream_df, out_dir, checkpoint)
 
 
 def idempotent_batch_sink(out_dir: str):

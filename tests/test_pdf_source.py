@@ -1,32 +1,190 @@
-"""PDF source plumbing tests (stub decode path — PyMuPDF absent here)."""
+"""PDF source tests: real (minimal, spec-conformant) PDFs are generated
+in-test and round-tripped through the pure-Python minipdf extractor — the
+decode path is exercised for real, not faked. PyMuPDF, when present, takes
+over transparently (same schema)."""
 
 from __future__ import annotations
 
+import zlib
+
+from rpa_etl_spark.sources import minipdf
 from rpa_etl_spark.sources import pdf as P
 
 
-def _write_pdf(dirpath, name: str, body: bytes, header: bytes = b"%PDF-1.4") -> None:
-    (dirpath / name).write_bytes(header + b"\n" + body)
+def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Build a minimal valid PDF: catalog → pages → one content stream per
+    page showing each line with Tj/T*. Streams are FlateDecode-compressed
+    unless ``compress`` is False."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    kid_ids = [3 + 2 * i for i in range(n_pages)]
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    kids = " ".join(f"{k} 0 R" for k in kid_ids)
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # obj 2
+    font_id = 3 + 2 * n_pages
+    for i, lines in enumerate(pages):
+        content_id = kid_ids[i] + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_id} 0 R "
+                f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>"
+            ).encode()
+        )
+        shows = " T* ".join(f"({esc(ln)}) Tj" for ln in lines)
+        stream = f"BT /F1 12 Tf 72 720 Td {shows} ET".encode("latin-1")
+        if compress:
+            data = zlib.compress(stream)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = stream
+            head = f"<< /Length {len(data)} >>".encode()
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
 
 
-def test_pdf_pipeline_stub(spark, tmp_path):
-    _write_pdf(tmp_path, "a.pdf", b"conteudo do documento A")
-    _write_pdf(tmp_path, "b.pdf", b"conteudo B")
-    _write_pdf(tmp_path, "not_pdf.pdf", b"xx", header=b"NOPE")  # fails magic gate
+# ---------------------------------------------------------------------------
+# minipdf unit tests (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_minipdf_roundtrip_compressed():
+    pdf = make_pdf([["NOTA FISCAL DE SERVICOS", "Valor Total: R$ 4.450,00"]])
+    text, pages = minipdf.extract_text(pdf)
+    assert text == "NOTA FISCAL DE SERVICOS\nValor Total: R$ 4.450,00"
+    assert pages == 1
+
+
+def test_minipdf_roundtrip_uncompressed_multipage():
+    pdf = make_pdf([["pagina um"], ["pagina dois", "linha 2"]], compress=False)
+    text, pages = minipdf.extract_text(pdf)
+    assert text.split("\n") == ["pagina um", "pagina dois", "linha 2"]
+    assert pages == 2
+
+
+def test_minipdf_escapes_and_specials():
+    pdf = make_pdf([["parens (aninhados) ok", "barra \\ final", "50% off"]])
+    text, _ = minipdf.extract_text(pdf)
+    assert "parens (aninhados) ok" in text
+    assert "barra \\ final" in text
+    assert "50% off" in text
+
+
+def test_minipdf_hex_and_tj_array():
+    # hand-built content stream: hex string + TJ array with kerning gap
+    stream = b"BT /F1 12 Tf <48656C6C6F> Tj T* [(Wor) -200 (ld)] TJ ET"
+    data = zlib.compress(stream)
+    body = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Length "
+        + str(len(data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    text, pages = minipdf.extract_text(body)
+    assert text == "Hello\nWor ld"
+    assert pages == 1
+
+
+def test_minipdf_octal_escape():
+    assert minipdf._unescape_literal(rb"\101\102 \61") == b"AB 1"
+
+
+def test_minipdf_malformed_never_raises():
+    for junk in (b"", b"%PDF-1.4\ngarbage", b"\x00" * 64, b"%PDF" + b"(" * 100):
+        text, pages = minipdf.extract_text(junk)
+        assert text == "" and pages == 1
+    # broken deflate data in a declared-Flate stream → skipped, no raise
+    bad = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /FlateDecode >>\n"
+        b"stream\nBAD!\nendstream\nendobj\n"
+    )
+    assert minipdf.extract_text(bad)[0] == ""
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing tests (binaryFile scan → gates → mapInPandas extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_pipeline_real_decode(spark, tmp_path):
+    (tmp_path / "a.pdf").write_bytes(
+        make_pdf([["conteudo do documento A", "CNPJ: 04.252.011/0001-10"]])
+    )
+    (tmp_path / "b.pdf").write_bytes(make_pdf([["conteudo B"]], compress=False))
+    (tmp_path / "not_pdf.pdf").write_bytes(b"NOPE\nxx")  # fails magic gate
     (tmp_path / "ignored.txt").write_bytes(b"%PDF-1.4\nnot matched by glob")
 
     out = P.pdf_pipeline(spark, str(tmp_path)).collect()
     assert len(out) == 2  # magic-gate filtered the fake, glob filtered .txt
     by_name = {r["path"].split("/")[-1]: r for r in out}
-    assert by_name["a.pdf"]["text"] == "conteudo do documento A"
-    assert by_name["a.pdf"]["extraction_method"] == "stub"
+    assert (
+        by_name["a.pdf"]["text"]
+        == "conteudo do documento A\nCNPJ: 04.252.011/0001-10"
+    )
+    assert by_name["a.pdf"]["extraction_method"] in ("minipdf", "pymupdf")
     assert by_name["a.pdf"]["page_count"] == 1
-    assert by_name["a.pdf"]["size_bytes"] == len(b"%PDF-1.4\nconteudo do documento A")
+    assert by_name["b.pdf"]["text"] == "conteudo B"
     assert by_name["a.pdf"]["has_unicode_issues"] is False
 
 
+def test_pdf_extracted_text_feeds_invoice_parser(spark, tmp_path):
+    """End-to-end: generated invoice PDF → binary scan → minipdf decode →
+    the B1-B5 parser lands issuer CNPJ and total (the reference's S1→B5
+    path, robot/pdf_reader.py → parser.py, on a real file)."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.functions import parsing as PR
+
+    (tmp_path / "nfse.pdf").write_bytes(
+        make_pdf(
+            [
+                [
+                    "NOTA FISCAL DE SERVICOS ELETRONICA",
+                    "EMISSÃO: 15/12/2024 10:30:00",
+                    "PRESTADOR DE SERVIÇOS",
+                    "CNPJ: 04.252.011/0001-10",
+                    "EMPRESA ALFA COMERCIO LTDA",
+                    "VALOR TOTAL DA NOTA",
+                    "R$ 4.450,00",
+                ]
+            ]
+        )
+    )
+    docs = P.pdf_pipeline(spark, str(tmp_path))
+    parsed = PR.parse_invoices(docs.select("path", "text"))
+    row = parsed.select(
+        F.col("issuer")["cnpj_cpf"].alias("cnpj"), "total", "emission_date"
+    ).collect()[0]
+    assert row["cnpj"] == "04.252.011/0001-10"
+    assert row["total"] == "4.450,00"
+    assert row["emission_date"] == "15/12/2024 10:30:00"
+
+
 def test_pdf_size_gate(spark, tmp_path):
-    _write_pdf(tmp_path, "big.pdf", b"x" * 100)
+    (tmp_path / "big.pdf").write_bytes(make_pdf([["x"]]) + b"%" * 2000)
     df = P.read_pdf_files(spark, str(tmp_path))
     assert P.validate_pdf_ingress(df, max_bytes=50).count() == 0
     assert P.validate_pdf_ingress(df, max_bytes=10_000).count() == 1
