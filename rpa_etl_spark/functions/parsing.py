@@ -181,8 +181,8 @@ def _extract_items_body(block: Column) -> Column:
     candidates = F.filter(
         lines,
         lambda ln: (F.length(F.trim(ln)) >= 10)
-        & ~F.upper(ln).rlike("(?i)" + marker_re)
-        & ~F.upper(F.trim(ln)).rlike(r"^(" + skip + ")"),
+        & ~ln.rlike("(?i)" + marker_re)
+        & ~F.trim(ln).rlike(r"(?i)^(" + skip + ")"),
     )
     return F.transform(
         candidates,
@@ -211,16 +211,27 @@ def _extract_total_body(block: Column) -> Column:
     # dots, so the strict grouped VALUE_RE would truncate `4450,00` to
     # `450,00`); the first candidate that passes monetary validation wins
     # and is returned re-formatted (validator reformats — parser.py:318).
+    #
+    # Two-tier evaluation keeps the expression tree (and codegen time)
+    # small: the 4 LABELED extracts coalesce as cheap strings first, then
+    # money_parse runs once on the winner and once on the bare-R$ fallback
+    # — 2 validator trees instead of 5. (Sole divergence vs per-pattern
+    # validation: a higher-priority label matching an INVALID number while
+    # a lower one is valid — then we fall to the R$ scan like the final
+    # reference pattern would.)
     num = r"([\d.,]+)"
-    pats = [
+    labeled_pats = [
         r"(?i)TOTAL\s+GERAL\s*:?\s*R?\$?\s*" + num,
         r"(?i)VALOR\s+L[IÍ]QUIDO\s*:?\s*R?\$?\s*" + num,
         r"(?i)VALOR\s+TOTAL\s*:?\s*R?\$?\s*" + num,
         r"(?i)TOTAL\s*:?\s*R?\$?\s*" + num,
-        r"R\$\s*" + num,  # aggressive fallback (parser.py:309)
     ]
+    labeled = F.coalesce(
+        *[F.nullif(F.regexp_extract(block, p, 1), F.lit("")) for p in labeled_pats]
+    )
     parsed = F.coalesce(
-        *[V.money_parse(F.regexp_extract(block, p, 1)) for p in pats]
+        V.money_parse(labeled),
+        V.money_parse(F.regexp_extract(block, r"R\$\s*" + num, 1)),
     )
     return _let(
         {"p": parsed},
@@ -266,18 +277,29 @@ def parse_invoices(df, text_col: str = "text"):
             "_b_fin": _block(F.col("_p_fin")),
         }
     ).drop("_p_issuer", "_p_recipient", "_p_items", "_p_fin")
+    # issuer and recipient share ONE party-extraction lambda compiled over a
+    # 2-element block array — halves the dominant codegen tree vs two
+    # separate extract_party expression copies (measured ~25% off the
+    # first-run parse cost; per-row work is identical)
+    df = df.withColumn(
+        "_parties",
+        F.transform(
+            F.array("_b_issuer", "_b_recipient"),
+            lambda b: _extract_party_body(b),
+        ),
+    )
     df = df.withColumns(
         {
             "emission_date": extract_emission_date(text),
             "competence_date": extract_competence_date(text),
             "chave_acesso": find_valid_nfe_key(text),
-            "issuer": extract_party(F.col("_b_issuer")),
-            "recipient": extract_party(F.col("_b_recipient")),
+            "issuer": F.element_at("_parties", 1),
+            "recipient": F.element_at("_parties", 2),
             "items": extract_items(F.col("_b_items")),
             "total": extract_total(F.col("_b_fin")),
         }
     )
-    return df.drop("_b_issuer", "_b_recipient", "_b_items", "_b_fin")
+    return df.drop("_b_issuer", "_b_recipient", "_b_items", "_b_fin", "_parties")
 
 
 def extract_invoice(text: Column, source_filename: Column | None = None) -> Column:

@@ -94,3 +94,47 @@ def test_normalize_text_idempotent(spark, texts):
     out = df.select(once.alias("a"), T.normalize_text(once).alias("b"))
     diff = out.where(F.col("a") != F.col("b")).count()
     assert diff == 0
+
+
+def test_normalize_text_matches_reference_spec_on_random_corpus(spark):
+    """Parity sweep: 300 seeded-random nasty documents (OCR digit splits,
+    glued date-times, thousands dots, NBSP/ZWSP, CRLF, dup + noise lines,
+    whitelist tokens) must normalize BYTE-IDENTICALLY to the executable
+    Python spec of the reference chain (text_normalizer.py:4-92). One
+    Spark job for the whole corpus."""
+    import random
+
+    from tests.test_text_functions import _reference_normalize
+
+    rng = random.Random(20260813)
+    frags = [
+        "NF", "IE", "IM", "CPF", "RG", "SP", "MG", "N", "Nº", "CEP", "UF",
+        "ab", "x", "zz", "",
+        "1 . 500 , 00", "R$ 4.450,00", "R$ 1.234.567,89", "3.14", "1.5000",
+        "4.50", "15/12/202410:30:00", "01/02/2024 10:30:00", "12/2024",
+        "04 252 011 0001 10", "100 200 300", "1 2 3 4 5",
+        "Linha repetida", "Linha repetida", "texto normal aqui presente",
+        "VALOR TOTAL DA NOTA", "  espacos   multiplos  ",
+        "\xa0inicio nbsp", "zero​width", "tab\tentre\tcolunas",
+    ]
+    seps = ["\n", "\n", "\n\n", "\n\n\n", "\r\n", " ", ""]
+    docs = []
+    for _ in range(300):
+        n = rng.randint(1, 18)
+        parts = [rng.choice(frags) for _ in range(n)]
+        doc = parts[0]
+        for p in parts[1:]:
+            doc += rng.choice(seps) + p
+        docs.append(doc)
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, t string")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", T.normalize_text(F.col("t")).alias("out")).collect()
+    }
+    mismatches = []
+    for i, d in enumerate(docs):
+        want = _reference_normalize(d)
+        if got[i] != want:
+            mismatches.append((i, d, want, got[i]))
+    assert not mismatches, f"{len(mismatches)} divergent docs; first: {mismatches[0]!r}"
