@@ -196,3 +196,107 @@ def simhash64(tokens: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (JVM bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Independently-verifiable (md5-family) variants
+#
+# The xxhash64 families above are the high-throughput defaults (one JVM hash
+# per shingle/token). These md5 variants compute the SAME algorithms from a
+# hash any engine can reproduce (md5 of the same string → same hex), so a
+# DuckDB oracle can recompute signatures, buckets, and pairs bit-for-bit.
+# md5 costs ~3-5x xxhash64 per call — still JVM-side, still linear, still the
+# same shuffle structure; use them when end-to-end verifiability matters.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_md5(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash with hash family h_j(s) = first 16 hex chars of
+    md5('<j>|' || s), minimized lexicographically — fixed-width lowercase
+    hex makes string order identical to numeric order, so DuckDB's
+    list_min over the same substrings reproduces the signature exactly."""
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, j=j: F.substring(F.md5(F.concat(F.lit(f"{j}|"), s)), 1, 16),
+            )
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+    sig_len: int = 16,
+) -> DataFrame:
+    """LSH banding over an md5-family signature: bucket key is md5 of the
+    '|'-joined band slice. Same linear shuffle structure as
+    lsh_candidate_pairs, but every bucket id is engine-reproducible."""
+    if sig_len % bands:
+        raise ValueError(f"sig_len {sig_len} not divisible by bands {bands}")
+    rpb = sig_len // bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws("|", F.slice(F.col(sig_col), b * rpb + 1, rpb))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash60_md5(tokens: Column) -> Column:
+    """60-bit SimHash from the first 15 hex chars of md5(token) (60 bits
+    keeps the value exactly representable as a BIGINT in both engines).
+    Pure column expressions: per-token hash once (let-bound), 60 bit-votes
+    via getbit folds, signature packed with exact power-of-two weights.
+    DuckDB reproduces it with (CAST('0x'||substr(md5(t),1,15) AS UBIGINT)
+    >> k) & 1 over the same tokens."""
+    seq = F.sequence(F.lit(0), F.lit(59))
+    hashed = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+    def body(hs: Column) -> Column:
+        votes = F.transform(
+            seq,
+            lambda k: F.aggregate(
+                hs, F.lit(0), lambda acc, h: acc + (F.getbit(h, k) * 2 - 1)
+            ),
+        )
+        return let1(
+            votes,
+            lambda v: F.aggregate(
+                seq,
+                F.lit(0).cast("long"),
+                lambda acc, k: acc
+                + F.when(
+                    F.element_at(v, (k + 1).cast("int")) > 0,
+                    F.pow(F.lit(2.0), k).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        )
+
+    return let1(hashed, body)

@@ -1,11 +1,14 @@
 """M6 — LLM-data declared queries: dedup, similarity search, text analysis
 (BASELINE.json north star) over `documents` and `embeddings`.
 
-Oracle-checked where ANSI SQL can express the math (exact dedup, n-gram
-Jaccard, cosine pairs/top-k, text stats, lang-id, quality, token counts,
-fingerprints). MinHash-LSH, SimHash and hyperplane-ANN depend on
-xxhash64-seeded hashing, which DuckDB cannot reproduce → rows-only checks, with
-recall/quality gates in tests/test_llmdata.py instead.
+Oracle-checked wherever the math is engine-reproducible: exact dedup,
+n-gram Jaccard, cosine pairs/top-k, text stats, lang-id, quality, token
+counts, fingerprints, MinHash-LSH + SimHash (md5 hash family — DuckDB
+recomputes signatures/buckets/pairs bit-for-bit), and IVF ANN
+(deterministic codebook → cells/probes/ranks re-derived in SQL). Only
+q_ann_lsh (Gaussian hyperplanes) and q_approx_count_distinct (HLL) are
+rows-only by nature; recall/quality gates in tests/test_llmdata.py cover
+them.
 """
 
 from __future__ import annotations
@@ -98,21 +101,80 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash")  # xxhash64-based → rows-only; recall gated in tests
+@query(
+    "q_dedup_minhash",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1),
+                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+2])) AS grams
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, grams,
+               list_transform(generate_series(0, 15),
+                   j -> list_min(list_transform(
+                           grams, s -> substr(md5(j::VARCHAR || '|' || s), 1, 16)))
+               ) AS sigs
+        FROM sh
+        WHERE len(grams) > 0
+    ),
+    banded AS (
+        SELECT doc_id, b,
+               md5(sigs[2*b + 1] || '|' || sigs[2*b + 2]) AS bucket
+        FROM sig, UNNEST(generate_series(0, 7)) AS t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l
+        JOIN banded r ON l.b = r.b AND l.bucket = r.bucket
+                      AND l.doc_id < r.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard_sim
+    FROM pairs p
+    JOIN sig a ON p.id_a = a.doc_id
+    JOIN sig b ON p.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= 0.5
+    """,
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs joined back to exact Jaccard — the scale
-    path for unbounded near-dup discovery (shuffle keyed by band bucket)."""
+    path for unbounded near-dup discovery (shuffle keyed by band bucket,
+    linear in corpus size, never all-pairs).
+
+    Uses the md5 hash family (operators/dedup.py::minhash_signature_md5)
+    so the ENTIRE pipeline — signatures, band buckets, candidate pairs,
+    final similarities — is recomputed independently by the DuckDB oracle
+    and hash-compared. The xxhash64 family (minhash_signature) remains the
+    faster default for production corpora; recall gates in
+    tests/test_llmdata.py cover it."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", D.word_shingles(F.col("text"), 3).alias("grams")
     )
-    signed = docs.select(
-        "doc_id", "grams", D.minhash_signature(F.col("grams"), 32).alias("minhash")
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    signed = (
+        docs.where(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            "grams",
+            D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     # ^ shuffle barrier: the shingle+signature pass feeds three consumers
     # (banding, both gram-join sides); materializing it once behind an
     # exchange beats recomputing the corpus scan per consumer — same
     # reasoning at 100 TB, where the re-scan is the dominant cost.
-    pairs = D.lsh_candidate_pairs(signed.select("doc_id", "minhash"), bands=8, sig_len=32)
+    pairs = D.lsh_candidate_pairs_md5(
+        signed.select("doc_id", "minhash"), bands=8, sig_len=16
+    )
     g = signed.select(F.col("doc_id").alias("id"), "grams")
     return (
         pairs.join(g.withColumnsRenamed({"id": "id_a", "grams": "g_a"}), "id_a")
@@ -161,12 +223,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_components(corpus, pairs).select("doc_id", "canonical_id", "keep")
 
 
-@query("q_dedup_simhash")  # xxhash64-seeded signatures → rows-only
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                   t -> CAST(CAST('0x' || substr(md5(t), 1, 15) AS UBIGINT) AS BIGINT)
+               ) AS hashes
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(0, 59), k ->
+                   CASE WHEN list_sum(list_transform(hashes,
+                                 h -> ((h >> k) & 1) * 2 - 1)) > 0
+                        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT)
+                   AS sig
+        FROM hashed
+    ),
+    bucketed AS (SELECT doc_id, sig, sig >> 44 AS bucket FROM sig)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM bucketed a
+    JOIN bucketed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: prefix-bucketed signature join, pairs
-    within Hamming distance ≤ 8."""
+    within Hamming distance ≤ 8.
+
+    Uses the 60-bit md5-family signature (operators/dedup.py::
+    simhash60_md5, pure column expressions) so the DuckDB oracle
+    recomputes signatures, prefix buckets, and Hamming distances
+    bit-for-bit. The vectorized xxhash64+numpy variant (simhash64)
+    remains the production default, gated by determinism tests."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", D.simhash64(TS.tokens(F.col("text"))).alias("sig")
+        "doc_id", D.simhash60_md5(TS.tokens(F.col("text"))).alias("sig")
     )
     # shuffle barrier keyed by the join bucket: the pandas_udf signature
     # pass materializes once and both self-join sides read the exchange.
@@ -174,8 +268,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps pairs as STREAMED, spillable rows — a duplicate-heavy corpus
     # puts every copy in one 16-bit-prefix bucket, and an in-row
     # pair-array there would be O(copies^2) inside a single row.
+    # 16-bit prefix of the 60-bit signature (sig is non-negative, so
+    # arithmetic shift == unsigned shift; matches the oracle's sig >> 44)
     bucketed = docs.withColumn(
-        "bucket", F.shiftrightunsigned("sig", 48)
+        "bucket", F.shiftrightunsigned("sig", 44)
     ).repartition(spark.sparkContext.defaultParallelism, "bucket")
     a = bucketed.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket"
@@ -230,13 +326,61 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 50), dim=64, k=10)
 
 
-@query("q_ann_ivf")  # approximate → rows-only; recall + prune gated in tests
+@query(
+    "q_ann_ivf",
+    oracle="""
+    WITH cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+               embedding::DOUBLE[] AS c_vec
+        FROM embeddings ORDER BY vec_id LIMIT 32
+    ),
+    sims AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], c.c_vec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))) AS sim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT vec_id, vec, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM sims
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, vec AS c_vec, cell
+               FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, vec AS q_vec, cell
+               FROM ranked WHERE rn <= 8 AND vec_id < 50),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               list_dot_product(p.q_vec, c.c_vec)
+               / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                  * sqrt(list_dot_product(c.c_vec, c.c_vec))) AS score
+        FROM corpus c JOIN probes p USING (cell)
+        WHERE p.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 6) AS score_r, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate top-k: probe the n_probe nearest Voronoi cells
-    per query, exact cosine only inside probed cells."""
+    per query, exact cosine only inside probed cells.
+
+    Fully oracle-checked: the codebook is deterministic (first n_cells
+    corpus vectors by id), so DuckDB re-derives cell assignments, probe
+    sets, candidate pairs, scores, and ranks from the same parquet —
+    confirming the pruning structure, not just row counts. (q_ann_lsh
+    stays rows-only: its Gaussian hyperplanes are not SQL-reproducible.)"""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(
+    out = SIM.ivf_topk(
         emb, emb.where(F.col("vec_id") < 50), dim=64, k=10, n_cells=32, n_probe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score_r"), "rank"
     )
 
 
