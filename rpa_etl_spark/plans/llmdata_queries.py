@@ -626,3 +626,76 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meta_height",
         "meta_duration_s",
     )
+
+
+@query(
+    "q_repetition_stats",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ),
+    stats AS (
+        SELECT doc_id, len(ws) AS n_words,
+               len(list_distinct(ws)) AS n_distinct
+        FROM words
+    ),
+    bg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total_bg
+            FROM bgc GROUP BY 1)
+    SELECT s.doc_id, s.n_words, s.n_distinct,
+           ROUND(1 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 6)
+               AS dup_word_ratio,
+           ROUND(CAST(t.top_c AS DOUBLE) / t.total_bg, 6)
+               AS top_bigram_frac
+    FROM stats s JOIN top t USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality stats per document — the standard
+    training-data curation filters (duplicate-word fraction, most-frequent-
+    bigram fraction; the Gopher-rules shape). Distinct-word stats stay
+    in-row; the top-bigram pass explodes to (doc_id, bigram) rows and
+    partial-aggregates, so the shuffle carries |distinct bigrams| per doc —
+    the form that scales to 100 TB corpora where one document's bigram set
+    always fits a task but the corpus does not."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    stats = words.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    )
+    bg = words.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ws"), i.cast("int")),
+                    F.element_at(F.col("ws"), (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bgc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    top = bgc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_bg")
+    )
+    return stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_words"), 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(F.col("top_c").cast("double") / F.col("total_bg"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -60,6 +60,7 @@ PRIORITY_ORDER = [
     "q_quantiles",
     "q_having_large_orders",
     "q_text_stats",
+    "q_repetition_stats",
     "q_lang_quality",
     "q_multimodal_meta",
     "q_fuzzy_match",
