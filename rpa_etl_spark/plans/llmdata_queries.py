@@ -1,14 +1,15 @@
 """M6 — LLM-data declared queries: dedup, similarity search, text analysis
 (BASELINE.json north star) over `documents` and `embeddings`.
 
-Oracle-checked wherever the math is engine-reproducible: exact dedup,
-n-gram Jaccard, cosine pairs/top-k, text stats, lang-id, quality, token
-counts, fingerprints, MinHash-LSH + SimHash (md5 hash family — DuckDB
-recomputes signatures/buckets/pairs bit-for-bit), and IVF ANN
-(deterministic codebook → cells/probes/ranks re-derived in SQL). Only
-q_ann_lsh (Gaussian hyperplanes) and q_approx_count_distinct (HLL) are
-rows-only by nature; recall/quality gates in tests/test_llmdata.py cover
-them.
+Every query here is oracle-checked except HLL approx-distinct (inherently
+approximate): exact dedup, n-gram Jaccard, cosine pairs/top-k, text
+stats, lang-id, quality, token counts, fingerprints, repetition stats,
+MinHash-LSH + SimHash (md5 hash family — DuckDB recomputes
+signatures/buckets/pairs bit-for-bit), IVF ANN (deterministic codebook →
+cells/probes/ranks re-derived in SQL), and hyperplane-LSH ANN (RNG-free
+splitmix planes re-derived via 128-bit split multiplication in SQL).
+Recall/quality gates in tests/test_llmdata.py cover the approximate
+operators' retrieval quality on top of the exact-reproduction checks.
 """
 
 from __future__ import annotations
@@ -319,11 +320,86 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_lsh")  # approximate → rows-only; recall gated in tests
+@query(
+    "q_ann_lsh",
+    oracle="""
+    WITH plane_seed AS (
+        SELECT t, p, (p + t * 1009) AS pf, d,
+               CAST(((p + t * 1009)::HUGEINT * 11400714819323198485
+                     + d::HUGEINT * 13787848793156543929)
+                    % 18446744073709551616 AS UBIGINT) AS x1
+        FROM UNNEST(generate_series(0, 7)) AS tt(t),
+             UNNEST(generate_series(0, 5)) AS pp(p),
+             UNNEST(generate_series(0, 63)) AS dd(d)
+    ),
+    plane_y AS (SELECT t, p, d, xor(x1, x1 >> 30) AS y FROM plane_seed),
+    plane_m AS (
+        SELECT t, p, d,
+               CAST((
+                   ((y % 4294967296)::HUGEINT * 321982955)
+                   + ((((y % 4294967296)::HUGEINT * 2496678331
+                        + (y >> 32)::HUGEINT * 321982955) % 4294967296)
+                      * 4294967296)
+               ) % 18446744073709551616 AS UBIGINT) AS x2
+        FROM plane_y
+    ),
+    planes AS (
+        SELECT t, p, d,
+               (xor(x2, x2 >> 31) % 2000001) / 1000000.0 - 1.0 AS w
+        FROM plane_m
+    ),
+    vu AS (
+        SELECT vec_id,
+               UNNEST(range(0, len(embedding))) AS d,
+               UNNEST(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT v.vec_id, pl.t, pl.p, SUM(pl.w * v.val) AS dot
+        FROM vu v JOIN planes pl ON pl.d = v.d
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   AS score
+        FROM cand cd
+        JOIN embeddings a ON cd.query_id = a.vec_id
+        JOIN embeddings b ON cd.neighbor_id = b.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(score, 6) AS score_r, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (bucketed candidates only)."""
+    """Hyperplane-LSH approximate top-k (bucketed candidates only).
+
+    Fully oracle-checked: the hyperplane family is an RNG-free splitmix
+    integer scramble (similarity.py::_hyperplane), which the oracle
+    re-derives in SQL via 128-bit split multiplication — DuckDB recomputes
+    planes, sign signatures, per-table buckets, candidate pairs, scores,
+    and ranks from the same parquet."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 50), dim=64, k=10)
+    out = SIM.ann_topk_lsh(emb, emb.where(F.col("vec_id") < 50), dim=64, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score_r"), "rank"
+    )
 
 
 @query(
