@@ -362,14 +362,40 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_count_distinct")  # approx → rows-only check (no oracle)
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_10pct
+    FROM lineitem GROUP BY 1
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    count-distinct (one pass, bounded memory, no giant shuffle)."""
+    count-distinct (one pass, bounded memory, no giant shuffle).
+
+    The estimate itself is sketch-specific, so the oracle can't recompute
+    it — instead the query ALSO computes the exact distinct count and a
+    deterministic accuracy gate (|approx − exact| ≤ 10% of exact, a 5-sigma
+    bound at rsd=0.02; HLL is deterministic for fixed input, so the flag is
+    stable). The oracle verifies the exact counts and asserts the gate
+    holds — a false gate hash-mismatches against the oracle's TRUE."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= F.col("exact_parts") * 0.10
+            ).alias("approx_within_10pct"),
+        )
     )
 
 
