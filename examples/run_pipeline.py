@@ -32,6 +32,36 @@ from rpa_etl_spark.pipeline import process_documents_with_metrics  # noqa: E402
 from rpa_etl_spark.session import get_spark  # noqa: E402
 
 
+def _as_invoice_corpus(docs):
+    """Wrap each document in an NFS-e-shaped envelope (CNPJ, dates, a BR
+    total derived from doc_id) so the demo exercises the SUCCESS paths of
+    parse/validate/route. Without this, the synthetic word corpus has no
+    fiscal content and every row routes to manual review — correct, but a
+    poor showcase. Odd doc_ids get an invalid issuer DV to light up the
+    error/audit routes too."""
+    issuer = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("04.252.011/0001-10")
+    ).otherwise(F.lit("04.252.011/0001-11"))
+    cents = (F.col("doc_id") * 7919) % 3_000_000  # spread totals over R$ 0-30k
+    total_br = F.concat(
+        (cents / 100).cast("long").cast("string"), F.lit(","),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    text = F.concat_ws(
+        "\n",
+        F.lit("NOTA FISCAL DE SERVICOS ELETRONICA"),
+        F.lit("EMISSÃO: 15/12/2024 10:30:00"),
+        F.lit("PRESTADOR DE SERVIÇOS"),
+        F.concat(F.lit("CNPJ: "), issuer),
+        F.lit("EMPRESA EXEMPLO COMERCIO LTDA"),
+        F.lit("DISCRIMINAÇÃO DOS SERVIÇOS"),
+        F.col("text"),
+        F.lit("VALOR TOTAL DA NOTA"),
+        F.concat(F.lit("R$ "), total_br),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
 def main() -> None:
     inp = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001/documents.parquet"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rpa_etl_spark_out"
@@ -40,6 +70,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     docs = spark.read.parquet(inp)
+    if "--raw" not in sys.argv:
+        docs = _as_invoice_corpus(docs)
     result, obs = process_documents_with_metrics(docs)
 
     (

@@ -111,13 +111,17 @@ PRIORITY_ORDER = [
 
 def _reorder() -> None:
     """Rebuild QUERIES/ORACLES in PRIORITY_ORDER (unlisted names keep their
-    registration order after the prioritized block)."""
-    global QUERIES
+    registration order after the prioritized block). Both dicts get the
+    same order so the driver sees the priority regardless of which export
+    it iterates."""
     ordered = [n for n in PRIORITY_ORDER if n in QUERIES]
     ordered += [n for n in QUERIES if n not in set(ordered)]
-    reordered = {n: QUERIES[n] for n in ordered}
+    reordered_q = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
-    QUERIES.update(reordered)
+    QUERIES.update(reordered_q)
+    reordered_o = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(reordered_o)
 
 
 def load_all_plans() -> None:
