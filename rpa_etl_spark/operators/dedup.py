@@ -92,13 +92,17 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """
     hashed = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % MERSENNE_31)
 
+    # IMPORTANT: the per-j lambda must be built by a factory so it has
+    # arity 1. A `lambda x, j=j:` spelling has TWO parameters, which
+    # PySpark treats as an (element, index) lambda — j silently binds to
+    # the array INDEX column instead of the captured constant, collapsing
+    # every hash-family member into the same function.
+    def _affine(j: int):
+        return lambda x: (x * (2 * j + 1) + j * 0x9E3779B1) % MERSENNE_31
+
     def body(hs: Column) -> Column:
         sigs = [
-            F.array_min(
-                F.transform(
-                    hs, lambda x, j=j: (x * (2 * j + 1) + j * 0x9E3779B1) % MERSENNE_31
-                )
-            ).alias(f"mh_{j}")
+            F.array_min(F.transform(hs, _affine(j))).alias(f"mh_{j}")
             for j in range(num_hashes)
         ]
         return F.array(*sigs)
@@ -211,20 +215,37 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def minhash_signature_md5(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash with hash family h_j(s) = first 16 hex chars of
-    md5('<j>|' || s), minimized lexicographically — fixed-width lowercase
-    hex makes string order identical to numeric order, so DuckDB's
-    list_min over the same substrings reproduces the signature exactly."""
-    sigs = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, j=j: F.substring(F.md5(F.concat(F.lit(f"{j}|"), s)), 1, 16),
-            )
-        ).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    """MinHash with hash family h_j(s) = 16 hex chars of
+    ``md5(s) || md5('#' || s)`` starting at offset 3j, minimized
+    lexicographically — fixed-width lowercase hex makes string order
+    identical to numeric order, so DuckDB's list_min over the same
+    substrings reproduces the signature exactly.
+
+    Sliding 16-hex windows over ONE 32-byte double digest cost 2 md5
+    calls per shingle instead of ``num_hashes`` (8x cheaper on both
+    engines at the default 16). Windows overlap, but each h_j leads with
+    a hex region no other h_j leads with, and lexicographic min is
+    decided by the leading chars — family members stay effectively
+    independent for banding purposes (recall gates in tests hold)."""
+    if num_hashes > 17:
+        raise ValueError(f"md5 window family supports <= 17 hashes, got {num_hashes}")
+    digests = F.transform(
+        shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("#"), s)))
+    )
+
+    # arity-1 lambda factory — see the note in minhash_signature: a
+    # `lambda d, j=j:` spelling would bind j to the array index column.
+    def _window(j: int):
+        return lambda d: F.substring(d, 3 * j + 1, 16)
+
+    def body(ds: Column) -> Column:
+        sigs = [
+            F.array_min(F.transform(ds, _window(j))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+        return F.array(*sigs)
+
+    return let1(digests, body)
 
 
 def lsh_candidate_pairs_md5(

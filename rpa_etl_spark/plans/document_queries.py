@@ -83,7 +83,14 @@ def q_parse_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields. Narrow pipeline: construct + parse happen in one codegen stage,
     no shuffle at any scale."""
     orders = load(spark, sf_dir, "orders")
-    total_br = _br_total_col()
+    # let-bind the BR-formatted total as its own projection: `text` embeds
+    # it TWICE (item line + total line), and CollapseProject would inline
+    # the whole decimal-format CASE tree into both references — measurably
+    # slower to codegen. As a named column it is computed once per row.
+    orders = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", _br_total_col().alias("_total_br")
+    )
+    total_br = F.col("_total_br")
     issuer_cnpj_raw = F.when(
         F.col("o_orderkey") % 2 == 0, F.lit(_VALID_ISSUER)
     ).otherwise(F.lit(_INVALID_ISSUER))

@@ -114,14 +114,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         string_split_regex(text, '\\s+')[i+2])) AS grams
         FROM documents
     ),
+    dig AS (
+        SELECT doc_id, grams,
+               list_transform(grams, s -> md5(s) || md5('#' || s)) AS digs
+        FROM sh
+        WHERE len(grams) > 0
+    ),
     sig AS (
         SELECT doc_id, grams,
                list_transform(generate_series(0, 15),
-                   j -> list_min(list_transform(
-                           grams, s -> substr(md5(j::VARCHAR || '|' || s), 1, 16)))
+                   j -> list_min(list_transform(digs, d -> substr(d, 3*j + 1, 16)))
                ) AS sigs
-        FROM sh
-        WHERE len(grams) > 0
+        FROM dig
     ),
     banded AS (
         SELECT doc_id, b,

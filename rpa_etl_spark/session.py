@@ -50,5 +50,14 @@ def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> Spa
         # the invoice-parse projections generate large methods; the default
         # 8k-bytecode fallback threshold forces interpreted eval too eagerly
         .config("spark.sql.codegen.hugeMethodLimit", "65535")
+        # 70+ codegen-heavy queries in one JVM can exhaust the default
+        # ~240 MB JIT code cache; once full the JIT disables itself and
+        # every later query runs interpreted (observed as multi-x
+        # slowdowns on queries late in the bench order). Only takes
+        # effect at JVM launch — i.e. the first getOrCreate in a process.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     return builder.getOrCreate()
