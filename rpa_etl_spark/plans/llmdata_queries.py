@@ -14,7 +14,7 @@ operators' retrieval quality on top of the exact-reproduction checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rpa_etl_spark.operators import dedup as D
@@ -778,4 +778,153 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("top_c").cast("double") / F.col("total_bg"), 6).alias(
             "top_bigram_frac"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data curation: scrub before the corpus ships)
+# --------------------------------------------------------------------------
+
+# RE2-and-Java-compatible patterns (no lookarounds/backrefs) so Spark and
+# the DuckDB oracle apply byte-identical semantics.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\(\d{2}\)\s?\d{4,5}-\d{4}"
+PII_CPF_RE = r"\d{3}\.\d{3}\.\d{3}-\d{2}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH syn AS (
+        SELECT doc_id,
+               text || ' Contato: user' || CAST(doc_id AS VARCHAR)
+                    || '@empresa.com.br'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' tel: (11) 98765-'
+                                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' CPF: '
+                                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                 || '.456.789-10'
+                            ELSE '' END
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{PII_CPF_RE}', '[CPF]', 'g')                  AS redacted,
+           CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{PII_CPF_RE}')) AS INT)   AS n_cpfs
+    FROM syn
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for corpus curation: inject a deterministic PII envelope
+    (email always; BR phone on even ids; CPF on ids % 3 == 0) into each
+    document, then count and redact emails / phone numbers / CPFs with
+    shared RE2-compatible patterns. The oracle recomputes envelope,
+    counts, and redacted text exactly — any pattern-semantics divergence
+    between engines is a hash mismatch. Narrow one-stage plan (regexes
+    fused into the scan projection); no shuffle at any scale. Reference
+    analog: the X1 CNPJ scan generalized to privacy scrubbing
+    (/root/reference/robot/core/parser.py:87-94 pattern-scan shape)."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contato: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@empresa.com.br"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" tel: (11) 98765-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" CPF: "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit(".456.789-10"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    # let-bind the constructed text as a named column: four consumers
+    # (three counts + the replace chain) read one attribute ref instead of
+    # re-evaluating the construction
+    base = docs.select("doc_id", raw.alias("_raw"))
+    return base.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_raw"), PII_EMAIL_RE, "[EMAIL]"),
+                PII_PHONE_RE,
+                "[PHONE]",
+            ),
+            PII_CPF_RE,
+            "[CPF]",
+        ).alias("redacted"),
+        F.regexp_count(F.col("_raw"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("_raw"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(F.col("_raw"), F.lit(PII_CPF_RE)).alias("n_cpfs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF distinctive terms (corpus-level statistics → per-doc ranking)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_tfidf_terms",
+    oracle="""
+    WITH tfq AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               t.tf * 1000000 // d.df AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * 1000000 // d.df DESC, t.term ASC
+               ) AS INT) AS rank
+        FROM tfq t JOIN dfq d USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM scored WHERE rank <= 3
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by an integer tf-idf
+    surrogate (tf * 1e6 div df — exact bigint arithmetic on both engines,
+    no float log whose rounding could differ). Plan shape at 100 TB:
+    explode → per-(doc,term) partial-agg shuffle → term-keyed document
+    frequency (vocabulary-sized, orders of magnitude smaller than the
+    corpus) joined back on the SAME term key (co-partitioned — Catalyst
+    reuses the exchange) → per-doc window top-k. Total order via
+    (score DESC, term ASC) makes the ranking deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.expr("tf * 1000000 div df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
     )

@@ -884,3 +884,45 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_avg_3"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigated join (operators/skew.py — the 100 TB hot-key path)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-and-salt join (operators/skew.py::salted_join) declared as
+    a query so its row-identity to the plain join is oracle-checked: the
+    fact side gets a deterministic salt in [0, 8), the dim is replicated
+    once per salt, the join runs on (key, salt). The oracle is the PLAIN
+    join — identical output is the whole point. At 100 TB this is the
+    pre-planned alternative to AQE skew splitting when a hot orderkey
+    would pin one reducer (e.g. a single huge order or null-heavy key).
+    The salted aggregation twin (groupBy(key, salt) partial → merge) is
+    gated by tests/test_scale_patterns.py."""
+    from rpa_etl_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, "l_orderkey", n_salts=8, salt_cols=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        money(F.sum(dec("l_quantity"))).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -52,6 +52,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      verdict on one of these costs the least information.
 PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
+    "q_pii_redact",
+    "q_tfidf_terms",
+    "q_join_skew_salted",
     "q_payload_erp",
     "q_payload_analytics",
     "q_audit_events",
