@@ -89,3 +89,60 @@ def test_stateful_running_totals(spark, tmp_path):
         vals = [float(i) for i in range(30) if i % 3 == uid]
         assert got[uid]["n_events"] == len(vals)
         assert abs(got[uid]["total_value"] - sum(vals)) < 1e-9
+
+
+def test_tws_user_profiles(spark, tmp_path):
+    """transformWithStateInPandas twin of running_user_totals, with typed
+    state (ValueState + MapState). Skips where the TWS Python runner's
+    protobuf dependency is absent (this container); the processor class
+    itself is always constructed so schema/API drift still fails fast."""
+    import pytest
+
+    from rpa_etl_spark.streaming.stateful_v2 import (
+        TWS_AVAILABLE,
+        UserEventProfile,
+        require_tws_session_confs,
+        running_user_profiles,
+    )
+
+    # construction + schema sanity run everywhere
+    proc = UserEventProfile()
+    assert hasattr(proc, "handleInputRows")
+    if not TWS_AVAILABLE:
+        pytest.skip("google.protobuf absent: TWS runner cannot start here")
+
+    require_tws_session_confs(spark)
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {
+            "event_id": i,
+            "ts": (base + timedelta(seconds=i)).isoformat(sep=" "),
+            "user_id": i % 3,
+            "event_type": ["click", "view"][i % 2],
+            "value": float(i),
+            "props": "{}",
+        }
+        for i in range(30)
+    ]
+    src = tmp_path / "tws_stream"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).json(str(src))
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.table("tws_out").collect()}
+    for uid in (0, 1, 2):
+        vals = [float(i) for i in range(30) if i % 3 == uid]
+        assert got[uid]["n_events"] == len(vals)
+        assert abs(got[uid]["total_value"] - sum(vals)) < 1e-9
+        assert got[uid]["n_types"] == len({["click", "view"][i % 2] for i in range(30) if i % 3 == uid})
