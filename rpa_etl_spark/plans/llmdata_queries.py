@@ -928,3 +928,41 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (decimal-exact distributed mean)
+# --------------------------------------------------------------------------
+
+@query(
+    "q_embedding_centroid",
+    oracle="""
+    SELECT label, CAST(d - 1 AS INT) AS dim,
+           CAST(ROUND(CAST(SUM(CAST(embedding[d] AS DECIMAL(18,9))) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE)               AS centroid,
+           COUNT(*) AS n_vecs
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(d)
+    GROUP BY label, d
+    """,
+)
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, one row per (label,
+    dimension). Mean of floats is order-dependent in double arithmetic, so
+    the distributed sum runs in EXACT decimal (float -> decimal(18,9) per
+    element, decimal partial aggregation), then one IEEE division +
+    round(6) — bit-identical on both engines regardless of row order.
+    Plan: posexplode -> (label, dim)-keyed partial-agg shuffle; shuffle
+    volume is |labels| x 64 partials per mapper, not |vectors| x 64 —
+    the map-side combine is what makes this scale. The centroid table
+    (k x 64) is broadcast-sized downstream (IVF codebooks,
+    cluster-assignment joins — operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

@@ -55,6 +55,7 @@ PRIORITY_ORDER = [
     "q_pii_redact",
     "q_tfidf_terms",
     "q_join_skew_salted",
+    "q_embedding_centroid",
     "q_payload_erp",
     "q_payload_analytics",
     "q_audit_events",
