@@ -1,0 +1,253 @@
+"""M7 — corpus-curation declared queries (round 3): the training-data
+operations a 100 TB pipeline runs between "raw corpus" and "training
+shards", each with a DuckDB oracle.
+
+- q_contamination: train/test n-gram overlap audit (the eval-leakage check
+  every LLM data pipeline must run before shipping a training set).
+- q_sample_stratified: per-language deterministic sampling at different
+  rates (downsample dominant languages, keep the tail) — RNG-free, so the
+  sample is reproducible across engines/runs/clusters.
+- q_pack_sequences: first-fit-in-order packing of documents into
+  fixed-token-budget sequences, sharded for parallelism.
+- q_scd2_history: change-data-capture → SCD-2 validity intervals (the
+  warehouse-side bookkeeping for slowly changing metadata).
+
+Scale notes per query live in the docstrings; none of these shuffles more
+than once on the big side, and none uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.operators import dedup as D
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+# DuckDB fragment: distinct word 5-grams of `text` (mirror of
+# operators/dedup.word_shingles(col, 5) — same split, same joining space)
+_GRAMS5_SQL = """
+    list_distinct(list_transform(
+        range(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0) + 1),
+        i -> string_split_regex(text, '\\s+')[i]   || ' ' ||
+             string_split_regex(text, '\\s+')[i+1] || ' ' ||
+             string_split_regex(text, '\\s+')[i+2] || ' ' ||
+             string_split_regex(text, '\\s+')[i+3] || ' ' ||
+             string_split_regex(text, '\\s+')[i+4]))
+"""
+
+# md5-bucket split shared with q_sample_hash: deterministic, engine-neutral
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def _bucket_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, {_GRAMS5_SQL} AS grams,
+               ({_BUCKET_SQL}) < 80 AS is_train
+        FROM documents
+    ),
+    train_grams AS (
+        SELECT DISTINCT UNNEST(grams) AS gram FROM split WHERE is_train
+    ),
+    test_grams AS (
+        SELECT doc_id, UNNEST(grams) AS gram FROM split WHERE NOT is_train
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(tr.gram) AS n_shared,
+           ROUND(COUNT(tr.gram) / CAST(COUNT(*) AS DOUBLE), 6) AS contamination,
+           COUNT(tr.gram) >= 0.5 * COUNT(*) AS is_contaminated
+    FROM test_grams t LEFT JOIN train_grams tr ON t.gram = tr.gram
+    GROUP BY t.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: fraction of each held-out document's
+    distinct word 5-grams that also occur anywhere in the train split.
+
+    Shape: explode test grams (distinct in-row first, so the explode carries
+    |distinct grams| not |tokens|), aggregate train grams to a distinct set,
+    one equi-join on the gram string, one groupBy(doc_id). Both shuffles key
+    on high-cardinality values — no skew. At 100 TB the train gram set is
+    the big side; the standard upgrades are (a) xxhash64 the gram to a
+    fixed 8-byte join key (4-40x less shuffle volume; kept as the raw
+    string here so the oracle joins on identical values) and (b) a bloom
+    filter of train gram hashes broadcast to pre-prune test grams;
+    neither changes the semantics below.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        D.word_shingles(F.col("text"), 5).alias("grams"),
+        (_bucket_col() < 80).alias("is_train"),
+    )
+    train = (
+        docs.where("is_train")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    test = docs.where(~F.col("is_train")).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    joined = test.join(train.withColumn("_hit", F.lit(1)), "gram", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_shared"),
+        F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contamination"),
+        (F.count("_hit") >= 0.5 * F.count(F.lit(1))).alias("is_contaminated"),
+    )
+
+
+# per-language keep-rates (percent): downsample English, keep the tail
+_STRATA_RATES = {"en": 40, "de": 100, "zh": 100, "fr": 100, "es": 75}
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, bucket
+    FROM (
+        SELECT doc_id, lang, ({_BUCKET_SQL}) AS bucket FROM documents
+    )
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 40 WHEN 'de' THEN 100 WHEN 'zh' THEN 100
+        WHEN 'fr' THEN 100 WHEN 'es' THEN 75 ELSE 0 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each language keeps a different
+    hash-bucket range (en 40%, es 75%, rest 100%) — the language-balance
+    step of corpus curation. RNG-free: the same document always lands the
+    same way. Narrow (filter at the scan, no shuffle); at 100 TB this is a
+    single pass whose selectivity Catalyst can push into the parquet scan.
+    """
+    rate = F.lit(0)
+    for lang, pct in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", _bucket_col().alias("bucket")
+    ).where(F.col("bucket") < rate)
+
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+_N_SHARDS = 8
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ({_BUCKET_SQL}) % {_N_SHARDS} AS shard,
+               len(string_split_regex(text, '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT lang, shard, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed
+    GROUP BY lang, shard, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences, first-fit in doc_id order within a (lang, shard) stream —
+    pack_id = floor(preceding-cumulative-tokens / budget).
+
+    Packing is inherently sequential, so the scalable form shards the
+    corpus first (hash shard per language) and packs each shard's stream
+    independently — |langs| x {_N_SHARDS} independent window partitions
+    here, |langs| x thousands at 100 TB, each a bounded sort. One shuffle
+    (the window partition), one groupBy that reuses the same partitioning.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (_bucket_col() % _N_SHARDS).alias("shard"),
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET),
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER w AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → SCD-2: collapse each user's event stream to the rows where
+    `event_type` actually changed, then derive versioned validity intervals
+    (valid_from / valid_to / is_current) — the standard type-2 slowly
+    changing dimension build.
+
+    Two windows over the SAME (user_id, ts, event_id) ordering — Catalyst
+    plans one sort + one exchange, the second Window reuses the child's
+    partitioning/ordering. Keys are users (high cardinality) → no skew; at
+    100 TB this is one shuffle of the events fact, which is the floor for
+    any per-entity history build.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

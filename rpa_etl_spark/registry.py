@@ -52,6 +52,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      verdict on one of these costs the least information.
 PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
+    "q_contamination",
+    "q_sample_stratified",
+    "q_pack_sequences",
+    "q_scd2_history",
     "q_pii_redact",
     "q_tfidf_terms",
     "q_join_skew_salted",
@@ -139,6 +143,7 @@ def load_all_plans() -> None:
         "rpa_etl_spark.plans.document_queries",
         "rpa_etl_spark.plans.streaming_queries",
         "rpa_etl_spark.plans.llmdata_queries",
+        "rpa_etl_spark.plans.curation_queries",
         "rpa_etl_spark.plans.payload_queries",
         "rpa_etl_spark.plans.tpch_shapes",
     ):
