@@ -50,6 +50,12 @@ def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> Spa
         # the invoice-parse projections generate large methods; the default
         # 8k-bytecode fallback threshold forces interpreted eval too eagerly
         .config("spark.sql.codegen.hugeMethodLimit", "65535")
+        # static conf, default 100: with 80+ declared queries (x several
+        # codegen units each) the generated-class cache cycles completely,
+        # so every repeated run recompiles and re-JITs from scratch —
+        # measured as multi-x swings on the heavy parse plans. One class
+        # is a few KB; 5000 entries is ~tens of MB against 128 GiB.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # 70+ codegen-heavy queries in one JVM can exhaust the default
         # ~240 MB JIT code cache; once full the JIT disables itself and
         # every later query runs interpreted (observed as multi-x
