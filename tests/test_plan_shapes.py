@@ -136,3 +136,47 @@ def test_no_query_plans_unpartitioned_windows(spark, sf_dir):
         if specs:
             offenders[name] = specs[:2]
     assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Catalyst's runtime bloom-filter injection (on by default in the
+    session factory via Spark 4 defaults) must prune the fact side of a
+    shuffle join against a selectively-filtered build side: the executed
+    plan gets a `might_contain(bloom_filter_agg(...))` filter on the fact
+    scan. The 100 TB payoff: the fact shuffle carries only probable
+    matches instead of the full table. Thresholds are lowered here because
+    the test corpus is far below the production defaults (10 GB scan /
+    10 MB creation side)."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.tables import load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1g"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1",
+        )
+        # force a shuffle join: broadcast joins get no benefit from a
+        # runtime filter, so Catalyst skips injection for them
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
