@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rpa_etl_spark.functions import parsing as P
+from rpa_etl_spark.functions import parsing_arrow as PA
 from rpa_etl_spark.functions import text as T
 from rpa_etl_spark.registry import query
 from rpa_etl_spark.tables import load
@@ -80,8 +80,19 @@ def _br_total_col() -> F.Column:
 )
 def q_parse_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build synthetic invoice text per order → full B1-B5 parse → flat
-    fields. Narrow pipeline: construct + parse happen in one codegen stage,
-    no shuffle at any scale."""
+    fields. Narrow pipeline: one scan, no shuffle at any scale. The parse
+    itself runs the Arrow kernel (parsing_arrow.parse_invoices_arrow) —
+    semantics pinned row-identical to the column-expression form by
+    tests/test_parse_arrow.py; see that module's docstring for why the
+    HOF-heavy column form is slower in a mixed workload."""
+    base = build_invoice_corpus(spark, sf_dir)
+    parsed = PA.parse_invoices_arrow(base)
+    return _flatten_parsed(parsed)
+
+
+def build_invoice_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic synthetic NFS-e corpus: one invoice text per order
+    (o_orderkey keyed), issuer CNPJ valid on even keys only."""
     orders = load(spark, sf_dir, "orders")
     # let-bind the BR-formatted total as its own projection: `text` embeds
     # it TWICE (item line + total line), and CollapseProject would inline
@@ -110,14 +121,18 @@ def q_parse_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("R$ "), total_br),
     )
     # barrier: materialize the CONSTRUCTED text before the parser fans out
-    # (~11 consumers — regexp_instr positions, block slices, date/key
-    # scans). Without it Catalyst re-inlines the whole construction into
-    # every consumer (measured 5× slower). A corpus read from parquet
+    # (~11 consumers for the column form — regexp_instr positions, block
+    # slices, date/key scans; one mapInPandas consumer for the Arrow form,
+    # where the barrier instead balances the Python workers). Without it
+    # Catalyst re-inlines the whole construction into every consumer
+    # (measured 5× slower on the column form). A corpus read from parquet
     # doesn't need this — attribute refs are free to repeat.
-    base = orders.select("o_orderkey", text.alias("text")).repartition(
+    return orders.select("o_orderkey", text.alias("text")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    parsed = P.parse_invoices(base)
+
+
+def _flatten_parsed(parsed: DataFrame) -> DataFrame:
     return parsed.select(
         "o_orderkey",
         "emission_date",
