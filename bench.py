@@ -64,14 +64,21 @@ def main() -> None:
             print(f"  [warmup] {name} failed: {e}", file=sys.stderr, flush=True)
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
+    # Two timed passes, per-query min: single-shot numbers on a shared box
+    # carry multi-x transient contention spikes (observed repeatedly —
+    # e.g. the same query 1.9 s and 7.6 s across adjacent runs with zero
+    # code change); best-of-2 reports the query's actual cost.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in sorted(registry.QUERIES):
-        fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
-            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    for i in range(n_passes):
+        for name in sorted(registry.QUERIES):
+            fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+                print(f"  [pass {i}] {name}: {dt}s", file=sys.stderr, flush=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -85,6 +92,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "warmup_pass_sf": float(warmup_dir.rstrip("/").rsplit("sf", 1)[-1]),
                 "warmup_sec": warmup_sec,
+                "timed_passes": n_passes,
             }
         )
     )
