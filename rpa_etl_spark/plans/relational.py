@@ -926,3 +926,56 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.sum(dec("l_quantity"))).alias("total_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain(custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey BETWEEN 1 AND 10
+        UNION ALL
+        SELECT c.c_custkey, chain.root, chain.depth + 1
+        FROM chain JOIN customer c ON c.c_custkey = chain.custkey * 2
+    )
+    SELECT root, custkey, depth FROM chain
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_CHAIN_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new SQL surface in Spark 4): key-doubling reachability
+    chains from 10 seed customers — each iteration joins the frontier back
+    to the customer table, terminating when no 2x key exists. Identical
+    text runs on DuckDB as the oracle.
+
+    Scale shape: iterations are bounded by log2(|customer|) (~34 at 100 TB),
+    each one an equi-join of a SHRINKING frontier against the base table —
+    the same linear-frontier pattern as operators/components.py's connected
+    components, here expressed declaratively and driven by Catalyst's
+    UnionLoop execution."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+"""
+
+
+@query("q_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT: each
+    customer's top-2 orders by price (deterministic o_orderkey tiebreak).
+    Catalyst decorrelates this into a ranked window over one shuffled join
+    — no per-customer re-execution at any scale; DuckDB runs the same text
+    as the oracle. The DataFrame twin of this shape (window + rank filter)
+    is exercised by q_window_rank."""
+    for t in ("orders", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)

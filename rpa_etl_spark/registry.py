@@ -52,6 +52,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      verdict on one of these costs the least information.
 PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
+    "q_recursive_cte",
+    "q_lateral_topk",
     "q_contamination",
     "q_sample_stratified",
     "q_pack_sequences",
