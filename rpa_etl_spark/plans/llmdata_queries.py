@@ -709,6 +709,39 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           16 AS width, 16 AS height,
+           SUM(v) / 768.0 AS mean_rgb,
+           SUM(v * (i + 1)) AS weighted_checksum,
+           'numpy-bmp' AS decoder
+    FROM (
+        SELECT doc_id, i,
+               (doc_id + 7 * (i // 48) + 11 * ((i % 48) // 3) + 83 * (i % 3))
+                   % 256 AS v
+        FROM documents, range(768) t(i)
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: synthesize a 16x16 BMP per
+    document from a closed-form gradient, parse the container back with the
+    pure-numpy BMP codec (sources/multimodal.py), and emit dimensions, mean
+    intensity (exact integer sum / size — one IEEE division, engine-
+    neutral), and a position-weighted checksum. The oracle recomputes all
+    three from the pixel FORMULA — not the bytes — so an encoder/decoder
+    layout bug (row order, channel order, padding) cannot round-trip its
+    way past the comparison. Compressed formats stay PIL-gated; the Spark
+    shape (binary column -> mapInPandas decode) is identical for both."""
+    from rpa_etl_spark.sources.multimodal import attach_bmp_media, decode_bmp_features
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_bmp_features(attach_bmp_media(docs))
+
+
+@query(
     "q_repetition_stats",
     oracle="""
     WITH words AS (

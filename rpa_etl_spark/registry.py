@@ -54,6 +54,7 @@ PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
     "q_recursive_cte",
     "q_lateral_topk",
+    "q_multimodal_decode",
     "q_contamination",
     "q_sample_stratified",
     "q_pack_sequences",

@@ -200,3 +200,177 @@ def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
         .select("media_id", "meta_duration_s", "payload")
         .mapInPandas(kernel, schema=FRAMES_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: uncompressed 24-bit BMP in pure numpy (no image libs).
+#
+# The stub kernels above stay for formats whose codecs this container lacks
+# (png/jpeg/wav/mp4 → PIL/ffmpeg); BMP v3 BI_RGB is simple enough to
+# implement from the public spec, which makes decode/resize REAL here:
+# format pinned by a hand-built byte fixture in tests, correctness pinned by
+# the q_multimodal_decode oracle (DuckDB recomputes the layout-sensitive
+# pixel checksum from the closed-form pattern, so a row-order/padding bug
+# in either codec half cannot round-trip its way past the check).
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+BMP_HEADER_SIZE = 54
+
+
+def bmp_encode(arr: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 RGB → BMP v3 (BI_RGB, bottom-up, BGR, 4-byte row
+    padding)."""
+    h, w, _ = arr.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    img_size = (row_raw + pad) * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", BMP_HEADER_SIZE + img_size, 0, 0, BMP_HEADER_SIZE,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    if pad:
+        rows = np.zeros((h, row_raw + pad), dtype=np.uint8)
+        rows[:, :row_raw] = bgr.reshape(h, row_raw)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + body
+
+
+def bmp_decode(data: bytes) -> "np.ndarray":
+    """BMP v3 (24-bit BI_RGB) → (H, W, 3) uint8 RGB. Raises ValueError on
+    anything else — compressed formats go through the PIL-gated path."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flipped else rgb
+
+
+def resize_nearest(arr: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resample via index striding — the exact kernel a
+    real image pipeline uses for cheap thumbnailing; pure numpy."""
+    h, w, _ = arr.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def synth_bmp_image(media_id: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic RGB gradient keyed by id: channel c of pixel (r, x) =
+    (media_id + 7*r + 11*x + 83*c) % 256 — the closed form the DuckDB
+    oracle recomputes."""
+    r = np.arange(height).reshape(-1, 1, 1)
+    x = np.arange(width).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    arr = ((media_id + 7 * r + 11 * x + 83 * c) % 256).astype(np.uint8)
+    return bmp_encode(arr)
+
+
+def attach_bmp_media(df: DataFrame, id_col: str = "doc_id",
+                     width: int = 16, height: int = 16) -> DataFrame:
+    """Media table with REAL image payloads: one synthetic BMP per row."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_bmp_image(int(m), width, height)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    return df.select(id_field).mapInPandas(kernel, schema=schema)
+
+
+BMP_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_rgb", DoubleType()),
+        StructField("weighted_checksum", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL decode stage: parse the BMP container, return dimensions, mean
+    intensity, and a position-weighted checksum
+    Σ value(r,x,c) · (r·W·3 + x·3 + c + 1) — sensitive to row order,
+    channel order, and padding, so any layout bug in the codec shows up as
+    an oracle mismatch, not just a round-trip identity."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, means, cks = [], [], [], []
+            for payload in pdf["payload"]:
+                arr = bmp_decode(bytes(payload)).astype(np.int64)
+                h, w, _ = arr.shape
+                flat = arr.reshape(-1)
+                ws.append(w)
+                hs.append(h)
+                # exact integer sum ÷ exact integer size: one IEEE division,
+                # bit-identical across engines (no rounding-mode dependence)
+                means.append(int(flat.sum()) / flat.size)
+                cks.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "mean_rgb": means,
+                    "weighted_checksum": cks,
+                    "decoder": "numpy-bmp",
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=BMP_FEATURES_SCHEMA)
+
+
+def resize_bmp(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """REAL resize stage: decode → nearest-neighbor resample → re-encode.
+    Output payloads are valid BMPs of the target size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_payload": [
+                        bmp_encode(
+                            resize_nearest(bmp_decode(bytes(p)), out_w, out_h)
+                        )
+                        for p in pdf["payload"]
+                    ],
+                    "method": "nearest",
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
