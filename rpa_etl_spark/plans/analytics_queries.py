@@ -1,0 +1,330 @@
+"""M8 — event-analytics + corpus-quality declared queries (round 3).
+
+The analytics patterns a product/ML team runs on the `events` stream and
+the quality gates a 100 TB corpus pipeline applies before training, each
+with a DuckDB oracle:
+
+- q_funnel: ordered conversion funnel (view -> click -> purchase) per user.
+- q_retention_cohort: weekly cohort retention matrix.
+- q_quality_cascade: Gopher-style document-quality rule cascade
+  (Rae et al. 2021, "Scaling Language Models", Appendix A heuristics).
+- q_window_value_funcs: first_value / last_value / nth_value frames.
+
+Reference parity: the reference engine (see SURVEY.md section 2.2) routes
+documents through threshold + confidence gates (robot/orchestrator.py
+routing semantics); the cascade here is the corpus-scale generalization of
+that per-document gate pattern. Scale notes live in each docstring; no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# q_funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+           AS funnel_stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("q_funnel", oracle=_FUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, the first `view`, the first
+    `click` strictly after that view, and the first `purchase` strictly
+    after that click; funnel_stage = how deep the user got (1..3).
+
+    Shape: the oracle states it as three aggregations + two joins, but the
+    Spark plan is ONE shuffle — three chained unbounded window minima over
+    the same user_id partitioning (each conditional on the previous stage's
+    timestamp), then a groupBy(user_id) that reuses the exchange. At 100 TB
+    this is the floor for any per-entity ordered-sequence analysis: one
+    hash partition of the events fact by user, no sort needed (unordered
+    frames), no self-joins, no skew (users are high-cardinality).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    typ = F.col("event_type")
+    staged = (
+        ev.withColumn("t_view", F.min(F.when(typ == "view", t)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((typ == "click") & (t > F.col("t_view")), t)).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when((typ == "purchase") & (t > F.col("t_click")), t)).over(w),
+        )
+    )
+    return (
+        staged.where(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("funnel_stage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_retention_cohort
+# ---------------------------------------------------------------------------
+
+_COHORT_ANCHOR = "2024-01-01"
+
+_RETENTION_SQL = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('day', DATE '{_COHORT_ANCHOR}',
+                                    MIN(CAST(ts AS DATE))) / 7.0) AS INTEGER)
+               AS cohort_week,
+               MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT f.user_id, f.cohort_week,
+               CAST(FLOOR(date_diff('day', f.first_day,
+                                    CAST(e.ts AS DATE)) / 7.0) AS INTEGER)
+               AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+"""
+
+
+@query("q_retention_cohort", oracle=_RETENTION_SQL)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week
+    (weeks counted from a fixed anchor date, engine-neutral), counted in
+    each subsequent week-offset they were active.
+
+    Shape: one groupBy(user_id) for first-seen, one join back on user_id
+    (the second shuffle reuses the same key — AQE/Catalyst co-partitions),
+    an in-row distinct projection, then a low-cardinality groupBy on
+    (cohort_week, week_offset) with map-side partial aggregation. At
+    100 TB the per-user first-touch is the canonical two-pass pattern; the
+    final matrix is tiny (weeks x offsets) so the last shuffle is bytes.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    firsts = firsts.select(
+        "user_id",
+        "first_day",
+        F.floor(F.datediff("first_day", F.lit(_COHORT_ANCHOR).cast("date")) / 7.0)
+        .cast("int")
+        .alias("cohort_week"),
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("day", "first_day") / 7.0).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_cascade
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Engine-neutral text metrics. Both sides compute on the SAME definitions:
+#   n_words        = |split(text, \s+)|
+#   mean_word_len  = len(text without whitespace) / n_words
+#   hash_ratio     = '#' occurrences / n_words
+#   ellipsis_ratio = '...' occurrences / n_words
+#   stop_hits      = how many of 8 English stopwords appear as whole words
+#                    (space-padded containment over a lowercased,
+#                    punctuation-collapsed copy)
+_STOP_HITS_SQL = " + ".join(
+    f"(CASE WHEN strpos(_norm, ' {w} ') > 0 THEN 1 ELSE 0 END)" for w in _STOPWORDS
+)
+
+_QUALITY_SQL = f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(text, '\\s+')) AS n_words,
+               len(regexp_replace(text, '\\s+', '', 'g')) AS n_word_chars,
+               len(text) - len(replace(text, '#', '')) AS n_hash,
+               (len(text) - len(replace(text, '...', ''))) / 3 AS n_ellipsis,
+               ' ' || regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') || ' '
+                   AS _norm
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words,
+           ROUND(n_word_chars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           ({_STOP_HITS_SQL}) AS stop_hits,
+           (n_words BETWEEN 50 AND 100000) AS r_word_count,
+           (n_word_chars / CAST(n_words AS DOUBLE) BETWEEN 3 AND 10) AS r_mean_len,
+           (n_hash / CAST(n_words AS DOUBLE) < 0.1) AS r_hash_ratio,
+           (n_ellipsis / CAST(n_words AS DOUBLE) < 0.1) AS r_ellipsis_ratio,
+           (({_STOP_HITS_SQL}) >= 2) AS r_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (n_word_chars / CAST(n_words AS DOUBLE) BETWEEN 3 AND 10)
+            AND (n_hash / CAST(n_words AS DOUBLE) < 0.1)
+            AND (n_ellipsis / CAST(n_words AS DOUBLE) < 0.1)
+            AND (({_STOP_HITS_SQL}) >= 2)) AS keep
+    FROM m
+"""
+
+
+@query("q_quality_cascade", oracle=_QUALITY_SQL)
+def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus-quality rule cascade (Rae et al. 2021, App. A):
+    per-document word count bounds, mean-word-length band, symbol ('#')
+    and ellipsis ratios, and a minimum stopword presence; `keep` is the
+    conjunction — the pre-training filter gate.
+
+    Shape: a single narrow projection — every metric is a JVM string
+    expression over one row, no shuffle at all, so at 100 TB this runs at
+    scan speed and Catalyst pushes the needed-columns pruning into the
+    parquet reader. The downstream `WHERE keep` filter composes with
+    partition pruning. This is the per-document generalization of the
+    reference's threshold/confidence routing gates (robot/orchestrator.py).
+    """
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = F.size(F.split(text, r"\s+")).cast("long")
+    n_word_chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), F.lit(" ")
+    )
+    stop_hits = None
+    for w in _STOPWORDS:
+        hit = (F.instr(norm, f" {w} ") > 0).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    mean_len = n_word_chars / n_words.cast("double")
+    r_word_count = n_words.between(50, 100000)
+    r_mean_len = mean_len.between(3, 10)
+    r_hash = n_hash / n_words.cast("double") < 0.1
+    r_ellipsis = n_ellipsis / n_words.cast("double") < 0.1
+
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_len"),
+        r_hash.alias("r_hash_ratio"),
+        r_ellipsis.alias("r_ellipsis_ratio"),
+        (stop_hits >= 2).alias("r_stopwords"),
+    )
+    return base.withColumn(
+        "keep",
+        F.col("r_word_count")
+        & F.col("r_mean_len")
+        & F.col("r_hash_ratio")
+        & F.col("r_ellipsis_ratio")
+        & F.col("r_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_window_value_funcs
+# ---------------------------------------------------------------------------
+
+_VALUE_FUNCS_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING)
+               AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND UNBOUNDED FOLLOWING)
+               AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("q_window_value_funcs", oracle=_VALUE_FUNCS_SQL)
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions: each order annotated with the customer's
+    first, last, and second order key in o_orderdate order (deterministic
+    o_orderkey tiebreak; last/nth use an explicit unbounded frame — the
+    default frame would stop at CURRENT ROW).
+
+    Shape: all three functions share one (o_custkey) partitioning and one
+    (o_orderdate, o_orderkey) sort — Catalyst plans a single exchange +
+    sort with one Window operator. The standard per-entity
+    "first/latest/nth touch" attribution pattern; scales as one shuffle
+    of the fact table on a high-cardinality key.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w_default = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_default.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
+        F.first("o_orderkey").over(w_default).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )

@@ -52,6 +52,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      verdict on one of these costs the least information.
 PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
+    "q_funnel",
+    "q_retention_cohort",
+    "q_quality_cascade",
+    "q_window_value_funcs",
     "q_recursive_cte",
     "q_lateral_topk",
     "q_multimodal_decode",
@@ -147,6 +151,7 @@ def load_all_plans() -> None:
         "rpa_etl_spark.plans.streaming_queries",
         "rpa_etl_spark.plans.llmdata_queries",
         "rpa_etl_spark.plans.curation_queries",
+        "rpa_etl_spark.plans.analytics_queries",
         "rpa_etl_spark.plans.payload_queries",
         "rpa_etl_spark.plans.tpch_shapes",
     ):

@@ -180,3 +180,20 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_is_single_exchange(spark, sf_dir):
+    """q_funnel's three chained conditional window minima plus the final
+    groupBy must share ONE hash partitioning on user_id — the whole funnel
+    is a single shuffle of the events fact."""
+    plan = _plan(spark, sf_dir, "q_funnel")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_window_value_funcs_share_one_sort(spark, sf_dir):
+    """first/last/nth_value share one (o_custkey) exchange and one
+    (o_orderdate, o_orderkey) sort — Catalyst must not re-shuffle or
+    re-sort between the two frame variants."""
+    plan = _plan(spark, sf_dir, "q_window_value_funcs")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(re.findall(r"^\s*\*?\(?\d*\)?\s*Sort ", plan, re.M)) <= 1, plan
