@@ -9,6 +9,10 @@ with a DuckDB oracle:
 - q_quality_cascade: Gopher-style document-quality rule cascade
   (Rae et al. 2021, "Scaling Language Models", Appendix A heuristics).
 - q_window_value_funcs: first_value / last_value / nth_value frames.
+- q_merge_upsert: CDC MERGE (update-matched / insert-new) as a relational
+  full-outer combine of a snapshot with a change batch.
+- q_outlier_zscore: per-group z-score anomaly detection with decimal-exact
+  moment sums (order-independent across engines).
 
 Reference parity: the reference engine (see SURVEY.md section 2.2) routes
 documents through threshold + confidence gates (robot/orchestrator.py
@@ -327,4 +331,143 @@ def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w_default).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_merge_upsert
+# ---------------------------------------------------------------------------
+
+_MERGE_CUTOFF = "2024-01-15"
+
+_MERGE_SQL = f"""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(value AS DECIMAL(18,2)) AS value_dec,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts < TIMESTAMP '{_MERGE_CUTOFF}'
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               ts < TIMESTAMP '{_MERGE_CUTOFF}' AS is_base
+        FROM events
+    ),
+    target AS (
+        SELECT user_id, event_type AS last_type, value_dec AS last_value
+        FROM ranked WHERE is_base AND rn = 1
+    ),
+    source AS (
+        SELECT user_id, event_type AS last_type, value_dec AS last_value
+        FROM ranked WHERE NOT is_base AND rn = 1
+    )
+    SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+           COALESCE(s.last_type, t.last_type) AS last_type,
+           CAST(COALESCE(s.last_value, t.last_value) AS DOUBLE) AS last_value,
+           CASE WHEN t.user_id IS NULL THEN 'inserted'
+                WHEN s.user_id IS NULL THEN 'kept'
+                ELSE 'updated' END AS merge_action
+    FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+"""
+
+
+@query("q_merge_upsert", oracle=_MERGE_SQL)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE / upsert: a per-user profile snapshot (latest event before
+    a cutoff) merged with a change batch (latest event after it) — matched
+    keys take the source row ('updated'), unmatched source keys are
+    'inserted', unmatched target keys are 'kept'. The relational core of
+    Delta/Iceberg MERGE INTO, expressed engine-neutrally.
+
+    Shape: one window over (user_id, side) to pick each side's latest row
+    (single shuffle of the fact), then a full-outer hash join on user_id
+    that AQE co-partitions with the window exchange. At 100 TB the standard
+    refinement is partition-pruning the target to only files containing
+    touched keys (what a lakehouse MERGE does with min/max stats); the
+    join-and-coalesce semantics below are unchanged by that pruning.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        (F.col("ts") < F.lit(_MERGE_CUTOFF).cast("timestamp")).alias("is_base"),
+    )
+    w = Window.partitionBy("user_id", "is_base").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    target = latest.where("is_base").select(
+        "user_id", F.col("event_type").alias("last_type"), F.col("value_dec").alias("last_value")
+    )
+    source = latest.where(~F.col("is_base")).select(
+        "user_id", F.col("event_type").alias("last_type"), F.col("value_dec").alias("last_value")
+    )
+    t, s = target.alias("t"), source.alias("s")
+    return t.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer").select(
+        F.coalesce("s.user_id", "t.user_id").alias("user_id"),
+        F.coalesce("s.last_type", "t.last_type").alias("last_type"),
+        F.coalesce("s.last_value", "t.last_value").cast("double").alias("last_value"),
+        F.when(F.col("t.user_id").isNull(), "inserted")
+        .when(F.col("s.user_id").isNull(), "kept")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_outlier_zscore
+# ---------------------------------------------------------------------------
+
+_Z_THRESHOLD = 2.5
+
+_ZSCORE_SQL = f"""
+    WITH moments AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ),
+    stats AS (
+        SELECT event_type, s1 / n AS mean,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+        FROM moments
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - st.mean) / st.sd, 6) AS zscore
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    WHERE ABS((e.value - st.mean) / st.sd) > {_Z_THRESHOLD}
+"""
+
+
+@query("q_outlier_zscore", oracle=_ZSCORE_SQL)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose `value` deviates
+    more than {2.5} sample standard deviations from their event_type mean.
+
+    Determinism across engines: double summation is order-dependent, so
+    both sides accumulate the first two moments in EXACT decimal
+    arithmetic (sum and sum-of-squares of DECIMAL(18,4)) and only then
+    convert to double — mean/sd are bit-identical regardless of partition
+    or aggregation order. Shape: one low-cardinality groupBy (map-side
+    partial agg, tiny result broadcast back onto the fact scan) + one
+    broadcast join — at 100 TB the fact table is read twice but never
+    shuffled; the classic two-pass standardization.
+    """
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,4)")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    stats = moments.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > _Z_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
