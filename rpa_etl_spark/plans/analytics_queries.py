@@ -471,3 +471,87 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > _Z_THRESHOLD)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_profile_stats
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderdate",
+    "o_orderpriority",
+    "o_totalprice",
+)
+
+_PROFILE_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        FROM orders
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_rows,
+               {stats}
+        FROM base
+    )
+    {unions}
+"""
+
+
+def _profile_oracle() -> str:
+    stats = ",\n               ".join(
+        f"COUNT({c}) AS cnt_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_{c}, CAST(MAX({c}) AS VARCHAR) AS max_{c}"
+        for c in _PROFILE_COLS
+    )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS column_name, n_rows, n_rows - cnt_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, min_{c} AS min_value, max_{c} AS max_value FROM s"
+        for c in _PROFILE_COLS
+    )
+    return _PROFILE_SQL.format(stats=stats, unions=unions)
+
+
+@query("q_profile_stats", oracle=_profile_oracle())
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling / ANALYZE statistics: one row per profiled column of
+    `orders` with row count, null count, exact distinct count, and min/max
+    (rendered as strings so the stats table has one schema for all column
+    types; money is profiled at DECIMAL(18,2) so both engines print the
+    same digits).
+
+    Shape: ONE aggregation pass over the table computes every column's
+    stats (Catalyst expands the multi-DISTINCT into a single grouping-id
+    expand — n_cols partial aggregates over one scan), then an in-row
+    `stack` unpivots the single stats row into the per-column table. At
+    100 TB the exact COUNT(DISTINCT) expand is the cost driver; the
+    documented scale path swaps it for approx_count_distinct (HLL, one
+    pass, no expand) — same plan shape, bounded error, as exercised by
+    q_approx_count_distinct.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

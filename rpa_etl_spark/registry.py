@@ -53,6 +53,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
     "q_funnel",
+    "q_profile_stats",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",
