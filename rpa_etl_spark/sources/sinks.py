@@ -43,3 +43,41 @@ def write_routed(df: DataFrame, route_col: str, path: str) -> None:
     """R1 — value-threshold routing as a partitioned layout
     (test_pipeline_core.py:169-194): one directory per route."""
     df.write.mode("overwrite").partitionBy(route_col).parquet(path)
+
+
+# Formats Spark ships without extra jars. Parquet and ORC are the columnar
+# interchange pair (predicate pushdown + column pruning at the scan); CSV
+# and JSON are schema-on-read text formats for ingress/egress edges.
+_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Format-dispatched batch sink. CSV gets headers by default so the
+    roundtrip is lossless on column names."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema=None, **options):
+    """Format-dispatched batch source. Pass an explicit ``schema`` for the
+    text formats (CSV/JSON) — schema-on-file formats (parquet/ORC) carry
+    their own and skip inference; at 100 TB inference is a full extra scan,
+    so production reads should always supply or carry a schema."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("csv", "json"):
+        r = r.option("inferSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

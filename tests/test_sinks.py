@@ -50,3 +50,51 @@ def test_routed_partition_layout(spark, sf_dir, tmp_path):
     audit = spark.read.parquet(path).where(F.col("route") == "auditoria_fiscal")
     expected = orders.where(F.col("o_totalprice") > 300000).count()
     assert audit.count() == expected
+
+
+def test_format_roundtrip_all_formats(spark, sf_dir, tmp_path):
+    """write_table → read_table must be lossless (values + column names)
+    for every shipped format. ORC exercises the second columnar format;
+    CSV/JSON read back with an explicit schema (the production path — no
+    inference scan)."""
+    src = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+    expect = {tuple(r) for r in src.collect()}
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        K.write_table(src, path, fmt)
+        back = K.read_table(spark, path, fmt, schema=src.schema)
+        assert set(back.columns) == set(src.columns), fmt
+        got = {tuple(r.asDict()[c] for c in src.columns) for r in back.collect()}
+        assert got == expect, f"{fmt} roundtrip lost data"
+
+
+def test_orc_scan_pushdown(spark, sf_dir, tmp_path):
+    """ORC scans must get the same predicate pushdown + column pruning as
+    parquet — the engine's scale properties are format-independent."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    K.write_table(src, path, "orc")
+    df = (
+        K.read_table(spark, path, "orc")
+        .where(F.col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_totalprice" in plan, plan
+    import re
+
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"o_orderkey", "o_totalprice"}, cols
