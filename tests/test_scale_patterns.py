@@ -99,3 +99,20 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned read returns exactly the partition's rows
     expect = orders.where(F.col("o_orderstatus") == "F").count()
     assert back.count() == expect
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Source-level gate: no `F.udf(` / `@udf` row-at-a-time Python UDFs
+    anywhere in the package — the Python boundary is Arrow-batched only
+    (pandas_udf / mapInPandas / applyInPandas). See SCALE.md section 3."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "rpa_etl_spark"
+    offenders = []
+    for p in pkg.rglob("*.py"):
+        src = p.read_text()
+        for m in re.finditer(r"(?<!pandas_)\budf\s*\(", src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{p.name}:{line}")
+    assert not offenders, f"row-at-a-time UDFs found: {offenders}"
