@@ -186,3 +186,74 @@ def q_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_raw") > 150)
         .drop("_raw")
     )
+
+
+@query(
+    "q_tpch_q21_shape",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 1900 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 1900 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers-who-kept-orders-waiting): for each supplier,
+    count line items that were the ONLY late one on a multi-supplier order
+    — a correlated EXISTS (another supplier participated) plus a
+    correlated NOT EXISTS (no other supplier was late). Lateness here is
+    shipdate > orderdate + 1900 days (the synthetic tables carry no
+    receipt/commit dates; the classic query's shape is unchanged).
+
+    Shape: the EXISTS/NOT EXISTS pair becomes a LeftSemi + LeftAnti
+    self-join of the late set, both hashing on l_orderkey — the key every
+    side already shuffles on, so AQE coalesces into co-partitioned stages.
+    No correlated re-execution at any scale; the supplier dim broadcasts.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    late = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1900 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_pairs = lineitem.select(
+        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    )
+    # EXISTS: some other supplier on the same order
+    with_other = late.join(
+        all_pairs,
+        (F.col("l_orderkey") == F.col("p_orderkey"))
+        & (F.col("l_suppkey") != F.col("p_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no other LATE supplier on the same order
+    other_late = late.select(
+        F.col("l_orderkey").alias("q_orderkey"), F.col("l_suppkey").alias("q_suppkey")
+    )
+    sole_late = with_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("q_orderkey"))
+        & (F.col("l_suppkey") != F.col("q_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -93,6 +93,7 @@ PRIORITY_ORDER = [
     "q_tpch_q5_shape",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
+    "q_tpch_q21_shape",
     # -- tier 2: reference soul + changed-this-round -----------------------
     "q_flagship",
     "q_parse_invoice",
