@@ -555,3 +555,40 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_value, max_value)",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# ---------------------------------------------------------------------------
+# q_array_agg
+# ---------------------------------------------------------------------------
+
+_ARRAY_AGG_SQL = """
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority)) AS priorities,
+           list_sort(list_distinct(list(o_orderpriority))) AS distinct_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+"""
+
+
+@query("q_array_agg", oracle=_ARRAY_AGG_SQL)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per customer, the full list and the distinct set
+    of order priorities. collect_list/collect_set accumulate in partition
+    order, which is nondeterministic — `sort_array` canonicalizes both so
+    the result is identical at any parallelism (and hash-matches DuckDB's
+    list_sort). Shape: one groupBy(o_custkey) shuffle with map-side
+    partial collect; per-group arrays are bounded by orders-per-customer,
+    so no group materializes unbounded state. At 100 TB a hot entity with
+    millions of rows would need a cap (slice after sort) or a sketch —
+    the priorities domain here is 5 values, so the distinct set is tiny.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+            F.sort_array(F.collect_set("o_orderpriority")).alias("distinct_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

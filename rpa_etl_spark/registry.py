@@ -54,6 +54,7 @@ PRIORITY_ORDER = [
     # -- tier 1: never driver-verified -------------------------------------
     "q_funnel",
     "q_profile_stats",
+    "q_array_agg",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",
