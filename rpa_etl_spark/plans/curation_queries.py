@@ -25,16 +25,16 @@ from rpa_etl_spark.operators import dedup as D
 from rpa_etl_spark.registry import query
 from rpa_etl_spark.tables import load
 
-# DuckDB fragment: distinct word 5-grams of `text` (mirror of
-# operators/dedup.word_shingles(col, 5) — same split, same joining space)
+# DuckDB fragment: distinct word 5-grams over a pre-split `toks` column
+# (mirror of operators/dedup.word_shingles(col, 5) — same split, same
+# joining space). Takes `toks` rather than re-splitting `text` per element:
+# a lambda body re-evaluates its expressions per gram, which would make the
+# oracle O(tokens^2) in split work (measured 35x slower).
 _GRAMS5_SQL = """
     list_distinct(list_transform(
-        range(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0) + 1),
-        i -> string_split_regex(text, '\\s+')[i]   || ' ' ||
-             string_split_regex(text, '\\s+')[i+1] || ' ' ||
-             string_split_regex(text, '\\s+')[i+2] || ' ' ||
-             string_split_regex(text, '\\s+')[i+3] || ' ' ||
-             string_split_regex(text, '\\s+')[i+4]))
+        range(1, greatest(len(toks) - 4, 0) + 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] || ' ' || toks[i+4]))
 """
 
 # md5-bucket split shared with q_sample_hash: deterministic, engine-neutral
@@ -51,10 +51,14 @@ def _bucket_col() -> F.Column:
 @query(
     "q_contamination",
     oracle=f"""
-    WITH split AS (
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents
+    ),
+    split AS (
         SELECT doc_id, {_GRAMS5_SQL} AS grams,
                ({_BUCKET_SQL}) < 80 AS is_train
-        FROM documents
+        FROM tok
     ),
     train_grams AS (
         SELECT DISTINCT UNNEST(grams) AS gram FROM split WHERE is_train

@@ -52,14 +52,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH tok AS (
+        SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(
-                   range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1),
-                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+2])) AS grams
-        FROM documents
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        FROM tok
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -105,14 +107,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_minhash",
     oracle="""
-    WITH sh AS (
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
-                   range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1),
-                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+2])) AS grams
-        FROM documents
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        FROM tok
     ),
     dig AS (
         SELECT doc_id, grams,
