@@ -1,0 +1,95 @@
+"""Z-order layout: the Morton-curve write must actually enable
+multi-column file skipping — measured on real parquet footer statistics,
+not assumed."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.operators.zorder import morton2, write_zordered
+from rpa_etl_spark.tables import load
+
+
+def _file_ranges(path: str, cols: tuple[str, str]):
+    """Per parquet file: (min, max) of each column, from footer stats."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.read_metadata(f)
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                    maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def _files_intersecting(ranges, box):
+    n = 0
+    for r in ranges:
+        if all(r[c][0] <= hi and r[c][1] >= lo for c, (lo, hi) in box.items()):
+            n += 1
+    return n
+
+
+def test_morton_code_is_deterministic_and_bounded(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    code = morton2(F.col("user_id"), 0, 200, F.col("value"), 0.0, 600.0)
+    rows = ev.select(code.alias("z")).agg(F.min("z"), F.max("z")).collect()[0]
+    assert rows[0] >= 0
+    assert rows[1] < (1 << 32)  # 2 dims x 16 bits
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """A box predicate on (user_id, value) must intersect strictly fewer
+    files under the z-ordered layout than under a user_id-only sort,
+    where every file's `value` range is full-width (so value predicates
+    can never skip)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cols = ("user_id", "value")
+    b = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    u_lo, u_hi, v_lo, v_hi = b
+    # query box: top half of users, bottom quarter of values — selective
+    # on BOTH dims, so a single-column sort can only answer one of them
+    box = {
+        "user_id": ((u_lo + u_hi) / 2, u_hi),
+        "value": (v_lo, v_lo + (v_hi - v_lo) / 4),
+    }
+
+    z_path = str(tmp_path / "zorder")
+    write_zordered(ev, z_path, "user_id", (u_lo, u_hi), "value", (v_lo, v_hi), n_files=8)
+    z_ranges = _file_ranges(z_path, cols)
+
+    s_path = str(tmp_path / "single")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+    s_ranges = _file_ranges(s_path, cols)
+
+    # layouts must be lossless
+    assert (
+        spark.read.parquet(z_path).count()
+        == spark.read.parquet(s_path).count()
+        == ev.count()
+    )
+
+    z_hit = _files_intersecting(z_ranges, box)
+    s_hit = _files_intersecting(s_ranges, box)
+    # user_id-sort answers the user_id half (1-2 files) but every one of
+    # its files spans all values; z-order tiles BOTH dims
+    assert z_hit < len(z_ranges), f"z-order never excluded a file: {z_ranges}"
+    assert z_hit <= s_hit, f"z-order ({z_hit}) worse than single-sort ({s_hit})"
