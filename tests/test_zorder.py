@@ -93,3 +93,31 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
     # its files spans all values; z-order tiles BOTH dims
     assert z_hit < len(z_ranges), f"z-order never excluded a file: {z_ranges}"
     assert z_hit <= s_hit, f"z-order ({z_hit}) worse than single-sort ({s_hit})"
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """200-way fragmented table → a handful of target-sized files,
+    losslessly, and without a shuffle when unsorted (coalesce plan)."""
+    from rpa_etl_spark.operators.maintenance import compact_parquet, parquet_data_size
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(200).write.parquet(frag)
+    import glob as g
+
+    assert len(g.glob(f"{frag}/*.parquet")) == 200
+    total = parquet_data_size(frag)
+
+    dst = str(tmp_path / "compacted")
+    n_files = compact_parquet(spark, frag, dst, target_bytes=max(1, total // 4))
+    assert n_files <= 8, n_files
+    assert spark.read.parquet(dst).count() == ev.count()
+
+    dst2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, frag, dst2, target_bytes=max(1, total // 4), sort_col="user_id")
+    back = spark.read.parquet(dst2)
+    assert back.count() == ev.count()
+    rngs = _file_ranges(dst2, ("user_id",))
+    spans = [r["user_id"][1] - r["user_id"][0] for r in rngs]
+    full = max(r["user_id"][1] for r in rngs) - min(r["user_id"][0] for r in rngs)
+    assert min(spans) < full, "sorted compaction produced no clustering"
