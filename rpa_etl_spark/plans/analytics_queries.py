@@ -592,3 +592,66 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hll_sketch_merge
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_SQL = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_10pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_10pct
+    FROM events
+"""
+
+
+@query("q_hll_sketch_merge", oracle=_HLL_MERGE_SQL)
+def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): per-event-type user
+    sketches, then the GLOBAL distinct estimated by UNIONING the group
+    sketches — never re-reading the raw data. Mergeability is the scale
+    property: at 100 TB, per-partition/per-day sketches roll up to any
+    coarser grain as register-wise maxima (bytes, not rows), which is how
+    distinct counts survive re-aggregation in a lakehouse.
+
+    The estimates are sketch-internal, so (as in q_approx_count_distinct)
+    the query gates them against exact counts — HLL register state is
+    update-order-independent, so the gate is deterministic at any
+    parallelism — and the oracle asserts the gates hold. The total row is
+    built by union + single-row re-aggregation, not a join (no cartesian
+    anywhere).
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    g = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_group = g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.10
+        ).alias("within_10pct"),
+    )
+    merged_est = g.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    overall_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    total = (
+        merged_est.unionByName(overall_exact, allowMissingColumns=True)
+        .agg(F.max("est").alias("est"), F.max("exact_users").alias("exact_users"))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.10
+            ).alias("within_10pct"),
+        )
+    )
+    return per_group.unionByName(total)
