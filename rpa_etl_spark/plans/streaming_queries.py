@@ -138,3 +138,35 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a 30-minute horizon per user."""
     ev = load(spark, sf_dir, "events")
     return SP.join_clicks_to_purchases(ev, right_type="view")
+
+
+@query(
+    "q_user_totals_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operators
+    (streaming/stateful.py::running_user_totals via applyInPandasWithState
+    and the transformWithStateInPandas profile variant): the FINAL state
+    both converge to is this per-user (count, decimal-exact sum). The
+    streaming tests assert stream-vs-batch equality on the same inputs;
+    this declared query gives that semantic a driver-checked oracle row.
+    One shuffle on the high-cardinality user key; state in the streaming
+    form is bounded by |active users| via processing-time timeouts.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -56,6 +56,7 @@ PRIORITY_ORDER = [
     "q_profile_stats",
     "q_array_agg",
     "q_hll_sketch_merge",
+    "q_user_totals_state",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",
