@@ -1003,3 +1003,120 @@ def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               1 + CAST(CEIL(GREATEST(len(toks) - {_CHUNK_SIZE}, 0)
+                             / {_CHUNK_STRIDE}.0) AS INTEGER) AS n_chunks
+        FROM tok
+    )
+    SELECT doc_id, t.chunk_id,
+           len(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                          chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                          chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')) AS chunk_md5
+    FROM sized, UNNEST(generate_series(0, n_chunks - 1)) AS t(chunk_id)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping {64}-token windows at a
+    {48}-token stride (16-token overlap so retrieval never loses context
+    at a boundary), one output row per (doc, chunk) with the chunk's token
+    count and content hash.
+
+    Shape: tokenize once, derive the chunk count in-row, posexplode the
+    chunk index, slice the SAME token array per chunk — a narrow 1→N
+    fan-out with zero shuffles, so at 100 TB chunking runs at scan speed
+    and the output is written partition-local. The md5 keeps the declared
+    output compact; a production chunker would emit the text slice
+    itself (same plan shape).
+    """
+    toks = TS.tokens(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    sized = docs.withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.ceil(F.greatest(F.col("n") - _CHUNK_SIZE, F.lit(0)) / float(_CHUNK_STRIDE))
+        ).cast("int"),
+    )
+    chunked = sized.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    window = F.slice(
+        F.col("toks"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(window).alias("chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, label,
+               CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                    AS DOUBLE) AS scale,
+               embedding
+        FROM embeddings
+    )
+    SELECT vec_id, label, len(embedding) AS n_dims,
+           ROUND(scale, 6) AS scale_r,
+           list_transform(embedding, x -> CAST(
+               CASE WHEN scale = 0 THEN 0
+                    ELSE FLOOR(CAST(x AS DOUBLE) / scale * 127 + 0.5) END
+               AS INTEGER)) AS q8
+    FROM scaled
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization (max-abs scaling): the storage/
+    bandwidth step before ANN at scale — 4x smaller vectors, dot products
+    in integer arithmetic, scale factor kept per vector for
+    dequantization.
+
+    Engine-neutral rounding: ties at .5 are real on synthetic data (a
+    component exactly half the max), and round() tie-breaking differs
+    subtly across engines, so quantization uses floor(x + 0.5) — the same
+    deterministic half-up in both. Zero vectors quantize to zeros (no
+    0/0). Narrow per-row expression — no shuffle, scan-speed at 100 TB.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    ).cast("double")
+    sized = emb.select("vec_id", "label", "embedding", scale.alias("scale"))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / F.col("scale") * 127 + 0.5))
+        .cast("int"),
+    )
+    return sized.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.round("scale", 6).alias("scale_r"),
+        q8.alias("q8"),
+    )

@@ -57,6 +57,8 @@ PRIORITY_ORDER = [
     "q_array_agg",
     "q_hll_sketch_merge",
     "q_user_totals_state",
+    "q_chunk_documents",
+    "q_embedding_quantize",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",
