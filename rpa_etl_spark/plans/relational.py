@@ -928,6 +928,34 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py::salted_sum_count)
+    declared as a query so its bit-identity to the plain aggregation is
+    oracle-checked: groupBy(key, salt) spreads each of the 3 hot
+    l_returnflag keys across 16 reducers in phase 1, then the |keys|x16
+    tiny partials merge in phase 2. Decimal-exact partials make the split
+    invisible in the result. At 100 TB this is the pre-planned recipe for
+    aggregations whose group key has a handful of giant groups — the agg
+    analog of q_join_skew_salted."""
+    from rpa_etl_spark.operators.skew import salted_sum_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    # default content-hash salt: (flag, quantity) — quantity's many values
+    # spread each hot flag across the full salt range
+    return salted_sum_count(li, ["l_returnflag"], "l_quantity", n_salts=16)
+
+
 _RECURSIVE_CHAIN_SQL = """
     WITH RECURSIVE chain(custkey, root, depth) AS (
         SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey BETWEEN 1 AND 10

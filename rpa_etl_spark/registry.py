@@ -59,6 +59,7 @@ PRIORITY_ORDER = [
     "q_user_totals_state",
     "q_chunk_documents",
     "q_embedding_quantize",
+    "q_agg_skew_salted",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",
