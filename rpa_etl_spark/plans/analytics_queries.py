@@ -655,3 +655,45 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_group.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# q_window_rank_ties
+# ---------------------------------------------------------------------------
+
+_RANK_TIES_SQL = """
+    SELECT *
+    FROM (
+        SELECT o_orderpriority, o_orderdate, o_orderkey,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+    )
+    WHERE drnk <= 2
+"""
+
+
+@query("q_window_rank_ties", oracle=_RANK_TIES_SQL)
+def q_window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() under real ties: all orders on each
+    priority's two earliest order DATES (many orders share a date, so
+    rank gaps vs dense compaction actually differ). Deterministic despite
+    the tie-ordered window: tied rows share the same rank value, so the
+    dense_rank <= 2 row SET is order-independent — the safe way to write
+    keep-the-earliest logic (row_number over a tied sort would be
+    nondeterministic; q_window_rank uses a keyed tiebreak for that).
+    One (priority)-partitioned window — single exchange + sort.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("drnk") <= 2)
+    )
