@@ -697,3 +697,47 @@ def q_window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("drnk") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_explode_outer
+# ---------------------------------------------------------------------------
+
+_EXPLODE_OUTER_SQL = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    arr AS (
+        SELECT doc_id, list_filter(toks, t -> len(t) > 9) AS longs
+        FROM tok
+    )
+    SELECT a.doc_id, len(a.longs) AS n_longs, u.long_tok
+    FROM arr a
+    LEFT JOIN (SELECT doc_id, UNNEST(longs) AS long_tok FROM arr) u
+      ON a.doc_id = u.doc_id
+"""
+
+
+@query("q_explode_outer", oracle=_EXPLODE_OUTER_SQL)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null semantics: fan out each document's long tokens
+    (> 9 chars) but KEEP documents whose filtered array is empty as a
+    single null row — the row-preserving lateral that plain explode
+    silently drops (losing rows in a fan-out is a classic silent-data-loss
+    bug in ETL). DuckDB expresses the same semantics as a LEFT JOIN
+    against the UNNEST. Narrow 1→N projection, no shuffle.
+    """
+    from rpa_etl_spark.operators import textstats as TS
+
+    toks = TS.tokens(F.col("text"))
+    longs = F.filter(toks, lambda t: F.length(t) > 9)
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", longs.alias("longs"))
+        .select(
+            "doc_id",
+            F.size("longs").alias("n_longs"),
+            F.explode_outer("longs").alias("long_tok"),
+        )
+    )
