@@ -1120,3 +1120,37 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale_r"),
         q8.alias("q8"),
     )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate, 256 AS n_samples,
+           CAST(32000 AS BIGINT) AS duration_us,
+           SUM(v * v) AS energy,
+           SUM(v * (i + 1)) AS weighted_checksum,
+           'numpy-wav' AS decoder
+    FROM (
+        SELECT doc_id, i,
+               ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
+        FROM documents, range(256) t(i)
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked: synthesize a 256-sample PCM16
+    WAV per document from a closed-form ramp, walk the RIFF container
+    back with the pure-numpy codec (sources/multimodal.py::wav_decode),
+    and emit rate, length, exact duration, signal energy, and a
+    position-weighted checksum. As with q_multimodal_decode, the oracle
+    recomputes everything from the SAMPLE FORMULA — not the bytes — so a
+    container-layout bug (chunk offsets, endianness, sign) cannot
+    round-trip past the comparison. Compressed codecs (mp3/aac) stay
+    library-gated; the Spark shape (binary column → Arrow-batched
+    mapInPandas) is identical."""
+    from rpa_etl_spark.sources.multimodal import attach_wav_media, decode_wav_features
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_wav_features(attach_wav_media(docs))

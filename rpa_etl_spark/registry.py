@@ -62,6 +62,7 @@ PRIORITY_ORDER = [
     "q_agg_skew_salted",
     "q_window_rank_ties",
     "q_explode_outer",
+    "q_multimodal_audio",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",

@@ -374,3 +374,131 @@ def resize_bmp(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec: WAV / PCM16 (RIFF is a pure container format — encoder
+# and decoder below are complete, dependency-free implementations, the
+# audio analog of the numpy BMP codec above)
+# ---------------------------------------------------------------------------
+
+WAV_HEADER_SIZE = 44
+
+
+def wav_encode(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """int16 mono PCM → canonical 44-byte RIFF/WAVE container."""
+    pcm = samples.astype("<i2").tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return header + pcm
+
+
+def wav_decode(data: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF/WAVE (PCM16 mono) → (sample_rate, int16 samples). Walks the
+    chunk list (a real WAV may carry LIST/fact chunks before data);
+    raises ValueError on non-PCM or multi-channel payloads."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, n_channels, bps = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, n_channels, rate = struct.unpack_from("<HHI", data, body)
+            bps = struct.unpack_from("<H", data, body + 14)[0]
+            if fmt_tag != 1:
+                raise ValueError(f"unsupported WAV encoding (fmt={fmt_tag})")
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt")
+            if n_channels != 1 or bps != 16:
+                raise ValueError(
+                    f"unsupported layout (channels={n_channels}, bps={bps})"
+                )
+            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+            return rate, samples
+        pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    raise ValueError("no data chunk")
+
+
+def synth_wav_audio(media_id: int, n_samples: int = 256, rate: int = 8000) -> bytes:
+    """Deterministic PCM ramp keyed by id: sample i =
+    ((media_id*31 + i*17) % 4096) − 2048 — the closed form the DuckDB
+    oracle recomputes."""
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((media_id * 31 + i * 17) % 4096) - 2048
+    return wav_encode(samples.astype(np.int16), rate)
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id",
+                     n_samples: int = 256, rate: int = 8000) -> DataFrame:
+    """Media table with REAL audio payloads: one synthetic WAV per row."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_wav_audio(int(m), n_samples, rate)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    return df.select(id_field).mapInPandas(kernel, schema=schema)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("energy", LongType()),
+        StructField("weighted_checksum", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode stage: parse the RIFF container, return sample
+    rate, length, exact duration in µs, signal energy Σ s_i², and the
+    position-weighted checksum Σ s_i·(i+1) — sensitive to byte order,
+    chunk offsets, and sign handling, so a codec layout bug becomes an
+    oracle mismatch. All-integer features: engine-neutral by
+    construction."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, durs, energies, cks = [], [], [], [], []
+            for payload in pdf["payload"]:
+                rate, s = wav_decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                rates.append(rate)
+                ns.append(len(s))
+                durs.append(len(s) * 1_000_000 // rate)
+                energies.append(int((s64 * s64).sum()))
+                cks.append(int((s64 * (np.arange(len(s64)) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "duration_us": durs,
+                    "energy": energies,
+                    "weighted_checksum": cks,
+                    "decoder": "numpy-wav",
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=WAV_FEATURES_SCHEMA)
