@@ -1154,3 +1154,37 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return decode_wav_features(attach_wav_media(docs))
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_id,
+           8 AS width, 8 AS height,
+           SUM(v) / 192.0 AS mean_rgb,
+           SUM(v * (i + 1)) AS weighted_checksum,
+           'numpy-avi' AS decoder
+    FROM (
+        SELECT doc_id, f, i,
+               (doc_id + 5 * f + 7 * (i // 24) + 11 * ((i % 24) // 3)
+                + 83 * (i % 3)) % 256 AS v
+        FROM documents, (VALUES (0), (2), (4)) s(f), range(192) t(i)
+    )
+    GROUP BY doc_id, f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-checked: synthesize a 6-frame
+    uncompressed AVI per document from a closed-form per-frame gradient,
+    walk the RIFF tree back (sources/multimodal.py::avi_decode), keep
+    every 2nd frame (0, 2, 4), and emit per-frame mean intensity and
+    position-weighted checksum. The oracle recomputes the kept frames
+    from the PIXEL FORMULA — container-layout bugs (chunk nesting, DIB
+    row order, stride padding, frame order) cannot round-trip past the
+    comparison. Compressed codecs stay library-gated; the Spark shape
+    (binary column → Arrow-batched 1→N mapInPandas fan-out) is exactly
+    what an ffmpeg-backed sampler would use."""
+    from rpa_etl_spark.sources.multimodal import attach_avi_media, sample_avi_frames
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_avi_frames(attach_avi_media(docs), every=2)

@@ -63,6 +63,7 @@ PRIORITY_ORDER = [
     "q_window_rank_ties",
     "q_explode_outer",
     "q_multimodal_audio",
+    "q_multimodal_frames",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",

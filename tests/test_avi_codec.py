@@ -1,0 +1,74 @@
+"""Pure-numpy uncompressed-AVI codec: container structure pinned by byte
+assertions, frames by round-trip + the closed-form q_multimodal_frames
+oracle (which recomputes pixels from the formula, independent of these
+tests)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from rpa_etl_spark.sources.multimodal import (
+    avi_decode,
+    avi_encode,
+    synth_avi_video,
+)
+
+
+def _frames(n=3, h=4, w=5, seed=1):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_container_structure():
+    data = avi_encode(_frames(), fps=10)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    # first LIST must be hdrl, containing avih then a strl LIST
+    assert data[12:16] == b"LIST" and data[20:24] == b"hdrl"
+    assert data[24:28] == b"avih"
+    # RIFF size field covers the rest of the file exactly
+    assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+
+
+def test_roundtrip_preserves_frames_and_fps():
+    frames = _frames(n=4, h=6, w=7)  # w*3=21 -> 3 pad bytes per row
+    fps, back = avi_decode(avi_encode(frames, fps=25))
+    assert fps == 25
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_decode_accepts_compressed_chunk_id_for_dib():
+    """'00dc' is what some muxers emit even for uncompressed DIBs — the
+    decoder must accept both ids (strf's compression field is the truth)."""
+    data = bytearray(avi_encode(_frames(n=1), fps=10))
+    idx = bytes(data).find(b"00db")
+    data[idx : idx + 4] = b"00dc"
+    _, back = avi_decode(bytes(data))
+    assert len(back) == 1
+
+
+def test_decode_rejects_non_avi_and_compressed():
+    with pytest.raises(ValueError):
+        avi_decode(b"RIFF\x00\x00\x00\x00WAVE")
+    data = bytearray(avi_encode(_frames(n=1), fps=10))
+    idx = bytes(data).find(b"strf")
+    # biCompression lives 16 bytes into the BITMAPINFOHEADER body
+    struct.pack_into("<I", data, idx + 8 + 16, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        avi_decode(bytes(data))
+
+
+def test_synth_matches_closed_form():
+    fps, frames = avi_decode(synth_avi_video(7, n_frames=6, width=8, height=8))
+    assert fps == 10 and len(frames) == 6
+    r = np.arange(8).reshape(-1, 1, 1)
+    x = np.arange(8).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    for f in (0, 3, 5):
+        np.testing.assert_array_equal(
+            frames[f], ((7 + 5 * f + 7 * r + 11 * x + 83 * c) % 256).astype(np.uint8)
+        )
