@@ -51,17 +51,38 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #   3. stable, repeatedly-green relational battery queries last — losing a
 #      verdict on one of these costs the least information.
 PRIORITY_ORDER = [
-    # -- tier 1: never driver-verified -------------------------------------
+    # -- tier 1a: flagged unverified since round 1-2 (TPC-H, payloads,
+    #    audit, as-of, LLM-data tail) — these have waited longest ------
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q10_shape",
+    "q_tpch_q14_shape",
+    "q_payload_erp",
+    "q_payload_analytics",
+    "q_audit_events",
+    "q_join_asof",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_fuzzy_match",
+    "q_multimodal_meta",
+    "q_lang_quality",
+    "q_text_stats",
+    "q_repetition_stats",
+    "q_quantiles",
+    "q_sample_hash",
+    "q_having_large_orders",
+    # -- tier 1b: new this round, never driver-verified ----------------
     "q_funnel",
     "q_profile_stats",
-    "q_array_agg",
     "q_hll_sketch_merge",
-    "q_user_totals_state",
     "q_chunk_documents",
     "q_embedding_quantize",
     "q_agg_skew_salted",
-    "q_window_rank_ties",
-    "q_explode_outer",
     "q_multimodal_audio",
     "q_multimodal_frames",
     "q_merge_upsert",
@@ -72,6 +93,7 @@ PRIORITY_ORDER = [
     "q_recursive_cte",
     "q_lateral_topk",
     "q_multimodal_decode",
+    "q_tpch_q21_shape",
     "q_contamination",
     "q_sample_stratified",
     "q_pack_sequences",
@@ -80,31 +102,12 @@ PRIORITY_ORDER = [
     "q_tfidf_terms",
     "q_join_skew_salted",
     "q_embedding_centroid",
-    "q_payload_erp",
-    "q_payload_analytics",
-    "q_audit_events",
-    "q_join_asof",
-    "q_sample_hash",
-    "q_quantiles",
-    "q_having_large_orders",
-    "q_text_stats",
-    "q_repetition_stats",
-    "q_lang_quality",
-    "q_multimodal_meta",
-    "q_fuzzy_match",
-    "q_sim_topk",
-    "q_dedup_embedding",
-    "q_dedup_clusters",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_tpch_q10_shape",
-    "q_tpch_q14_shape",
-    "q_tpch_q21_shape",
-    # -- tier 2: reference soul + changed-this-round -----------------------
+    # -- tier 1c: new but semantically near already-green queries ------
+    "q_user_totals_state",
+    "q_array_agg",
+    "q_window_rank_ties",
+    "q_explode_outer",
+    # -- tier 2: reference soul + repeatedly-green battery -------------
     "q_flagship",
     "q_parse_invoice",
     "q_normalize_docs",
@@ -133,8 +136,6 @@ PRIORITY_ORDER = [
     "q_scalar_subquery",
     "q_rollup",
     "q_gap_fill",
-    # -- tier 3: stable relational battery ---------------------------------
-    # (anything unlisted keeps registration order after the listed ones)
 ]
 
 
