@@ -1188,3 +1188,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return sample_avi_frames(attach_avi_media(docs), every=2)
+
+
+@query(
+    "q_multimodal_png",
+    oracle="""
+    SELECT doc_id AS media_id,
+           16 AS width, 16 AS height,
+           SUM(v) / 768.0 AS mean_rgb,
+           SUM(v * (i + 1)) AS weighted_checksum,
+           'numpy-png' AS decoder
+    FROM (
+        SELECT doc_id, i,
+               (doc_id + 7 * (i // 48) + 11 * ((i % 48) // 3) + 83 * (i % 3))
+                   % 256 AS v
+        FROM documents, range(768) t(i)
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, oracle-checked: the same closed-form
+    gradient as q_multimodal_decode, but stored as PNG — DEFLATE via the
+    standard library's zlib plus a from-scratch implementation of the PNG
+    spec (chunk CRCs, IDAT inflate, all five scanline filters) in
+    sources/multimodal.py::png_decode. Identical oracle to the BMP query
+    except the decoder tag, so the two container paths cross-check each
+    other; entropy-coded formats without a stdlib codec (JPEG) remain
+    library-gated."""
+    from rpa_etl_spark.sources.multimodal import attach_png_media, decode_png_features
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_png_features(attach_png_media(docs))

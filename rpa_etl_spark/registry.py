@@ -85,6 +85,7 @@ PRIORITY_ORDER = [
     "q_agg_skew_salted",
     "q_multimodal_audio",
     "q_multimodal_frames",
+    "q_multimodal_png",
     "q_merge_upsert",
     "q_outlier_zscore",
     "q_retention_cohort",
