@@ -741,3 +741,98 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer("longs").alias("long_tok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+_HIST_WIDTH = 30.0  # events.value spans [0, ~560]
+
+_HISTOGRAM_SQL = f"""
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / {_HIST_WIDTH}), {_HIST_BINS - 1}) AS INTEGER)
+               AS bucket,
+           CAST(LEAST(FLOOR(value / {_HIST_WIDTH}), {_HIST_BINS - 1}) * {_HIST_WIDTH}
+               AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("q_histogram", oracle=_HISTOGRAM_SQL)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type — the data-profiling primitive
+    behind every distribution dashboard. Binning is plain arithmetic
+    (floor of one IEEE division, top bin clamped) rather than an
+    engine-specific width_bucket, so both engines bin identically at any
+    value, including exact bin edges. One low-cardinality groupBy with
+    map-side partial aggregation — at 100 TB the shuffle carries
+    |types| x {_HIST_BINS} partial counts per mapper, not rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / _HIST_WIDTH), F.lit(_HIST_BINS - 1)
+    ).cast("int")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .withColumn("bucket_lo", (F.col("bucket") * _HIST_WIDTH).cast("double"))
+        .groupBy("event_type", "bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_corr_stats
+# ---------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS pearson_r
+    FROM m
+"""
+
+
+@query("q_corr_stats", oracle=_CORR_SQL)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price per return flag)
+    with order-independent determinism: the five moment sums accumulate
+    in EXACT decimal arithmetic and only the final closed-form r is IEEE
+    double — `F.corr` would give a partition-order-dependent float at the
+    9th decimal, which a hash comparison rejects. Same two-pass-free
+    shape as q_outlier_zscore's moments: one low-cardinality groupBy,
+    map-side partials, shuffle volume in partial aggregates.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", F.round(r, 6).alias("pearson_r"))

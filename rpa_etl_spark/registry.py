@@ -103,6 +103,8 @@ PRIORITY_ORDER = [
     "q_tfidf_terms",
     "q_join_skew_salted",
     "q_embedding_centroid",
+    "q_histogram",
+    "q_corr_stats",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
