@@ -836,3 +836,50 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return m.select("l_returnflag", "n", F.round(r, 6).alias("pearson_r"))
+
+
+# ---------------------------------------------------------------------------
+# q_url_parse
+# ---------------------------------------------------------------------------
+
+_URL_PARSE_SQL = """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/corpus/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param,
+           'https' AS scheme
+    FROM documents
+"""
+
+
+@query("q_url_parse", oracle=_URL_PARSE_SQL)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host / path / query parameter / scheme) via
+    Spark's parse_url over URLs synthesized deterministically from table
+    columns — the crawl-pipeline primitive behind domain filtering and
+    URL-keyed dedup. The oracle is the INVERSE construction: it rebuilds
+    each component directly from the source columns, so parse_url must
+    exactly invert the synthesis (a wrong component boundary —
+    query-string bleed into path, port into host — mismatches). Narrow
+    per-row expressions, scan-speed at any scale; the natural 100 TB
+    follow-on (groupBy host for per-domain quotas) is one
+    low-cardinality shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+    )

@@ -105,6 +105,7 @@ PRIORITY_ORDER = [
     "q_embedding_centroid",
     "q_histogram",
     "q_corr_stats",
+    "q_url_parse",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
