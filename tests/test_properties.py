@@ -138,3 +138,63 @@ def test_normalize_text_matches_reference_spec_on_random_corpus(spark):
         if got[i] != want:
             mismatches.append((i, d, want, got[i]))
     assert not mismatches, f"{len(mismatches)} divergent docs; first: {mismatches[0]!r}"
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrip identities (pure-Python kernels — no Spark session needed,
+# so hypothesis can drive hundreds of cases cheaply)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12),  # height
+    st.integers(1, 12),  # width
+    st.integers(0, 2**32 - 1),  # pixel seed
+)
+def test_bmp_png_roundtrip_identity(h, w, seed):
+    import numpy as np
+
+    from rpa_etl_spark.sources.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+    np.testing.assert_array_equal(bmp_decode(bmp_encode(arr)), arr)
+    np.testing.assert_array_equal(png_decode(png_encode(arr)), arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 2000), st.integers(0, 2**32 - 1), st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_identity(n, seed, rate):
+    import numpy as np
+
+    from rpa_etl_spark.sources.multimodal import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    got_rate, back = wav_decode(wav_encode(s, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(back, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 9), st.integers(1, 9), st.integers(0, 2**32 - 1))
+def test_avi_roundtrip_identity(n_frames, h, w, seed):
+    import numpy as np
+
+    from rpa_etl_spark.sources.multimodal import avi_decode, avi_encode
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    fps, back = avi_decode(avi_encode(frames, fps=10))
+    assert fps == 10 and len(back) == n_frames
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)
