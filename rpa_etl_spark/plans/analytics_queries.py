@@ -883,3 +883,47 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_argmax
+# ---------------------------------------------------------------------------
+
+_ARGMAX_SQL = """
+    WITH ranked AS (
+        SELECT event_type, event_id, user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id AS vrank
+        FROM events
+    )
+    SELECT event_type,
+           arg_max(event_id, vrank) AS top_event,
+           arg_max(user_id, vrank) AS top_user,
+           arg_min(event_id, ts)   AS first_event
+    FROM ranked
+    GROUP BY event_type
+"""
+
+
+@query("q_argmax", oracle=_ARGMAX_SQL)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max / arg-min aggregation (max_by/min_by): per event type, the
+    event and user carrying the highest value and the earliest event —
+    "whole-row-at-extremum" without a self-join or window. Determinism
+    under ties: value is ranked through an integer composite
+    (round(value*100), event_id) so two rows never compare equal — raw
+    max_by on a tied double would return an arbitrary winner per run,
+    which a hash comparison rejects. ts is unique per event in this data
+    (min_by on it is safe). One low-cardinality groupBy, map-side
+    partials; the classic replacement for the per-group top-1 window at
+    100 TB (no sort, no window state).
+    """
+    ev = load(spark, sf_dir, "events")
+    vrank = (
+        F.round(F.col("value") * 100).cast("long") * 10000000 + F.col("event_id")
+    )
+    ranked = ev.select("event_type", "event_id", "user_id", "ts", vrank.alias("vrank"))
+    return ranked.groupBy("event_type").agg(
+        F.max_by("event_id", "vrank").alias("top_event"),
+        F.max_by("user_id", "vrank").alias("top_user"),
+        F.min_by("event_id", "ts").alias("first_event"),
+    )

@@ -106,6 +106,7 @@ PRIORITY_ORDER = [
     "q_histogram",
     "q_corr_stats",
     "q_url_parse",
+    "q_argmax",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
