@@ -927,3 +927,56 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("user_id", "vrank").alias("top_user"),
         F.min_by("event_id", "ts").alias("first_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_time_weighted_avg
+# ---------------------------------------------------------------------------
+
+_TWA_SQL = """
+    WITH seg AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,4)) AS v,
+               date_diff('millisecond', ts,
+                         LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS dur_ms
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(dur_ms) AS n_segments,
+           SUM(dur_ms) AS total_ms,
+           ROUND(CAST(SUM(v * dur_ms) AS DOUBLE) / SUM(dur_ms), 6)
+               AS time_weighted_avg
+    FROM seg
+    WHERE dur_ms IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@query("q_time_weighted_avg", oracle=_TWA_SQL)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average: each event's value is held until the user's
+    next event, so the mean weights values by how long they were current
+    — the correct aggregate for sampled gauges/sensor state, where a
+    plain AVG over-counts bursts. Weights are integer milliseconds and
+    value·duration accumulates in exact decimal, so the result is
+    order-independent (one IEEE division at the end). Shape: one window
+    and one groupBy sharing the user_id partitioning — a single shuffle
+    of the fact, the per-entity floor.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        (
+            F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")
+        ).alias("dur_ms"),
+    ).where(F.col("dur_ms").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_ms").alias("total_ms"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_ms")).cast("double") / F.sum("dur_ms"), 6
+        ).alias("time_weighted_avg"),
+    )

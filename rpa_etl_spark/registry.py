@@ -107,6 +107,7 @@ PRIORITY_ORDER = [
     "q_corr_stats",
     "q_url_parse",
     "q_argmax",
+    "q_time_weighted_avg",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
