@@ -980,3 +980,52 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") * F.col("dur_ms")).cast("double") / F.sum("dur_ms"), 6
         ).alias("time_weighted_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_code
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_INTERLEAVE = " + ".join(
+    f"(((a >> {i}) & 1) * {1 << (2 * i)}) + (((b >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(_Z_BITS)
+)
+
+_ZORDER_SQL = f"""
+    WITH scaled AS (
+        SELECT event_id,
+               LEAST(CAST(FLOOR(GREATEST(LEAST(user_id / 200.0, 1.0), 0.0)
+                                * {1 << _Z_BITS}) AS BIGINT), {(1 << _Z_BITS) - 1}) AS a,
+               LEAST(CAST(FLOOR(GREATEST(LEAST(value / 600.0, 1.0), 0.0)
+                                * {1 << _Z_BITS}) AS BIGINT), {(1 << _Z_BITS) - 1}) AS b
+        FROM events
+    )
+    SELECT event_id, a, b, {_Z_INTERLEAVE} AS z
+    FROM scaled
+"""
+
+
+@query("q_zorder_code", oracle=_ZORDER_SQL)
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) curve codes for (user_id, value) — the clustering
+    key behind `operators/zorder.py::write_zordered` (whose file-skipping
+    payoff is measured in tests/test_zorder.py), here oracle-checked
+    bit-for-bit: DuckDB re-derives the 2x16-bit interleave with explicit
+    shift/mask arithmetic over the same scaled inputs. Scaling floors
+    (never rounds) in both engines so boundary values land in the same
+    bucket. Pure bit expressions, no shuffle.
+    """
+    from rpa_etl_spark.operators.zorder import morton2
+
+    ev = load(spark, sf_dir, "events")
+    from rpa_etl_spark.operators.zorder import _scale_to_bits
+
+    a = _scale_to_bits(F.col("user_id"), F.lit(0.0), F.lit(200.0), _Z_BITS)
+    b = _scale_to_bits(F.col("value"), F.lit(0.0), F.lit(600.0), _Z_BITS)
+    return ev.select(
+        "event_id",
+        a.alias("a"),
+        b.alias("b"),
+        morton2(F.col("user_id"), 0.0, 200.0, F.col("value"), 0.0, 600.0).alias("z"),
+    )

@@ -108,6 +108,7 @@ PRIORITY_ORDER = [
     "q_url_parse",
     "q_argmax",
     "q_time_weighted_avg",
+    "q_zorder_code",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
