@@ -1029,3 +1029,86 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("b"),
         morton2(F.col("user_id"), 0.0, 200.0, F.col("value"), 0.0, 600.0).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wordcount
+# ---------------------------------------------------------------------------
+
+_WORDCOUNT_SQL = """
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS n FROM tok WHERE word <> '' GROUP BY word
+    )
+    SELECT word, n FROM counts
+    ORDER BY n DESC, word
+    LIMIT 20
+"""
+
+
+@query("q_wordcount", oracle=_WORDCOUNT_SQL)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed aggregation: corpus-wide token counts,
+    top-20 (count-desc, word tiebreak so the cut is deterministic).
+    explode → groupBy(word) with map-side partial counts → TakeOrdered
+    top-k (no global sort — the limit pushes into the shuffle read). At
+    100 TB this is the vocabulary-building pass of a tokenizer pipeline;
+    the groupBy key is Zipf-skewed, which is exactly what partial
+    aggregation absorbs (hot words combine per mapper before the
+    exchange).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mode
+# ---------------------------------------------------------------------------
+
+_MODE_SQL = """
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+        SELECT lang, source, n,
+               n * 1000 + (100 - CAST(SUBSTRING(source, 4) AS BIGINT)) AS tiebreak
+        FROM counts
+    )
+    SELECT lang,
+           arg_max(source, tiebreak) AS modal_source,
+           MAX(n) AS modal_count
+    FROM ranked
+    GROUP BY lang
+"""
+
+
+@query("q_mode", oracle=_MODE_SQL)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent categorical value) per group: each language's
+    most common source, via two-level aggregation — count per (lang,
+    source), then arg-max over counts with a deterministic tiebreak
+    (lowest source number wins on equal counts; a bare mode() call would
+    pick an arbitrary winner under ties and fail hash comparison). Two
+    cheap shuffles, both on low-cardinality keys with map-side partials —
+    no window, no sort of the fact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    src_num = F.substring("source", 4, 10).cast("long")
+    ranked = counts.withColumn("tiebreak", F.col("n") * 1000 + (100 - src_num))
+    return ranked.groupBy("lang").agg(
+        F.max_by("source", "tiebreak").alias("modal_source"),
+        F.max("n").alias("modal_count"),
+    )

@@ -109,6 +109,8 @@ PRIORITY_ORDER = [
     "q_argmax",
     "q_time_weighted_avg",
     "q_zorder_code",
+    "q_wordcount",
+    "q_mode",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
