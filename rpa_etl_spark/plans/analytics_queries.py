@@ -1112,3 +1112,60 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("source", "tiebreak").alias("modal_source"),
         F.max("n").alias("modal_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_event_sequence
+# ---------------------------------------------------------------------------
+
+_SEQUENCE_SQL = """
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           length(s) AS n_events,
+           CAST((length(s) - length(replace(s, 'vcp', ''))) / 3 AS BIGINT)
+               AS n_direct_conversions,
+           substring(s, 1, 10) AS first_10
+    FROM seq
+"""
+
+
+@query("q_event_sequence", oracle=_SEQUENCE_SQL)
+def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence pattern matching (the batch core of
+    MATCH_RECOGNIZE): each user's history collapses to a string of
+    event-type initials in (ts, event_id) order — initials are unique
+    across the five types — and patterns become string operations
+    (here: count of immediate view→click→purchase triples, plus the
+    opening 10 events). Spark orders in-row (array_sort over collected
+    structs: one groupBy shuffle, no window sort); DuckDB uses its
+    ordered string_agg. Per-user strings are bounded by events-per-user;
+    at 100 TB a hot entity would cap the collect (slice after sort),
+    same as q_array_agg's documented escape.
+    """
+    ev = load(spark, sf_dir, "events")
+    item = F.struct(
+        F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+        .select(
+            "user_id",
+            F.concat_ws("", F.transform(F.col("items"), lambda x: x["i"])).alias("s"),
+        )
+    )
+    s = F.col("s")
+    return seq.select(
+        "user_id",
+        F.length(s).alias("n_events"),
+        ((F.length(s) - F.length(F.replace(s, F.lit("vcp"), F.lit("")))) / 3)
+        .cast("long")
+        .alias("n_direct_conversions"),
+        F.substring(s, 1, 10).alias("first_10"),
+    )

@@ -111,6 +111,7 @@ PRIORITY_ORDER = [
     "q_zorder_code",
     "q_wordcount",
     "q_mode",
+    "q_event_sequence",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
