@@ -1169,3 +1169,53 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_direct_conversions"),
         F.substring(s, 1, 10).alias("first_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_entropy
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = """
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT lang, SUM(n) AS total, COUNT(*) AS n_sources FROM counts GROUP BY lang
+    )
+    SELECT c.lang,
+           t.n_sources,
+           ROUND(-SUM((n / CAST(total AS DOUBLE))
+                      * ln(n / CAST(total AS DOUBLE))), 6) AS entropy,
+           ROUND(-SUM((n / CAST(total AS DOUBLE))
+                      * ln(n / CAST(total AS DOUBLE))) / ln(t.n_sources), 6)
+               AS normalized_entropy
+    FROM counts c JOIN tot t ON c.lang = t.lang
+    GROUP BY c.lang, t.n_sources
+"""
+
+
+@query("q_entropy", oracle=_ENTROPY_SQL)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source distribution per language — the
+    corpus-diversity diagnostic (a language fed by one crawler scores 0,
+    a uniform mix scores ln(k); normalized to [0,1] by ln(n_sources)).
+    Ratios derive from exact integer counts, so the per-term values are
+    identical across engines; the final sum is a handful of doubles whose
+    ordering noise sits ~1e-15, far inside the round(6) tolerance. Two
+    low-cardinality aggregations + one tiny join — nothing scales with
+    row count past the first partial-aggregated shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("lang").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    p = F.col("n") / F.col("total").cast("double")
+    joined = counts.join(tot, "lang")
+    return joined.groupBy("lang", "n_sources").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.round(
+            -F.sum(p * F.log(p)) / F.log(F.col("n_sources").cast("double")), 6
+        ).alias("normalized_entropy"),
+    )

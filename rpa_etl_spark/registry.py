@@ -112,6 +112,7 @@ PRIORITY_ORDER = [
     "q_wordcount",
     "q_mode",
     "q_event_sequence",
+    "q_entropy",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
