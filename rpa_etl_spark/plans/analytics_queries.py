@@ -1219,3 +1219,52 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum(p * F.log(p)) / F.log(F.col("n_sources").cast("double")), 6
         ).alias("normalized_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_set_ops_all
+# ---------------------------------------------------------------------------
+
+_SET_ALL_SQL = """
+    WITH a AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_returnflag = 'A'
+    )
+    SELECT 'intersect_all' AS tag, q, COUNT(*) AS n
+    FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b) GROUP BY q
+    UNION ALL
+    SELECT 'except_all' AS tag, q, COUNT(*) AS n
+    FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b) GROUP BY q
+"""
+
+
+@query("q_set_ops_all", oracle=_SET_ALL_SQL)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations: INTERSECT ALL keeps min(m, n)
+    copies of each value and EXCEPT ALL keeps max(m − n, 0) — the
+    duplicate-preserving semantics the DISTINCT variants (q_set_ops)
+    erase, and the ones reconciliation jobs actually need ("how many
+    shipments remain unmatched", not "which values appear"). Catalyst
+    plans both as aggregate-count + generate (no sort); the trailing
+    per-value counts keep the declared output compact. One shuffle per
+    side on the value key.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long").alias("q")
+    a = li.where(F.col("l_returnflag") == "R").select(q)
+    b = li.where(F.col("l_returnflag") == "A").select(q)
+    inter = (
+        a.intersectAll(b)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("tag"), "q", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("tag"), "q", "n")
+    )
+    return inter.unionByName(exc)
