@@ -1268,3 +1268,44 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("tag"), "q", "n")
     )
     return inter.unionByName(exc)
+
+
+# ---------------------------------------------------------------------------
+# q_try_arith
+# ---------------------------------------------------------------------------
+
+_TRY_ARITH_SQL = """
+    SELECT o_orderkey,
+           CASE WHEN CAST(o_orderkey AS HUGEINT) * 4611686018427387904
+                     BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN o_orderkey * 4611686018427387904
+                ELSE NULL END AS big_product,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderkey // (o_orderkey % 7) END AS guarded_div,
+           TRY_CAST('x' || CAST(o_orderkey AS VARCHAR) AS BIGINT) AS bad_cast
+    FROM orders
+    WHERE o_orderkey <= 100
+"""
+
+
+@query("q_try_arith", oracle=_TRY_ARITH_SQL)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-tolerant arithmetic: this engine runs with ANSI ON
+    (overflow and bad casts THROW), so dirty-data paths must use the
+    try_* family — try_multiply nulls an int64 overflow, try_divide nulls
+    division by zero, try_cast nulls an unparseable string. DuckDB has no
+    try_multiply, so the oracle proves the semantics independently:
+    it computes the product in HUGEINT and nulls results outside the
+    int64 range, and guards the zero divisor with CASE. Narrow
+    expressions; the point is semantic, not planar.
+    """
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.try_multiply(k, F.lit(4611686018427387904).cast("long")).alias("big_product"),
+        F.try_divide(k, k % 7).cast("long").alias("guarded_div"),
+        F.try_to_number(
+            F.concat(F.lit("x"), k.cast("string")), F.lit("999999")
+        ).cast("bigint").alias("bad_cast"),
+    )

@@ -114,6 +114,7 @@ PRIORITY_ORDER = [
     "q_event_sequence",
     "q_entropy",
     "q_set_ops_all",
+    "q_try_arith",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
