@@ -1309,3 +1309,43 @@ def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("x"), k.cast("string")), F.lit("999999")
         ).cast("bigint").alias("bad_cast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_not_in_null_semantics
+# ---------------------------------------------------------------------------
+
+_NOT_IN_SQL = """
+    WITH probe AS (
+        SELECT c_custkey FROM customer
+    ),
+    sub_with_null AS (
+        SELECT o_custkey FROM orders WHERE o_orderkey <= 1000
+        UNION ALL
+        SELECT NULL
+    )
+    SELECT 'not_in' AS formulation,
+           (SELECT COUNT(*) FROM probe
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM sub_with_null)) AS n
+    UNION ALL
+    SELECT 'not_exists' AS formulation,
+           (SELECT COUNT(*) FROM probe p
+            WHERE NOT EXISTS (SELECT 1 FROM sub_with_null s
+                              WHERE s.o_custkey = p.c_custkey)) AS n
+"""
+
+
+@query("q_not_in_null_semantics", oracle=_NOT_IN_SQL)
+def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic three-valued-logic trap, engine-checked: NOT IN
+    against a subquery containing a NULL returns ZERO rows (every
+    comparison is UNKNOWN), while NOT EXISTS with an equality correlate
+    returns the real anti-join count. Both formulations run as SQL text
+    so Catalyst's null-aware anti-join machinery is exercised; the oracle
+    runs the identical text on DuckDB, so both engines must agree on both
+    counts. Operationally this is why every anti-join in this repo uses
+    left_anti (NOT EXISTS semantics), never NOT IN on nullable keys.
+    """
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_SQL)

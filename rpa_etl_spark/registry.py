@@ -115,6 +115,7 @@ PRIORITY_ORDER = [
     "q_entropy",
     "q_set_ops_all",
     "q_try_arith",
+    "q_not_in_null_semantics",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
