@@ -232,6 +232,13 @@ def minhash_signature_md5(shingles: Column, num_hashes: int = 16) -> Column:
     digests = F.transform(
         shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("#"), s)))
     )
+    # Window minima stay pure column expressions. An Arrow-kernel variant
+    # (vectorized reduceat over uint64-parsed windows, like SimHash's) was
+    # measured ~2x faster on the signature pass, but a Python-UDF-produced
+    # column cannot feed the downstream LSH Generate/self-join tree —
+    # Catalyst re-inlines the UDF into the generator input, where the
+    # interpreted evaluator cannot run it (INTERNAL_ERROR: Cannot evaluate
+    # PythonUDF). Expression form keeps the whole dedup plan JVM-side.
 
     # arity-1 lambda factory — see the note in minhash_signature: a
     # `lambda d, j=j:` spelling would bind j to the array index column.
@@ -261,16 +268,20 @@ def lsh_candidate_pairs_md5(
     if sig_len % bands:
         raise ValueError(f"sig_len {sig_len} not divisible by bands {bands}")
     rpb = sig_len // bands
-    banded = df.select(
+    # band count is static, so the band hashes unroll to plain expressions
+    # (no higher-order lambda): the signature column may come from an
+    # Arrow-batched kernel, and Python-UDF outputs cannot be referenced
+    # inside an interpreted HOF lambda — Catalyst's UDF extraction only
+    # rewrites non-lambda expression trees.
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.slice(F.col(sig_col), b * rpb + 1, rpb)))
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(F.col(id_col), band_hashes.alias("_bands")).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws("|", F.slice(F.col(sig_col), b * rpb + 1, rpb))
-                ),
-            )
-        ).alias("band", "bucket"),
+        F.posexplode("_bands").alias("band", "bucket"),
     )
     left, right = banded.alias("l"), banded.alias("r")
     return (
