@@ -1349,3 +1349,55 @@ def q_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NOT_IN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_daily_kpis
+# ---------------------------------------------------------------------------
+
+_DAILY_KPIS_SQL = """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS dau,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+               AS revenue,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS purchase_per_view
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query("q_daily_kpis", oracle=_DAILY_KPIS_SQL)
+def q_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical daily dashboard rollup in ONE pass: event volume,
+    DAU (exact distinct), decimal-exact purchase revenue, error count,
+    and purchase-per-view ratio — five conditional aggregates sharing a
+    single groupBy(day) scan instead of five separate queries. At 100 TB
+    the only non-trivial member is the exact DAU (distinct shuffle); the
+    documented swap is approx_count_distinct or the mergeable HLL
+    sketches of q_hll_sketch_merge when the rollup must re-aggregate to
+    weeks/months without rescans.
+    """
+    ev = load(spark, sf_dir, "events")
+    typ = F.col("event_type")
+    zero = F.lit(0).cast("decimal(18,2)")
+    purchase_val = F.when(typ == "purchase", F.col("value").cast("decimal(18,2)")).otherwise(zero)
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("dau"),
+            F.round(F.sum(purchase_val), 2).cast("double").alias("revenue"),
+            F.sum((typ == "error").cast("int")).alias("n_errors"),
+            F.round(
+                F.sum((typ == "purchase").cast("int"))
+                / F.sum((typ == "view").cast("int")).cast("double"),
+                6,
+            ).alias("purchase_per_view"),
+        )
+    )

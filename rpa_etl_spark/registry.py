@@ -116,6 +116,7 @@ PRIORITY_ORDER = [
     "q_set_ops_all",
     "q_try_arith",
     "q_not_in_null_semantics",
+    "q_daily_kpis",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
