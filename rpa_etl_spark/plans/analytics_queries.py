@@ -1401,3 +1401,39 @@ def q_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_per_view"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_percentile_disc
+# ---------------------------------------------------------------------------
+
+_PCT_DISC_SQL = """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("q_percentile_disc", oracle=_PCT_DISC_SQL)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles: the smallest actual data value whose
+    cumulative fraction reaches p — always a real observation, never the
+    interpolated midpoint the continuous variant (q_quantiles) returns.
+    The distinction matters whenever the value must exist (an actual
+    latency sample, an actual price). Spark has no percentile_disc
+    aggregate, so the standard formulation is cume_dist over a
+    per-group-ordered window, then the min value at or past each
+    threshold — one partitioned sort, three thresholds from the same
+    pass; DuckDB's native quantile_disc is the independent check.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    cd = ev.withColumn("cd", F.cume_dist().over(w))
+    aggs = [
+        F.min(F.when(F.col("cd") >= p, F.col("value"))).alias(name)
+        for p, name in ((0.25, "p25"), (0.50, "p50"), (0.90, "p90"))
+    ]
+    return cd.groupBy("event_type").agg(*aggs)

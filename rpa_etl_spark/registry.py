@@ -117,6 +117,7 @@ PRIORITY_ORDER = [
     "q_try_arith",
     "q_not_in_null_semantics",
     "q_daily_kpis",
+    "q_percentile_disc",
     # -- tier 1c: new but semantically near already-green queries ------
     "q_user_totals_state",
     "q_array_agg",
