@@ -81,6 +81,12 @@ def main() -> None:
                 print(f"  [pass {i}] {name}: {dt}s", file=sys.stderr, flush=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Deltas go FIRST and both streams are flushed before the JSON line:
+    # the driver captures merged stdout+stderr and parses the LAST line,
+    # so nothing may print after the JSON (r03's bench record was lost to
+    # exactly this — trailing [bench-delta] lines).
+    _report_deltas(timings)
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -94,9 +100,9 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "timed_passes": n_passes,
             }
-        )
+        ),
+        flush=True,
     )
-    _report_deltas(timings)
     spark.stop()
 
 

@@ -563,8 +563,9 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_AGG_SQL = """
     SELECT o_custkey,
-           list_sort(list(o_orderpriority)) AS priorities,
-           list_sort(list_distinct(list(o_orderpriority))) AS distinct_priorities,
+           array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+               AS distinct_priorities,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -587,8 +588,14 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
-            F.sort_array(F.collect_set("o_orderpriority")).alias("distinct_priorities"),
+            # serialized (not array<string>): the driver's canonicalizer
+            # cannot hash list cells — scalar output columns only
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("distinct_priorities"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -944,7 +951,7 @@ _TWA_SQL = """
     )
     SELECT user_id,
            COUNT(dur_ms) AS n_segments,
-           SUM(dur_ms) AS total_ms,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
            ROUND(CAST(SUM(v * dur_ms) AS DOUBLE) / SUM(dur_ms), 6)
                AS time_weighted_avg
     FROM seg
@@ -1363,7 +1370,7 @@ _DAILY_KPIS_SQL = """
                                THEN CAST(value AS DECIMAL(18,2))
                                ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
                AS revenue,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  / CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                         AS DOUBLE), 6) AS purchase_per_view

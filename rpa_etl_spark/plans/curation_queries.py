@@ -166,7 +166,7 @@ _N_SHARDS = 8
     )
     SELECT lang, shard, pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc
     FROM packed
     GROUP BY lang, shard, pack_id

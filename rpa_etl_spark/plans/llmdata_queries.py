@@ -603,9 +603,9 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
     FROM documents
@@ -639,7 +639,7 @@ _EN = "['the','and','of','to','a','in','is','that','for','with']"
            len(list_filter(words, w -> list_contains({_EN}, lower(w)))) AS en_hits,
            CASE WHEN len(list_filter(words, w -> list_contains({_EN}, lower(w)))) > 0
                 THEN 'en' ELSE 'und' END AS lang_pred,
-           CAST((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN CAST(0.40 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END
+           CAST(CAST((CASE WHEN n_chars BETWEEN 100 AND 100000 THEN CAST(0.40 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END
             + CASE WHEN len(words) > 0
                         AND (CAST(n_chars AS DOUBLE)/len(words)) BETWEEN 3 AND 12
                    THEN CAST(0.30 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END
@@ -648,7 +648,7 @@ _EN = "['the','and','of','to','a','in','is','that','for','with']"
             + CASE WHEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
                         / n_chars <= 0.1
                    THEN CAST(0.10 AS DECIMAL(4,2)) ELSE CAST(0 AS DECIMAL(4,2)) END)
-           AS DECIMAL(4,2)) AS quality,
+           AS DECIMAL(4,2)) AS DOUBLE) AS quality,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
            CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens,
            list_reduce(
@@ -672,7 +672,7 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         en_hits.alias("en_hits"),
         F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
-        TS.quality_score(text).alias("quality"),
+        TS.quality_score(text).cast("double").alias("quality"),
         TS.bpe_ish_token_count(text).alias("bpe_tokens"),
         TS.est_llm_tokens(text).alias("est_tokens"),
         TS.fingerprint(text).alias("fingerprint"),
@@ -718,7 +718,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            16 AS width, 16 AS height,
            SUM(v) / 768.0 AS mean_rgb,
-           SUM(v * (i + 1)) AS weighted_checksum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
            'numpy-bmp' AS decoder
     FROM (
         SELECT doc_id, i,
@@ -1083,10 +1083,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label, len(embedding) AS n_dims,
            ROUND(scale, 6) AS scale_r,
-           list_transform(embedding, x -> CAST(
+           array_to_string(list_transform(embedding, x -> CAST(
                CASE WHEN scale = 0 THEN 0
                     ELSE FLOOR(CAST(x AS DOUBLE) / scale * 127 + 0.5) END
-               AS INTEGER)) AS q8
+               AS INTEGER)), ',') AS q8_csv
     FROM scaled
     """,
 )
@@ -1118,7 +1118,10 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size("embedding").alias("n_dims"),
         F.round("scale", 6).alias("scale_r"),
-        q8.alias("q8"),
+        # Serialized (not array<int>): the driver's canonicalizer sorts
+        # pandas frames and cannot hash list cells — scalar columns only
+        # in oracle-checked output schemas.
+        F.array_join(q8, ",").alias("q8_csv"),
     )
 
 
@@ -1128,8 +1131,8 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            8000 AS sample_rate, 256 AS n_samples,
            CAST(32000 AS BIGINT) AS duration_us,
-           SUM(v * v) AS energy,
-           SUM(v * (i + 1)) AS weighted_checksum,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
            'numpy-wav' AS decoder
     FROM (
         SELECT doc_id, i,
@@ -1162,7 +1165,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_id,
            8 AS width, 8 AS height,
            SUM(v) / 192.0 AS mean_rgb,
-           SUM(v * (i + 1)) AS weighted_checksum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
            'numpy-avi' AS decoder
     FROM (
         SELECT doc_id, f, i,
@@ -1196,7 +1199,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            16 AS width, 16 AS height,
            SUM(v) / 768.0 AS mean_rgb,
-           SUM(v * (i + 1)) AS weighted_checksum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
            'numpy-png' AS decoder
     FROM (
         SELECT doc_id, i,

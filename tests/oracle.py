@@ -1,58 +1,144 @@
-"""Local replica of the driver's DuckDB-oracle comparison.
+"""Local replica of the driver's DuckDB-oracle comparison — TYPE-EXACT.
 
 Runs a declared Spark query and its oracle SQL side-by-side and asserts
-row-count, column-name, and order-insensitive value equality. Used by the
-test suite so every `queries()` entry is gated locally before the driver
-sees it.
+row-count, column-name, and order-insensitive, dtype-faithful value
+equality. The round-3 verdict showed the old float-rounding replica hid
+three driver-red bug classes (DuckDB HUGEINT → float64 vs Spark int64;
+DECIMAL objects vs float64; unhashable array cells), so this version
+canonicalizes every cell to a (type-class, exact-repr) pair the way the
+driver's pandas hash layer effectively does:
+
+- int64 123 ≠ float64 123.0 ≠ Decimal('123')   (the r03 failure class)
+- floats compare by exact IEEE bits (float.hex), no rounding
+- temporal values normalize to a full ISO timestamp (DuckDB fetches DATE
+  as a midnight Timestamp; Spark fetches DateType as datetime.date —
+  both render "YYYY-MM-DDT00:00:00", which is what the driver's green
+  verdicts on date-output queries imply it does too)
+- list/dict/ndarray cells RAISE — the driver's canonicalizer cannot sort
+  them (r03 q_embedding_quantize crash), so they are rejected here at
+  test time before the driver ever sees them.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
+from decimal import Decimal
 from typing import Any
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from rpa_etl_spark.tables import TABLE_NAMES
 
 
-def run_oracle(sql: str, sf_dir: str) -> list[tuple]:
+def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], "pd.DataFrame"]:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    pdf = con.execute(sql).df()
     con.close()
-    return cols, rows
+    return list(pdf.columns), pdf
 
 
-def _norm(v: Any) -> Any:
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
-    return v
+_TEMPORAL = "temporal"
 
 
-def _canon(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+def _cell_class_and_repr(v: Any) -> tuple[str, str]:
+    """Canonical (type-class, exact-repr) for one cell. Raises TypeError
+    on non-scalar cells (arrays/maps/structs must be serialized by the
+    query — the driver's canonicalizer cannot hash them)."""
+    if v is None or v is pd.NaT:
+        return ("null", "∅")
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        raise TypeError(
+            f"non-scalar cell of type {type(v).__name__} in oracle-checked "
+            "output — serialize arrays/maps (array_join / to_json) before "
+            "declaring the query"
+        )
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", str(bool(v)))
+    if isinstance(v, (int, np.integer)):
+        return ("int", str(int(v)))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("null", "∅") if _NAN_IS_NULL else ("float", "NaN")
+        return ("float", f.hex())
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    if isinstance(v, pd.Timestamp):
+        return (_TEMPORAL, v.isoformat())
+    if isinstance(v, _dt.datetime):
+        return (_TEMPORAL, v.isoformat())
+    if isinstance(v, _dt.date):
+        return (_TEMPORAL, _dt.datetime.combine(v, _dt.time()).isoformat())
+    raise TypeError(f"unsupported cell type {type(v).__name__} in oracle-checked output")
+
+
+# A float64 NaN in a fetched frame is how BOTH engines surface NULL in a
+# numeric column (pandas has no nullable int on this path), so NaN folds
+# to null for comparison. Spark can also emit a genuine NaN double, but
+# DuckDB fetches its NULLs as the same NaN — indistinguishable post-fetch,
+# and the driver faces the identical ambiguity.
+_NAN_IS_NULL = True
+
+
+def _column_class(cells: list[tuple[str, str]]) -> str:
+    classes = {c for c, _ in cells if c != "null"}
+    if not classes:
+        return "null"
+    if len(classes) > 1:
+        raise TypeError(f"mixed cell classes in one column: {sorted(classes)}")
+    return classes.pop()
+
+
+def canonicalize(cols: list[str], pdf: "pd.DataFrame") -> tuple[dict, list[tuple]]:
+    """Column-name-sorted, row-sorted frame of (class, repr) cells, plus
+    the per-column class map for dtype comparison."""
+    order = sorted(cols)
+    cells_by_col: dict[str, list[tuple[str, str]]] = {}
+    for c in order:
+        cells_by_col[c] = [_cell_class_and_repr(v) for v in pdf[c].tolist()]
+    classes = {c: _column_class(cells_by_col[c]) for c in order}
+    rows = [
+        tuple(cells_by_col[c][i] for c in order) for i in range(len(pdf))
+    ]
+    return classes, sorted(rows)
+
+
+def _spark_to_pandas(spark_df) -> tuple[list[str], "pd.DataFrame"]:
+    cols = spark_df.columns
+    rows = [tuple(r) for r in spark_df.collect()]
+    pdf = pd.DataFrame(rows, columns=cols)
+    return cols, pdf
 
 
 def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> None:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = run_oracle(oracle, sf_dir)
+    s_cols, s_pdf = _spark_to_pandas(spark_df)
+    d_cols, d_pdf = run_oracle(oracle, sf_dir)
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
-    assert len(s_rows) == len(d_rows), f"row counts differ: {len(s_rows)} vs {len(d_rows)}"
-    sc, dc = _canon(s_cols, s_rows), _canon(d_cols, d_rows)
-    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b]
-    assert not mismatches, f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    assert len(s_pdf) == len(d_pdf), f"row counts differ: {len(s_pdf)} vs {len(d_pdf)}"
+    s_classes, s_rows = canonicalize(s_cols, s_pdf)
+    d_classes, d_rows = canonicalize(d_cols, d_pdf)
+    type_diffs = {
+        c: (s_classes[c], d_classes[c])
+        for c in s_classes
+        if s_classes[c] != d_classes[c]
+        and "null" not in (s_classes[c], d_classes[c])
+    }
+    assert not type_diffs, (
+        "column TYPE mismatch (spark vs oracle) — the driver hashes these "
+        f"differently even when values are equal: {type_diffs}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, (
+        f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
