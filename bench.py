@@ -119,18 +119,23 @@ def _report_deltas(timings: dict[str, float]) -> None:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    if not prior_files:
-        return
-    try:
-        with open(prior_files[-1]) as f:
-            doc = json.load(f)
-        # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
-        prior = (doc.get("parsed") or doc).get("queries", {})
-    except (OSError, ValueError, AttributeError):
-        return
+    # walk back to the newest round whose record actually parsed —
+    # r03's driver record was `parsed: null`, which must not silence
+    # deltas for every later round
+    prior, name = {}, None
+    for path in reversed(prior_files):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
+            prior = (doc.get("parsed") or doc).get("queries", {})
+        except (OSError, ValueError, AttributeError):
+            continue
+        if prior:
+            name = os.path.basename(path)
+            break
     if not prior:
         return
-    name = os.path.basename(prior_files[-1])
     flagged = []
     for q, now in sorted(timings.items()):
         then = prior.get(q)

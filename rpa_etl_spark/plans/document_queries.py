@@ -197,6 +197,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            expected AS normalized,
+           strip_accents(expected) AS normalized_ascii,
            CAST(length(raw) AS INT) AS raw_len,
            CAST(length(expected) AS INT) AS norm_len,
            ROUND(1 - CAST(length(expected) AS DOUBLE) / length(raw), 2)
@@ -205,7 +206,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full P1-P8 normalization chain, hash-checked end-to-end: wrap every
+    """Full P1-P8 + P10 normalization chain, hash-checked end-to-end: wrap every
     document in a deterministic messy envelope (NBSP, CRLF, OCR digit
     splits, glued date+time, BR thousands dot, duplicate + noise lines —
     one trigger per chain stage), normalize, and return the normalized
@@ -230,9 +231,61 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         norm.alias("normalized"),
+        # P10 accent strip (reference parser.py:18-20) — the envelope's
+        # EMISSÃO exercises the fold; oracle side is strip_accents()
+        T.remove_accents(norm).alias("normalized_ascii"),
         F.length(raw).alias("raw_len"),
         F.length(norm).alias("norm_len"),
         F.round(F.lit(1) - F.length(norm) / F.length(raw), 2).alias(
             "reduction_ratio"
         ),
+    )
+
+
+@query(
+    "q_pdf_extract",
+    oracle="""
+    SELECT doc_id,
+           2 AS page_count,
+           'NOTA FISCAL DE SERVICOS' || chr(10)
+           || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'CNPJ: 04.252.011/0001-10' || chr(10)
+           || 'TOTAL: R$ 1.500,' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           || chr(10) || substr(text, 1, 64) AS extracted,
+           CAST(length('NOTA FISCAL DE SERVICOS' || chr(10)
+           || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
+           || 'CNPJ: 04.252.011/0001-10' || chr(10)
+           || 'TOTAL: R$ 1.500,' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           || chr(10) || substr(text, 1, 64)) AS INT) AS n_chars,
+           FALSE AS has_unicode_issues,
+           'minipdf' AS extraction_method
+    FROM documents
+    WHERE doc_id % 97 <> 0
+    """,
+)
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3 end-to-end, oracle-checked (reference robot/pdf_reader.py:
+    23-94 + api/dependencies.py:26-47): synthesize a REAL two-page PDF per
+    document (minipdf.write_pdf — alternating Flate-compressed and plain
+    content streams), run the ingress gates (every 97th row is non-PDF
+    bytes the `%PDF` magic gate must drop — observable in the row count),
+    extract text back with the pure-Python minipdf parser, and compare
+    against the page text the oracle reconstructs ANALYTICALLY from the
+    documents table — a writer/parser layout bug (stream offsets, escape
+    handling, page order, Flate framing) cannot round-trip past the
+    comparison. Plan: scan → mapInPandas(write) → filter → mapInPandas
+    (extract) — narrow chain end to end, zero shuffles at any scale."""
+    from rpa_etl_spark.sources import pdf as P
+
+    docs = load(spark, sf_dir, "documents")
+    extracted = P.extract_pdf_text(
+        P.validate_pdf_ingress(P.synth_invoice_pdfs(docs))
+    )
+    return extracted.select(
+        F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        "page_count",
+        F.col("text").alias("extracted"),
+        F.length("text").alias("n_chars"),
+        "has_unicode_issues",
+        "extraction_method",
     )

@@ -85,6 +85,8 @@ PRIORITY_ORDER = [
     "q_multimodal_audio",
     "q_multimodal_frames",
     "q_pack_sequences",
+    # -- 1d: new this round (round 4) — S1/S2/S3 PDF chain -------------
+    "q_pdf_extract",
     # == tier 2: re-confirmation battery (ever-green; ~20 driver slots
     #    remain) — reference soul first, then one representative per
     #    operator family =============================================

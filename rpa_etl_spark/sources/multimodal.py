@@ -6,10 +6,15 @@ struct, and every decode / feature-extract / resize / frame-sample step is
 an Arrow-batched ``mapInPandas`` stage so bytes cross the JVM↔Python
 boundary once per batch, not per row.
 
-The image/audio decode libraries are not in this container, so the decode
-kernels are STUBBED: real implementations raise NotImplementedError paths
-replaced by deterministic fakes (byte-derived), while the Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested.
+Decode kernels are REAL, dependency-free codecs (numpy + stdlib zlib):
+BMP, PNG (DEFLATE + all five filter types), baseline JPEG (DCT +
+length-limited Huffman; lossy, bounded-error-gated), WAV/PCM16, and
+uncompressed AVI — each pinned by spec-fixture unit tests and by
+oracle-checked declared queries (q_multimodal_decode/png/audio/frames)
+that recompute the expected pixels/samples from the generating formula,
+so container-layout bugs cannot round-trip past the comparison. Only the
+generic compressed-image fallback (arbitrary formats beyond these five)
+stays behind an optional PIL import with a NotImplementedError gate.
 """
 
 from __future__ import annotations

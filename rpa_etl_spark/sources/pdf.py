@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -70,6 +71,55 @@ def validate_pdf_ingress(df: DataFrame, max_bytes: int = MAX_UPLOAD_BYTES) -> Da
         (F.col("length") <= max_bytes)
         & (F.substring(F.col("content"), 1, 4) == F.lit(b"%PDF"))
     )
+
+
+SYNTH_PDF_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("length", LongType()),
+    ]
+)
+
+
+def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
+    """Build a REAL two-page invoice PDF per document row (minipdf.write_pdf)
+    so the S1/S2/S3 chain has an oracle-checkable surface without touching
+    the filesystem: page 1 is a deterministic invoice header, page 2 the
+    document's text prefix. Alternating rows compress their content streams
+    (FlateDecode) so both stream paths are exercised; every 97th row emits
+    non-PDF bytes that the S3 magic gate must reject. Arrow-batched 1→1
+    mapInPandas — narrow, scan-speed at any scale."""
+    from rpa_etl_spark.sources import minipdf
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 97 == 0:
+                    content = b"NOT A PDF: " + str(doc_id).encode()
+                else:
+                    pages = [
+                        [
+                            "NOTA FISCAL DE SERVICOS",
+                            f"DOC {doc_id}",
+                            "CNPJ: 04.252.011/0001-10",
+                            f"TOTAL: R$ 1.500,{doc_id % 100:02d}",
+                        ],
+                        [str(text)[:64]],
+                    ]
+                    content = minipdf.write_pdf(pages, compress=doc_id % 2 == 0)
+                rows.append(
+                    {
+                        "path": f"synth://documents/{doc_id}.pdf",
+                        "content": content,
+                        "length": len(content),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content", "length"])
+
+    return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -16,6 +16,8 @@ from tests.oracle import assert_matches_oracle
 registry.load_all_plans()
 
 # queries whose output embeds accumulated numerics or collections
+# (round 4 extended this to the r03 additions + the new PDF chain, per
+# the verdict's hardening ask)
 ORDER_SENSITIVE = [
     "q_agg_group",
     "q_agg_skew_salted",
@@ -26,6 +28,18 @@ ORDER_SENSITIVE = [
     "q_hll_sketch_merge",
     "q_user_totals_state",
     "q_stream_tumbling",
+    # r03 tail additions with accumulated numerics
+    "q_time_weighted_avg",
+    "q_daily_kpis",
+    "q_entropy",
+    "q_wordcount",
+    "q_mode",
+    "q_percentile_disc",
+    "q_event_sequence",
+    "q_pack_sequences",
+    "q_text_stats",
+    # round-4: PDF chain (mapInPandas batch boundaries must not matter)
+    "q_pdf_extract",
 ]
 
 

@@ -11,57 +11,7 @@ from rpa_etl_spark.sources import minipdf
 from rpa_etl_spark.sources import pdf as P
 
 
-def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
-    """Build a minimal valid PDF: catalog → pages → one content stream per
-    page showing each line with Tj/T*. Streams are FlateDecode-compressed
-    unless ``compress`` is False."""
-
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-
-    objects: list[bytes] = []
-    n_pages = len(pages)
-    kid_ids = [3 + 2 * i for i in range(n_pages)]
-    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
-    kids = " ".join(f"{k} 0 R" for k in kid_ids)
-    objects.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
-    )  # obj 2
-    font_id = 3 + 2 * n_pages
-    for i, lines in enumerate(pages):
-        content_id = kid_ids[i] + 1
-        objects.append(
-            (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Contents {content_id} 0 R "
-                f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>"
-            ).encode()
-        )
-        shows = " T* ".join(f"({esc(ln)}) Tj" for ln in lines)
-        stream = f"BT /F1 12 Tf 72 720 Td {shows} ET".encode("latin-1")
-        if compress:
-            data = zlib.compress(stream)
-            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
-        else:
-            data = stream
-            head = f"<< /Length {len(data)} >>".encode()
-        objects.append(head + b"\nstream\n" + data + b"\nendstream")
-    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n".encode()
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
-    return bytes(out)
+make_pdf = minipdf.write_pdf  # promoted into the package (round 4)
 
 
 # ---------------------------------------------------------------------------
