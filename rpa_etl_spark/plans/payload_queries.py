@@ -149,3 +149,84 @@ def q_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         ((F.col("o_orderkey") % 100) + F.col("s.stage_idx")).alias("duration_ms"),
     )
+
+
+@query(
+    "q_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS csv_cents,
+           CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS json_cents,
+           TRUE AS event_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 sinks, oracle-checked end-to-end: aggregate orders, write the
+    result through BOTH sinks — header-carrying CSV (K1, main.py:27-30)
+    and the JSON event contract (K2, orchestrator_models.py:51-66) — then
+    read both back and return the joined round-trip. A lossy writer
+    (header drop, type coercion, JSON field mangling, broken event_id
+    hash) cannot produce the analytically-recomputed oracle rows. Money
+    survives as integer cents (exact at any scale); `event_ok` re-verifies
+    the K2 envelope's content hash after the round-trip. Scratch lives
+    under the repo's spark-warehouse with overwrite mode — idempotent
+    across repeated driver/bench invocations."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from rpa_etl_spark.sources import sinks
+
+    # scratch keyed by scale factor: the returned DataFrame reads lazily,
+    # so a later call at another sf must not overwrite this one's files
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "sink_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("cents"))
+    )
+    agg_schema = StructType(
+        [
+            StructField("priority", StringType()),
+            StructField("n_orders", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    sinks.write_table(agg, os.path.join(base, "csv"), "csv")
+    sinks.write_table(
+        sinks.event_contract(agg, tenant="roundtrip"), os.path.join(base, "json"), "json"
+    )
+    csv_back = sinks.read_table(
+        spark, os.path.join(base, "csv"), "csv", schema=agg_schema
+    ).withColumnRenamed("cents", "csv_cents")
+    ev_schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("event_type", StringType()),
+            StructField("tenant_id", StringType()),
+            StructField("data", StringType()),
+        ]
+    )
+    ev = sinks.read_table(spark, os.path.join(base, "json"), "json", schema=ev_schema)
+    json_back = ev.select(
+        F.from_json("data", agg_schema).alias("d"),
+        (F.col("event_id") == F.sha2(F.col("data"), 256)).alias("event_ok"),
+    ).select(
+        F.col("d.priority").alias("priority"),
+        F.col("d.cents").alias("json_cents"),
+        "event_ok",
+    )
+    return csv_back.join(json_back, "priority").select(
+        "priority", "n_orders", "csv_cents", "json_cents", "event_ok"
+    )

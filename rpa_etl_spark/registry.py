@@ -85,8 +85,9 @@ PRIORITY_ORDER = [
     "q_multimodal_audio",
     "q_multimodal_frames",
     "q_pack_sequences",
-    # -- 1d: new this round (round 4) — S1/S2/S3 PDF chain -------------
+    # -- 1d: new this round (round 4) — S1/S2/S3 PDF chain + K1/K2 sinks
     "q_pdf_extract",
+    "q_sink_roundtrip",
     # == tier 2: re-confirmation battery (ever-green; ~20 driver slots
     #    remain) — reference soul first, then one representative per
     #    operator family =============================================
