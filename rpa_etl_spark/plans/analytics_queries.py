@@ -531,12 +531,20 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no expand) — same plan shape, bounded error, as exercised by
     q_approx_count_distinct.
     """
-    base = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    # rebalance before the multi-DISTINCT expand: the expand multiplies
+    # every input row by n_cols+1 BEFORE the partial aggregate, so its
+    # parallelism must track CPU, not input splits (a single-row-group
+    # scan is one task and would run the whole expand on one core)
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:

@@ -89,10 +89,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter of train gram hashes broadcast to pre-prune test grams;
     neither changes the semantics below.
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        D.word_shingles(F.col("text"), 5).alias("grams"),
-        (_bucket_col() < 80).alias("is_train"),
+    # rebalance before the 5-gram shingle kernel (CPU-bound; a
+    # single-row-group scan is one task — parallelism sized to CPU)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            D.word_shingles(F.col("text"), 5).alias("grams"),
+            (_bucket_col() < 80).alias("is_train"),
+        )
     )
     train = (
         docs.where("is_train")

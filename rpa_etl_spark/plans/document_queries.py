@@ -277,7 +277,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract) — narrow chain end to end, zero shuffles at any scale."""
     from rpa_etl_spark.sources import pdf as P
 
-    docs = load(spark, sf_dir, "documents")
+    # rebalance before the write/parse kernels: PDF synthesis and
+    # extraction are CPU-bound Python stages, so their parallelism must
+    # track CPU, not input splits (single-row-group scan = one task)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     extracted = P.extract_pdf_text(
         P.validate_pdf_ingress(P.synth_invoice_pdfs(docs))
     )

@@ -63,7 +63,12 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         # lineitem⋈orders is big-big at scale → shuffle hash join (AQE will
         # still broadcast at small SF); nation is a true dim → broadcast hint.
+        # The explicit repartition on the join key is the join's required
+        # distribution anyway (free at scale — the SMJ/SHJ shuffle subsumes
+        # it) and decouples the filter+decimal compute from scan split
+        # count (a single-row-group file scans as one task).
         lineitem.where(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))

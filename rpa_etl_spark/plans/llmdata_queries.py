@@ -77,8 +77,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard similarity for near-dup pairs (bounded-window
     candidates so the oracle form stays linear; the unbounded form goes
     through MinHash-LSH candidates instead)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("grams")
+    # rebalance before the shingle kernel (CPU-bound; single-row-group
+    # scans are one task — see q_dedup_minhash)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("grams"))
     )
     # band ids by the window size → equi hash join on (lang, bucket)
     # instead of an all-pairs BroadcastNestedLoopJoin (see
@@ -165,22 +170,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hash-compared. The xxhash64 family (minhash_signature) remains the
     faster default for production corpora; recall gates in
     tests/test_llmdata.py cover it."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", D.word_shingles(F.col("text"), 3).alias("grams")
-    )
-    signed = (
-        docs.where(F.size("grams") > 0)
-        .select(
-            "doc_id",
-            "grams",
-            D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
-        )
+    # rebalance BEFORE the CPU-bound shingle+md5 kernel: parallelism for a
+    # compute-heavy stage must be sized to CPU, not to input splits (a
+    # single-row-group file scans as ONE task — the whole signature pass
+    # would run on one core). Keyed by doc_id so the exchange also serves
+    # as the shared barrier for the three downstream consumers (banding,
+    # both gram-join sides) — one shuffle, reused, instead of re-scanning
+    # the corpus per consumer. Same reasoning at 100 TB.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", D.word_shingles(F.col("text"), 3).alias("grams"))
     )
-    # ^ shuffle barrier: the shingle+signature pass feeds three consumers
-    # (banding, both gram-join sides); materializing it once behind an
-    # exchange beats recomputing the corpus scan per consumer — same
-    # reasoning at 100 TB, where the re-scan is the dominant cost.
+    signed = docs.where(F.size("grams") > 0).select(
+        "doc_id",
+        "grams",
+        D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
+    )
     pairs = D.lsh_candidate_pairs_md5(
         signed.select("doc_id", "minhash"), bands=8, sig_len=16
     )
@@ -268,8 +275,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes signatures, prefix buckets, and Hamming distances
     bit-for-bit. The vectorized xxhash64+numpy variant (simhash64)
     remains the production default, gated by determinism tests."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", D.simhash60_md5(TS.tokens(F.col("text"))).alias("sig")
+    # rebalance before the CPU-bound per-token md5 fold (see
+    # q_dedup_minhash — parallelism sized to CPU, not input splits)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", D.simhash60_md5(TS.tokens(F.col("text"))).alias("sig"))
     )
     # shuffle barrier keyed by the join bucket: the pandas_udf signature
     # pass materializes once and both self-join sides read the exchange.

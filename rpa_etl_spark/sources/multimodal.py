@@ -308,7 +308,13 @@ def attach_bmp_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_field).mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel: encode/decode is CPU-bound, so
+    # parallelism must track CPU, not input splits (a single-row-group
+    # scan is one task and would run the whole codec pass on one core)
+    spread = df.select(id_field).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(kernel, schema=schema)
 
 
 BMP_FEATURES_SCHEMA = StructType(
@@ -459,7 +465,13 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_field).mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel: encode/decode is CPU-bound, so
+    # parallelism must track CPU, not input splits (a single-row-group
+    # scan is one task and would run the whole codec pass on one core)
+    spread = df.select(id_field).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(kernel, schema=schema)
 
 
 WAV_FEATURES_SCHEMA = StructType(
@@ -634,7 +646,13 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_field).mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel: encode/decode is CPU-bound, so
+    # parallelism must track CPU, not input splits (a single-row-group
+    # scan is one task and would run the whole codec pass on one core)
+    spread = df.select(id_field).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(kernel, schema=schema)
 
 
 AVI_FRAME_FEATURES_SCHEMA = StructType(
@@ -821,7 +839,13 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_field).mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel: encode/decode is CPU-bound, so
+    # parallelism must track CPU, not input splits (a single-row-group
+    # scan is one task and would run the whole codec pass on one core)
+    spread = df.select(id_field).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(kernel, schema=schema)
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:
