@@ -589,7 +589,14 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     as cosine_near_dup_pairs — no BroadcastNestedLoopJoin). The edit
     distance runs only on candidate pairs, which is the rule at scale:
     blocking first, expensive string metric second."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # fan the probe side out before the broadcast join: a single-row-group
+    # scan is one task, and AQE's broadcast strategy would run the whole
+    # candidate generation + edit-distance pass on that one core
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     window = 20
     a = cust.select(
         F.col("c_custkey").alias("id_a"),
@@ -605,8 +612,15 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "bucket")
         .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= window))
-        .select("id_a", "id_b", F.levenshtein("n_a", "n_b").alias("lev"))
-        .where(F.col("lev") <= 2)
+        # cheap necessary condition first: lev <= 2 implies the lengths
+        # differ by at most 2, so the O(len^2) metric runs only on
+        # length-compatible candidates (same output, oracle unchanged)
+        .where(F.abs(F.length("n_a") - F.length("n_b")) <= 2)
+        # bounded edit distance: the threshold form abandons a row as soon
+        # as the distance must exceed 2 (returns -1), turning the O(n*m)
+        # DP into O(n*threshold) — kept rows carry the exact distance
+        .select("id_a", "id_b", F.levenshtein("n_a", "n_b", 2).alias("lev"))
+        .where((F.col("lev") >= 0) & (F.col("lev") <= 2))
     )
 
 

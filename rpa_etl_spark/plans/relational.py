@@ -383,6 +383,12 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds — a false gate hash-mismatches against the oracle's TRUE."""
     return (
         load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_partkey")
+        # rebalance before the mixed exact/approx distinct: the expand
+        # doubles every row ahead of the partial aggregate, so its
+        # parallelism must track CPU, not input splits (single-row-group
+        # scan = one task)
+        .repartition(spark.sparkContext.defaultParallelism)
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
