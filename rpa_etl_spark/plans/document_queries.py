@@ -100,7 +100,14 @@ def build_invoice_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower to codegen. As a named column it is computed once per row.
     orders = orders.select(
         "o_orderkey", "o_custkey", "o_orderdate", _br_total_col().alias("_total_br")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ rebalance BEFORE the text construction: the concat/format chain is
+    # CPU-bound, and a single-row-group scan is one task — constructing on
+    # one core cost ~1.1 s of the query at sf0.1. The Arrow parse kernel
+    # is the construction's only consumer, so no anti-re-inline barrier is
+    # needed between construction and parse (the column-expression parser,
+    # which has ~11 consumers and DOES need one, is exercised only by the
+    # sf0.001 equivalence test where re-inlining is negligible).
     total_br = F.col("_total_br")
     issuer_cnpj_raw = F.when(
         F.col("o_orderkey") % 2 == 0, F.lit(_VALID_ISSUER)
@@ -120,16 +127,7 @@ def build_invoice_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("VALOR TOTAL DA NOTA"),
         F.concat(F.lit("R$ "), total_br),
     )
-    # barrier: materialize the CONSTRUCTED text before the parser fans out
-    # (~11 consumers for the column form — regexp_instr positions, block
-    # slices, date/key scans; one mapInPandas consumer for the Arrow form,
-    # where the barrier instead balances the Python workers). Without it
-    # Catalyst re-inlines the whole construction into every consumer
-    # (measured 5× slower on the column form). A corpus read from parquet
-    # doesn't need this — attribute refs are free to repeat.
-    return orders.select("o_orderkey", text.alias("text")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return orders.select("o_orderkey", text.alias("text"))
 
 
 def _flatten_parsed(parsed: DataFrame) -> DataFrame:
@@ -215,7 +213,11 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so any chain divergence — P4 polarity, P6 whitelist, strip semantics —
     is a hash mismatch, not just a row-count wobble. Narrow one-stage plan,
     no shuffle at any scale."""
-    docs = load(spark, sf_dir, "documents")
+    # rebalance before the P1-P8 regex chain — the heaviest per-row
+    # column work in the repo (single-row-group scan = one task)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     dd = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
     raw = F.concat(
         F.lit("NOTA FISCAL   DE  SERVICOS\r\n"),

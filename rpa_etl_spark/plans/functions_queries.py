@@ -203,7 +203,11 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON battery (reference S4 context parse, K2 event serialization,
     R5 round-trip): get_json_object + from_json + to_json."""
-    ev = load(spark, sf_dir, "events")
+    # rebalance before the per-row JSON parse (single-row-group scan is
+    # one task; parsing is CPU-bound)
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),

@@ -66,7 +66,11 @@ def _synthetic_cnpj(key: Column) -> Column:
 def q_cnpj_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V2 CNPJ mod-11 validation as a pure column expression; the oracle
     re-implements the checksum independently in DuckDB SQL."""
-    cust = load(spark, sf_dir, "customer")
+    # rebalance before the checksum/regex column work (single-row-group
+    # scan = one task; parallelism sized to CPU)
+    cust = load(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cnpj = _synthetic_cnpj(F.col("c_custkey"))
     valid = V.cnpj_is_valid(cnpj)
     return cust.select(
@@ -145,11 +149,14 @@ _NFE_KEY43_SQL = """
 def q_nfe_key_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 NF-e 44-digit access-key validation; DV math cross-checked against
     an independent DuckDB implementation."""
-    orders = load(spark, sf_dir, "orders")
+    # rebalance before the CPU-bound key construction (single-row-group
+    # scan = one task), then barrier after it: the constructed key feeds
+    # 3 consumers (echo, full validation, DV recompute) — materialize
+    # once instead of letting Catalyst inline the construction into each
+    orders = load(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     key = _synthetic_nfe_key(F.col("o_orderkey"))
-    # barrier: the constructed key feeds 3 consumers (echo, full validation,
-    # DV recompute) — materialize once instead of letting Catalyst inline
-    # the construction into each
     base = orders.select("o_orderkey", key.alias("nfe_key")).repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -231,7 +238,11 @@ def q_nfe_key_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_monetary_br(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V4 monetary validation: BR/US separator normalization, guarded decimal
     parse, range + 2-dp gates, BR reformat (validators.py:239-357)."""
-    orders = load(spark, sf_dir, "orders")
+    # rebalance before the regex/decimal column chain (single-row-group
+    # scan = one task; parallelism sized to CPU)
+    orders = load(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
     int_str = F.expr(
         "CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) div 100 AS STRING)"
