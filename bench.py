@@ -84,8 +84,12 @@ def main() -> None:
     # Deltas go FIRST and both streams are flushed before the JSON line:
     # the driver captures merged stdout+stderr and parses the LAST line,
     # so nothing may print after the JSON (r03's bench record was lost to
-    # exactly this — trailing [bench-delta] lines).
-    _report_deltas(timings)
+    # exactly this — trailing [bench-delta] lines). The report is
+    # best-effort: no exception in it may ever suppress the JSON contract.
+    try:
+        _report_deltas(timings)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench-delta] report failed: {e}", file=sys.stderr)
     sys.stderr.flush()
     print(
         json.dumps(

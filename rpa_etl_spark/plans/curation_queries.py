@@ -306,11 +306,11 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every weight derives from exact integer token sums; the two divisions
     are written with the IDENTICAL association on both engines, so the
-    doubles are bit-equal. The grand total rides a single-row broadcast
-    equi-join on a constant key — a BroadcastHashJoin, not a cartesian or
-    an unpartitioned window, so the plan passes the global scale gates
-    and stays shaped correctly when `dom` has thousands of domains at
-    100 TB (the per-domain aggregate is the only real shuffle).
+    doubles are bit-equal. The grand totals ride uncorrelated SCALAR
+    SUBQUERIES (executed once, result inlined) — not a join and not an
+    unpartitioned window, so the plan passes the global scale gates and
+    stays shaped correctly when `dom` has thousands of domains at 100 TB
+    (the per-domain aggregate is the only real shuffle).
     """
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     # grand totals ride UNCORRELATED SCALAR SUBQUERIES (executed once,

@@ -247,22 +247,31 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pdf_extract",
     oracle="""
+    WITH syn AS (
+        SELECT doc_id,
+               trim(regexp_replace(substr(text, 1, 64),
+                                   '[ \t\n\r\f\v]+', ' ', 'g')) AS prefix
+        FROM documents
+        WHERE doc_id % 97 <> 0
+    ),
+    expect AS (
+        SELECT doc_id,
+               'NOTA FISCAL DE SERVICOS' || chr(10)
+               || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'CNPJ: 04.252.011/0001-10' || chr(10)
+               || 'TOTAL: R$ 1.500,'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || CASE WHEN prefix = '' THEN ''
+                       ELSE chr(10) || prefix END AS extracted
+        FROM syn
+    )
     SELECT doc_id,
            2 AS page_count,
-           'NOTA FISCAL DE SERVICOS' || chr(10)
-           || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
-           || 'CNPJ: 04.252.011/0001-10' || chr(10)
-           || 'TOTAL: R$ 1.500,' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-           || chr(10) || substr(text, 1, 64) AS extracted,
-           CAST(length('NOTA FISCAL DE SERVICOS' || chr(10)
-           || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
-           || 'CNPJ: 04.252.011/0001-10' || chr(10)
-           || 'TOTAL: R$ 1.500,' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-           || chr(10) || substr(text, 1, 64)) AS INT) AS n_chars,
+           extracted,
+           CAST(length(extracted) AS INT) AS n_chars,
            FALSE AS has_unicode_issues,
            'minipdf' AS extraction_method
-    FROM documents
-    WHERE doc_id % 97 <> 0
+    FROM expect
     """,
 )
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +297,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     extracted = P.extract_pdf_text(
-        P.validate_pdf_ingress(P.synth_invoice_pdfs(docs))
+        P.validate_pdf_ingress(P.synth_invoice_pdfs(docs)),
+        force_minipdf=True,  # oracle encodes minipdf's exact layout
     )
     return extracted.select(
         F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long").alias("doc_id"),

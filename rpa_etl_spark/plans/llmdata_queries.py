@@ -170,23 +170,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hash-compared. The xxhash64 family (minhash_signature) remains the
     faster default for production corpora; recall gates in
     tests/test_llmdata.py cover it."""
-    # rebalance BEFORE the CPU-bound shingle+md5 kernel: parallelism for a
-    # compute-heavy stage must be sized to CPU, not to input splits (a
-    # single-row-group file scans as ONE task — the whole signature pass
-    # would run on one core). Keyed by doc_id so the exchange also serves
-    # as the shared barrier for the three downstream consumers (banding,
-    # both gram-join sides) — one shuffle, reused, instead of re-scanning
-    # the corpus per consumer. Same reasoning at 100 TB.
+    # Two exchanges, each earning its keep at any scale:
+    # 1. BEFORE the shingle+md5 kernel — parallelism for a compute-heavy
+    #    stage must track CPU, not input splits (a single-row-group file
+    #    scans as ONE task, which would run the whole signature pass on
+    #    one core);
+    # 2. AFTER it, keyed by doc_id — the signed corpus feeds three
+    #    consumers (banding, both gram-join sides), and without a barrier
+    #    each would re-run the shingle/signature projection post-shuffle.
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", D.word_shingles(F.col("text"), 3).alias("grams"))
     )
-    signed = docs.where(F.size("grams") > 0).select(
-        "doc_id",
-        "grams",
-        D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
+    signed = (
+        docs.where(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            "grams",
+            D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     pairs = D.lsh_candidate_pairs_md5(
         signed.select("doc_id", "minhash"), bands=8, sig_len=16

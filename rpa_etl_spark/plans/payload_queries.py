@@ -203,10 +203,20 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("cents", LongType()),
         ]
     )
-    sinks.write_table(agg, os.path.join(base, "csv"), "csv")
-    sinks.write_table(
-        sinks.event_contract(agg, tenant="roundtrip"), os.path.join(base, "json"), "json"
-    )
+    # the aggregate feeds two write actions — persist so orders is
+    # scanned/aggregated once, not once per sink (NOTE: calling this
+    # query fn EXECUTES both writes eagerly; the returned DataFrame then
+    # reads the written files lazily)
+    agg = agg.persist()
+    try:
+        sinks.write_table(agg, os.path.join(base, "csv"), "csv")
+        sinks.write_table(
+            sinks.event_contract(agg, tenant="roundtrip"),
+            os.path.join(base, "json"),
+            "json",
+        )
+    finally:
+        agg.unpersist()
     csv_back = sinks.read_table(
         spark, os.path.join(base, "csv"), "csv", schema=agg_schema
     ).withColumnRenamed("cents", "csv_cents")

@@ -92,6 +92,8 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     mapInPandas — narrow, scan-speed at any scale."""
     from rpa_etl_spark.sources import minipdf
 
+    import re as _re
+
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -100,6 +102,14 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
                 if doc_id % 97 == 0:
                     content = b"NOT A PDF: " + str(doc_id).encode()
                 else:
+                    # single-line ASCII-whitespace-collapsed prefix: the
+                    # extractor normalizes newline runs per page, so the
+                    # page text must be newline-free for the analytic
+                    # oracle to stay a verbatim substring expression
+                    # (oracle mirrors this exact collapse+trim)
+                    prefix = _re.sub(
+                        r"[ \t\n\r\f\v]+", " ", str(text)[:64]
+                    ).strip()
                     pages = [
                         [
                             "NOTA FISCAL DE SERVICOS",
@@ -107,7 +117,7 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
                             "CNPJ: 04.252.011/0001-10",
                             f"TOTAL: R$ 1.500,{doc_id % 100:02d}",
                         ],
-                        [str(text)[:64]],
+                        [prefix],
                     ]
                     content = minipdf.write_pdf(pages, compress=doc_id % 2 == 0)
                 rows.append(
@@ -122,20 +132,34 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
-def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batch(
+    batches: Iterator[pd.DataFrame], *, force_minipdf: bool = False
+) -> Iterator[pd.DataFrame]:
     """Arrow-batched extraction kernel. PyMuPDF when available (full format
     coverage), else the built-in pure-Python ``minipdf`` extractor — a real
     decoder for the common machine-generated class (unencrypted, Flate or
-    plain content streams, simple fonts), not a fake."""
-    try:
-        import fitz  # PyMuPDF — optional; minipdf below covers the common case
+    plain content streams, simple fonts), not a fake.
+
+    ``force_minipdf`` pins the pure-Python extractor regardless of what is
+    importable — required by oracle-checked callers (q_pdf_extract), whose
+    expected text encodes minipdf's exact line-joining layout; PyMuPDF's
+    ``get_text()`` formats differently and would hash-mismatch."""
+    if force_minipdf:
+        fitz = None
+    else:
+        try:
+            import fitz  # PyMuPDF — optional; minipdf covers the common case
+        except ImportError:
+            fitz = None
+
+    if fitz is not None:
 
         def extract(content: bytes) -> tuple[str, int, str]:
             with fitz.open(stream=content, filetype="pdf") as doc:
                 text = "\n".join(page.get_text() for page in doc)
                 return text, doc.page_count, "pymupdf"
 
-    except ImportError:
+    else:
         from rpa_etl_spark.sources import minipdf
 
         def extract(content: bytes) -> tuple[str, int, str]:
@@ -161,10 +185,16 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=[f.name for f in PDF_EXTRACTION_SCHEMA.fields])
 
 
-def extract_pdf_text(df: DataFrame) -> DataFrame:
-    """S1/S2 — binary → PDFExtractionResult rows via mapInPandas."""
+def extract_pdf_text(df: DataFrame, *, force_minipdf: bool = False) -> DataFrame:
+    """S1/S2 — binary → PDFExtractionResult rows via mapInPandas. Pass
+    ``force_minipdf=True`` from oracle-checked callers (the expected text
+    encodes minipdf's exact layout; an incidentally-installed PyMuPDF
+    must not change the result)."""
+    import functools
+
+    kernel = functools.partial(_extract_batch, force_minipdf=force_minipdf)
     return df.select("path", "content").mapInPandas(
-        _extract_batch, schema=PDF_EXTRACTION_SCHEMA
+        kernel, schema=PDF_EXTRACTION_SCHEMA
     )
 
 

@@ -8,7 +8,9 @@ impossible to re-introduce:
 
 1. DuckDB logical-type audit (no Spark needed): every oracle's bound
    output schema must contain no HUGEINT and no LIST/STRUCT/MAP column.
-2. Spark output-schema audit (plan only, no execution): every
+2. Spark output-schema audit (reads `.schema`, which is analysis-only
+   for every query except q_sink_roundtrip — that one executes its sink
+   writes as a side effect of construction, by design): every
    oracle-checked query's DataFrame schema must contain no
    ArrayType/MapType/StructType at top level.
 

@@ -138,3 +138,63 @@ def test_pdf_size_gate(spark, tmp_path):
     df = P.read_pdf_files(spark, str(tmp_path))
     assert P.validate_pdf_ingress(df, max_bytes=50).count() == 0
     assert P.validate_pdf_ingress(df, max_bytes=10_000).count() == 1
+
+
+def test_pdf_corpus_invariants_for_declared_query(sf_dir):
+    """q_pdf_extract's writer encodes page text as latin-1 and its oracle
+    mirrors an ASCII whitespace-collapse; both assumptions must hold for
+    the corpus or the driver comparison silently diverges. Pin them here
+    so a fixture change fails THIS test loudly instead."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    for (text,) in rows:
+        prefix = text[:64]
+        # latin-1 encodable (write_pdf literal strings are latin-1)
+        prefix.encode("latin-1")
+        # Python's \s on str is unicode-aware while DuckDB RE2's is ASCII;
+        # the kernel/oracle collapse stays equivalent only while the
+        # prefix has no non-ASCII whitespace
+        assert not any(
+            ch.isspace() and ch not in " \t\n\r\f\v" for ch in prefix
+        ), f"non-ASCII whitespace in doc prefix: {prefix!r}"
+
+
+def test_q_pdf_extract_handles_messy_prefixes(spark):
+    """Newline runs / leading-trailing whitespace in the first 64 chars
+    must round-trip the write→gate→extract chain to the same value the
+    analytic oracle form predicts (collapse + trim, empty folds away)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "line one\n\nline two\n",
+                    "   leading and trailing   ",
+                    " \n \n ",  # collapses to empty -> page dropped
+                ],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in P.extract_pdf_text(
+            P.validate_pdf_ingress(P.synth_invoice_pdfs(docs)),
+            force_minipdf=True,
+        )
+        .withColumn(
+            "doc_id", F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long")
+        )
+        .collect()
+    }
+    assert out[1]["text"].endswith("\nline one line two")
+    assert out[2]["text"].endswith("\nleading and trailing")
+    assert out[3]["text"].endswith("TOTAL: R$ 1.500,03")  # no trailing page
+    assert all(r["page_count"] == 2 for r in out.values())
