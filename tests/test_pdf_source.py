@@ -198,3 +198,40 @@ def test_q_pdf_extract_handles_messy_prefixes(spark):
     assert out[2]["text"].endswith("\nleading and trailing")
     assert out[3]["text"].endswith("TOTAL: R$ 1.500,03")  # no trailing page
     assert all(r["page_count"] == 2 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# property-based: arbitrary printable-latin-1 pages round-trip the writer →
+# extractor pair (beyond the fixed fixtures above)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # printable latin-1 minus control chars; lines must be non-empty after
+    # the extractor's newline normalization, so strip() != ""
+    _line = (
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x20, max_codepoint=0xFF, exclude_characters="\x7f"
+            ),
+            min_size=1,
+            max_size=60,
+        )
+        .map(str.strip)
+        .filter(lambda s: s != "")
+    )
+    _page = st.lists(_line, min_size=1, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(pages=st.lists(_page, min_size=1, max_size=4), compress=st.booleans())
+    def test_write_pdf_extract_text_roundtrip_property(pages, compress):
+        pdf = minipdf.write_pdf(pages, compress=compress)
+        text, n_pages = minipdf.extract_text(pdf)
+        expected = "\n".join("\n".join(lines) for lines in pages)
+        assert text == expected
+        assert n_pages == len(pages)
+
+except ImportError:  # pragma: no cover — hypothesis is in this container
+    pass

@@ -41,6 +41,11 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod  # noqa: E402
 
+    # driver's t1 smoke: entry() must run and yield rows with a schema
+    entry_rows = entry_mod.entry(spark).collect()
+    print(f"[t1] entry(): {len(entry_rows)} rows", flush=True)
+    assert entry_rows, "entry() returned no rows"
+
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
