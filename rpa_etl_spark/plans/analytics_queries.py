@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 # ---------------------------------------------------------------------------
 # q_funnel
@@ -544,7 +544,7 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from rpa_etl_spark.operators import dedup as D
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 # DuckDB fragment: distinct word 5-grams over a pre-split `toks` column
 # (mirror of operators/dedup.word_shingles(col, 5) — same split, same
@@ -94,7 +94,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(lambda d: spread(d, "doc_id"))
         .select(
             "doc_id",
             D.word_shingles(F.col("text"), 5).alias("grams"),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from rpa_etl_spark.functions import parsing_arrow as PA
 from rpa_etl_spark.functions import text as T
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 _VALID_ISSUER = "04.252.011/0001-10"    # checksum-valid (reference fixture)
 _INVALID_ISSUER = "04.252.011/0001-11"  # wrong DV → parser must yield NULL
@@ -100,7 +100,7 @@ def build_invoice_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower to codegen. As a named column it is computed once per row.
     orders = orders.select(
         "o_orderkey", "o_custkey", "o_orderdate", _br_total_col().alias("_total_br")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     # ^ rebalance BEFORE the text construction: the concat/format chain is
     # CPU-bound, and a single-row-group scan is one task — constructing on
     # one core cost ~1.1 s of the query at sf0.1. The Arrow parse kernel
@@ -215,9 +215,7 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle at any scale."""
     # rebalance before the P1-P8 regex chain — the heaviest per-row
     # column work in the repo (single-row-group scan = one task)
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load(spark, sf_dir, "documents"))
     dd = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
     raw = F.concat(
         F.lit("NOTA FISCAL   DE  SERVICOS\r\n"),
@@ -284,8 +282,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the page text the oracle reconstructs ANALYTICALLY from the
     documents table — a writer/parser layout bug (stream offsets, escape
     handling, page order, Flate framing) cannot round-trip past the
-    comparison. Plan: scan → mapInPandas(write) → filter → mapInPandas
-    (extract) — narrow chain end to end, zero shuffles at any scale."""
+    comparison. Plan: scan → spread (one CPU-sizing exchange, see
+    tables.spread) → mapInPandas(write) → filter → mapInPandas(extract) —
+    otherwise narrow end to end; no keyed shuffle at any scale."""
     from rpa_etl_spark.sources import pdf as P
 
     # rebalance before the write/parse kernels: PDF synthesis and
@@ -294,7 +293,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
     )
     extracted = P.extract_pdf_text(
         P.validate_pdf_ingress(P.synth_invoice_pdfs(docs)),

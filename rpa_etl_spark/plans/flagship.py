@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from rpa_etl_spark.plans.common import dec, money
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 AUDIT_THRESHOLD = 10_000.0  # tests/e2e/test_pipeline_core.py:177
 
@@ -68,7 +68,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         # it) and decouples the filter+decimal compute from scan split
         # count (a single-row-group file scans as one task).
         lineitem.where(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .transform(lambda d: spread(d, "l_orderkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))

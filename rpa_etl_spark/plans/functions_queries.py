@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from rpa_etl_spark.plans.common import dec, money
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 
 @query(
@@ -205,9 +205,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     R5 round-trip): get_json_object + from_json + to_json."""
     # rebalance before the per-row JSON parse (single-row-group scan is
     # one task; parsing is CPU-bound)
-    ev = load(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    ev = spread(load(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),

@@ -21,7 +21,7 @@ from rpa_etl_spark.operators import dedup as D
 from rpa_etl_spark.operators import similarity as SIM
 from rpa_etl_spark.operators import textstats as TS
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 
 @query(
@@ -82,7 +82,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(lambda d: spread(d, "doc_id"))
         .select("doc_id", "lang", D.word_shingles(F.col("text"), 3).alias("grams"))
     )
     # band ids by the window size → equi hash join on (lang, bucket)
@@ -181,7 +181,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(lambda d: spread(d, "doc_id"))
         .select("doc_id", D.word_shingles(F.col("text"), 3).alias("grams"))
     )
     signed = (
@@ -191,7 +191,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grams",
             D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(lambda d: spread(d, "doc_id"))
     )
     pairs = D.lsh_candidate_pairs_md5(
         signed.select("doc_id", "minhash"), bands=8, sig_len=16
@@ -285,7 +285,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(lambda d: spread(d, "doc_id"))
         .select("doc_id", D.simhash60_md5(TS.tokens(F.col("text"))).alias("sig"))
     )
     # shuffle barrier keyed by the join bucket: the pandas_udf signature
@@ -298,7 +298,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic shift == unsigned shift; matches the oracle's sig >> 44)
     bucketed = docs.withColumn(
         "bucket", F.shiftrightunsigned("sig", 44)
-    ).repartition(spark.sparkContext.defaultParallelism, "bucket")
+    ).transform(lambda d: spread(d, "bucket"))
     a = bucketed.select(
         F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket"
     )
@@ -600,7 +600,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = (
         load(spark, sf_dir, "customer")
         .select("c_custkey", "c_name")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
     )
     window = 20
     a = cust.select(

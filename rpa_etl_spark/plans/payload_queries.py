@@ -175,7 +175,12 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives as integer cents (exact at any scale); `event_ok` re-verifies
     the K2 envelope's content hash after the round-trip. Scratch lives
     under the repo's spark-warehouse with overwrite mode — idempotent
-    across repeated driver/bench invocations."""
+    across repeated driver/bench invocations.
+
+    DELIBERATE exception to the queries-are-pure-plans rule: CALLING this
+    function executes the two sink writes eagerly (a write→read-back
+    check cannot be expressed lazily); schema-only consumers pay that
+    side effect too. It is the only declared query that does so."""
     import os
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType

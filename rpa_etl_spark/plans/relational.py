@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from rpa_etl_spark.plans.common import dec, money
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 
 # --------------------------------------------------------------------------
@@ -388,7 +388,7 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doubles every row ahead of the partial aggregate, so its
         # parallelism must track CPU, not input splits (single-row-group
         # scan = one task)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from rpa_etl_spark.functions import scoring as S
 from rpa_etl_spark.functions import validators as V
 from rpa_etl_spark.registry import query
-from rpa_etl_spark.tables import load
+from rpa_etl_spark.tables import load, spread
 
 _UF_LIST_SQL = "['" + "','".join(str(c) for c in V.IBGE_UF_CODES) + "']"
 _CNPJ_W1_SQL = "[" + ",".join(str(w) for w in V._CNPJ_W1) + "]"
@@ -68,9 +68,7 @@ def q_cnpj_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-implements the checksum independently in DuckDB SQL."""
     # rebalance before the checksum/regex column work (single-row-group
     # scan = one task; parallelism sized to CPU)
-    cust = load(spark, sf_dir, "customer").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    cust = spread(load(spark, sf_dir, "customer"))
     cnpj = _synthetic_cnpj(F.col("c_custkey"))
     valid = V.cnpj_is_valid(cnpj)
     return cust.select(
@@ -153,13 +151,9 @@ def q_nfe_key_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan = one task), then barrier after it: the constructed key feeds
     # 3 consumers (echo, full validation, DV recompute) — materialize
     # once instead of letting Catalyst inline the construction into each
-    orders = load(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    orders = spread(load(spark, sf_dir, "orders"))
     key = _synthetic_nfe_key(F.col("o_orderkey"))
-    base = orders.select("o_orderkey", key.alias("nfe_key")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    base = spread(orders.select("o_orderkey", key.alias("nfe_key")))
     return base.select(
         "o_orderkey",
         "nfe_key",
@@ -240,9 +234,7 @@ def q_monetary_br(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse, range + 2-dp gates, BR reformat (validators.py:239-357)."""
     # rebalance before the regex/decimal column chain (single-row-group
     # scan = one task; parallelism sized to CPU)
-    orders = load(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    orders = spread(load(spark, sf_dir, "orders"))
     cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
     int_str = F.expr(
         "CAST(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) div 100 AS STRING)"
@@ -277,7 +269,7 @@ def q_monetary_br(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         raw.alias("raw"),
         F.when(okey4 == 1, F.lit("USD")).otherwise(F.lit("BRL")).alias("currency"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     parsed = V.money_parse(F.col("raw"))
     return base.select(
         "o_orderkey",

@@ -51,7 +51,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #   3. stable, repeatedly-green relational battery queries last — losing a
 #      verdict on one of these costs the least information.
 PRIORITY_ORDER = [
-    # == tier 1: the 30 queries with NO driver-green verdict in r01-r03 ==
+    # == tier 1 (33 entries): the 30 queries with NO driver-green verdict
+    #    in r01-r03, plus the 3 new round-4 queries ===================
     # -- 1a: round-2 reds, fixed locally long ago, never re-queued ------
     "q_normalize_docs",  # the reference's soul (P1-P8 + P10 accent strip)
     "q_date_funcs",
@@ -89,9 +90,10 @@ PRIORITY_ORDER = [
     "q_pdf_extract",
     "q_sink_roundtrip",
     "q_domain_mix",
-    # == tier 2: re-confirmation battery (ever-green; ~20 driver slots
-    #    remain) — reference soul first, then one representative per
-    #    operator family =============================================
+    # == tier 2: re-confirmation battery (all ever-green; with 33 tier-1
+    #    entries only ~17 of these fit a ~50-query driver budget — losing
+    #    a verdict on one costs the least information) — reference soul
+    #    first, then one representative per operator family ===========
     "q_flagship",
     "q_parse_invoice",
     "q_dedup_lines",

@@ -308,13 +308,10 @@ def attach_bmp_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    # rebalance before the codec kernel: encode/decode is CPU-bound, so
-    # parallelism must track CPU, not input splits (a single-row-group
-    # scan is one task and would run the whole codec pass on one core)
-    spread = df.select(id_field).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel (CPU-bound) — see tables.spread
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 BMP_FEATURES_SCHEMA = StructType(
@@ -465,13 +462,10 @@ def attach_wav_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    # rebalance before the codec kernel: encode/decode is CPU-bound, so
-    # parallelism must track CPU, not input splits (a single-row-group
-    # scan is one task and would run the whole codec pass on one core)
-    spread = df.select(id_field).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel (CPU-bound) — see tables.spread
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 WAV_FEATURES_SCHEMA = StructType(
@@ -646,13 +640,10 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    # rebalance before the codec kernel: encode/decode is CPU-bound, so
-    # parallelism must track CPU, not input splits (a single-row-group
-    # scan is one task and would run the whole codec pass on one core)
-    spread = df.select(id_field).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel (CPU-bound) — see tables.spread
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 AVI_FRAME_FEATURES_SCHEMA = StructType(
@@ -839,13 +830,10 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    # rebalance before the codec kernel: encode/decode is CPU-bound, so
-    # parallelism must track CPU, not input splits (a single-row-group
-    # scan is one task and would run the whole codec pass on one core)
-    spread = df.select(id_field).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    return spread.mapInPandas(kernel, schema=schema)
+    # rebalance before the codec kernel (CPU-bound) — see tables.spread
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:

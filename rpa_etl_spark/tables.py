@@ -87,3 +87,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-style plans)."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Rebalance a DataFrame to CPU parallelism ahead of a compute-bound
+    stage (regex chains, hash signatures, codecs, edit distance, expand-
+    based multi-distinct, Python kernels).
+
+    Spark sizes scan stages by input splits — the right currency for I/O,
+    the wrong one for CPU: a single-row-group file scans as ONE task, so
+    everything narrow downstream runs on one core; AQE broadcast joins
+    likewise leave the probe side at scan parallelism. The explicit
+    exchange here is sized to ``defaultParallelism`` instead. Pass the
+    downstream join/aggregation ``keys`` when one exists — a keyed
+    exchange satisfies that operator's required distribution, so at
+    production scale it REPLACES the shuffle the join would have planned
+    (cost: zero); unkeyed round-robin costs one pass over the (narrow)
+    kernel input, repaid whenever kernel-cost ≫ row-width. See SCALE.md
+    section 8.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if keys:
+        return df.repartition(n, *keys)
+    return df.repartition(n)

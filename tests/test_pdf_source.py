@@ -205,7 +205,10 @@ def test_q_pdf_extract_handles_messy_prefixes(spark):
 # extractor pair (beyond the fixed fixtures above)
 # ---------------------------------------------------------------------------
 
-try:
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+if True:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -233,5 +236,3 @@ try:
         assert text == expected
         assert n_pages == len(pages)
 
-except ImportError:  # pragma: no cover — hypothesis is in this container
-    pass
