@@ -155,3 +155,17 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     final = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert "skew=true" in final, final[:2000]
+
+
+def test_spread_sizes_to_cpu_parallelism(spark, sf_dir):
+    """tables.spread must decouple kernel parallelism from input splits:
+    the single-row-group test files scan as ONE partition, and the round-4
+    perf work depends on spread() widening that before compute-bound
+    stages (SCALE.md section 8). Guard both the before and after."""
+    from rpa_etl_spark.tables import load, spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_cpu = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < n_cpu  # the hazard is real
+    assert spread(docs).rdd.getNumPartitions() == n_cpu
+    assert spread(docs, "doc_id").rdd.getNumPartitions() == n_cpu
