@@ -88,12 +88,22 @@ def test_money_br_roundtrip_cents_exact(spark, cents_list):
         max_size=20,
     )
 )
-def test_normalize_text_idempotent(spark, texts):
-    df = spark.createDataFrame([(t,) for t in texts], "t string")
+def test_normalize_text_parity_and_determinism(spark, texts):
+    """normalize_text is NOT idempotent — nor is the reference: P6 can drop
+    a digit-free line between two digit lines, making them adjacent so a
+    second pass's P3 joins them ('1\\nR\\n2' → '1\\n2' → '12',
+    text_normalizer.py:17-20 + :30-50, verified against the reference in
+    the round-4 VERDICT). The properties the reference DOES have, asserted
+    here on arbitrary inputs: byte-parity with the executable Python spec
+    of the chain, and determinism across plans."""
+    from tests.test_text_functions import _reference_normalize
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
     once = T.normalize_text(F.col("t"))
-    out = df.select(once.alias("a"), T.normalize_text(once).alias("b"))
-    diff = out.where(F.col("a") != F.col("b")).count()
-    assert diff == 0
+    rows = df.select("i", once.alias("a"), T.normalize_text(F.col("t")).alias("b")).collect()
+    for r in rows:
+        assert r["a"] == _reference_normalize(texts[r["i"]]), texts[r["i"]]
+        assert r["a"] == r["b"]  # deterministic: two plan instances agree
 
 
 def test_normalize_text_matches_reference_spec_on_random_corpus(spark):
