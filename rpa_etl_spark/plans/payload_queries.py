@@ -187,12 +187,17 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rpa_etl_spark.sources import sinks
 
-    # scratch keyed by scale factor: the returned DataFrame reads lazily,
-    # so a later call at another sf must not overwrite this one's files
+    # scratch keyed by scale factor (the returned DataFrame reads lazily, so
+    # a later call at another sf must not overwrite this one's files) AND by
+    # the Spark application id: two concurrent sessions (parallel test/bench
+    # runs) must not race each other's overwrite-mode writes against a lazy
+    # read-back. Within one session repeated calls rewrite identical data —
+    # idempotent.
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
         "sink_roundtrip",
+        spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
     )
     cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")

@@ -205,7 +205,17 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     Used by the fixture layer and by the declared q_pdf_extract query."""
 
     def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        # control chars must use PDF escape sequences — a raw newline inside
+        # a literal string would be merged with Td/T* line breaks by the
+        # extractor's newline collapse, breaking write→extract round-trips
+        return (
+            s.replace("\\", r"\\")
+            .replace("(", r"\(")
+            .replace(")", r"\)")
+            .replace("\n", r"\n")
+            .replace("\r", r"\r")
+            .replace("\t", r"\t")
+        )
 
     objects: list[bytes] = []
     n_pages = len(pages)

@@ -66,7 +66,21 @@ def _cell_class_and_repr(v: Any) -> tuple[str, str]:
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
-            return ("null", "∅") if _NAN_IS_NULL else ("float", "NaN")
+            if _NAN_IS_NULL:
+                global nan_folds
+                nan_folds += 1
+                if nan_folds == 1:
+                    import warnings
+
+                    warnings.warn(
+                        "oracle compare folded a float NaN to NULL; if this "
+                        "query emits GENUINE NaNs (not fetched NULLs) the "
+                        "fold could mask a NULL-vs-NaN divergence the driver "
+                        "might score differently (see tests.oracle.nan_folds)",
+                        stacklevel=2,
+                    )
+                return ("null", "∅")
+            return ("float", "NaN")
         return ("float", f.hex())
     if isinstance(v, Decimal):
         return ("decimal", str(v))
@@ -89,6 +103,10 @@ def _cell_class_and_repr(v: Any) -> tuple[str, str]:
 # DuckDB fetches its NULLs as the same NaN — indistinguishable post-fetch,
 # and the driver faces the identical ambiguity.
 _NAN_IS_NULL = True
+
+# how many NaN cells have been folded to NULL this process — visible so a
+# test session can tell "no NaNs anywhere" from "NaNs silently folded"
+nan_folds = 0
 
 
 def _column_class(cells: list[tuple[str, str]]) -> str:

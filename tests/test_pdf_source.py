@@ -41,6 +41,18 @@ def test_minipdf_escapes_and_specials():
     assert "50% off" in text
 
 
+def test_minipdf_writer_escapes_control_chars():
+    """A caller passing control characters inside one logical line must get
+    them back verbatim: esc() emits the PDF \\n/\\r/\\t escape sequences, so
+    the extractor's Td/T* newline collapse can't merge a raw embedded
+    newline with the line-break markers."""
+    pdf = make_pdf([["linha com\nquebra embutida", "tab\tcol", "cr\rfim"]])
+    text, _ = minipdf.extract_text(pdf)
+    assert "linha com\nquebra embutida" in text
+    assert "tab\tcol" in text
+    assert "cr\rfim" in text
+
+
 def test_minipdf_hex_and_tj_array():
     # hand-built content stream: hex string + TJ array with kerning gap
     stream = b"BT /F1 12 Tf <48656C6C6F> Tj T* [(Wor) -200 (ld)] TJ ET"

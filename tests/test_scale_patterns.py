@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rpa_etl_spark.operators.skew import salted_sum_count
@@ -166,6 +167,10 @@ def test_spread_sizes_to_cpu_parallelism(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     n_cpu = spark.sparkContext.defaultParallelism
-    assert docs.rdd.getNumPartitions() < n_cpu  # the hazard is real
+    if docs.rdd.getNumPartitions() >= n_cpu:
+        # environment-dependent precondition: on a 1-core runner (or if the
+        # fixture parquet ever gains multiple row groups) the hazard spread()
+        # guards against doesn't exist here — nothing to test
+        pytest.skip("scan partitions already >= defaultParallelism")
     assert spread(docs).rdd.getNumPartitions() == n_cpu
     assert spread(docs, "doc_id").rdd.getNumPartitions() == n_cpu
