@@ -694,8 +694,30 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality score + token counts + rolling
     fingerprint per document. The corpus text is English-wordlist salad, so
     the en-markers dominate; the oracle reproduces the exact heuristics.
+
+    Runs the Arrow-batched kernel (operators/textstats_arrow.py) — the
+    expression form (lang_quality_expr below) is its semantic twin, pinned
+    equal by tests/test_llmdata.py::test_lang_quality_arrow_matches_expressions.
+    The expression projection is dominated by interpreted HOF lambdas
+    (per-token filter + polynomial fold, evaluated on Catalyst's expression
+    walker, not codegen); one precompiled-regex Python loop per Arrow batch
+    does the same work 2-3x faster, and the ratio is per-executor so it
+    holds on a 1000-executor cluster. Plan: scan -> spread (CPU-sizing
+    exchange, tables.spread) -> mapInPandas -> project; no shuffle beyond
+    the sizing exchange at any scale.
     """
-    docs = load(spark, sf_dir, "documents")
+    from rpa_etl_spark.operators.textstats_arrow import lang_quality_arrow
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return lang_quality_arrow(docs).drop("text")
+
+
+def lang_quality_expr(docs: DataFrame) -> DataFrame:
+    """Pure-JVM expression twin of q_lang_quality's projection (the
+    original oracle-green form). Kept as the semantic pin for the Arrow
+    kernel: test_lang_quality_arrow_matches_expressions asserts cell-exact
+    equality on the sf0.001 corpus plus adversarial whitespace/unicode rows.
+    """
     text = F.col("text")
     toks = TS.tokens(text)
     en_hits = TS._marker_hits(toks, "en")

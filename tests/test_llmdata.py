@@ -203,3 +203,46 @@ def test_word_shingles_short_documents_no_crash(spark):
         D.minhash_signature(D.word_shingles(F.col("text"), 3), 8).alias("mh"),
     ).collect()
     assert len(sigs) == 4
+
+
+def test_lang_quality_arrow_matches_expressions(spark, sf_dir):
+    """The Arrow kernel (textstats_arrow) must be cell-exact against the
+    pure-expression twin on the real corpus PLUS adversarial rows that probe
+    every documented Java-regex parity hazard: tab/newline/NBSP whitespace,
+    leading/trailing separators (empty tokens), non-ASCII first chars,
+    empty string, null, punctuation-heavy text."""
+    from rpa_etl_spark.operators.textstats_arrow import lang_quality_arrow
+    from rpa_etl_spark.plans.llmdata_queries import lang_quality_expr
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    adversarial = spark.createDataFrame(
+        [
+            (900001, ""),
+            (900002, None),
+            (900003, " \t\n the  and\tof \x0b\f\r"),
+            (900004, "café naïve über straße"),
+            (900005, " nbsp is a token char"),
+            (900006, "!!!***(((;;;:::---"),
+            (900007, "the " * 200),
+            (900008, "\tleading and trailing\t"),
+            (900009, "12 3.14 x9y8z7 mixed42tokens"),
+            (900010, "你好 the 世界"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.unionByName(adversarial)
+
+    got = lang_quality_arrow(corpus).drop("text")
+    want = lang_quality_expr(corpus)
+    # nullability differs (mapInPandas fields are always nullable); the
+    # driver compares (name, dtype) only, so that's what we pin
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in want.schema
+    ]
+
+    cols = got.columns
+    g = {r["doc_id"]: tuple(r[c] for c in cols) for r in got.collect()}
+    w = {r["doc_id"]: tuple(r[c] for c in cols) for r in want.collect()}
+    assert g.keys() == w.keys()
+    diffs = {k: (g[k], w[k]) for k in g if g[k] != w[k]}
+    assert not diffs, f"{len(diffs)} mismatched rows, e.g. {next(iter(diffs.items()))}"
