@@ -43,125 +43,143 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # Export order for queries(): the driver iterates the dict in order and has
 # historically stopped after ~50 entries (time/size budget), leaving the tail
 # without a correctness verdict. Order therefore encodes VERIFICATION
-# PRIORITY, not module layout:
-#   1. queries that have never received a driver verdict (LLM-data ops,
-#      payload/audit transforms, as-of join, TPC-H shapes);
-#   2. the reference-soul queries (parse/validate/normalize/route) and any
-#      query whose plan changed this round;
-#   3. stable, repeatedly-green relational battery queries last — losing a
-#      verdict on one of these costs the least information.
+# PRIORITY, not module layout. Rotation policy (since round 5): order by
+# staleness of each query's most-recent driver-green verdict (oldest
+# first), with any query whose PLAN changed this round re-queued into the
+# sampled window regardless of freshness — the goal is that no query's
+# latest green verdict is ever more than ~2 rounds old, and every plan
+# change gets an external verdict the round it ships.
 PRIORITY_ORDER = [
-    # == tier 1 (33 entries): the 30 queries with NO driver-green verdict
-    #    in r01-r03, plus the 3 new round-4 queries ===================
-    # -- 1a: round-2 reds, fixed locally long ago, never re-queued ------
-    "q_normalize_docs",  # the reference's soul (P1-P8 + P10 accent strip)
-    "q_date_funcs",
-    "q_window_lead_lag",
-    "q_approx_count_distinct",
-    # -- 1b: round-3 additions that sat below the driver's ~50 cutoff ---
-    "q_corr_stats",
-    "q_url_parse",
-    "q_argmax",
-    "q_time_weighted_avg",
-    "q_zorder_code",
-    "q_wordcount",
-    "q_mode",
-    "q_event_sequence",
-    "q_entropy",
-    "q_set_ops_all",
-    "q_try_arith",
-    "q_not_in_null_semantics",
-    "q_daily_kpis",
-    "q_percentile_disc",
-    "q_user_totals_state",
-    "q_array_agg",
-    "q_window_rank_ties",
-    "q_explode_outer",
-    # -- 1c: the 8 round-3 reds re-typed this round (oracle casts) ------
-    "q_text_stats",
-    "q_lang_quality",
-    "q_embedding_quantize",
-    "q_multimodal_decode",
-    "q_multimodal_png",
-    "q_multimodal_audio",
-    "q_multimodal_frames",
-    "q_pack_sequences",
-    # -- 1d: new this round (round 4) — S1/S2/S3 PDF chain + K1/K2 sinks
-    "q_pdf_extract",
-    "q_sink_roundtrip",
-    "q_domain_mix",
-    # == tier 2: re-confirmation battery (all ever-green; with 33 tier-1
-    #    entries only ~17 of these fit a ~50-query driver budget — losing
-    #    a verdict on one costs the least information) — reference soul
-    #    first, then one representative per operator family ===========
-    "q_flagship",
-    "q_parse_invoice",
-    "q_dedup_lines",
-    "q_monetary_br",
-    "q_trust_score",
-    "q_case_routing",
-    "q_join_asof",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_sim_topk",
-    "q_chunk_documents",
-    "q_quality_cascade",
-    "q_contamination",
-    "q_agg_skew_salted",
-    "q_join_skew_salted",
-    "q_tpch_q3_shape",
-    "q_tpch_q21_shape",
-    "q_session_window",
-    "q_stream_dedup",
-    # == tier 3: stable relational/functions battery ==================
+    # == tier 1 (40): last driver-green in ROUND 2 — their verdicts are 3
+    #    rounds old at round 5; a ~50-query sample must re-confirm all of
+    #    them to keep every query's most-recent-green <= 2 rounds old ====
+    "q_agg_group",
+    "q_array_funcs",
     "q_cnpj_valid",
-    "q_nfe_key_valid",
-    "q_string_funcs",
-    "q_window_ntile",
+    "q_count_distinct",
+    "q_cube",
+    "q_decimal_math",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_distinct",
+    "q_filter_predicates",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hash",
+    "q_join_anti",
+    "q_join_full",
+    "q_join_inner_broadcast",
+    "q_join_left",
+    "q_join_null_safe",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_nfe_key_valid",
+    "q_pivot",
+    "q_rollup",
+    "q_scalar_subquery",
+    "q_scan_project",
+    "q_session_window",
+    "q_set_ops",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_string_funcs",
+    "q_topk",
+    "q_unpivot",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running_sum",
+    # == tier 1b: plan changed THIS round (round 5) — re-verify even
+    #    though round-4 green ===========================================
+    "q_lang_quality",
+    # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
+    #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_simhash",
     "q_dedup_embedding",
     "q_fuzzy_match",
+    "q_profile_stats",
+    "q_recursive_cte",
     "q_multimodal_meta",
-    "q_repetition_stats",
+    "q_tpch_q3_shape",
+    "q_tpch_q21_shape",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_audit_events",
+    "q_embedding_centroid",
+    "q_funnel",
+    "q_having_large_orders",
+    "q_histogram",
+    "q_hll_sketch_merge",
+    "q_lateral_topk",
+    "q_outlier_zscore",
+    "q_payload_analytics",
+    "q_payload_erp",
+    "q_pii_redact",
     "q_quantiles",
+    "q_repetition_stats",
+    "q_retention_cohort",
     "q_sample_hash",
     "q_sample_stratified",
-    "q_having_large_orders",
-    "q_funnel",
-    "q_profile_stats",
-    "q_hll_sketch_merge",
-    "q_merge_upsert",
-    "q_outlier_zscore",
-    "q_retention_cohort",
-    "q_window_value_funcs",
-    "q_recursive_cte",
-    "q_lateral_topk",
-    "q_scd2_history",
-    "q_pii_redact",
     "q_tfidf_terms",
-    "q_embedding_centroid",
-    "q_histogram",
-    "q_payload_erp",
-    "q_payload_analytics",
-    "q_audit_events",
-    "q_tpch_q5_shape",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_interval_join",
-    "q_agg_group",
-    "q_join_inner_broadcast",
-    "q_window_rank",
-    "q_topk",
-    "q_set_ops",
-    "q_scalar_subquery",
-    "q_rollup",
-    "q_gap_fill",
+    "q_tpch_q5_shape",
+    "q_window_value_funcs",
+    # == tier 3 (49): round-4 green, unchanged — freshest verdicts, so
+    #    losing one to the sample cutoff costs the least information =====
+    "q_agg_skew_salted",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_approx_count_distinct",
+    "q_argmax",
+    "q_array_agg",
+    "q_case_routing",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_corr_stats",
+    "q_daily_kpis",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_lines",
+    "q_dedup_minhash",
+    "q_domain_mix",
+    "q_embedding_quantize",
+    "q_entropy",
+    "q_event_sequence",
+    "q_explode_outer",
+    "q_flagship",
+    "q_join_asof",
+    "q_join_skew_salted",
+    "q_mode",
+    "q_monetary_br",
+    "q_multimodal_audio",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_png",
+    "q_normalize_docs",
+    "q_not_in_null_semantics",
+    "q_pack_sequences",
+    "q_parse_invoice",
+    "q_pdf_extract",
+    "q_percentile_disc",
+    "q_quality_cascade",
+    "q_set_ops_all",
+    "q_sim_topk",
+    "q_sink_roundtrip",
+    "q_text_stats",
+    "q_time_weighted_avg",
+    "q_trust_score",
+    "q_try_arith",
+    "q_url_parse",
+    "q_user_totals_state",
+    "q_window_lead_lag",
+    "q_window_rank_ties",
+    "q_wordcount",
+    "q_zorder_code",
 ]
 
 
