@@ -96,6 +96,7 @@ PRIORITY_ORDER = [
     # == tier 1b: plan changed THIS round (round 5) — re-verify even
     #    though round-4 green ===========================================
     "q_lang_quality",
+    "q_monetary_br",
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_simhash",
