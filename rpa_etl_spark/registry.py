@@ -156,7 +156,6 @@ PRIORITY_ORDER = [
     "q_join_asof",
     "q_join_skew_salted",
     "q_mode",
-    "q_monetary_br",
     "q_multimodal_audio",
     "q_multimodal_decode",
     "q_multimodal_frames",
