@@ -47,6 +47,15 @@ def get_spark(app_name: str = "rpa-etl-spark", master: str | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf (read at SparkContext start). The bar's JVM thread
+        # writes \r-repaints to stderr asynchronously; under a merged
+        # stdout+stderr capture a repaint can land INSIDE a stdout line.
+        # bench.py sets this env so its one-JSON-line stdout contract
+        # cannot be corrupted (cost rounds 3 and 4 their bench records).
+        .config(
+            "spark.ui.showConsoleProgress",
+            "false" if os.environ.get("SPARK_GRAFT_NO_PROGRESS") else "true",
+        )
         # the invoice-parse projections generate large methods; the default
         # 8k-bytecode fallback threshold forces interpreted eval too eagerly
         .config("spark.sql.codegen.hugeMethodLimit", "65535")
