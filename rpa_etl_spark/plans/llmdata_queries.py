@@ -1276,3 +1276,47 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return decode_png_features(attach_png_media(docs))
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           8 AS width, 8 AS height,
+           SUM(v) / 192.0 AS mean_rgb,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
+           'numpy-png' AS decoder
+    FROM (
+        SELECT doc_id, i,
+               -- resized pixel (r', x') samples source pixel (2r', 2x'):
+               -- nearest-neighbor index map (arange(8)*16)//8 = 0,2,..,14
+               (doc_id + 7 * (2 * (i // 24)) + 11 * (2 * ((i % 24) // 3))
+                + 83 * (i % 3)) % 256 AS v
+        FROM documents, range(192) t(i)
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image RESIZE, oracle-checked end-to-end: synthesize
+    a 16x16 PNG per document (closed-form gradient), run the production
+    resize stage (magic-byte codec dispatch -> png_decode -> numpy
+    nearest-neighbor -> png_encode), then decode the RESIZED payload and
+    emit the same feature tuple as q_multimodal_png. The oracle recomputes
+    mean/checksum from the gradient formula sampled at the nearest-neighbor
+    source indices (2r', 2x') — so a bug in either codec direction, the
+    index map, or the re-encode cannot round-trip past the comparison.
+    Plan: one spread (CPU sizing) inside attach_png_media, then two narrow
+    mapInPandas stages; no shuffle at any scale."""
+    from rpa_etl_spark.sources.multimodal import (
+        attach_png_media,
+        decode_png_features,
+        resize_images,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_png_media(docs).withColumn("mime", F.lit("image/png"))
+    resized = resize_images(media, width=8, height=8).select(
+        "media_id", F.col("resized_payload").alias("payload")
+    )
+    return decode_png_features(resized)

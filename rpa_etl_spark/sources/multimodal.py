@@ -130,26 +130,38 @@ RESIZED_SCHEMA = StructType(
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """resize stage (1 row → 1 row, payload-transforming): binary in,
-    binary out, target dims recorded. STUB decode: the 'resized' payload is
-    a deterministic byte slice sized width*height/64 standing in for the
-    re-encoded image; a real deployment swaps the kernel body for
-    PIL.Image.resize and re-encode — schema, batch shape and mime
-    filtering stay exactly as tested."""
+    binary out, target dims recorded. REAL for every format this repo
+    carries a codec for — the payload's magic bytes pick the codec
+    (BMP 'BM', PNG \\x89PNG, JPEG \\xff\\xd8), the pixels go through the
+    numpy nearest-neighbor kernel (resize_nearest), and the result is
+    re-encoded in the SAME container. Formats without a codec (the
+    PIL-class long tail) keep the deterministic byte-slice stand-in,
+    tagged method='stub' so a consumer can tell which path ran.
+    mapInPandas keeps this one narrow Arrow-batched stage — no shuffle at
+    any scale, CPU cost is per-executor."""
     n_out = max(1, width * height // 64)
+
+    def _resize_one(p: bytes) -> tuple[bytes, str]:
+        if p[:2] == b"BM":
+            return bmp_encode(resize_nearest(bmp_decode(p), width, height)), "numpy-nearest-bmp"
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_encode(resize_nearest(png_decode(p), width, height)), "numpy-nearest-png"
+        if p[:2] == b"\xff\xd8":
+            from rpa_etl_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+            return jpeg_encode(resize_nearest(jpeg_decode(p), width, height)), "numpy-nearest-jpeg"
+        return ((p or b"\0") * (n_out // max(len(p), 1) + 1))[:n_out], "stub"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            outs = [_resize_one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "out_width": width,
                     "out_height": height,
-                    "resized_payload": [
-                        ((p or b"\0") * (n_out // max(len(p), 1) + 1))[:n_out]
-                        for p in payloads
-                    ],
-                    "method": "stub-bilinear",
+                    "resized_payload": [o[0] for o in outs],
+                    "method": [o[1] for o in outs],
                 }
             )
 
@@ -210,9 +222,9 @@ def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Real decode path: uncompressed 24-bit BMP in pure numpy (no image libs).
 #
-# The stub kernels above stay for formats whose codecs this container lacks
-# (png/jpeg/wav/mp4 → PIL/ffmpeg); BMP v3 BI_RGB is simple enough to
-# implement from the public spec, which makes decode/resize REAL here:
+# The stub fallbacks above remain only for formats with no codec in this
+# repo (compressed video → ffmpeg-class); BMP/PNG/JPEG/WAV/AVI are real:
+# BMP v3 BI_RGB is simple enough to implement from the public spec:
 # format pinned by a hand-built byte fixture in tests, correctness pinned by
 # the q_multimodal_decode oracle (DuckDB recomputes the layout-sensitive
 # pixel checksum from the closed-form pattern, so a row-order/padding bug

@@ -246,3 +246,46 @@ def test_lang_quality_arrow_matches_expressions(spark, sf_dir):
     assert g.keys() == w.keys()
     diffs = {k: (g[k], w[k]) for k in g if g[k] != w[k]}
     assert not diffs, f"{len(diffs)} mismatched rows, e.g. {next(iter(diffs.items()))}"
+
+
+def test_resize_images_real_codec_paths(spark, sf_dir):
+    """resize_images must run the REAL decode->nearest->re-encode path for
+    every format with an in-repo codec, selected by magic bytes, and the
+    resized payload must decode back to exactly the pixels resize_nearest
+    picks from the source image."""
+    import numpy as np
+
+    from rpa_etl_spark.sources import multimodal as MM
+    from rpa_etl_spark.sources.jpeg import jpeg_decode
+
+    rows = [
+        (1, MM.synth_bmp_image(1, 16, 16), "image/bmp"),
+        (2, MM.synth_png_image(2, 16, 16), "image/png"),
+        (3, b"not an image at all", "image/unknown"),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary, mime string")
+    out = {r["media_id"]: r for r in MM.resize_images(media, width=8, height=8).collect()}
+
+    def expected(mid):
+        r = np.arange(16).reshape(-1, 1, 1)
+        x = np.arange(16).reshape(1, -1, 1)
+        c = np.arange(3).reshape(1, 1, -1)
+        arr = ((mid + 7 * r + 11 * x + 83 * c) % 256).astype(np.uint8)
+        return MM.resize_nearest(arr, 8, 8)
+
+    assert out[1]["method"] == "numpy-nearest-bmp"
+    assert np.array_equal(MM.bmp_decode(bytes(out[1]["resized_payload"])), expected(1))
+    assert out[2]["method"] == "numpy-nearest-png"
+    assert np.array_equal(MM.png_decode(bytes(out[2]["resized_payload"])), expected(2))
+    assert out[3]["method"] == "stub"
+
+    # JPEG: lossy — decode must yield the right shape and be close to the
+    # nearest-neighbor pixels (baseline JPEG at default quality)
+    from rpa_etl_spark.sources.jpeg import jpeg_encode
+
+    jrows = [(4, jpeg_encode(expected(4).repeat(2, axis=0).repeat(2, axis=1)), "image/jpeg")]
+    jmedia = spark.createDataFrame(jrows, "media_id bigint, payload binary, mime string")
+    jout = MM.resize_images(jmedia, width=8, height=8).collect()[0]
+    assert jout["method"] == "numpy-nearest-jpeg"
+    arr = jpeg_decode(bytes(jout["resized_payload"]))
+    assert arr.shape == (8, 8, 3)
