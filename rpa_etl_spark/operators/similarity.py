@@ -210,6 +210,101 @@ def ann_topk_lsh(
     )
 
 
+def _nearest_cells_kernel(cmat: "np.ndarray", top: int):
+    """pandas_udf: per vector, ids of the ``top`` nearest codebook rows by
+    cosine. The codebook rides into the kernel as a closure — broadcast-
+    equivalent (``cmat`` is n_cells x dim, a few KB)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ cmat.T  # batch x cells
+        order = np.argsort(-sims, axis=1)[:, :top].astype(np.int64)
+        return pd.Series(list(order))
+
+    return cells
+
+
+def train_ivf_codebook(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 32,
+    iters: int = 4,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Deterministic distributed k-means codebook for :func:`ivf_topk`.
+
+    Seeding (k-means|| shape, RNG-free): OVERSAMPLE ``oversample *
+    n_cells`` corpus vectors by smallest ``xxhash64(id)`` — deterministic
+    and, unlike first-N-by-id, uncorrelated with ingest order — then
+    reduce to ``n_cells`` seeds by farthest-point traversal on the driver
+    (the sampled set is tiny; traversal starts from the smallest-hash
+    point, so the whole pipeline is reproducible). Oversampling is what
+    guarantees cluster COVERAGE: k hash-uniform draws miss a true cluster
+    with coupon-collector probability, 4k draws make a miss rare, and
+    farthest-point then picks one seed per distinct cluster before it
+    ever doubles up. Refinement: ``iters`` Lloyd rounds, each one fully
+    distributed — assign every vector to its nearest centroid (Arrow
+    kernel, codebook as closure), then per-cell per-dimension means via
+    ``n_cells``-keyed JVM aggregation (map-side partial sums absorb the
+    volume; the shuffle carries at most n_cells x dim doubles per
+    upstream partition). Only the n_cells x (dim+1) aggregate row set is
+    ever collected per round — the exact structure a 100 TB k-means job
+    has. Empty cells keep their previous centroid.
+
+    Float caveat (why the declared oracle query does NOT use this path):
+    per-cell means accumulate in parallel, so centroid low bits can vary
+    with partitioning; on clustered data assignments are stable but
+    bit-exact reproducibility across cluster layouts is not guaranteed.
+    """
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h", "v")
+        .limit(oversample * n_cells)
+        .select("v")
+        .collect()
+    )
+    if not seeds:
+        return np.zeros((0, dim), dtype=np.float64)
+    pool = np.stack([np.asarray(r[0]) for r in seeds]).astype(np.float64)
+    pool /= np.maximum(np.linalg.norm(pool, axis=1, keepdims=True), 1e-30)
+    # farthest-point reduction: start at the smallest-hash point, then
+    # greedily add the pool vector most dissimilar (min cosine) to the
+    # chosen set — one seed per distinct cluster before any doubling up
+    chosen = [0]
+    max_sim = pool @ pool[0]  # each point's max cosine to the chosen set
+    while len(chosen) < min(n_cells, len(pool)):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, pool @ pool[nxt])
+    cmat = pool[chosen]
+    for _ in range(iters):
+        assigned = corpus.select(
+            F.element_at(_nearest_cells_kernel(cmat, 1)(F.col(vec_col)), 1).alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        agg = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = cmat.copy()
+        for row in agg:
+            if row["n"] > 0:
+                new[row["cell"]] = [row[f"s{i}"] / row["n"] for i in range(dim)]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-30)
+        cmat = new
+    return cmat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -219,65 +314,64 @@ def ivf_topk(
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into ``n_cells``
     Voronoi cells around fixed centroids, probe only the ``n_probe`` cells
     nearest each query, score exactly within the probed cells.
 
-    The centroid "codebook" here is deterministic — the first ``n_cells``
-    corpus vectors by id — standing in for a k-means codebook (same query
-    path; training the codebook is an offline batch job at scale). The
-    codebook is tiny and rides into the cell-assignment kernel as a
-    closure (the moral equivalent of a broadcast variable); the join
+    The default centroid "codebook" is deterministic — the first
+    ``n_cells`` corpus vectors by id — chosen because the declared oracle
+    query (q_ann_ivf) re-derives exactly those cells in SQL. Pass
+    ``codebook=train_ivf_codebook(...)`` for the k-means-refined variant
+    (same query path; training is the offline batch job at scale). Either
+    way the codebook is tiny and rides into the cell-assignment kernel as
+    a closure (the moral equivalent of a broadcast variable); the join
     that matters is the (cell)-keyed hash join, whose probe volume is
     |Q|·n_probe/n_cells of the corpus instead of |Q|·|corpus|.
 
     On uniformly random vectors (the synthetic corpus) cell membership of
     true neighbors is only weakly correlated with the query's cells, so
-    recall targets are soft — clustered real embeddings prune far harder.
+    recall targets are soft — clustered real embeddings prune far harder
+    (tests/test_llmdata.py pins the trained codebook at ≥0.9 recall on a
+    clustered fixture, above the untrained floor).
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(vec_col)
-        .collect()
-    )
-    if not cents:
-        # empty corpus → empty result with the declared schema (same
-        # degrade-to-zero-rows behavior as every other declared query)
+    if codebook is not None:
+        cmat = np.asarray(codebook, dtype=np.float64)
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(vec_col)
+            .collect()
+        )
+        cmat = (
+            np.stack([np.asarray(r[0]) for r in cents]).astype(np.float64)
+            if cents
+            else np.zeros((0, dim))
+        )
+    if cmat.shape[0] == 0:
+        # empty corpus/codebook → empty result with the declared schema
+        # (same degrade-to-zero-rows behavior as every other declared query)
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, score double, rank int"
         )
-    cmat = np.stack([np.asarray(r[0]) for r in cents]).astype(np.float64)  # cells x dim
     if cmat.shape[1] != dim:
         raise ValueError(
             f"ivf_topk: corpus vectors have dim {cmat.shape[1]}, expected {dim}"
         )
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
-
-    def cell_kernel(top: int):
-        @F.pandas_udf(ArrayType(LongType()))
-        def cells(vec: pd.Series) -> pd.Series:
-            if len(vec) == 0:
-                return pd.Series([], dtype=object)
-            m = np.stack(vec.to_numpy()).astype(np.float64)
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-            sims = m @ cmat.T  # batch x cells
-            order = np.argsort(-sims, axis=1)[:, :top].astype(np.int64)
-            return pd.Series(list(order))
-
-        return cells
+    cmat = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(cell_kernel(1)(F.col(vec_col)), 1).alias("cell"),
+        F.element_at(_nearest_cells_kernel(cmat, 1)(F.col(vec_col)), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(cell_kernel(n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode(_nearest_cells_kernel(cmat, n_probe)(F.col(vec_col))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -289,3 +289,43 @@ def test_resize_images_real_codec_paths(spark, sf_dir):
     assert jout["method"] == "numpy-nearest-jpeg"
     arr = jpeg_decode(bytes(jout["resized_payload"]))
     assert arr.shape == (8, 8, 3)
+
+
+def test_ivf_trained_codebook_beats_first_n_on_clustered_data(spark):
+    """On clustered embeddings (the realistic case) the k-means-refined
+    codebook must materially beat the first-N-by-id codebook: the fixture's
+    ids are SORTED by cluster, so first-N centroids all sit inside cluster
+    0 — the exact ingest-order pathology train_ivf_codebook's hash seeding
+    + Lloyd refinement removes. Deterministic: fixed RNG seed, RNG-free
+    seeding, and assignment on well-separated clusters is float-stable."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    K, per, dim = 8, 50, 64
+    centers = rng.normal(size=(K, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for k in range(K):
+        for j in range(per):
+            v = centers[k] + 0.05 * rng.normal(size=dim)
+            rows.append((k * per + j, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") % per < 2)  # 2 per cluster
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    # the honest setting: as many cells as true clusters, single-cell
+    # probe — codebook quality is the ONLY thing recall can come from
+    base = recall(SIM.ivf_topk(corpus, queries, dim=dim, k=5, n_cells=K, n_probe=1))
+    cb = SIM.train_ivf_codebook(corpus, dim=dim, n_cells=K, iters=4)
+    trained = recall(
+        SIM.ivf_topk(corpus, queries, dim=dim, k=5, n_cells=K, n_probe=1, codebook=cb)
+    )
+    assert trained >= 0.95, f"trained recall {trained:.3f}"
+    assert trained > base + 0.2, f"trained {trained:.3f} vs first-N {base:.3f}"
