@@ -1320,3 +1320,87 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("resized_payload").alias("payload")
     )
     return decode_png_features(resized)
+
+
+# ---------------------------------------------------------------------------
+# q_unigram_logprob — perplexity-proxy quality filtering
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_SQL = r"""
+    WITH splitted AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter(words, w -> w <> '')) AS tok
+        FROM splitted
+    ),
+    dt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS n FROM dt GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM vocab
+    )
+    SELECT dt.doc_id,
+           CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(dt.c * ln(vocab.n
+                                / CAST((SELECT total FROM tot) AS DOUBLE)))
+                 / SUM(dt.c), 6) AS mean_neg_logprob
+    FROM dt JOIN vocab ON dt.tok = vocab.tok
+    GROUP BY dt.doc_id
+"""
+
+
+@query("q_unigram_logprob", oracle=_UNIGRAM_SQL)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/KenLM-style filter with
+    the LM reduced to corpus unigrams): score each document by the mean
+    negative log-probability of its tokens under the corpus's own unigram
+    distribution — low = in-distribution boilerplate, high = rare-token
+    salad, both tails being what a quality cascade trims.
+
+    Determinism follows the q_entropy pattern: every probability is a
+    ratio of exact integer counts (token count / corpus total), the one
+    transcendental (ln) differs across engines by <= 1 ulp, a document
+    sums hundreds of such terms (error ~1e-13), and ROUND(..., 6) absorbs
+    it. The division association is written identically on both sides.
+
+    100 TB shape: tokens collapse in-row to (doc, tok, count) before
+    anything shuffles, so the two keyed aggregations (per-doc-term, then
+    vocabulary) and the vocab join all carry DISTINCT pairs, not token
+    instances — the Zipf head ("the" in every doc) is absorbed map-side,
+    and the residual join skew on head tokens is AQE's skew-join case.
+    The grand total rides an uncorrelated scalar subquery (executed once,
+    inlined — not a constant-key join, which would fold to the BNLJ the
+    quadratic-join gate forbids)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, tok
+            FROM documents
+            LATERAL VIEW explode(
+                filter(split(trim(text), '\\s+'), x -> x != '')) t AS tok
+        ),
+        dt AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+        ),
+        vocab AS (
+            SELECT tok, SUM(c) AS n FROM dt GROUP BY tok
+        ),
+        tot AS (
+            SELECT SUM(n) AS total FROM vocab
+        )
+        SELECT dt.doc_id,
+               SUM(dt.c) AS n_tokens,
+               ROUND(-SUM(dt.c * ln(vocab.n
+                                    / CAST((SELECT total FROM tot) AS DOUBLE)))
+                     / SUM(dt.c), 6) AS mean_neg_logprob
+        FROM dt JOIN vocab ON dt.tok = vocab.tok
+        GROUP BY dt.doc_id
+        """
+    )
