@@ -184,10 +184,12 @@ FRAMES_SCHEMA = StructType(
 
 def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
     """frame-sample stage (1 video row → N frame rows): emits one frame per
-    1/fps seconds of metadata duration — the mapInPandas batch fans OUT, so
-    the output row count differs from the input (the shape a real ffmpeg
-    frame sampler has). STUB decode: frame payload is a deterministic
-    byte-rotation of the source payload per frame index."""
+    1/fps seconds — the mapInPandas batch fans OUT, so the output row count
+    differs from the input (the shape a real ffmpeg frame sampler has).
+    REAL for uncompressed AVI (magic-byte sniff → RIFF walk → DIB frames
+    sampled against the container's true frame rate, each emitted as a BMP
+    payload); other video containers keep the deterministic byte-rotation
+    stand-in sized by metadata duration."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,6 +198,15 @@ def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
                 pdf["media_id"], pdf["meta_duration_s"], pdf["payload"]
             ):
                 p = bytes(payload)
+                if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    avi_fps, avi_frames = avi_decode(p)
+                    step = max(1, round(avi_fps / fps))
+                    for j, fidx in enumerate(range(0, len(avi_frames), step)):
+                        ids.append(mid)
+                        idxs.append(j)
+                        tss.append(fidx / avi_fps)
+                        frames.append(bmp_encode(avi_frames[fidx]))
+                    continue
                 n_frames = max(1, int(float(dur) * fps))
                 for i in range(n_frames):
                     ids.append(mid)

@@ -329,3 +329,36 @@ def test_ivf_trained_codebook_beats_first_n_on_clustered_data(spark):
     )
     assert trained >= 0.95, f"trained recall {trained:.3f}"
     assert trained > base + 0.2, f"trained {trained:.3f} vs first-N {base:.3f}"
+
+
+def test_sample_frames_real_avi_dispatch(spark):
+    """sample_frames must sniff RIFF/AVI payloads and emit REAL decoded
+    frames (as BMP payloads) sampled against the container's true frame
+    rate, while non-AVI video stays on the deterministic stub path."""
+    import numpy as np
+
+    from rpa_etl_spark.sources import multimodal as MM
+
+    avi = MM.synth_avi_video(3, n_frames=6, width=8, height=8, fps=10)
+    rows = [
+        (3, avi, "video/avi", 0.6),
+        (9, b"not a riff container", "video/mp4", 4.0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, payload binary, mime string, meta_duration_s double"
+    )
+    out = MM.sample_frames(media, fps=5.0).collect()
+    real = sorted((r for r in out if r["media_id"] == 3), key=lambda r: r["frame_idx"])
+    stub = [r for r in out if r["media_id"] == 9]
+    # avi fps=10, sample fps=5 -> step 2 -> frames 0, 2, 4
+    assert [r["frame_idx"] for r in real] == [0, 1, 2]
+    assert [r["frame_ts_s"] for r in real] == [0.0, 0.2, 0.4]
+    for j, fidx in enumerate((0, 2, 4)):
+        arr = MM.bmp_decode(bytes(real[j]["frame_payload"]))
+        r = np.arange(8).reshape(-1, 1, 1)
+        x = np.arange(8).reshape(1, -1, 1)
+        c = np.arange(3).reshape(1, 1, -1)
+        want = ((3 + 5 * fidx + 7 * r + 11 * x + 83 * c) % 256).astype(np.uint8)
+        assert np.array_equal(arr, want)
+    # stub: duration 4.0 * fps 5.0 -> 20 rotated-payload frames
+    assert len(stub) == 20
