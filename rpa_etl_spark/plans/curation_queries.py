@@ -348,3 +348,63 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dom
         """
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, UNNEST({_GRAMS5_SQL}) AS gram FROM tok
+    ),
+    gc AS (
+        SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           ROUND(1 - SUM(CASE WHEN gc.nd > 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM g JOIN gc ON g.gram = gc.gram
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty score: the fraction of each document's distinct
+    word 5-grams that occur in NO other document — the self-corpus twin of
+    q_contamination, used to find boilerplate (low novelty) before
+    training and memorization-prone uniques (novelty 1.0 on a near-dup's
+    survivor) after dedup.
+
+    Shape: shingles stay in-row and distinct before the explode, so every
+    shuffle (gram frequency aggregate, gram join, per-doc rollup) carries
+    distinct (doc, gram) pairs keyed on high-cardinality strings. Because
+    shingles are in-row distinct, COUNT(*) per gram IS its document
+    frequency — no countDistinct expand anywhere. The 100 TB upgrades are
+    the same two as q_contamination (xxhash64 the gram to an 8-byte join
+    key; bloom-prune the probe side) and change nothing semantically."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(lambda d: spread(d, "doc_id"))
+    )
+    g = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), 5)).alias("gram")
+    )
+    gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        g.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(
+                F.lit(1) - shared / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -99,6 +99,7 @@ PRIORITY_ORDER = [
     "q_monetary_br",
     "q_multimodal_resize",  # new this round
     "q_unigram_logprob",  # new this round
+    "q_ngram_novelty",  # new this round
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_simhash",
