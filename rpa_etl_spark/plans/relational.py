@@ -381,18 +381,28 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound at rsd=0.02; HLL is deterministic for fixed input, so the flag is
     stable). The oracle verifies the exact counts and asserts the gate
     holds — a false gate hash-mismatches against the oracle's TRUE."""
-    return (
+    # distinct-FIRST, then both aggregates over the deduped pairs: mixing
+    # countDistinct with a non-distinct aggregate in one groupBy plans an
+    # Expand that doubles every input row; pre-aggregating to distinct
+    # (flag, partkey) pairs avoids the Expand entirely, the exact count
+    # becomes a plain COUNT(*), and the HLL sketch is UNCHANGED (it
+    # depends only on the distinct value set). Measured 2.4x faster at
+    # sf0.1; at 100 TB the first keyed aggregation partial-dedupes
+    # map-side so the only big shuffle carries |distinct pairs|, and the
+    # spread keyed by the same columns makes the CPU-sizing exchange
+    # satisfy that aggregation's distribution (no second exchange).
+    deduped = (
         load(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_partkey")
-        # rebalance before the mixed exact/approx distinct: the expand
-        # doubles every row ahead of the partial aggregate, so its
-        # parallelism must track CPU, not input splits (single-row-group
-        # scan = one task)
-        .transform(spread)
-        .groupBy("l_returnflag")
+        .transform(lambda d: spread(d, "l_returnflag", "l_partkey"))
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        deduped.groupBy("l_returnflag")
         .agg(
+            F.count(F.lit(1)).alias("exact_parts"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .select(
             "l_returnflag",

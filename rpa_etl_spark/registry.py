@@ -100,6 +100,7 @@ PRIORITY_ORDER = [
     "q_multimodal_resize",  # new this round
     "q_unigram_logprob",  # new this round
     "q_ngram_novelty",  # new this round
+    "q_approx_count_distinct",  # plan changed (distinct-first, no Expand)
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_simhash",
@@ -138,7 +139,6 @@ PRIORITY_ORDER = [
     "q_agg_skew_salted",
     "q_ann_ivf",
     "q_ann_lsh",
-    "q_approx_count_distinct",
     "q_argmax",
     "q_array_agg",
     "q_case_routing",
