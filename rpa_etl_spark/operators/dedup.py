@@ -232,13 +232,14 @@ def minhash_signature_md5(shingles: Column, num_hashes: int = 16) -> Column:
     digests = F.transform(
         shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("#"), s)))
     )
-    # Window minima stay pure column expressions. An Arrow-kernel variant
-    # (vectorized reduceat over uint64-parsed windows, like SimHash's) was
-    # measured ~2x faster on the signature pass, but a Python-UDF-produced
-    # column cannot feed the downstream LSH Generate/self-join tree —
-    # Catalyst re-inlines the UDF into the generator input, where the
-    # interpreted evaluator cannot run it (INTERNAL_ERROR: Cannot evaluate
-    # PythonUDF). Expression form keeps the whole dedup plan JVM-side.
+    # Window minima stay pure column expressions HERE; the production
+    # query uses attach_minhash_md5_arrow (below), which gets the ~2x
+    # Arrow-kernel win safely: a scalar pandas_udf column cannot feed the
+    # downstream LSH Generate/self-join tree (Catalyst re-inlines the UDF
+    # into the generator input, where the interpreted evaluator cannot
+    # run it — INTERNAL_ERROR: Cannot evaluate PythonUDF), but mapInPandas
+    # is a physical operator whose output no rule can inline. This
+    # expression form remains the parity pin and the pure-JVM fallback.
 
     # arity-1 lambda factory — see the note in minhash_signature: a
     # `lambda d, j=j:` spelling would bind j to the array index column.
@@ -314,3 +315,56 @@ def simhash60_md5(tokens: Column) -> Column:
         tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
     return _simhash_from_hashes(hashed)
+
+
+def attach_minhash_md5_arrow(
+    df: DataFrame,
+    grams_col: str = "grams",
+    out_col: str = "minhash",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`minhash_signature_md5`: append the md5
+    window-family signature as ``out_col`` via ONE ``mapInPandas`` stage.
+
+    Why this exists when the scalar-UDF attempt (note in
+    minhash_signature_md5) failed: a scalar ``pandas_udf`` is an
+    EXPRESSION, and Catalyst re-inlines it into the downstream LSH
+    Generate's input where the interpreted evaluator cannot run it.
+    ``mapInPandas`` is a PHYSICAL operator — its output columns are
+    materialized plan output, so the banding Generate/self-join tree
+    consumes them like any scan column. Parity with the expression form
+    is cell-exact (hashlib md5 == JVM md5 on UTF-8 bytes; fixed-width
+    lowercase hex makes Python ``min`` == Spark ``array_min`` == DuckDB
+    ``list_min``), pinned by tests/test_llmdata.py. Cost model: 2 hashlib
+    calls + 16 slice-mins per shingle in one Python loop per batch vs an
+    interpreted HOF fold per window — measured ~2x on the signature pass;
+    per-executor, so the ratio holds at any cluster size."""
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            sigs = []
+            for grams in pdf[grams_col]:
+                digs = [
+                    hashlib.md5(g.encode()).hexdigest()
+                    + hashlib.md5(("#" + g).encode()).hexdigest()
+                    for g in grams
+                ]
+                if digs:
+                    sigs.append(
+                        [min(d[3 * j : 3 * j + 16] for d in digs) for j in range(num_hashes)]
+                    )
+                else:
+                    # expression-twin semantics: array_min over empty -> null slots
+                    sigs.append([None] * num_hashes)
+            block = pdf.copy()
+            block[out_col] = sigs
+            yield block
+
+    return df.mapInPandas(run, out_schema)

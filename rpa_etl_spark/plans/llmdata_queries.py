@@ -184,15 +184,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(lambda d: spread(d, "doc_id"))
         .select("doc_id", D.word_shingles(F.col("text"), 3).alias("grams"))
     )
-    signed = (
-        docs.where(F.size("grams") > 0)
-        .select(
-            "doc_id",
-            "grams",
-            D.minhash_signature_md5(F.col("grams"), 16).alias("minhash"),
-        )
-        .transform(lambda d: spread(d, "doc_id"))
-    )
+    # signature via the Arrow kernel (attach_minhash_md5_arrow): mapInPandas
+    # is a physical operator, so unlike the scalar-UDF attempt its output
+    # column feeds the banding Generate/self-join tree without Catalyst
+    # re-inlining anything (parity with the expression form pinned by
+    # test_minhash_md5_arrow_matches_expression; the oracle recomputes the
+    # same md5 windows in SQL either way)
+    signed = D.attach_minhash_md5_arrow(
+        docs.where(F.size("grams") > 0), num_hashes=16
+    ).transform(lambda d: spread(d, "doc_id"))
     pairs = D.lsh_candidate_pairs_md5(
         signed.select("doc_id", "minhash"), bands=8, sig_len=16
     )

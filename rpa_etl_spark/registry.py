@@ -101,6 +101,7 @@ PRIORITY_ORDER = [
     "q_unigram_logprob",  # new this round
     "q_ngram_novelty",  # new this round
     "q_approx_count_distinct",  # plan changed (distinct-first, no Expand)
+    "q_dedup_minhash",  # plan changed (Arrow signature kernel)
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_simhash",
@@ -149,7 +150,6 @@ PRIORITY_ORDER = [
     "q_date_funcs",
     "q_dedup_clusters",
     "q_dedup_lines",
-    "q_dedup_minhash",
     "q_domain_mix",
     "q_embedding_quantize",
     "q_entropy",

@@ -362,3 +362,32 @@ def test_sample_frames_real_avi_dispatch(spark):
         assert np.array_equal(arr, want)
     # stub: duration 4.0 * fps 5.0 -> 20 rotated-payload frames
     assert len(stub) == 20
+
+
+def test_minhash_md5_arrow_matches_expression(spark, sf_dir):
+    """attach_minhash_md5_arrow must be cell-exact against the pure
+    expression form on real corpus shingles plus edge rows (single gram,
+    unicode grams)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    extra = spark.createDataFrame(
+        [(900001, "uno due tre"), (900002, "café königs straße naïve ação x")],
+        "doc_id bigint, text string",
+    )
+    g = (
+        docs.unionByName(extra)
+        .select("doc_id", D.word_shingles(F.col("text"), 3).alias("grams"))
+        .where(F.size("grams") > 0)
+    )
+    want = {
+        r["doc_id"]: list(r["m"])
+        for r in g.select(
+            "doc_id", D.minhash_signature_md5(F.col("grams"), 16).alias("m")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["minhash"])
+        for r in D.attach_minhash_md5_arrow(g).select("doc_id", "minhash").collect()
+    }
+    assert got.keys() == want.keys()
+    diffs = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} mismatches, e.g. {next(iter(diffs.items()))}"
