@@ -408,3 +408,70 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "q_url_dedup",
+    oracle="""
+    WITH canon AS (
+        SELECT doc_id,
+               'https://src' || CAST((doc_id // 3) % 10 AS VARCHAR)
+               || '.example.com/page/' || CAST(doc_id // 3 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 2 THEN '?ref=keep' ELSE '' END
+                   AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*) > 1 AS has_dupes
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup after canonicalization — the first dedup pass of
+    every web-corpus pipeline (same page crawled under tracking params,
+    mixed-case hosts, default ports, fragments, trailing slashes).
+
+    Three deterministic URL variants of each underlying page are
+    synthesized per document (messy-cased host + :443 + utm params +
+    fragment; trailing slash; a genuine identity-bearing ?ref param mixed
+    with a utm one), pushed through the REAL canonicalizer
+    (functions/urls.py::canonicalize_url — parse_url decomposition,
+    lowercase, utm filter preserving other params, slash strip), then
+    grouped. The oracle rebuilds each canonical form analytically from
+    doc_id — so any canonicalization error (param kept that should drop,
+    case or port leak, slash mismatch) changes group membership and
+    hash-mismatches. Shape: narrow expressions then ONE groupBy keyed on
+    the canonical string (high-cardinality, no skew) — at 100 TB this is
+    scan + one keyed shuffle."""
+    from rpa_etl_spark.functions.urls import canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    pid = F.expr("doc_id div 3")
+    h = (pid % 10).cast("string")
+    base = F.concat(F.lit("src"), h, F.lit(".example.com/page/"), pid.cast("string"))
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://Src"), h, F.lit(".EXAMPLE.com:443/page/"),
+                pid.cast("string"),
+                F.lit("?utm_source=news&utm_medium=rss#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://"), base, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?ref=keep&utm_campaign=x")))
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(messy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+            (F.count(F.lit(1)) > 1).alias("has_dupes"),
+        )
+    )

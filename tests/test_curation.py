@@ -100,3 +100,30 @@ def test_scd2_intervals_chain_per_user(spark, sf_dir):
             assert a.valid_to == b.valid_from  # gapless chaining
             assert a.event_type != b.event_type  # true change capture
         assert rows[-1].valid_to is None
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.functions.urls import canonicalize_url
+
+    rows = [
+        (1, "https://Src1.EXAMPLE.com:443/a/b?utm_source=x#frag"),
+        (2, "https://src1.example.com/a/b/"),
+        (3, "https://src1.example.com/a/b?ref=keep&utm_campaign=x&page=2"),
+        (4, "http://HOST.com/"),
+        (5, "https://host.com"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == "https://src1.example.com/a/b"
+    assert got[2] == "https://src1.example.com/a/b"
+    # identity-bearing params kept in order, utm filtered out
+    assert got[3] == "https://src1.example.com/a/b?ref=keep&page=2"
+    assert got[4] == "http://host.com"
+    assert got[5] == "https://host.com"
+    assert got[6] is None
