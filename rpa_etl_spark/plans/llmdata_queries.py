@@ -1404,3 +1404,102 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY dt.doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_containment — asymmetric (excerpt/quote) near-dup detection
+# ---------------------------------------------------------------------------
+
+_CONTAIN_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, array_to_string(toks, ' ') AS text FROM tok
+        UNION ALL
+        SELECT doc_id + 1000000, array_to_string(toks[1:22], ' ') FROM tok
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM corpus)
+    ),
+    g AS (
+        SELECT doc_id, grams, list_min(grams) AS min_gram, len(grams) AS n
+        FROM sh WHERE len(grams) > 0
+    ),
+    inv AS (
+        SELECT doc_id AS id_b, grams AS g_b, UNNEST(grams) AS gram FROM g
+    )
+    SELECT a.doc_id AS id_a, inv.id_b,
+           CAST(len(list_intersect(a.grams, inv.g_b)) AS DOUBLE) / a.n
+               AS containment
+    FROM g a JOIN inv ON a.min_gram = inv.gram AND a.doc_id <> inv.id_b
+    WHERE CAST(len(list_intersect(a.grams, inv.g_b)) AS DOUBLE) / a.n >= 0.9
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAIN_SQL)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: find documents CONTAINED in another
+    document (excerpts, quotes, chunk re-publication) — the case symmetric
+    Jaccard misses entirely (a 20-token excerpt of a 150-token page has
+    jaccard ~0.13 but containment 1.0). The fixture unions each document
+    with its own 22-token excerpt, so every excerpt must be found.
+
+    Blocking is MIN-GRAM prefix filtering, not Jaccard LSH: if A's shingle
+    set is a subset of B's, then A's lexicographic minimum shingle is in B
+    — so probing an inverted (gram -> doc) index with ONE gram per
+    document has recall 1.0 on true containment, unlike banding (which is
+    tuned for high-jaccard pairs). Volume: the index explode is linear in
+    total shingle instances, the probe side is one row per document, and
+    the join is equi-keyed on the gram string (head-gram skew is bounded
+    by gram document-frequency and is AQE's skew-join case). Exact
+    containment is computed only on candidates. Same 100 TB upgrades as
+    q_contamination: hash grams to 8-byte keys, bloom-prune the index."""
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(lambda d: spread(d, "doc_id"))
+        .select("doc_id", tok.alias("toks"))
+    )
+    corpus = base.select(
+        "doc_id", F.array_join("toks", " ").alias("text")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice("toks", 1, 22), " ").alias("text"),
+        )
+    )
+    g = (
+        corpus.select("doc_id", D.word_shingles(F.col("text"), 3).alias("grams"))
+        .where(F.size("grams") > 0)
+        .select(
+            "doc_id", "grams", F.array_min("grams").alias("min_gram"),
+            F.size("grams").alias("n"),
+        )
+    )
+    # SLIM inverted index: only (gram, id) rides the explode+join shuffle;
+    # the gram ARRAYS join back by id on the (small) candidate set — the
+    # wide payload never multiplies through the inverted index
+    inv = g.select(F.col("doc_id").alias("id_b"), F.explode("grams").alias("gram"))
+    cands = g.select(F.col("doc_id").alias("id_a"), "min_gram").join(
+        inv, (F.col("min_gram") == F.col("gram")) & (F.col("id_a") != F.col("id_b"))
+    ).select("id_a", "id_b")
+    ga = g.select(F.col("doc_id").alias("id_a"), "grams", "n")
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b"))
+    containment = (
+        F.size(F.array_intersect(F.col("grams"), F.col("g_b"))).cast("double")
+        / F.col("n")
+    )
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .where(F.col("containment") >= 0.9)
+    )
