@@ -1503,3 +1503,75 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", containment.alias("containment"))
         .where(F.col("containment") >= 0.9)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_project — Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+_JL_IN, _JL_OUT = 64, 8
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1: parity of the first hex nibble of md5("p|i|j") —
+    reproducible from any engine's md5 (the oracle re-derives it in SQL)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"p|{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [[_jl_sign(i, j) for i in range(_JL_IN)] for j in range(_JL_OUT)]
+
+# DuckDB re-derivation of the same sign (cross-checks the Python constant)
+_JL_SIGN_SQL = (
+    "CASE WHEN CAST(('0x' || substr(md5('p|' || CAST({i} AS VARCHAR) || '|' "
+    "|| CAST({j} AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+def _jl_oracle() -> str:
+    cols = []
+    for j in range(_JL_OUT):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({_JL_SIGN_SQL.format(i=i, j=j)})"
+            for i in range(_JL_IN)
+        )
+        cols.append(f"ROUND(({terms}) / sqrt({_JL_OUT}), 6) AS p{j}")
+    return "SELECT vec_id, label, " + ", ".join(cols) + " FROM embeddings"
+
+
+@query("q_embedding_project", oracle=_jl_oracle())
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse sign projection 64 -> 8 dims: the
+    standard cheap dimensionality reduction ahead of ANN/clustering at
+    scale (distance-preserving in expectation, one in-row dot product per
+    output dim, zero parameters to store beyond a seed).
+
+    The ±1 sign matrix derives from md5 parity per (input dim, output
+    dim) — the Spark side embeds the signs as literals computed by the
+    same formula in Python, and the ORACLE re-derives every sign from
+    DuckDB's md5, so the two engines cross-check the derivation, the
+    projection arithmetic, and the scaling. Each output is a fixed
+    64-term sum evaluated left-to-right on both engines over exact
+    float->double values; ROUND(6) absorbs nothing but is kept for
+    uniformity with the other double outputs. Narrow per-row projection —
+    zero shuffle at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id"), F.col("label")]
+    # Each projection is a strict left-to-right fold over zip(vector,
+    # signs) — the same association as the oracle's explicit 64-term sum,
+    # and a SHALLOW expression tree: an unrolled 64-term nested Add per
+    # output column made Catalyst's analysis quadratic in tree size
+    # (measured ~3s of DRIVER time for 2000 rows); the fold form plans in
+    # milliseconds. Division by sqrt (both correctly-rounded IEEE ops,
+    # identical across engines) — NOT multiplication by a precomputed
+    # reciprocal, which rounds differently.
+    for j in range(_JL_OUT):
+        signs = F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]])
+        total = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(total / F.sqrt(F.lit(float(_JL_OUT))), 6).alias(f"p{j}"))
+    return emb.select(*cols)
