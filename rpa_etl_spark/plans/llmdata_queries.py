@@ -1575,3 +1575,100 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(total / F.sqrt(F.lit(float(_JL_OUT))), 6).alias(f"p{j}"))
     return emb.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# q_bm25 — lexical retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = "('the', 'table', 'row', 'spark', 'hash')"
+_BM25_K1, _BM25_B = "1.2", "0.75"
+
+_BM25_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    d AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS total
+        FROM tok
+    ),
+    t AS (
+        SELECT doc_id, UNNEST(toks) AS tok FROM tok
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM t
+        WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           COUNT(*) AS n_terms,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_hits,
+           ROUND(SUM(
+               ln(((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({_BM25_K1} + 1))
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                  * (d.dl / ((SELECT total FROM stats)
+                             / CAST((SELECT n_docs FROM stats) AS DOUBLE)))))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON tf.tok = df.tok
+    JOIN d ON tf.doc_id = d.doc_id
+    GROUP BY tf.doc_id
+"""
+
+
+@query("q_bm25", oracle=_BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document scoring for a fixed query-term set — the lexical
+    retrieval half of similarity search (the embedding half is
+    q_sim_topk/q_ann_*); the exact shape of a corpus-wide relevance pass
+    a retrieval-augmented pipeline runs at scale.
+
+    Determinism: tf/dl/df/N are exact integers, avdl is one exact
+    division, each per-term score is the same literal formula on both
+    engines (ln within 1 ulp), and the per-doc SUM over <= 5 term scores
+    sits under ROUND(6) — the q_entropy pattern. Shape: the token explode
+    is filtered to the query terms BEFORE any shuffle, so the grouped
+    volume is |docs x matched terms|; document-frequency and corpus
+    stats ride tiny aggregates/scalar subqueries (no constant-key join);
+    the df join is broadcast-size by construction."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   filter(split(trim(text), '\\\\s+'), x -> x != '') AS toks
+            FROM documents
+        ),
+        d AS (SELECT doc_id, size(toks) AS dl FROM tok),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(size(toks)) AS total FROM tok
+        ),
+        t AS (
+            SELECT doc_id, tok FROM tok LATERAL VIEW explode(toks) x AS tok
+        ),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM t
+            WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms,
+               SUM(tf.tf) AS n_hits,
+               ROUND(SUM(
+                   ln(((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * (tf.tf * ({_BM25_K1} + 1))
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                      * (d.dl / ((SELECT total FROM stats)
+                                 / CAST((SELECT n_docs FROM stats) AS DOUBLE)))))
+               ), 6) AS bm25
+        FROM tf
+        JOIN df ON tf.tok = df.tok
+        JOIN d ON tf.doc_id = d.doc_id
+        GROUP BY tf.doc_id
+        """
+    )

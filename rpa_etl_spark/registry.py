@@ -105,6 +105,7 @@ PRIORITY_ORDER = [
     "q_url_dedup",  # new this round
     "q_dedup_containment",  # new this round
     "q_embedding_project",  # new this round
+    "q_bm25",  # new this round
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_simhash",
