@@ -104,11 +104,12 @@ def main() -> None:
     n_docs = docs.count()
     n_cores = spark.sparkContext.defaultParallelism
     pipe_sec = None
-    for _ in range(3):  # pass 0 = warm-up
+    for i in range(3):
         t0 = time.perf_counter()
         process_documents(docs).write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
-        pipe_sec = dt if pipe_sec is None else min(pipe_sec, dt)
+        if i > 0:  # pass 0 is the untimed warm-up
+            pipe_sec = dt if pipe_sec is None else min(pipe_sec, dt)
     docs_per_sec_per_core = round(n_docs / pipe_sec / n_cores, 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

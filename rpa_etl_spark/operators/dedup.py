@@ -341,6 +341,12 @@ def attach_minhash_md5_arrow(
     per-executor, so the ratio holds at any cluster size."""
     import hashlib
 
+    if num_hashes > 17:
+        # same guard as the expression twin: window j starts at hex offset
+        # 3j and needs 16 chars of the 64-char double digest — past 17 the
+        # slices silently shorten into degenerate (mass-colliding) minima
+        raise ValueError(f"md5 window family supports <= 17 hashes, got {num_hashes}")
+
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     out_schema = StructType(
@@ -351,6 +357,11 @@ def attach_minhash_md5_arrow(
         for pdf in batches:
             sigs = []
             for grams in pdf[grams_col]:
+                if grams is None:
+                    # expression-twin semantics: transform(null) -> null
+                    # digests -> null window minima
+                    sigs.append([None] * num_hashes)
+                    continue
                 digs = [
                     hashlib.md5(g.encode()).hexdigest()
                     + hashlib.md5(("#" + g).encode()).hexdigest()

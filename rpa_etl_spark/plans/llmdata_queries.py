@@ -1376,8 +1376,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the residual join skew on head tokens is AQE's skew-join case.
     The grand total rides an uncorrelated scalar subquery (executed once,
     inlined — not a constant-key join, which would fold to the BNLJ the
-    quadratic-join gate forbids)."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    quadratic-join gate forbids). The registered view is pre-spread so the
+    CPU-heavy tokenize/explode ahead of the first GROUP BY runs at CPU
+    parallelism, not the single-row-group fixture's one-task scan."""
+    spread(load(spark, sf_dir, "documents").select("doc_id", "text")).createOrReplaceTempView(
+        "documents"
+    )
     return spark.sql(
         r"""
         WITH toks AS (
@@ -1635,8 +1639,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     is filtered to the query terms BEFORE any shuffle, so the grouped
     volume is |docs x matched terms|; document-frequency and corpus
     stats ride tiny aggregates/scalar subqueries (no constant-key join);
-    the df join is broadcast-size by construction."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    the df join is broadcast-size by construction. The registered view is
+    pre-spread — tokenization dominates and must run at CPU parallelism,
+    not the one-task single-row-group scan."""
+    spread(load(spark, sf_dir, "documents").select("doc_id", "text")).createOrReplaceTempView(
+        "documents"
+    )
     return spark.sql(
         f"""
         WITH tok AS (

@@ -394,6 +394,10 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (
         load(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_partkey")
+        # countDistinct (the semantics this rewrite preserves) ignores
+        # NULL values; without this filter the NULL-key group would count
+        # as a distinct part under COUNT(*)
+        .where(F.col("l_partkey").isNotNull())
         .transform(lambda d: spread(d, "l_returnflag", "l_partkey"))
         .groupBy("l_returnflag", "l_partkey")
         .agg(F.count(F.lit(1)).alias("_n"))

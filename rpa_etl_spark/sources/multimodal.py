@@ -141,16 +141,35 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     any scale, CPU cost is per-executor."""
     n_out = max(1, width * height // 64)
 
-    def _resize_one(p: bytes) -> tuple[bytes, str]:
-        if p[:2] == b"BM":
-            return bmp_encode(resize_nearest(bmp_decode(p), width, height)), "numpy-nearest-bmp"
-        if p[:8] == b"\x89PNG\r\n\x1a\n":
-            return png_encode(resize_nearest(png_decode(p), width, height)), "numpy-nearest-png"
-        if p[:2] == b"\xff\xd8":
-            from rpa_etl_spark.sources.jpeg import jpeg_decode, jpeg_encode
-
-            return jpeg_encode(resize_nearest(jpeg_decode(p), width, height)), "numpy-nearest-jpeg"
+    def _stub(p: bytes) -> tuple[bytes, str]:
         return ((p or b"\0") * (n_out // max(len(p), 1) + 1))[:n_out], "stub"
+
+    def _resize_one(p: bytes) -> tuple[bytes, str]:
+        # magic bytes pick the codec, but a magic match does not guarantee
+        # the variant is supported (RGBA/palette/interlaced PNG, 32bpp
+        # BMP, progressive JPEG, truncated payloads) — those must DEGRADE
+        # to the stub like any codec-less format, not abort the stage
+        try:
+            if p[:2] == b"BM":
+                return (
+                    bmp_encode(resize_nearest(bmp_decode(p), width, height)),
+                    "numpy-nearest-bmp",
+                )
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                return (
+                    png_encode(resize_nearest(png_decode(p), width, height)),
+                    "numpy-nearest-png",
+                )
+            if p[:2] == b"\xff\xd8":
+                from rpa_etl_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+                return (
+                    jpeg_encode(resize_nearest(jpeg_decode(p), width, height)),
+                    "numpy-nearest-jpeg",
+                )
+        except Exception:
+            return _stub(p)
+        return _stub(p)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,14 +218,27 @@ def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
             ):
                 p = bytes(payload)
                 if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-                    avi_fps, avi_frames = avi_decode(p)
-                    step = max(1, round(avi_fps / fps))
-                    for j, fidx in enumerate(range(0, len(avi_frames), step)):
-                        ids.append(mid)
-                        idxs.append(j)
-                        tss.append(fidx / avi_fps)
-                        frames.append(bmp_encode(avi_frames[fidx]))
-                    continue
+                    # the magic check only proves the container; compressed
+                    # or malformed AVIs (or fps 0 from a degenerate strh)
+                    # must degrade to the stub path, not abort the stage
+                    try:
+                        avi_fps, avi_frames = avi_decode(p)
+                        if avi_fps <= 0:
+                            raise ValueError("degenerate AVI frame rate")
+                        step = max(1, round(avi_fps / fps))
+                        decoded = [
+                            (fidx / avi_fps, bmp_encode(avi_frames[fidx]))
+                            for fidx in range(0, len(avi_frames), step)
+                        ]
+                    except Exception:
+                        decoded = None
+                    if decoded is not None:
+                        for j, (ts_s, frame) in enumerate(decoded):
+                            ids.append(mid)
+                            idxs.append(j)
+                            tss.append(ts_s)
+                            frames.append(frame)
+                        continue
                 n_frames = max(1, int(float(dur) * fps))
                 for i in range(n_frames):
                     ids.append(mid)

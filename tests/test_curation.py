@@ -114,6 +114,8 @@ def test_canonicalize_url_rules(spark):
         (4, "http://HOST.com/"),
         (5, "https://host.com"),
         (6, None),
+        (7, "https://host.com:8080/x"),  # non-default port = distinct origin
+        (8, "http://user:pw@Host.com:80/x"),  # userinfo dropped, default port dropped
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {
@@ -127,3 +129,5 @@ def test_canonicalize_url_rules(spark):
     assert got[4] == "http://host.com"
     assert got[5] == "https://host.com"
     assert got[6] is None
+    assert got[7] == "https://host.com:8080/x"
+    assert got[8] == "http://host.com/x"

@@ -391,3 +391,42 @@ def test_minhash_md5_arrow_matches_expression(spark, sf_dir):
     assert got.keys() == want.keys()
     diffs = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
     assert not diffs, f"{len(diffs)} mismatches, e.g. {next(iter(diffs.items()))}"
+
+
+def test_resize_and_frames_degrade_on_unsupported_variants(spark):
+    """A magic-byte match with an unsupported codec variant (compressed
+    AVI stand-in, truncated PNG) must degrade to the stub path, not abort
+    the Spark stage; degenerate metadata must not divide by zero."""
+    from rpa_etl_spark.sources import multimodal as MM
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"garbage-not-a-real-chunk"
+    bad_bmp = b"BM" + b"\x00" * 10
+    media = spark.createDataFrame(
+        [(1, bad_png, "image/png"), (2, bad_bmp, "image/bmp")],
+        "media_id bigint, payload binary, mime string",
+    )
+    out = {r["media_id"]: r for r in MM.resize_images(media, width=8, height=8).collect()}
+    assert out[1]["method"] == "stub" and out[2]["method"] == "stub"
+
+    bad_avi = b"RIFF" + b"\x10\x00\x00\x00" + b"AVI " + b"garbage"
+    vids = spark.createDataFrame(
+        [(3, bad_avi, "video/avi", 4.0)],
+        "media_id bigint, payload binary, mime string, meta_duration_s double",
+    )
+    frames = MM.sample_frames(vids, fps=0.5).collect()
+    assert len(frames) == 2  # stub path: duration 4.0 * fps 0.5
+
+
+def test_minhash_arrow_guard_and_null_grams(spark):
+    import pytest as _pytest
+
+    from rpa_etl_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, None)], "doc_id bigint, grams array<string>"
+    )
+    with _pytest.raises(ValueError):
+        DD.attach_minhash_md5_arrow(df, num_hashes=18)
+    rows = {r["doc_id"]: r["minhash"] for r in DD.attach_minhash_md5_arrow(df).collect()}
+    assert rows[2] == [None] * 16
+    assert all(len(s) == 16 for s in rows[1])
