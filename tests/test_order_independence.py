@@ -40,6 +40,12 @@ ORDER_SENSITIVE = [
     "q_text_stats",
     # round-4: PDF chain (mapInPandas batch boundaries must not matter)
     "q_pdf_extract",
+    # round-5 additions with cross-shuffle float accumulation (ln-term
+    # sums under round(6)) or Arrow-kernel batch boundaries
+    "q_unigram_logprob",
+    "q_bm25",
+    "q_dedup_minhash",
+    "q_lang_quality",
 ]
 
 
