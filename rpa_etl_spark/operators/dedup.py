@@ -379,3 +379,52 @@ def attach_minhash_md5_arrow(
             yield block
 
     return df.mapInPandas(run, out_schema)
+
+
+def attach_simhash60_md5_arrow(
+    df: DataFrame, text_col: str = "text", out_col: str = "sig"
+) -> DataFrame:
+    """Arrow-batched twin of ``simhash60_md5(tokens(text))``: tokenize,
+    md5-hash, and bit-vote in ONE mapInPandas stage (the expression form
+    crosses to Arrow only for the bit-vote and pays an interpreted
+    transform + conv per token for the hashing half).
+
+    mapInPandas for the same reason as :func:`attach_minhash_md5_arrow`:
+    the signature feeds a bucketed self-join, and a scalar-UDF column
+    would be re-inlined where the interpreted evaluator cannot run it.
+    Parity is Java-exact and pinned by test: tokens split on the ASCII
+    ``\\s`` class after space-only trim (same contract as
+    operators/textstats_arrow.py), hash = first 15 hex chars of
+    hashlib md5 == JVM/DuckDB md5, bit-vote identical to
+    _simhash_from_hashes (null text -> signature 0)."""
+    import hashlib
+    import re as _re
+
+    _ws_run = _re.compile("[ \t\n\x0b\f\r]+")
+
+    def _sig_one(t) -> int:
+        if t is None:
+            return 0
+        toks = _ws_run.split(t.strip(" "))
+        hs = np.array(
+            [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        sums = (2 * bits - 1).sum(axis=0)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).view(np.int64)
+        return int((sums > 0) @ weights)
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def run(batches):
+        for pdf in batches:
+            block = pdf.copy()
+            block[out_col] = [_sig_one(t) for t in pdf[text_col]]
+            yield block
+
+    return df.mapInPandas(run, out_schema)

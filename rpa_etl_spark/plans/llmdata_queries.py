@@ -280,14 +280,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes signatures, prefix buckets, and Hamming distances
     bit-for-bit. The vectorized xxhash64+numpy variant (simhash64)
     remains the production default, gated by determinism tests."""
-    # rebalance before the CPU-bound per-token md5 fold (see
-    # q_dedup_minhash — parallelism sized to CPU, not input splits)
-    docs = (
+    # rebalance before the CPU-bound signature kernel (see q_dedup_minhash
+    # — parallelism sized to CPU, not input splits). The signature runs
+    # the Arrow kernel (attach_simhash60_md5_arrow): tokenize + md5 +
+    # bit-vote in one mapInPandas crossing instead of an interpreted
+    # transform/conv per token; parity with the expression form pinned by
+    # test_simhash60_arrow_matches_expression.
+    docs = D.attach_simhash60_md5_arrow(
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .transform(lambda d: spread(d, "doc_id"))
-        .select("doc_id", D.simhash60_md5(TS.tokens(F.col("text"))).alias("sig"))
-    )
+    ).select("doc_id", "sig")
     # shuffle barrier keyed by the join bucket: the pandas_udf signature
     # pass materializes once and both self-join sides read the exchange.
     # The self-join (not a groupBy + collect_list + in-row expansion)

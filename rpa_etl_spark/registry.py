@@ -106,9 +106,9 @@ PRIORITY_ORDER = [
     "q_dedup_containment",  # new this round
     "q_embedding_project",  # new this round
     "q_bm25",  # new this round
+    "q_dedup_simhash",  # plan changed (Arrow signature kernel)
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
-    "q_dedup_simhash",
     "q_dedup_embedding",
     "q_fuzzy_match",
     "q_profile_stats",

@@ -430,3 +430,25 @@ def test_minhash_arrow_guard_and_null_grams(spark):
     rows = {r["doc_id"]: r["minhash"] for r in DD.attach_minhash_md5_arrow(df).collect()}
     assert rows[2] == [None] * 16
     assert all(len(s) == 16 for s in rows[1])
+
+
+def test_simhash60_arrow_matches_expression(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, None), (900003, " \tthe and\x0b of "),
+         (900004, "café 你好 the")],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.unionByName(extra)
+    want = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select(
+            "doc_id", D.simhash60_md5(TS.tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in D.attach_simhash60_md5_arrow(corpus).select("doc_id", "sig").collect()
+    }
+    diffs = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} mismatches, e.g. {next(iter(diffs.items()))}"
