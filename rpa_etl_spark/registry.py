@@ -50,9 +50,25 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # latest green verdict is ever more than ~2 rounds old, and every plan
 # change gets an external verdict the round it ships.
 PRIORITY_ORDER = [
-    # == tier 1 (40): last driver-green in ROUND 2 — their verdicts are 3
-    #    rounds old at round 5; a ~50-query sample must re-confirm all of
-    #    them to keep every query's most-recent-green <= 2 rounds old ====
+    # == tier 1a (12): NEW this round or plan changed this round — these
+    #    have no external verdict in their current form, so they carry the
+    #    most information and must not fall off the ~50-query sample =====
+    "q_lang_quality",  # plan changed (Arrow kernel)
+    "q_monetary_br",  # plan changed (barrier exchange removed)
+    "q_multimodal_resize",  # new this round
+    "q_unigram_logprob",  # new this round
+    "q_ngram_novelty",  # new this round
+    "q_approx_count_distinct",  # plan changed (distinct-first, no Expand)
+    "q_dedup_minhash",  # plan changed (Arrow signature kernel)
+    "q_url_dedup",  # new this round
+    "q_dedup_containment",  # new this round
+    "q_embedding_project",  # new this round
+    "q_bm25",  # new this round
+    "q_dedup_simhash",  # plan changed (Arrow signature kernel)
+    # == tier 1b (40): last driver-green in ROUND 2 — their verdicts are 3
+    #    rounds old at round 5; with 12 tier-1a slots, the last ~2 of
+    #    these may miss a 50-query sample — they are unchanged-and-green,
+    #    the cheapest verdicts to defer one round ========================
     "q_agg_group",
     "q_array_funcs",
     "q_cnpj_valid",
@@ -93,20 +109,6 @@ PRIORITY_ORDER = [
     "q_window_range_frame",
     "q_window_rank",
     "q_window_running_sum",
-    # == tier 1b: plan changed THIS round (round 5) — re-verify even
-    #    though round-4 green ===========================================
-    "q_lang_quality",
-    "q_monetary_br",
-    "q_multimodal_resize",  # new this round
-    "q_unigram_logprob",  # new this round
-    "q_ngram_novelty",  # new this round
-    "q_approx_count_distinct",  # plan changed (distinct-first, no Expand)
-    "q_dedup_minhash",  # plan changed (Arrow signature kernel)
-    "q_url_dedup",  # new this round
-    "q_dedup_containment",  # new this round
-    "q_embedding_project",  # new this round
-    "q_bm25",  # new this round
-    "q_dedup_simhash",  # plan changed (Arrow signature kernel)
     # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
     #    riskier plans first so they land inside a ~50-query budget ======
     "q_dedup_embedding",
