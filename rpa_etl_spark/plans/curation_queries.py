@@ -475,3 +475,72 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) > 1).alias("has_dupes"),
         )
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, md5(text) AS h,
+               ({_BUCKET_SQL}) < 80 AS in_index
+        FROM documents
+    ),
+    index_h AS (
+        SELECT h, MIN(doc_id) AS index_doc FROM tagged WHERE in_index GROUP BY h
+    ),
+    batch AS (
+        SELECT doc_id, h FROM tagged WHERE NOT in_index
+    ),
+    within AS (
+        SELECT h, MIN(doc_id) AS first_doc, COUNT(*) AS n_in_batch
+        FROM batch GROUP BY h
+    )
+    SELECT b.doc_id,
+           i.h IS NOT NULL AS dup_of_index,
+           i.index_doc,
+           b.doc_id <> w.first_doc AS dup_within_batch,
+           i.h IS NULL AND b.doc_id = w.first_doc AS keep
+    FROM batch b
+    LEFT JOIN index_h i ON b.h = i.h
+    JOIN within w ON b.h = w.h
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-index) exact dedup: the production shape for
+    a standing 100 TB corpus receiving daily batches — the new batch
+    dedupes against the INDEX of content hashes (never against the corpus
+    text, never all-pairs, never re-scanning the corpus) and then within
+    itself, emitting keep / dup-of-index / dup-within-batch verdicts.
+
+    Shape: one scan builds hashes; the index side collapses to distinct
+    (hash, first-doc); the batch joins it on the hash key (at production
+    scale the index is a pre-materialized bucketed table, making this
+    join exchange-free) plus one within-batch aggregate keyed the same
+    way. The 80/20 split is the deterministic md5 bucket shared with
+    q_sample_hash, so both engines partition identically."""
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (_bucket_col() < 80).alias("in_index"),
+    )
+    index_h = (
+        tagged.where("in_index").groupBy("h").agg(F.min("doc_id").alias("index_doc"))
+    )
+    batch = tagged.where(~F.col("in_index")).select("doc_id", "h")
+    within = batch.groupBy("h").agg(
+        F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_in_batch")
+    )
+    return (
+        batch.join(index_h.withColumn("_hit", F.lit(1)), "h", "left")
+        .join(within, "h")
+        .select(
+            "doc_id",
+            F.col("_hit").isNotNull().alias("dup_of_index"),
+            "index_doc",
+            (F.col("doc_id") != F.col("first_doc")).alias("dup_within_batch"),
+            (F.col("_hit").isNull() & (F.col("doc_id") == F.col("first_doc"))).alias(
+                "keep"
+            ),
+        )
+    )
