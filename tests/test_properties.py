@@ -208,3 +208,36 @@ def test_avi_roundtrip_identity(n_frames, h, w, seed):
     assert fps == 10 and len(back) == n_frames
     for a, b in zip(frames, back):
         np.testing.assert_array_equal(a, b)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_lang_quality_arrow_parity_on_random_text(spark, texts):
+    """The Arrow lang-quality kernel must agree cell-exactly with the
+    pure-expression twin on ARBITRARY unicode — whitespace runs, empty
+    strings, astral chars, NBSP, anything hypothesis finds — not just the
+    corpus fixture (the fixture-based parity test covers the plan wiring;
+    this one hunts tokenizer-semantics divergence)."""
+    from rpa_etl_spark.operators.textstats_arrow import lang_quality_arrow
+    from rpa_etl_spark.plans.llmdata_queries import lang_quality_expr
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cols = ["en_hits", "lang_pred", "quality", "bpe_tokens", "est_tokens", "fingerprint"]
+    got = {r["doc_id"]: tuple(r[c] for c in cols)
+           for r in lang_quality_arrow(df).drop("text").collect()}
+    want = {r["doc_id"]: tuple(r[c] for c in cols)
+            for r in lang_quality_expr(df).collect()}
+    diffs = {k: (got[k], want[k], texts[k]) for k in got if got[k] != want[k]}
+    assert not diffs, f"{len(diffs)} diverging rows, e.g. {next(iter(diffs.items()))}"
