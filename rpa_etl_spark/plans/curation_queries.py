@@ -544,3 +544,79 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_corpus_drift",
+    oracle=f"""
+    WITH splitted AS (
+        SELECT doc_id, lang,
+               ({_BUCKET_SQL}) < 80 AS in_index,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    t AS (
+        SELECT lang, in_index, UNNEST(toks) AS tok FROM splitted
+    ),
+    c AS (
+        SELECT lang, tok,
+               CAST(SUM(CASE WHEN in_index THEN 1 ELSE 0 END) AS BIGINT) AS c_idx,
+               CAST(SUM(CASE WHEN in_index THEN 0 ELSE 1 END) AS BIGINT) AS c_new
+        FROM t GROUP BY lang, tok
+    ),
+    shared AS (
+        SELECT lang, tok, c_idx, c_new FROM c WHERE c_idx > 0 AND c_new > 0
+    ),
+    tot AS (
+        SELECT lang,
+               CAST(SUM(c_idx) AS BIGINT) AS t_idx,
+               CAST(SUM(c_new) AS BIGINT) AS t_new,
+               COUNT(*) AS n_shared
+        FROM shared GROUP BY lang
+    )
+    SELECT s.lang, tot.n_shared,
+           ROUND(SUM((s.c_new / CAST(tot.t_new AS DOUBLE))
+                     * ln((s.c_new / CAST(tot.t_new AS DOUBLE))
+                          / (s.c_idx / CAST(tot.t_idx AS DOUBLE)))), 6)
+               AS kl_new_vs_index
+    FROM shared s JOIN tot ON s.lang = tot.lang
+    GROUP BY s.lang, tot.n_shared
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring: KL divergence of the incoming batch's
+    token distribution against the standing index, per language — the
+    data-quality alarm a production training-data pipeline runs on every
+    ingest (a crawler change or spam flood shows up as a KL spike before
+    it poisons a training mix).
+
+    Distributions are restricted to the SHARED vocabulary and
+    renormalized (deterministic, no smoothing constant to tune); both
+    engines compute every probability as a ratio of exact integer counts
+    and the ln-sum sits under ROUND(6) — the q_entropy pattern. Shape:
+    one explode → one (lang, token)-keyed aggregation with map-side
+    partials absorbing the Zipf head → a langs-sized totals join
+    (broadcast) → per-lang rollup. The deterministic md5 80/20 split is
+    shared with q_sample_hash/q_dedup_incremental."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    toks = F.split(F.trim("text"), r"\s+")
+    t = docs.select(
+        "lang", (_bucket_col() < 80).alias("in_index"), F.explode(toks).alias("tok")
+    )
+    c = t.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("in_index"), 1).otherwise(0)).alias("c_idx"),
+        F.sum(F.when(F.col("in_index"), 0).otherwise(1)).alias("c_new"),
+    )
+    shared = c.where((F.col("c_idx") > 0) & (F.col("c_new") > 0))
+    tot = shared.groupBy("lang").agg(
+        F.sum("c_idx").alias("t_idx"),
+        F.sum("c_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_shared"),
+    )
+    p = F.col("c_new") / F.col("t_new").cast("double")
+    q = F.col("c_idx") / F.col("t_idx").cast("double")
+    return (
+        shared.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_shared")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_new_vs_index"))
+    )

@@ -46,6 +46,7 @@ ORDER_SENSITIVE = [
     "q_bm25",
     "q_dedup_minhash",
     "q_lang_quality",
+    "q_corpus_drift",
 ]
 
 
