@@ -67,6 +67,7 @@ PRIORITY_ORDER = [
     "q_dedup_simhash",  # plan changed (Arrow signature kernel)
     "q_dedup_incremental",  # new this round
     "q_corpus_drift",  # new this round
+    "q_curation_verdict",  # new this round
     # == tier 1b (40): last driver-green in ROUND 2 — their verdicts are 3
     #    rounds old at round 5; with 12 tier-1a slots, the last ~2 of
     #    these may miss a 50-query sample — they are unchanged-and-green,
