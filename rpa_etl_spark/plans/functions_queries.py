@@ -103,7 +103,13 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(l_extendedprice - 50000)                      AS dist_from_50k,
            l_orderkey % 7                                    AS key_mod7,
            SQRT(l_quantity)                                  AS qty_sqrt,
-           TRY_CAST(l_returnflag AS DECIMAL(18,2))           AS flag_as_num,
+           (TRY_CAST(l_returnflag AS DECIMAL(18,2)) IS NOT NULL)
+                                                             AS flag_parses,
+           CAST(COALESCE(TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                                       THEN CAST(l_linenumber AS VARCHAR)
+                                       ELSE l_returnflag END AS DECIMAL(18,2)),
+                         CAST(-1 AS DECIMAL(18,2))) AS DOUBLE)
+                                                             AS mixed_parse,
            CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 0) AS DOUBLE)
                                                              AS price_round0
     FROM lineitem
@@ -123,7 +129,18 @@ def q_decimal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 50000).alias("dist_from_50k"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.try_to_number(F.col("l_returnflag"), F.lit("99.99")).cast("decimal(18,2)").alias("flag_as_num"),
+        F.col("l_returnflag").try_cast("decimal(18,2)").isNotNull().alias("flag_parses"),
+        # Guarded parse over a mixed column: even line numbers parse, the
+        # rest fall back to a sentinel — NULL never reaches the output, so
+        # the oracle compare sees no NULL-vs-NaN ambiguity (round-6 fix).
+        F.coalesce(
+            F.when(F.col("l_linenumber") % 2 == 0, F.col("l_linenumber").cast("string"))
+            .otherwise(F.col("l_returnflag"))
+            .try_cast("decimal(18,2)"),
+            F.lit(-1).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("mixed_parse"),
         F.round(price, 0).cast("double").alias("price_round0"),
     )
 

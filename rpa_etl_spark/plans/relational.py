@@ -394,10 +394,10 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (
         load(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_partkey")
-        # countDistinct (the semantics this rewrite preserves) ignores
-        # NULL values; without this filter the NULL-key group would count
-        # as a distinct part under COUNT(*)
-        .where(F.col("l_partkey").isNotNull())
+        # NULL partkeys stay IN (so a flag group whose partkeys are all
+        # NULL still emits a row, matching COUNT(DISTINCT ...) = 0 in the
+        # oracle); the null-ignoring count below restores countDistinct's
+        # NULL semantics without dropping the group
         .transform(lambda d: spread(d, "l_returnflag", "l_partkey"))
         .groupBy("l_returnflag", "l_partkey")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -405,7 +405,10 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deduped.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("exact_parts"),
+            # count(col) skips NULL pairs — each surviving row is one
+            # distinct non-null partkey; approx_count_distinct ignores
+            # NULLs natively, so both sides agree on null-only groups
+            F.count(F.col("l_partkey")).alias("exact_parts"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
         )
         .select(

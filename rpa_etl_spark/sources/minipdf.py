@@ -208,13 +208,20 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         # control chars must use PDF escape sequences — a raw newline inside
         # a literal string would be merged with Td/T* line breaks by the
         # extractor's newline collapse, breaking write→extract round-trips
-        return (
+        out = (
             s.replace("\\", r"\\")
             .replace("(", r"\(")
             .replace(")", r"\)")
             .replace("\n", r"\n")
             .replace("\r", r"\r")
             .replace("\t", r"\t")
+            .replace("\x08", r"\b")
+            .replace("\x0c", r"\f")
+        )
+        # any remaining control char gets a 3-digit octal escape — nothing
+        # below 0x20 may reach a literal string raw (ADVICE round 5)
+        return "".join(
+            ch if ord(ch) >= 0x20 else "\\%03o" % ord(ch) for ch in out
         )
 
     objects: list[bytes] = []
