@@ -307,3 +307,69 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_unicode_issues",
         "extraction_method",
     )
+
+
+@query(
+    "q_pdf_extract_hard",
+    oracle="""
+    WITH syn AS (
+        SELECT doc_id,
+               trim(regexp_replace(substr(text, 1, 64),
+                                   '[ \t\n\r\f\v]+', ' ', 'g')) AS prefix
+        FROM documents
+        WHERE doc_id % 97 <> 0
+    ),
+    expect AS (
+        SELECT doc_id,
+               'NOTA FISCAL DE SERVICOS' || chr(10)
+               || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'CNPJ: 04.252.011/0001-10' || chr(10)
+               || 'TOTAL: R$ 1.500,'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || CASE WHEN prefix = '' THEN ''
+                       ELSE chr(10) || prefix END AS extracted
+        FROM syn
+    )
+    SELECT doc_id,
+           CAST(doc_id % 7 AS INT) AS variant,
+           2 AS page_count,
+           extracted,
+           CAST(length(extracted) AS INT) AS n_chars,
+           'minipdf' AS extraction_method
+    FROM expect
+    """,
+)
+def q_pdf_extract_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial S1/S2/S3 (round 6): like q_pdf_extract, but each PDF is
+    written through minipdf.write_pdf_hard with the structural variant
+    rotating on doc_id % 7 — xref STREAMS (PNG predictors), object
+    streams, filter chains (ASCIIHex+Flate, ASCII85, RunLength, LZW),
+    indirect /Length, CID fonts with /ToUnicode CMaps, split /Contents
+    arrays (sources/pdf.py HARD_VARIANTS). The reference gets this
+    coverage from PyMuPDF (robot/pdf_reader.py:23-58); here the pure-
+    Python structured parser (minipdf.extract_text_structured) must
+    round-trip every layout back to the SAME analytic text the oracle
+    reconstructs from the documents table — a single xref/filter/CMap
+    bug hash-mismatches. Plan shape identical to q_pdf_extract: scan →
+    spread → mapInPandas(write) → filter → mapInPandas(extract); narrow
+    end to end, no keyed shuffle at any scale."""
+    from rpa_etl_spark.sources import pdf as P
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .transform(spread)
+    )
+    extracted = P.extract_pdf_text(
+        P.validate_pdf_ingress(P.synth_invoice_pdfs_hard(docs)),
+        force_minipdf=True,
+    )
+    doc_id = F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long")
+    return extracted.select(
+        doc_id.alias("doc_id"),
+        (doc_id % 7).cast("int").alias("variant"),
+        "page_count",
+        F.col("text").alias("extracted"),
+        F.length("text").alias("n_chars"),
+        "extraction_method",
+    )

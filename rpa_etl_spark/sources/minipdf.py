@@ -2,24 +2,34 @@
 
 The reference extracts per-page text with PyMuPDF (robot/pdf_reader.py:23-94).
 That library is not available in this container, so this module implements
-the common-case subset of the (public) PDF file format directly:
+the (public, ISO 32000-1) PDF file format directly. Two extraction paths:
 
-- unencrypted PDFs;
-- content streams stored uncompressed or with ``FlateDecode`` (zlib);
-- objects inside ``/Type /ObjStm`` object streams (PDF 1.5+) are expanded;
+STRUCTURED (primary, round 6): a real document parser —
+- cross-reference resolution: classic ``xref`` tables (with ``/Prev``
+  chains and hybrid ``/XRefStm``) AND PDF 1.5 cross-reference STREAMS
+  (``/W`` field triples, ``/Index`` subsections, PNG predictors);
+- a recursive-descent object parser (dicts, arrays, names, numbers,
+  literal/hex strings, indirect references) with indirect ``/Length``
+  resolution and object caching;
+- ``/Type /ObjStm`` object streams (type-2 xref entries);
+- stream filters and filter CHAINS: ``FlateDecode`` (+ PNG predictors via
+  ``/DecodeParms``), ``ASCIIHexDecode``, ``ASCII85Decode``,
+  ``RunLengthDecode``, ``LZWDecode`` (+ predictors, EarlyChange);
+- page-tree walk from ``/Root`` → ``/Pages`` → ``/Kids`` (inherited
+  ``/Resources``, ``/Contents`` arrays concatenated per the spec);
 - text via the standard content-stream operators: ``Tj``, ``'``, ``"``,
-  ``TJ`` (array form with kerning), with ``Td``/``TD``/``T*`` treated as
-  line breaks;
-- literal ``(...)`` strings (including escape sequences and nested
-  parentheses) and hex ``<...>`` strings;
-- simple one-byte font encodings decoded as Latin-1 (WinAnsi-compatible
-  for the printable range). Composite/CID (2-byte) fonts, encryption, and
-  non-Flate filters (DCT, LZW, ...) are out of scope — such streams simply
-  contribute no text, they never raise.
+  ``TJ`` (array form with kerning), ``Td``/``TD``/``T*`` as line breaks,
+  with ``Tf`` font tracking;
+- composite/CID (2-byte) fonts via ``/ToUnicode`` CMaps (``bfchar`` +
+  ``bfrange``, both destination forms); simple fonts decode as Latin-1
+  (WinAnsi-compatible for the printable range).
 
-This is a best-effort extractor for machine-generated text PDFs (exactly
-the reference's input class: NFS-e invoices). It is deterministic: same
-bytes in, same text out.
+SWEEP (fallback): the pre-round-6 regex sweep over ``N G obj`` bodies —
+used when the structural parse fails (damaged xref, truncated file), so
+malformed input degrades instead of erroring. Never raises: undecodable
+streams contribute no text.
+
+Deterministic: same bytes in, same text out. Encryption is out of scope.
 """
 
 from __future__ import annotations
@@ -172,12 +182,782 @@ def _expand_objects(content: bytes) -> list[bytes]:
     return bodies
 
 
+# =========================================================================
+# Structured parser (round 6): xref chains, object parser, filters, page
+# tree, ToUnicode CMaps. PDF 32000-1:2008 §7 (syntax), §9 (text).
+# =========================================================================
+
+_PDF_WS = b"\x00\t\n\x0c\r "
+_PDF_DELIM = b"()<>[]{}/%"
+
+
+class Name(str):
+    """A PDF name object (``/Foo``) — distinct from a text string."""
+
+    __slots__ = ()
+
+
+class Ref:
+    """Indirect reference ``N G R``."""
+
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Ref) and (self.num, self.gen) == (other.num, other.gen)
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class _BadPdf(Exception):
+    """Structural parse failure — caught by extract_text to trigger the
+    regex-sweep fallback; never escapes this module."""
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _PDF_WS:
+            i += 1
+        elif c == 0x25:  # '%' comment to end of line
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(data: bytes, i: int) -> tuple[Name, int]:
+    # caller consumed '/'
+    out = bytearray()
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _PDF_WS or c in _PDF_DELIM:
+            break
+        if c == 0x23 and i + 2 < n:  # '#xx' hex escape in names
+            try:
+                out.append(int(data[i + 1 : i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return Name(out.decode("latin-1")), i
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    # caller consumed '('; balanced parens with escapes
+    depth, n = 1, len(data)
+    start = i
+    raw = bytearray()
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            raw += data[i : i + 2]
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return _unescape_literal(bytes(raw)), i + 1
+        raw.append(c)
+        i += 1
+    raise _BadPdf(f"unterminated literal string at {start}")
+
+
+def _parse_value(data: bytes, i: int):
+    """Recursive-descent parse of ONE object value at ``i`` (whitespace
+    already allowed); returns (value, next_index). Indirect references are
+    recognized by ``int int R`` lookahead."""
+    i = _skip_ws(data, i)
+    if i >= len(data):
+        raise _BadPdf("eof in object")
+    c = data[i]
+    if data.startswith(b"<<", i):
+        i += 2
+        d: dict[str, object] = {}
+        while True:
+            i = _skip_ws(data, i)
+            if data.startswith(b">>", i):
+                return d, i + 2
+            if i >= len(data):
+                raise _BadPdf("eof in dict")
+            if data[i] != 0x2F:
+                raise _BadPdf(f"dict key not a name at {i}")
+            key, i = _parse_name(data, i + 1)
+            val, i = _parse_value(data, i)
+            d[str(key)] = val
+    if c == 0x3C:  # '<' hex string
+        j = data.index(b">", i + 1)
+        return _decode_hex(data[i + 1 : j]), j + 1
+    if c == 0x28:  # '(' literal string
+        return _parse_literal_string(data, i + 1)
+    if c == 0x2F:  # '/' name
+        return _parse_name(data, i + 1)
+    if c == 0x5B:  # '[' array
+        i += 1
+        arr: list[object] = []
+        while True:
+            i = _skip_ws(data, i)
+            if i < len(data) and data[i] == 0x5D:
+                return arr, i + 1
+            v, i = _parse_value(data, i)
+            arr.append(v)
+    if data.startswith(b"true", i):
+        return True, i + 4
+    if data.startswith(b"false", i):
+        return False, i + 5
+    if data.startswith(b"null", i):
+        return None, i + 4
+    # number — possibly the start of an ``N G R`` indirect reference
+    m = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)").match(data, i)
+    if not m:
+        raise _BadPdf(f"unparseable token at {i}: {data[i:i+20]!r}")
+    tok = m.group(0)
+    j = m.end()
+    if b"." not in tok and not tok.startswith((b"+", b"-")):
+        rm = re.compile(rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![A-Za-z0-9])").match(
+            data, j
+        )
+        if rm:
+            return Ref(int(tok), int(rm.group(1))), rm.end()
+    return (float(tok) if b"." in tok else int(tok)), j
+
+
+# ---- stream filters ------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (PDF /Predictor >= 10)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            break
+        if ft == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[k] = (row[k] + pred) & 0xFF
+        out += row
+        prev = row
+        i += 1 + rowlen
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (TIFF-style LZW: clear=256, EOD=257, 9→12-bit codes,
+    EarlyChange table-width bump)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([k]) for k in range(256)] + [b"", b""]
+    bits, acc, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 256:  # clear table
+                table = [bytes([k]) for k in range(256)] + [b"", b""]
+                bits, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # EarlyChange=1 (default): widen one code EARLY — when the next
+            # code to assign is (1<<bits)-1 the encoder already switched
+            if len(table) >= (1 << bits) - early_change and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """RunLengthDecode: length byte 0-127 = literal run, 129-255 = repeat
+    (257-L copies of next byte), 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+
+
+def _apply_one_filter(data: bytes, name: str, parms: dict | None) -> bytes:
+    parms = parms or {}
+    if name in ("FlateDecode", "Fl"):
+        data = zlib.decompress(data)
+    elif name in ("LZWDecode", "LZW"):
+        data = _lzw_decode(data, int(parms.get("EarlyChange", 1)))
+    elif name in ("ASCIIHexDecode", "AHx"):
+        data = _decode_hex(data.rstrip(b">").replace(b">", b""))
+    elif name in ("ASCII85Decode", "A85"):
+        data = _a85_decode(data)
+    elif name in ("RunLengthDecode", "RL"):
+        data = _rl_decode(data)
+    else:
+        raise _BadPdf(f"unsupported filter {name}")
+    pred = int(parms.get("Predictor", 1))
+    if pred >= 10:
+        data = _png_unpredict(
+            data,
+            int(parms.get("Columns", 1)),
+            int(parms.get("Colors", 1)),
+            int(parms.get("BitsPerComponent", 8)),
+        )
+    elif pred != 1:
+        raise _BadPdf(f"unsupported predictor {pred}")
+    return data
+
+
+class PdfDoc:
+    """Random-access PDF document: xref-chain resolution + object cache."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.offsets: dict[int, int] = {}  # objnum -> byte offset (type 1)
+        self.in_objstm: dict[int, tuple[int, int]] = {}  # objnum -> (stm, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
+        self._read_xref_chain()
+
+    # -- xref ------------------------------------------------------------
+
+    def _read_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if not m:
+            raise _BadPdf("no startxref")
+        offset = int(m.group(1))
+        seen: set[int] = set()
+        while offset not in seen:
+            seen.add(offset)
+            offset = self._read_xref_section(offset)
+            if offset < 0:
+                break
+
+    def _add_type1(self, num: int, off: int) -> None:
+        if num not in self.offsets and num not in self.in_objstm:
+            self.offsets[num] = off
+
+    def _add_type2(self, num: int, stm: int, idx: int) -> None:
+        if num not in self.offsets and num not in self.in_objstm:
+            self.in_objstm[num] = (stm, idx)
+
+    def _read_xref_section(self, offset: int) -> int:
+        """Parse one xref section (classic table or xref stream) at
+        ``offset``; merge entries (first-seen wins — the chain walks newest
+        to oldest); return the /Prev offset or -1."""
+        data = self.data
+        i = _skip_ws(data, offset)
+        if data.startswith(b"xref", i):
+            i += 4
+            while True:
+                i = _skip_ws(data, i)
+                if data.startswith(b"trailer", i):
+                    trailer, _ = _parse_value(data, i + 7)
+                    if not self.trailer:
+                        self.trailer = dict(trailer)
+                    prev = trailer.get("Prev", -1)
+                    # hybrid file: /XRefStm points at an xref STREAM whose
+                    # entries fill in what this table marks free
+                    xs = trailer.get("XRefStm")
+                    if isinstance(xs, int):
+                        self._read_xref_section(xs)
+                    return int(prev) if isinstance(prev, int) else -1
+                sm = re.compile(rb"(\d+)\s+(\d+)").match(data, i)
+                if not sm:
+                    raise _BadPdf(f"bad xref subsection at {i}")
+                start, count = int(sm.group(1)), int(sm.group(2))
+                i = _skip_ws(data, sm.end())
+                for k in range(count):
+                    em = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s*").match(data, i)
+                    if not em:
+                        raise _BadPdf(f"bad xref entry at {i}")
+                    if em.group(3) == b"n":
+                        self._add_type1(start + k, int(em.group(1)))
+                    i = em.end()
+            # unreachable
+        # PDF 1.5 xref stream
+        num, obj, raw = self._parse_indirect_at(offset)
+        if not isinstance(obj, dict) or raw is None:
+            raise _BadPdf(f"xref section at {offset} is neither table nor stream")
+        decoded = self._decode_stream_obj(obj, raw)
+        w = obj.get("W")
+        if not (isinstance(w, list) and len(w) >= 3):
+            raise _BadPdf("xref stream missing /W")
+        w0, w1, w2 = (int(x) for x in w[:3])
+        size = int(obj.get("Size", 0))
+        index = obj.get("Index", [0, size])
+        rowlen = w0 + w1 + w2
+        pos = 0
+
+        def field(row: bytes, a: int, b: int) -> int:
+            return int.from_bytes(row[a:b], "big") if b > a else 0
+
+        pairs = [(int(index[k]), int(index[k + 1])) for k in range(0, len(index) - 1, 2)]
+        for first, count in pairs:
+            for k in range(count):
+                row = decoded[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    break
+                ftype = field(row, 0, w0) if w0 else 1
+                f2 = field(row, w0, w0 + w1)
+                f3 = field(row, w0 + w1, rowlen)
+                if ftype == 1:
+                    self._add_type1(first + k, f2)
+                elif ftype == 2:
+                    self._add_type2(first + k, f2, f3)
+        if not self.trailer:
+            self.trailer = {k: v for k, v in obj.items() if k in ("Root", "Info", "Size")}
+        prev = obj.get("Prev", -1)
+        return int(prev) if isinstance(prev, int) else -1
+
+    # -- objects ---------------------------------------------------------
+
+    def _parse_indirect_at(self, offset: int) -> tuple[int, object, bytes | None]:
+        """Parse ``N G obj <value> [stream ... endstream] endobj`` at a byte
+        offset; returns (objnum, value, raw_stream_or_None). Stream extent
+        comes from /Length (indirect refs resolved), with an ``endstream``
+        scan as the repair path for wrong lengths."""
+        data = self.data
+        m = re.compile(rb"(\d+)\s+(\d+)\s+obj\b").match(data, _skip_ws(data, offset))
+        if not m:
+            raise _BadPdf(f"no obj header at {offset}")
+        num = int(m.group(1))
+        val, i = _parse_value(data, m.end())
+        i = _skip_ws(data, i)
+        raw: bytes | None = None
+        if data.startswith(b"stream", i):
+            i += 6
+            if data.startswith(b"\r\n", i):
+                i += 2
+            elif data.startswith(b"\n", i) or data.startswith(b"\r", i):
+                i += 1
+            length = None
+            if isinstance(val, dict):
+                length = val.get("Length")
+                if isinstance(length, Ref):
+                    length = self.get(length)
+            if isinstance(length, int) and 0 <= length <= len(data) - i:
+                end = i + length
+                if re.compile(rb"\s*endstream").match(data, end):
+                    raw = data[i:end]
+            if raw is None:  # repair: scan for the terminator
+                e = data.find(b"endstream", i)
+                if e < 0:
+                    raise _BadPdf(f"unterminated stream in obj {num}")
+                raw = data[i:e].rstrip(b"\r\n")
+        return num, val, raw
+
+    def _decode_stream_obj(self, obj: dict, raw: bytes) -> bytes:
+        filt = obj.get("Filter")
+        if isinstance(filt, Ref):
+            filt = self.get(filt)
+        if filt is None:
+            return raw
+        filters = [filt] if isinstance(filt, Name) else list(filt)
+        parms = obj.get("DecodeParms", obj.get("DP"))
+        if isinstance(parms, Ref):
+            parms = self.get(parms)
+        if parms is None or isinstance(parms, dict):
+            parms_list: list = [parms] * len(filters)
+        else:
+            parms_list = list(parms) + [None] * (len(filters) - len(parms))
+        data = raw
+        for f, p in zip(filters, parms_list):
+            if isinstance(p, Ref):
+                p = self.get(p)
+            data = _apply_one_filter(data, str(f), p if isinstance(p, dict) else None)
+        return data
+
+    def _load_objstm(self, stm_num: int) -> list[tuple[int, object]]:
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        off = self.offsets.get(stm_num)
+        if off is None:
+            raise _BadPdf(f"objstm {stm_num} has no offset")
+        _, obj, raw = self._parse_indirect_at(off)
+        if not isinstance(obj, dict) or raw is None:
+            raise _BadPdf(f"objstm {stm_num} malformed")
+        decoded = self._decode_stream_obj(obj, raw)
+        n = int(obj.get("N", 0))
+        first = int(obj.get("First", 0))
+        header = decoded[:first].split()
+        out: list[tuple[int, object]] = []
+        for k in range(n):
+            onum = int(header[2 * k])
+            ooff = int(header[2 * k + 1])
+            val, _ = _parse_value(decoded, first + ooff)
+            out.append((onum, val))
+        self._objstm_cache[stm_num] = out
+        return out
+
+    def get(self, v: object) -> object:
+        """Resolve ``v`` if it is a Ref (recursively for chained refs);
+        plain values pass through."""
+        while isinstance(v, Ref):
+            num = v.num
+            if num in self._cache:
+                v = self._cache[num]
+                continue
+            if num in self.offsets:
+                _, val, raw = self._parse_indirect_at(self.offsets[num])
+                if raw is not None and isinstance(val, dict):
+                    val = _StreamObj(val, raw, self)
+            elif num in self.in_objstm:
+                stm, idx = self.in_objstm[num]
+                entries = self._load_objstm(stm)
+                val = None
+                if 0 <= idx < len(entries) and entries[idx][0] == num:
+                    val = entries[idx][1]
+                else:  # index mismatch — search by object number
+                    for onum, ov in entries:
+                        if onum == num:
+                            val = ov
+                            break
+            else:
+                val = None
+            self._cache[num] = val
+            v = val
+        return v
+
+
+class _StreamObj:
+    """An indirect object that carries a stream: dict access + lazy decode."""
+
+    __slots__ = ("dict", "_raw", "_doc", "_decoded")
+
+    def __init__(self, d: dict, raw: bytes, doc: PdfDoc):
+        self.dict, self._raw, self._doc = d, raw, doc
+        self._decoded: bytes | None = None
+
+    def decoded(self) -> bytes:
+        if self._decoded is None:
+            self._decoded = self._doc._decode_stream_obj(self.dict, self._raw)
+        return self._decoded
+
+
+# ---- ToUnicode CMaps -----------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+
+
+def _utf16be(b: bytes) -> str:
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("utf-16-be", errors="ignore")
+
+
+def parse_tounicode(cmap_bytes: bytes) -> dict[bytes, str]:
+    """Parse a /ToUnicode CMap: ``bfchar`` pairs and ``bfrange`` runs (both
+    the ``<lo> <hi> <dst>`` and ``<lo> <hi> [<d1> ...]`` forms). Keys are
+    raw source-code byte strings (usually 2 bytes for Identity-H)."""
+    out: dict[bytes, str] = {}
+    for m in _BFCHAR_RE.finditer(cmap_bytes):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for k in range(0, len(toks) - 1, 2):
+            src = _decode_hex(toks[k])
+            out[src] = _utf16be(_decode_hex(toks[k + 1]))
+    for m in _BFRANGE_RE.finditer(cmap_bytes):
+        body = m.group(1)
+        i = 0
+        pat_hex = re.compile(rb"\s*<([0-9A-Fa-f\s]*)>")
+        pat_arr = re.compile(rb"\s*\[((?:\s*<[0-9A-Fa-f\s]*>)*)\s*\]")
+        while True:
+            m1 = pat_hex.match(body, i)
+            if not m1:
+                break
+            m2 = pat_hex.match(body, m1.end())
+            if not m2:
+                break
+            lo, hi = _decode_hex(m1.group(1)), _decode_hex(m2.group(1))
+            width = len(lo)
+            lo_i = int.from_bytes(lo, "big")
+            hi_i = int.from_bytes(hi, "big")
+            m3a = pat_arr.match(body, m2.end())
+            if m3a:
+                dsts = _HEXTOK_RE.findall(m3a.group(1))
+                for k, code in enumerate(range(lo_i, hi_i + 1)):
+                    if k < len(dsts):
+                        out[code.to_bytes(width, "big")] = _utf16be(_decode_hex(dsts[k]))
+                i = m3a.end()
+            else:
+                m3 = pat_hex.match(body, m2.end())
+                if not m3:
+                    break
+                dst0 = int.from_bytes(_decode_hex(m3.group(1)), "big")
+                dwidth = max(2, len(_decode_hex(m3.group(1))))
+                for k, code in enumerate(range(lo_i, hi_i + 1)):
+                    out[code.to_bytes(width, "big")] = _utf16be(
+                        (dst0 + k).to_bytes(dwidth, "big")
+                    )
+                i = m3.end()
+    return out
+
+
+def _decode_shown(raw: bytes, cmap: dict[bytes, str] | None) -> str:
+    """Decode one shown string: through the font's ToUnicode CMap when
+    present (greedy longest-code match), else Latin-1."""
+    if not cmap:
+        return raw.decode("latin-1", errors="ignore")
+    widths = sorted({len(k) for k in cmap}, reverse=True) or [1]
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        for w in widths:
+            piece = raw[i : i + w]
+            if piece in cmap:
+                out.append(cmap[piece])
+                i += w
+                break
+        else:
+            i += widths[-1] if widths[-1] <= n - i else 1
+    return "".join(out)
+
+
+# ---- content-stream tokenizer -------------------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> str:
+    """Token-level walk of a content stream with Tf font tracking. Emits
+    the same layout as the legacy sweep (`_stream_text`): every Td/TD/T*
+    is a line break, ' and " break before showing, newline bursts collapse."""
+    pieces: list[str] = []
+    operands: list[object] = []
+    cur_cmap: dict[bytes, str] | None = None
+    i, n = 0, len(stream)
+
+    def show(raw: object) -> None:
+        if isinstance(raw, bytes):
+            pieces.append(_decode_shown(raw, cur_cmap))
+
+    while i < n:
+        i = _skip_ws(stream, i)
+        if i >= n:
+            break
+        c = stream[i]
+        if c == 0x28:  # literal string
+            s, i = _parse_literal_string(stream, i + 1)
+            operands.append(s)
+        elif stream.startswith(b"<<", i):
+            d, i = _parse_value(stream, i)
+            operands.append(d)
+        elif c == 0x3C:  # hex string
+            j = stream.find(b">", i + 1)
+            if j < 0:
+                break
+            operands.append(_decode_hex(stream[i + 1 : j]))
+            i = j + 1
+        elif c == 0x5B:  # array
+            a, i = _parse_value(stream, i)
+            operands.append(a)
+        elif c == 0x2F:  # name
+            nm, i = _parse_name(stream, i + 1)
+            operands.append(nm)
+        else:
+            m = _NUM_RE.match(stream, i)
+            if m:
+                tok = m.group(0)
+                operands.append(float(tok) if b"." in tok else int(tok))
+                i = m.end()
+                continue
+            m = _OP_RE.match(stream, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"Tf" and len(operands) >= 2 and isinstance(operands[-2], Name):
+                cur_cmap = fonts.get(str(operands[-2]))
+            elif op == b"Tj":
+                if operands:
+                    show(operands[-1])
+            elif op == b"'":
+                pieces.append("\n")
+                if operands:
+                    show(operands[-1])
+            elif op == b'"':
+                pieces.append("\n")
+                if operands:
+                    show(operands[-1])
+            elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                for it in operands[-1]:
+                    if isinstance(it, bytes):
+                        show(it)
+                    elif isinstance(it, (int, float)) and it < -150:
+                        pieces.append(" ")
+            elif op in (b"Td", b"TD", b"T*"):
+                pieces.append("\n")
+            elif op == b"BI":  # inline image — skip to EI
+                e = stream.find(b"EI", i)
+                i = n if e < 0 else e + 2
+            operands = []
+            continue
+    text = "".join(pieces)
+    return re.sub(r"\n{2,}", "\n", text).strip("\n")
+
+
+def _walk_pages(doc: PdfDoc, node: object, inherited_res: object, out: list[tuple[dict, object]], depth: int = 0) -> None:
+    """Depth-first page-tree walk collecting (page_dict, resources)."""
+    if depth > 64:
+        raise _BadPdf("page tree too deep")
+    node = doc.get(node)
+    if isinstance(node, _StreamObj):
+        node = node.dict
+    if not isinstance(node, dict):
+        return
+    res = node.get("Resources", inherited_res)
+    t = node.get("Type")
+    if t == "Page" or (t is None and "Contents" in node):
+        out.append((node, res))
+        return
+    kids = doc.get(node.get("Kids"))
+    if isinstance(kids, list):
+        for kid in kids:
+            _walk_pages(doc, kid, res, out, depth + 1)
+
+
+def _page_fonts(doc: PdfDoc, resources: object) -> dict[str, dict[bytes, str] | None]:
+    """Resolve the page's /Font resource dict to {font_name: cmap|None}."""
+    fonts: dict[str, dict[bytes, str] | None] = {}
+    resources = doc.get(resources)
+    if isinstance(resources, _StreamObj):
+        resources = resources.dict
+    if not isinstance(resources, dict):
+        return fonts
+    fdict = doc.get(resources.get("Font"))
+    if not isinstance(fdict, dict):
+        return fonts
+    for fname, fref in fdict.items():
+        fobj = doc.get(fref)
+        if isinstance(fobj, _StreamObj):
+            fobj = fobj.dict
+        cmap = None
+        if isinstance(fobj, dict):
+            tu = doc.get(fobj.get("ToUnicode"))
+            if isinstance(tu, _StreamObj):
+                try:
+                    cmap = parse_tounicode(tu.decoded())
+                except Exception:
+                    cmap = None
+        fonts[fname] = cmap
+    return fonts
+
+
+def extract_text_structured(content: bytes) -> tuple[str, int]:
+    """Full structural extraction: xref chain → /Root → page tree →
+    per-page decoded content (arrays concatenated) → text with font-aware
+    string decoding. Raises ``_BadPdf`` on structural failure (the public
+    ``extract_text`` catches it and falls back to the sweep)."""
+    doc = PdfDoc(content)
+    root = doc.get(self_ref := doc.trailer.get("Root"))
+    if isinstance(root, _StreamObj):
+        root = root.dict
+    if not isinstance(root, dict):
+        raise _BadPdf(f"no /Root catalog (trailer Root={self_ref!r})")
+    pages: list[tuple[dict, object]] = []
+    _walk_pages(doc, root.get("Pages"), None, pages)
+    if not pages:
+        raise _BadPdf("page tree has no pages")
+    texts: list[str] = []
+    for page, res in pages:
+        contents = doc.get(page.get("Contents"))
+        chunks: list[bytes] = []
+        items = contents if isinstance(contents, list) else [contents]
+        for item in items:
+            item = doc.get(item)
+            if isinstance(item, _StreamObj):
+                try:
+                    chunks.append(item.decoded())
+                except (_BadPdf, zlib.error, ValueError):
+                    continue  # one bad stream must not kill the page
+        if not chunks:
+            continue
+        fonts = _page_fonts(doc, res)
+        t = _content_text(b"\n".join(chunks), fonts)
+        if t:
+            texts.append(t)
+    return "\n".join(texts), len(pages)
+
+
 def extract_text(content: bytes) -> tuple[str, int]:
     """Best-effort (text, page_count) from raw PDF bytes.
 
-    Never raises on malformed input: undecodable streams are skipped and a
-    PDF with no extractable text yields ``("", 1)``.
+    Tries the structural parser first (real xref/page-tree/filter/CMap
+    handling); any structural failure falls back to the regex sweep over
+    object bodies, so malformed input degrades instead of erroring. Never
+    raises: a PDF with no extractable text yields ``("", 1)``.
     """
+    try:
+        return extract_text_structured(content)
+    except Exception:
+        pass
     bodies = _expand_objects(content)
     pages = 0
     texts: list[str] = []
@@ -266,4 +1046,387 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+# =========================================================================
+# Adversarial fixture writer (round 6): exercises every structural feature
+# the structured parser supports — xref streams (PNG Up predictor), object
+# streams, filter chains, indirect /Length, CID fonts with ToUnicode CMaps,
+# split /Contents arrays. Pure-stdlib encoders mirror the decoders above.
+# =========================================================================
+
+
+def _hex_encode(data: bytes) -> bytes:
+    # wrapped to 64 cols so whitespace-in-hex handling is exercised too
+    h = data.hex().upper().encode()
+    return b"\n".join(h[i : i + 64] for i in range(0, len(h), 64)) + b">"
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+
+    enc = base64.a85encode(data, adobe=True)  # b"<~....~>"
+    return enc[2:]  # PDF streams carry only the trailing ~> EOD
+
+
+def _rl_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length of identical bytes
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+        else:
+            # literal run up to 128 bytes, stopping before a >=3 repeat
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, bits: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    def reset() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([k]): k for k in range(256)}, 258, 9
+
+    table, next_code, bits = reset()
+    emit(256, bits)  # clear
+    w = b""
+    for ch in data:
+        cb = bytes([ch])
+        wc = w + cb
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], bits)
+        table[wc] = next_code
+        next_code += 1
+        # width-sync pairing (pdfminer-compatible): decoder widens after
+        # its table reaches (1<<bits)-early; its table lags this one by
+        # exactly one entry, so widen when next_code EXCEEDS that bound
+        if next_code > (1 << bits) - early_change:
+            if bits < 12:
+                bits += 1
+            else:
+                emit(256, bits)
+                table, next_code, bits = reset()
+        w = cb
+    if w:
+        emit(table[w], bits)
+    emit(257, bits)  # EOD
+    if nbits:
+        emit(0, 8 - nbits)  # flush
+    return bytes(out)
+
+
+def _png_predict_up(data: bytes, rowlen: int) -> bytes:
+    """Apply the PNG Up predictor (filter type 2) row-wise — the standard
+    encoding for xref streams."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for i in range(0, len(data), rowlen):
+        row = data[i : i + rowlen]
+        out.append(2)
+        out += bytes((row[k] - prev[k]) & 0xFF for k in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+_HARD_FILTERS: dict[str, tuple[str, object]] = {
+    # name -> (/Filter entry, encoder)
+    "none": ("", None),
+    "flate": ("/FlateDecode", lambda d: zlib.compress(d)),
+    "hex": ("/ASCIIHexDecode", _hex_encode),
+    "a85": ("/ASCII85Decode", _a85_encode),
+    "rl": ("/RunLengthDecode", _rl_encode),
+    "lzw": ("/LZWDecode", _lzw_encode),
+    # chain: decoder applies ASCIIHex THEN Flate, so encode flate-then-hex
+    "hex+flate": (
+        "[ /ASCIIHexDecode /FlateDecode ]",
+        lambda d: _hex_encode(zlib.compress(d)),
+    ),
+}
+
+
+def write_pdf_hard(
+    pages: list[list[str]],
+    *,
+    xref_stream: bool = False,
+    use_objstm: bool = False,
+    content_filter: str = "flate",
+    indirect_length: bool = False,
+    cid_font: bool = False,
+    split_content: bool = False,
+) -> bytes:
+    """Spec-conformant PDF writer exercising the HARD structural paths.
+
+    Unlike ``write_pdf`` (fixed classic-xref layout), every axis is
+    independently selectable so fixtures can cover the matrix:
+    ``xref_stream`` → PDF 1.5 cross-reference stream (W [1 4 2], Flate +
+    PNG Up predictor); ``use_objstm`` → all non-stream objects packed into
+    a /Type /ObjStm (type-2 xref entries; implies xref_stream);
+    ``content_filter`` → one of none/flate/hex/a85/rl/lzw/hex+flate;
+    ``indirect_length`` → stream /Length as an indirect reference;
+    ``cid_font`` → Identity-H Type0 font, 2-byte hex show strings, and a
+    generated /ToUnicode CMap (bfchar + bfrange forms both emitted);
+    ``split_content`` → per-page /Contents ARRAY of two stream halves.
+
+    Text layout matches ``write_pdf`` exactly (one Tj per line, T* line
+    breaks), so the analytic oracle for both is the same expression."""
+    if use_objstm:
+        xref_stream = True
+    filt_entry, encoder = _HARD_FILTERS[content_filter]
+
+    def esc(s: str) -> str:
+        out = (
+            s.replace("\\", r"\\")
+            .replace("(", r"\(")
+            .replace(")", r"\)")
+            .replace("\n", r"\n")
+            .replace("\r", r"\r")
+            .replace("\t", r"\t")
+            .replace("\x08", r"\b")
+            .replace("\x0c", r"\f")
+        )
+        return "".join(ch if ord(ch) >= 0x20 else "\\%03o" % ord(ch) for ch in out)
+
+    # --- optional CID machinery ------------------------------------------
+    char2code: dict[str, int] = {}
+    if cid_font:
+        charset = sorted({ch for lines in pages for ln in lines for ch in ln})
+        char2code = {ch: k + 1 for k, ch in enumerate(charset)}
+
+    def show_line(ln: str) -> str:
+        if not cid_font:
+            return f"({esc(ln)}) Tj"
+        hexcodes = "".join(f"{char2code[ch]:04X}" for ch in ln)
+        return f"<{hexcodes}> Tj"
+
+    def make_tounicode() -> bytes:
+        # half the mappings as bfchar, half as single-code bfrange entries —
+        # both CMap list forms get exercised by the fixture
+        items = sorted(char2code.items(), key=lambda kv: kv[1])
+        half = len(items) // 2
+        chunks: list[str] = [
+            "/CIDInit /ProcSet findresource begin",
+            "12 dict begin",
+            "begincmap",
+            "/CMapName /Adobe-Identity-UCS def",
+            "/CMapType 2 def",
+            "1 begincodespacerange",
+            "<0000> <FFFF>",
+            "endcodespacerange",
+        ]
+        bfchars = items[:half]
+        for i in range(0, len(bfchars), 100):
+            block = bfchars[i : i + 100]
+            chunks.append(f"{len(block)} beginbfchar")
+            for ch, code in block:
+                dst = ch.encode("utf-16-be").hex().upper()
+                chunks.append(f"<{code:04X}> <{dst}>")
+            chunks.append("endbfchar")
+        bfranges = items[half:]
+        for i in range(0, len(bfranges), 100):
+            block = bfranges[i : i + 100]
+            chunks.append(f"{len(block)} beginbfrange")
+            for ch, code in block:
+                dst = ch.encode("utf-16-be").hex().upper()
+                chunks.append(f"<{code:04X}> <{code:04X}> <{dst}>")
+            chunks.append("endbfrange")
+        chunks += ["endcmap", "end", "end"]
+        return "\n".join(chunks).encode("latin-1")
+
+    # --- object assembly --------------------------------------------------
+    # Object table: list of (body, raw_stream_or_None); 1-indexed ids.
+    objs: list[tuple[bytes, bytes | None]] = []
+
+    def add(body: bytes, stream: bytes | None = None) -> int:
+        objs.append((body, stream))
+        return len(objs)
+
+    def add_filtered_stream(dict_extra: str, raw: bytes) -> int:
+        data = encoder(raw) if encoder else raw
+        filt = f" /Filter {filt_entry}" if filt_entry else ""
+        if indirect_length:
+            # /Length forward-references the int object written right after
+            length_id = len(objs) + 2
+            head = f"<<{dict_extra} /Length {length_id} 0 R{filt} >>".encode()
+            sid = add(head, data)
+            add(str(len(data)).encode())
+            return sid
+        head = f"<<{dict_extra} /Length {len(data)}{filt} >>".encode()
+        return add(head, data)
+
+    catalog_id = add(b"", None)  # placeholder — body set later
+    pages_id = add(b"", None)
+    page_ids: list[int] = []
+    content_refs: list[str] = []
+    for lines in pages:
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, ln in enumerate(lines):
+            if k:
+                ops.append("T*")
+            ops.append(show_line(ln))
+        ops.append("ET")
+        stream = " ".join(ops).encode("latin-1")
+        if split_content:
+            # split at a TOKEN boundary: spec §7.8.2 — a contents array is
+            # the concatenation of its parts, and division points lie
+            # between lexical tokens (never inside a string)
+            cut = max(1, len(ops) // 2)
+            a = add_filtered_stream("", " ".join(ops[:cut]).encode("latin-1"))
+            b = add_filtered_stream("", " ".join(ops[cut:]).encode("latin-1"))
+            content_refs.append(f"[ {a} 0 R {b} 0 R ]")
+        else:
+            c = add_filtered_stream("", stream)
+            content_refs.append(f"{c} 0 R")
+        page_ids.append(-1)  # placeholder, filled below
+
+    # font objects
+    if cid_font:
+        tounicode_id = add_filtered_stream("", make_tounicode())
+        desc_font_id = add(
+            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth-Identity"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        font_id = add(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity"
+                f" /Encoding /Identity-H /DescendantFonts [ {desc_font_id} 0 R ]"
+                f" /ToUnicode {tounicode_id} 0 R >>"
+            ).encode()
+        )
+    else:
+        font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    for i in range(len(pages)):
+        pid = add(
+            (
+                f"<< /Type /Page /Parent {pages_id} 0 R"
+                f" /MediaBox [0 0 612 792]"
+                f" /Contents {content_refs[i]}"
+                f" /Resources << /Font << /F1 {font_id} 0 R >> >> >>"
+            ).encode()
+        )
+        page_ids[i] = pid
+
+    kids = " ".join(f"p 0 R".replace("p", str(p)) for p in page_ids)
+    objs[catalog_id - 1] = (f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode(), None)
+    objs[pages_id - 1] = (
+        f"<< /Type /Pages /Kids [ {kids} ] /Count {len(pages)} >>".encode(),
+        None,
+    )
+
+    # --- serialization ----------------------------------------------------
+    out = bytearray(b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n")
+    # xref rows: list indexed by objnum (0 = free head)
+    n_declared = len(objs) + (2 if use_objstm else 1)  # + objstm + xref stream
+    entry: list[tuple[int, int, int] | None] = [None] * (n_declared + 1)
+    entry[0] = (0, 0, 65535)
+
+    packed: list[int] = []
+    if use_objstm:
+        packed = [i + 1 for i, (_, stm) in enumerate(objs) if stm is None]
+
+    def write_obj(num: int, body: bytes, stream: bytes | None) -> None:
+        entry[num] = (1, len(out), 0)
+        out.extend(f"{num} 0 obj\n".encode())
+        out.extend(body)
+        if stream is not None:
+            out.extend(b"\nstream\n")
+            out.extend(stream)
+            out.extend(b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    for i, (body, stream) in enumerate(objs):
+        num = i + 1
+        if use_objstm and stream is None:
+            continue  # goes into the object stream
+        write_obj(num, body, stream)
+
+    objstm_id = len(objs) + 1
+    if use_objstm:
+        # pack all non-stream objects; header = "num off" pairs
+        bodies = [objs[num - 1][0] for num in packed]
+        offs: list[int] = []
+        acc = 0
+        for b in bodies:
+            offs.append(acc)
+            acc += len(b) + 1
+        header = " ".join(f"{num} {off}" for num, off in zip(packed, offs)).encode()
+        payload = header + b"\n" + b"\n".join(bodies) + b"\n"
+        first = len(header) + 1
+        data = zlib.compress(payload)
+        write_obj(
+            objstm_id,
+            (
+                f"<< /Type /ObjStm /N {len(packed)} /First {first}"
+                f" /Length {len(data)} /Filter /FlateDecode >>"
+            ).encode(),
+            data,
+        )
+        for idx, num in enumerate(packed):
+            entry[num] = (2, objstm_id, idx)
+
+    size = n_declared + 1
+    if xref_stream:
+        xref_id = n_declared
+        xref_at = len(out)
+        entry[xref_id] = (1, xref_at, 0)
+        rowlen = 1 + 4 + 2
+        rows = bytearray()
+        for e in entry:
+            t, a, b = e if e is not None else (0, 0, 0)
+            rows.append(t)
+            rows += a.to_bytes(4, "big")
+            rows += b.to_bytes(2, "big")
+        data = zlib.compress(_png_predict_up(bytes(rows), rowlen))
+        head = (
+            f"<< /Type /XRef /Size {size} /W [1 4 2] /Index [0 {size}]"
+            f" /Root {catalog_id} 0 R /Length {len(data)}"
+            f" /Filter /FlateDecode"
+            f" /DecodeParms << /Predictor 12 /Columns {rowlen} >> >>"
+        ).encode()
+        out.extend(f"{xref_id} 0 obj\n".encode())
+        out.extend(head)
+        out.extend(b"\nstream\n")
+        out.extend(data)
+        out.extend(b"\nendstream\nendobj\n")
+        out.extend(f"startxref\n{xref_at}\n%%EOF\n".encode())
+    else:
+        xref_at = len(out)
+        out.extend(f"xref\n0 {size}\n0000000000 65535 f \n".encode())
+        for e in entry[1:]:
+            t, a, _ = e if e is not None else (0, 0, 0)
+            out.extend(f"{a:010d} 00000 n \n".encode())
+        out.extend(
+            (
+                f"trailer\n<< /Size {size} /Root {catalog_id} 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n"
+            ).encode()
+        )
     return bytes(out)

@@ -132,6 +132,65 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
+# doc_id % 7 → writer configuration for the adversarial corpus. Together
+# the seven rotate through every structural feature the round-6 parser
+# supports: xref streams, object streams, filter chains (ASCIIHex, A85,
+# RunLength, LZW), indirect /Length, CID/ToUnicode fonts, split /Contents.
+HARD_VARIANTS: list[dict] = [
+    {},  # 0: classic xref, FlateDecode (the write_pdf baseline shape)
+    {"xref_stream": True},  # 1: PDF 1.5 xref stream (PNG Up predictor)
+    {"xref_stream": True, "use_objstm": True},  # 2: + object streams
+    {"content_filter": "hex+flate", "indirect_length": True},  # 3: chain
+    {"content_filter": "a85", "split_content": True},  # 4: ASCII85 + array
+    {"content_filter": "rl", "xref_stream": True},  # 5: RunLength
+    {"content_filter": "lzw", "cid_font": True},  # 6: LZW + CID/ToUnicode
+]
+
+
+def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
+    """Adversarial PDF corpus (round 6): same two-page invoice layout as
+    ``synth_invoice_pdfs`` — so the analytic oracle is the same expression —
+    but written through ``minipdf.write_pdf_hard`` with the structural
+    variant rotating on ``doc_id % 7`` (HARD_VARIANTS). Every 97th row is
+    still non-PDF bytes for the S3 magic gate. Arrow-batched 1→1
+    mapInPandas — narrow, scan-speed at any scale."""
+    from rpa_etl_spark.sources import minipdf
+
+    import re as _re
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 97 == 0:
+                    content = b"NOT A PDF: " + str(doc_id).encode()
+                else:
+                    prefix = _re.sub(r"[ \t\n\r\f\v]+", " ", str(text)[:64]).strip()
+                    pages = [
+                        [
+                            "NOTA FISCAL DE SERVICOS",
+                            f"DOC {doc_id}",
+                            "CNPJ: 04.252.011/0001-10",
+                            f"TOTAL: R$ 1.500,{doc_id % 100:02d}",
+                        ],
+                        [prefix],
+                    ]
+                    content = minipdf.write_pdf_hard(
+                        pages, **HARD_VARIANTS[doc_id % 7]
+                    )
+                rows.append(
+                    {
+                        "path": f"synth://documents/{doc_id}.pdf",
+                        "content": content,
+                        "length": len(content),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content", "length"])
+
+    return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
+
+
 def _extract_batch(
     batches: Iterator[pd.DataFrame], *, force_minipdf: bool = False
 ) -> Iterator[pd.DataFrame]:
