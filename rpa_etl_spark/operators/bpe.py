@@ -1,0 +1,268 @@
+"""Corpus-trained BPE tokenizer (round 6).
+
+Replaces the regex ``bpe_ish_token_count`` estimate (operators/textstats.py)
+with a REAL byte-pair-encoding merge table trained on the corpus itself —
+the token budget a training-data pipeline actually runs on. Reference
+parity: the reference has no tokenizer (its P-chain normalizes text only);
+this is part of the LLM-data-pipeline surface the engine adds on top.
+
+Design for 100 TB:
+
+- The ONLY corpus-scale pass is the word-frequency aggregation: explode →
+  ``groupBy(word).count()`` — one hash-keyed shuffle with map-side partial
+  aggregation, linear in corpus size.
+- The merge loop runs on the driver over the TOP-K word-frequency table
+  (deterministic top-K: count desc, word asc). K is a constant (default
+  4096), so the collect is broadcast-equivalent — the same bounded-state
+  argument as the IVF centroid collects (operators/similarity.py). This is
+  how production BPE trainers work (single-node merge loop over a counted
+  vocabulary); corpus size only affects the counting pass.
+- Application is an Arrow-batched ``mapInPandas`` kernel with an
+  LRU-cached per-word encoder — one Python crossing per batch, and the
+  cache collapses the (Zipf-distributed) word stream to one BPE walk per
+  distinct word per executor.
+
+Determinism (oracle rules): ties in the top-K break on word ascending;
+ties in pair counts break on the marker-string pair representation
+ascending (identical to the DuckDB oracle's ``ORDER BY f DESC, pair ASC``
+— UTF-8 byte order equals codepoint order). Merge application is the
+original sequential Sennrich semantics: each merge in rank order, one
+left-to-right non-overlapping pass — which the oracle replays as a chain
+of ``REPLACE`` calls over marker-prefixed symbol strings.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# marker scheme shared with the SQL oracle: every symbol is written as
+# "\x02<sym> " — \x02-prefixed AND space-terminated — and words are joined
+# with "\x03 ". A merge pattern "\x02a \x02b " can then never match the
+# tail of a longer symbol (prefix marker), a PREFIX of a longer symbol
+# (space terminator), or span a word boundary (\x03 interposes)
+_SYM = "\x02"
+_WORDSEP = "\x03"
+
+DEFAULT_TOP_WORDS = 4096
+DEFAULT_N_MERGES = 24
+
+
+def word_frequencies(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Corpus word counts — the one corpus-scale pass (one keyed shuffle,
+    map-side combine). Whitespace pre-tokenization, empties dropped."""
+    return (
+        docs.select(F.explode(F.split(F.col(col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = DEFAULT_N_MERGES,
+    top_words: int = DEFAULT_TOP_WORDS,
+    col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Train a BPE merge table on the corpus; returns
+    ``[(left, right, pair_count), ...]`` in rank order (may be shorter than
+    ``n_merges`` if the vocabulary exhausts its pairs).
+
+    Distributed counting → bounded top-K collect → driver merge loop (see
+    module docstring for the scale argument)."""
+    top = (
+        word_frequencies(docs, col)
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [(list(r["word"]), int(r["freq"])) for r in top]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        # argmax with the oracle's exact tie-break: count desc, then the
+        # marker-string form of the pair ascending (trailing space included
+        # — the oracle's pair strings are terminator-carrying)
+        best = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], f"{_SYM}{kv[0][0]} {_SYM}{kv[0][1]} "),
+        )
+        (left, right), cnt = best
+        merges.append((left, right, cnt))
+        merged = left + right
+        for k, (syms, freq) in enumerate(vocab):
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[k] = (out, freq)
+    return merges
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential Sennrich application: each merge in rank order, one
+    left-to-right non-overlapping pass. Exactly the semantics the oracle's
+    REPLACE chain replays."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def attach_bpe_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE stats via one Arrow-batched mapInPandas crossing:
+    ``(id_col, n_words, n_tokens)``. The per-word encoder is LRU-cached —
+    Zipf word distribution means one BPE walk per distinct word."""
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_words", IntegerType()),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+    pairs = [(left, right) for left, right, *_ in merges]
+    ws = _re.compile(r"\s+")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=65536)
+        def count_word(w: str) -> int:
+            return len(apply_merges(w, pairs))
+
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for did, text in zip(pdf[id_col], pdf[col]):
+                words = [w for w in ws.split(str(text)) if w]
+                ids.append(int(did))
+                n_words.append(len(words))
+                n_tokens.append(sum(count_word(w) for w in words))
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
+            )
+
+    return docs.select(id_col, col).mapInPandas(kernel, schema=schema)
+
+
+# =========================================================================
+# Oracle-SQL generators: replay the training loop (chained CTEs, one
+# pair-count + argmax + REPLACE triple per merge) and the application
+# (chained REPLACEs over marker symbol strings) in pure DuckDB SQL.
+# =========================================================================
+
+
+def _common_ctes(n_merges: int, top_words: int) -> str:
+    parts = [
+        "toks AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(text,"
+        " '\\s+'), w -> w <> '') AS words FROM documents)",
+        "wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq"
+        " FROM toks, UNNEST(words) AS t(w) GROUP BY w)",
+        f"top AS MATERIALIZED (SELECT word, freq FROM wf ORDER BY freq DESC, word ASC"
+        f" LIMIT {top_words})",
+        "it0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', chr(2) || '\\1 ',"
+        " 'g') AS s, freq FROM top)",
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS f"
+            f" FROM (SELECT string_split(s, ' ') AS L, freq FROM it{k}),"
+            f" UNNEST(list_transform(range(1, len(L) - 1),"
+            f" i -> L[i] || ' ' || L[i+1] || ' ')) AS u(pr) GROUP BY pr)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT pair, f FROM p{k} ORDER BY f DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"it{k + 1} AS MATERIALIZED (SELECT REPLACE(s,"
+            f" COALESCE((SELECT pair FROM m{k}), chr(1)),"
+            f" COALESCE(REPLACE((SELECT pair FROM m{k}), ' ' || chr(2), ''),"
+            f" chr(1))) AS s, freq FROM it{k})"
+        )
+    return ",\n    ".join(parts)
+
+
+def bpe_train_oracle_sql(
+    n_merges: int = DEFAULT_N_MERGES, top_words: int = DEFAULT_TOP_WORDS
+) -> str:
+    """Oracle for q_bpe_train: the full training replay; final SELECT emits
+    (rank, left, right, merged, pair_count)."""
+    union = "\n        UNION ALL ".join(
+        f"SELECT {k} AS rank, pair, f FROM m{k}" for k in range(n_merges)
+    )
+    return f"""
+    WITH {_common_ctes(n_merges, top_words)},
+    merges AS ({union})
+    SELECT CAST(rank AS INT) AS rank,
+           REPLACE(string_split(pair, ' ')[1], chr(2), '') AS left_sym,
+           REPLACE(string_split(pair, ' ')[2], chr(2), '') AS right_sym,
+           trim(REPLACE(REPLACE(pair, ' ' || chr(2), ''), chr(2), '')) AS merged,
+           f AS pair_count
+    FROM merges
+    """
+
+
+def bpe_tokenize_oracle_sql(
+    n_merges: int = DEFAULT_N_MERGES, top_words: int = DEFAULT_TOP_WORDS
+) -> str:
+    """Oracle for q_bpe_tokenize: training replay + chained-REPLACE
+    application over word-boundary-safe marker strings; emits
+    (doc_id, n_words, n_tokens)."""
+    apply_chain = []
+    prev = "docsyms"
+    for k in range(n_merges):
+        apply_chain.append(
+            f"a{k} AS MATERIALIZED (SELECT doc_id, n_words, REPLACE(s,"
+            f" COALESCE((SELECT pair FROM m{k}), chr(1)),"
+            f" COALESCE(REPLACE((SELECT pair FROM m{k}), ' ' || chr(2), ''),"
+            f" chr(1))) AS s FROM {prev})"
+        )
+        prev = f"a{k}"
+    chain = ",\n    ".join(apply_chain)
+    return f"""
+    WITH {_common_ctes(n_merges, top_words)},
+    docsyms AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(words) AS INT) AS n_words,
+               array_to_string(list_transform(words,
+                   w -> regexp_replace(w, '(.)', chr(2) || '\\1 ', 'g')),
+                   chr(3) || ' ') AS s
+        FROM toks
+    ),
+    {chain}
+    SELECT doc_id, n_words,
+           CAST(length(s) - length(REPLACE(s, chr(2), '')) AS INT) AS n_tokens
+    FROM {prev}
+    """

@@ -1683,3 +1683,50 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tf.doc_id
         """
     )
+
+
+# -- corpus-trained BPE tokenizer (round 6) --------------------------------
+
+from rpa_etl_spark.operators import bpe as BPE  # noqa: E402
+
+
+@query("q_bpe_train", oracle=BPE.bpe_train_oracle_sql())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a REAL BPE merge table on the corpus (operators/bpe.py,
+    replacing the regex `bpe_ish_token_count` estimate as the token-budget
+    source). The oracle replays the ENTIRE training loop in SQL — one
+    pair-count + deterministic argmax + REPLACE triple per merge rank over
+    marker-prefixed symbol strings — so a single divergence in counting,
+    tie-breaking, or merge application hash-mismatches.
+
+    Scale shape: ONE corpus-scale pass (word-count shuffle with map-side
+    combine); the merge loop runs on the driver over the bounded top-K
+    vocabulary (broadcast-equivalent collect, the IVF-centroid argument).
+    Like q_sink_roundtrip, CALLING this builds eagerly (training collects);
+    the returned DataFrame is the trained table."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.train_bpe(docs)
+    rows = [
+        (k, left, right, left + right, cnt)
+        for k, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, merged string, pair_count long"
+    )
+
+
+@query("q_bpe_tokenize", oracle=BPE.bpe_tokenize_oracle_sql())
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the corpus-trained BPE table
+    (q_bpe_train) and emit per-doc word/token counts — the REAL token
+    budget for q_pack_sequences / q_domain_mix-style planning. The oracle
+    re-trains the table AND re-applies every merge in SQL (chained
+    REPLACEs over word-boundary-safe marker strings), so the whole
+    train→apply pipeline is externally verified end to end.
+
+    Scale shape: word-count shuffle (training) + one narrow Arrow kernel
+    pass over documents (application, LRU-cached per distinct word); no
+    keyed shuffle in the apply path."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.train_bpe(docs)
+    return BPE.attach_bpe_tokens(docs.transform(spread), merges)

@@ -1,0 +1,98 @@
+"""Corpus-trained BPE tokenizer tests (round 6, operators/bpe.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rpa_etl_spark.operators import bpe as B
+
+
+def _train_local(word_freq: dict[str, int], n_merges: int):
+    """Driver merge loop isolated from Spark for property tests."""
+    vocab = [(list(w), f) for w, f in word_freq.items()]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        best = min(
+            counts.items(), key=lambda kv: (-kv[1], f"\x02{kv[0][0]} \x02{kv[0][1]} ")
+        )
+        (left, right), cnt = best
+        merges.append((left, right))
+        for k, (syms, freq) in enumerate(vocab):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[k] = (out, freq)
+    return merges
+
+
+def test_apply_merges_roundtrip():
+    merges = _train_local({"lower": 5, "lowest": 3, "newer": 6, "wider": 2}, 10)
+    for w in ["lower", "lowest", "newer", "wider", "low", "unseen"]:
+        toks = B.apply_merges(w, merges)
+        assert "".join(toks) == w  # lossless
+        assert all(toks)  # no empty symbols
+
+
+def test_apply_merges_sequential_semantics():
+    # merge (s,t) before (a,s): "fast" must NOT merge a+s after st exists
+    merges = [("s", "t"), ("a", "s")]
+    assert B.apply_merges("fast", merges) == ["f", "a", "st"]
+    assert B.apply_merges("assst", merges) == ["as", "s", "st"]
+
+
+def test_apply_merges_nonoverlapping_left_to_right():
+    assert B.apply_merges("aaa", [("a", "a")]) == ["aa", "a"]
+    assert B.apply_merges("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert B.apply_merges("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa"]
+
+
+def test_train_deterministic_tiebreak():
+    # equal counts: pair with the smaller marker-string form wins
+    merges = _train_local({"ab": 1, "cd": 1}, 1)
+    assert merges == [("a", "b")]
+
+
+def test_train_bpe_on_spark(spark, sf_dir):
+    from rpa_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = B.train_bpe(docs, n_merges=8)
+    m2 = B.train_bpe(docs, n_merges=8)
+    assert m1 == m2  # deterministic across runs
+    assert 0 < len(m1) <= 8
+    for left, right, cnt in m1:
+        assert cnt > 0 and left and right
+    # counts are non-increasing only per greedy step on the ORIGINAL corpus,
+    # not monotone in general — but the first merge must be the global max
+    assert m1[0][2] == max(c for _, _, c in m1)
+
+
+def test_attach_bpe_tokens_counts(spark, sf_dir):
+    from rpa_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = B.train_bpe(docs, n_merges=8)
+    out = B.attach_bpe_tokens(docs, merges).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        # more merges → fewer tokens than chars, never fewer than words
+        assert r["n_tokens"] >= r["n_words"]
+
+
+def test_oracle_sql_generators_shape():
+    sql = B.bpe_train_oracle_sql(n_merges=4)
+    assert sql.count("MATERIALIZED") >= 12  # 3 CTEs per merge + bases
+    assert "m3" in sql and "m4" not in sql
+    sql2 = B.bpe_tokenize_oracle_sql(n_merges=4)
+    assert "a3" in sql2 and "docsyms" in sql2
