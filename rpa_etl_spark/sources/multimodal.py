@@ -620,18 +620,24 @@ def avi_encode(frames: list, fps: int = 10) -> bytes:
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
 def avi_decode(data: bytes) -> tuple[int, list]:
-    """Uncompressed AVI → (fps, [(H, W, 3) uint8 RGB frames]). Walks the
-    RIFF tree: strf gives dimensions/bpp, movi's 00db/00dc chunks carry
-    bottom-up BGR DIBs. Raises ValueError on compressed streams."""
+    """AVI → (fps, [(H, W, 3) uint8 RGB frames]). Walks the RIFF tree:
+    strf gives dimensions/bpp/compression, movi's 00db/00dc chunks carry
+    either bottom-up BGR DIBs (BI_RGB) or — round 6 — whole baseline JPEG
+    images (MJPG fourcc, decoded with the repo's pure-numpy JPEG codec,
+    sources/jpeg.py). Raises ValueError on other compressions."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
     fps = 0
+    mjpeg = False
     frames: list = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, mjpeg
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", data, pos)
             body = pos + 8
@@ -644,20 +650,59 @@ def avi_decode(data: bytes) -> tuple[int, list]:
                 bi_w, bi_h = struct.unpack_from("<ii", data, body + 4)
                 bpp = struct.unpack_from("<H", data, body + 14)[0]
                 comp = struct.unpack_from("<I", data, body + 16)[0]
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    mjpeg = True
+                elif bpp != 24 or comp != 0:
                     raise ValueError(f"unsupported AVI stream (bpp={bpp}, comp={comp})")
                 w, h = bi_w, abs(bi_h)
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("frame chunk before strf header")
-                stride = (w * 3 + 3) // 4 * 4
-                rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=body)
-                bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                frames.append(bgr[:, :, ::-1][::-1])
+                if mjpeg:
+                    from rpa_etl_spark.sources.jpeg import jpeg_decode
+
+                    frames.append(jpeg_decode(data[body : body + size]))
+                else:
+                    stride = (w * 3 + 3) // 4 * 4
+                    rows = np.frombuffer(
+                        data, dtype=np.uint8, count=stride * h, offset=body
+                    )
+                    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                    frames.append(bgr[:, :, ::-1][::-1])
             pos = body + size + (size & 1)
 
     walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
     return fps, frames
+
+
+def mjpeg_avi_encode(frames: list, fps: int = 10) -> bytes:
+    """List of (H, W, 3) uint8 RGB frames → MJPEG-in-AVI: same RIFF layout
+    as ``avi_encode`` but biCompression='MJPG' and each 00dc chunk is a
+    complete baseline JPEG (sources/jpeg.py::jpeg_encode)."""
+    from rpa_etl_spark.sources.jpeg import jpeg_encode
+
+    h, w, _ = frames[0].shape
+    payloads = [jpeg_encode(f) for f in frames]
+    max_size = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<4sI14I",
+        b"avih", 56,
+        1_000_000 // fps, max_size * fps, 0, 0x10, len(frames), 0, 1,
+        max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIII4H",
+        b"strh", 56, b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        max_size, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<4sIIiiHHIIiiII",
+        b"strf", 40, 40, w, h, 1, 24, _MJPG_FOURCC, max_size, 2835, 2835, 0, 0,
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
 def synth_avi_video(media_id: int, n_frames: int = 6, width: int = 8,
@@ -701,6 +746,46 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id",
     return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
+def synth_mjpeg_video(media_id: int, n_frames: int = 6, width: int = 8,
+                      height: int = 8, fps: int = 10) -> bytes:
+    """Deterministic MJPEG-in-AVI keyed by id: frame f is SOLID GRAY with
+    value (media_id + 37*f) % 256 — chosen because every solid gray
+    round-trips the baseline JPEG codec EXACTLY (constant block → DC-only
+    DCT, verified for all 256 values in tests), so the closed-form oracle
+    survives the lossy codec."""
+    frames = []
+    for f in range(n_frames):
+        v = (media_id + 37 * f) % 256
+        frames.append(np.full((height, width, 3), v, dtype=np.uint8))
+    return mjpeg_avi_encode(frames, fps)
+
+
+def attach_mjpeg_media(df: DataFrame, id_col: str = "doc_id",
+                       n_frames: int = 6, width: int = 8, height: int = 8) -> DataFrame:
+    """Media table with REAL compressed-video payloads: one synthetic
+    MJPEG-AVI per row (JPEG encode is CPU-bound → spread first)."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_mjpeg_video(int(m), n_frames, width, height)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+
+
 AVI_FRAME_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -714,7 +799,8 @@ AVI_FRAME_FEATURES_SCHEMA = StructType(
 )
 
 
-def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
+def sample_avi_frames(media: DataFrame, every: int = 2,
+                      decoder: str = "numpy-avi") -> DataFrame:
     """REAL frame sampling (1 video row → N frame rows): parse the AVI
     container, keep every ``every``-th frame, and emit per-frame features
     (the same mean/position-weighted checksum as the BMP path, so layout
@@ -745,7 +831,7 @@ def sample_avi_frames(media: DataFrame, every: int = 2) -> DataFrame:
                     "height": hs,
                     "mean_rgb": means,
                     "weighted_checksum": cks,
-                    "decoder": "numpy-avi",
+                    "decoder": decoder,
                 }
             )
 

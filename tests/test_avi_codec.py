@@ -72,3 +72,64 @@ def test_synth_matches_closed_form():
         np.testing.assert_array_equal(
             frames[f], ((7 + 5 * f + 7 * r + 11 * x + 83 * c) % 256).astype(np.uint8)
         )
+
+
+# -- MJPEG-in-AVI (round 6) ------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_solid_gray_exact():
+    """Every solid gray must survive encode→decode exactly (DC-only block)
+    — the invariant q_multimodal_mjpeg's closed-form oracle relies on."""
+    import numpy as np
+
+    from rpa_etl_spark.sources.multimodal import avi_decode, mjpeg_avi_encode
+
+    frames = [np.full((8, 8, 3), v, dtype=np.uint8) for v in range(0, 256, 5)]
+    fps, out = avi_decode(mjpeg_avi_encode(frames, fps=10))
+    assert fps == 10 and len(out) == len(frames)
+    for f, o in zip(frames, out):
+        assert (f == o).all()
+
+
+def test_mjpeg_avi_gradient_bounded_error():
+    import numpy as np
+
+    from rpa_etl_spark.sources.multimodal import avi_decode, mjpeg_avi_encode
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8) for _ in range(3)]
+    _, out = avi_decode(mjpeg_avi_encode(frames))
+    for f, o in zip(frames, out):
+        assert o.shape == f.shape
+        assert np.abs(o.astype(int) - f.astype(int)).max() <= 128  # lossy, bounded
+
+
+def test_mjpeg_detected_by_sample_frames_kernel():
+    """The generic sample_frames path must take the REAL decode branch for
+    MJPEG payloads now (no stub rotation)."""
+    import numpy as np
+
+    from rpa_etl_spark.sources.multimodal import avi_decode, synth_mjpeg_video
+
+    payload = synth_mjpeg_video(7, n_frames=6)
+    fps, frames = avi_decode(payload)
+    assert fps > 0 and len(frames) == 6
+    for f, arr in enumerate(frames):
+        assert (arr == (7 + 37 * f) % 256).all()
+
+
+def test_unknown_compression_still_raises():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rpa_etl_spark.sources.multimodal import avi_decode, mjpeg_avi_encode
+
+    data = bytearray(mjpeg_avi_encode([np.zeros((8, 8, 3), np.uint8)]))
+    i = bytes(data).find(b"MJPG", 40)  # the strf biCompression fourcc
+    while i >= 0:
+        data[i : i + 4] = b"XVID"
+        i = bytes(data).find(b"MJPG", i + 4)
+    with pytest.raises(ValueError):
+        avi_decode(bytes(data))
