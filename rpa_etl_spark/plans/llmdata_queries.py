@@ -1763,3 +1763,113 @@ def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_avi_frames(
         attach_mjpeg_media(docs), every=2, decoder="numpy-mjpeg"
     )
+
+
+@query(
+    "q_ann_ivf_trained",
+    oracle="""
+    WITH fix AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(0, 64), d ->
+                   (CASE WHEN d = vec_id % 8 THEN 10.0 ELSE 0.0 END)
+                   + CAST((vec_id * 2654435761 + d * 1013904223)
+                          % 2147483648 AS DOUBLE) / 2147483648.0) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT vec_id,
+               MIN(vec_id) OVER (PARTITION BY vec_id % 8) AS cell_canonical,
+               COUNT(*) OVER (PARTITION BY vec_id % 8) AS cell_size
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS score
+        FROM fix q JOIN fix c ON q.vec_id <> c.vec_id
+    ),
+    nn AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rn
+        FROM scored
+    )
+    SELECT s.vec_id,
+           CAST(s.cell_canonical AS BIGINT) AS cell_canonical,
+           CAST(s.cell_size AS BIGINT) AS cell_size,
+           n.neighbor_id AS nn_id,
+           (n.neighbor_id % 8 = s.vec_id % 8) AS nn_same_cluster
+    FROM stats s JOIN nn n ON n.query_id = s.vec_id AND n.rn = 1
+    """,
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-codebook IVF under the external oracle (round 6; closes the
+    round-5 gap that train_ivf_codebook had no driver verdict). A clustered
+    fixture is derived from vec_id in closed form — spike 10.0 at dim
+    (vec_id % 8) plus hash jitter quantized to 1/2^31 (division by a power
+    of two → the fixture doubles are BIT-IDENTICAL in Spark and DuckDB).
+    The engine runs the REAL pipeline: k-means|| style seeding (hash
+    oversample + farthest-point) + distributed Lloyd rounds
+    (operators/similarity.py::train_ivf_codebook), assigns every vector to
+    its trained cell, and retrieves each vector's top-1 neighbor through
+    the trained index at n_probe=1. The oracle states the mathematically
+    guaranteed outcome (separation margin ~0.2 vs ~1.0 cosine): trained
+    cells == ground-truth clusters (label-invariant via min-id
+    canonicalization) and probed top-1 == BRUTE-FORCE top-1, which DuckDB
+    computes exactly. A seeding-coverage, Lloyd-mean, assignment, or
+    probe-routing bug breaks cluster purity or recall and hash-mismatches.
+    Scale shape: training = per-round one n_cells-keyed aggregate (map-side
+    partial sums) + bounded collects; assignment/probe = broadcast-closure
+    kernel + one cell-keyed join; no all-pairs anywhere (the oracle's
+    brute force is the ORACLE's burden, not the engine's plan)."""
+    import numpy as np
+
+    from rpa_etl_spark.operators import similarity as S
+
+    G, DIM = 8, 64
+    jitter = [
+        (
+            (F.col("vec_id") * F.lit(2654435761) + F.lit(d * 1013904223))
+            % F.lit(2147483648)
+        ).cast("double")
+        / F.lit(2147483648.0)
+        for d in range(DIM)
+    ]
+    vec = F.array(
+        *[
+            F.when(F.col("vec_id") % G == d, F.lit(10.0)).otherwise(F.lit(0.0))
+            + jitter[d]
+            for d in range(DIM)
+        ]
+    )
+    fixture = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", vec.alias("embedding"))
+        .transform(spread)
+    )
+    cmat = S.train_ivf_codebook(
+        fixture, dim=DIM, n_cells=G, iters=2, oversample=16
+    )
+    assigned = fixture.select(
+        "vec_id",
+        F.element_at(S._nearest_cells_kernel(cmat, 1)(F.col("embedding")), 1).alias(
+            "cell"
+        ),
+    )
+    w = Window.partitionBy("cell")
+    stats = assigned.select(
+        "vec_id",
+        F.min("vec_id").over(w).alias("cell_canonical"),
+        F.count(F.lit(1)).over(w).alias("cell_size"),
+    )
+    nn = S.ivf_topk(
+        fixture, fixture, dim=DIM, k=1, n_cells=G, n_probe=1, codebook=cmat
+    ).select(F.col("query_id").alias("vec_id"), F.col("neighbor_id").alias("nn_id"))
+    return stats.join(nn, "vec_id").select(
+        "vec_id",
+        "cell_canonical",
+        "cell_size",
+        "nn_id",
+        (F.col("nn_id") % G == F.col("vec_id") % G).alias("nn_same_cluster"),
+    )
