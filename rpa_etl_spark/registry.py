@@ -50,102 +50,54 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # latest green verdict is ever more than ~2 rounds old, and every plan
 # change gets an external verdict the round it ships.
 PRIORITY_ORDER = [
-    # == tier 1a (12): NEW this round or plan changed this round — these
-    #    have no external verdict in their current form, so they carry the
-    #    most information and must not fall off the ~50-query sample =====
-    "q_lang_quality",  # plan changed (Arrow kernel)
-    "q_monetary_br",  # plan changed (barrier exchange removed)
-    "q_multimodal_resize",  # new this round
-    "q_unigram_logprob",  # new this round
-    "q_ngram_novelty",  # new this round
-    "q_approx_count_distinct",  # plan changed (distinct-first, no Expand)
-    "q_dedup_minhash",  # plan changed (Arrow signature kernel)
-    "q_url_dedup",  # new this round
-    "q_dedup_containment",  # new this round
-    "q_embedding_project",  # new this round
-    "q_bm25",  # new this round
-    "q_dedup_simhash",  # plan changed (Arrow signature kernel)
-    "q_dedup_incremental",  # new this round
-    "q_corpus_drift",  # new this round
-    "q_curation_verdict",  # new this round
-    # == tier 1b (40): last driver-green in ROUND 2 — their verdicts are 3
-    #    rounds old at round 5; with 12 tier-1a slots, the last ~2 of
-    #    these may miss a 50-query sample — they are unchanged-and-green,
-    #    the cheapest verdicts to defer one round ========================
-    "q_agg_group",
-    "q_array_funcs",
-    "q_cnpj_valid",
-    "q_count_distinct",
-    "q_cube",
+    # == tier 1a (7): NEW in round 6 or plan changed in round 6 — no
+    #    external verdict in their current form; must be in the ~50-query
+    #    sample ====================================================
+    "q_pdf_extract_hard",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_multimodal_mjpeg",
+    "q_ann_ivf_trained",
     "q_decimal_math",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_distinct",
-    "q_filter_predicates",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_hash",
-    "q_join_anti",
-    "q_join_full",
-    "q_join_inner_broadcast",
-    "q_join_left",
-    "q_join_null_safe",
-    "q_join_range",
-    "q_join_semi",
-    "q_json_funcs",
-    "q_map_funcs",
-    "q_nfe_key_valid",
-    "q_pivot",
-    "q_rollup",
-    "q_scalar_subquery",
-    "q_scan_project",
-    "q_session_window",
-    "q_set_ops",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_string_funcs",
-    "q_topk",
+    "q_approx_count_distinct",
+    # == tier 1b (5): last driver-green in ROUND 2 (4 rounds stale) ==
     "q_unpivot",
     "q_window_ntile",
     "q_window_range_frame",
     "q_window_rank",
     "q_window_running_sum",
-    # == tier 2 (31): last driver-green in ROUND 3 (2 rounds old) — the
-    #    riskier plans first so they land inside a ~50-query budget ======
-    "q_dedup_embedding",
-    "q_fuzzy_match",
-    "q_profile_stats",
-    "q_recursive_cte",
-    "q_multimodal_meta",
-    "q_tpch_q3_shape",
-    "q_tpch_q21_shape",
-    "q_merge_upsert",
-    "q_scd2_history",
+    # == tier 2 (30): last driver-green in ROUND 3 (3 rounds stale) ==
     "q_audit_events",
+    "q_dedup_embedding",
     "q_embedding_centroid",
     "q_funnel",
+    "q_fuzzy_match",
     "q_having_large_orders",
     "q_histogram",
     "q_hll_sketch_merge",
     "q_lateral_topk",
+    "q_merge_upsert",
+    "q_multimodal_meta",
     "q_outlier_zscore",
     "q_payload_analytics",
     "q_payload_erp",
     "q_pii_redact",
+    "q_profile_stats",
     "q_quantiles",
+    "q_recursive_cte",
     "q_repetition_stats",
     "q_retention_cohort",
     "q_sample_hash",
     "q_sample_stratified",
+    "q_scd2_history",
     "q_tfidf_terms",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
+    "q_tpch_q21_shape",
+    "q_tpch_q3_shape",
     "q_tpch_q5_shape",
     "q_window_value_funcs",
-    # == tier 3 (49): round-4 green, unchanged — freshest verdicts, so
-    #    losing one to the sample cutoff costs the least information =====
+    # == tier 3 (46): last driver-green in ROUND 4 (2 rounds stale) ==
     "q_agg_skew_salted",
     "q_ann_ivf",
     "q_ann_lsh",
@@ -192,6 +144,55 @@ PRIORITY_ORDER = [
     "q_window_rank_ties",
     "q_wordcount",
     "q_zorder_code",
+    # == tier 4 (48): green in ROUND 5 — freshest, cheapest to defer ==
+    "q_agg_group",
+    "q_array_funcs",
+    "q_bm25",
+    "q_cnpj_valid",
+    "q_corpus_drift",
+    "q_count_distinct",
+    "q_cube",
+    "q_curation_verdict",
+    "q_dedup_containment",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_embedding_project",
+    "q_filter_predicates",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hash",
+    "q_join_anti",
+    "q_join_full",
+    "q_join_inner_broadcast",
+    "q_join_left",
+    "q_join_null_safe",
+    "q_join_range",
+    "q_join_semi",
+    "q_json_funcs",
+    "q_lang_quality",
+    "q_map_funcs",
+    "q_monetary_br",
+    "q_multimodal_resize",
+    "q_nfe_key_valid",
+    "q_ngram_novelty",
+    "q_pivot",
+    "q_rollup",
+    "q_scalar_subquery",
+    "q_scan_project",
+    "q_session_window",
+    "q_set_ops",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_string_funcs",
+    "q_topk",
+    "q_unigram_logprob",
+    "q_url_dedup",
 ]
 
 
