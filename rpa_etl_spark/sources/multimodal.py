@@ -8,9 +8,10 @@ boundary once per batch, not per row.
 
 Decode kernels are REAL, dependency-free codecs (numpy + stdlib zlib):
 BMP, PNG (DEFLATE + all five filter types), baseline JPEG (DCT +
-length-limited Huffman; lossy, bounded-error-gated), WAV/PCM16, and
-uncompressed AVI — each pinned by spec-fixture unit tests and by
-oracle-checked declared queries (q_multimodal_decode/png/audio/frames)
+length-limited Huffman; lossy, bounded-error-gated), WAV/PCM16,
+uncompressed AVI, and — round 6 — MJPEG-in-AVI (JPEG-compressed video
+frames) — each pinned by spec-fixture unit tests and by oracle-checked
+declared queries (q_multimodal_decode/png/audio/frames/mjpeg)
 that recompute the expected pixels/samples from the generating formula,
 so container-layout bugs cannot round-trip past the comparison. Only the
 generic compressed-image fallback (arbitrary formats beyond these five)
@@ -205,10 +206,11 @@ def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
     """frame-sample stage (1 video row → N frame rows): emits one frame per
     1/fps seconds — the mapInPandas batch fans OUT, so the output row count
     differs from the input (the shape a real ffmpeg frame sampler has).
-    REAL for uncompressed AVI (magic-byte sniff → RIFF walk → DIB frames
-    sampled against the container's true frame rate, each emitted as a BMP
-    payload); other video containers keep the deterministic byte-rotation
-    stand-in sized by metadata duration."""
+    REAL for uncompressed AVI and MJPEG-in-AVI (magic-byte sniff → RIFF
+    walk → DIB or per-frame JPEG decode, sampled against the container's
+    true frame rate, each emitted as a BMP payload); other video
+    containers keep the deterministic byte-rotation stand-in sized by
+    metadata duration."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,9 +220,9 @@ def sample_frames(media: DataFrame, fps: float = 0.5) -> DataFrame:
             ):
                 p = bytes(payload)
                 if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
-                    # the magic check only proves the container; compressed
-                    # or malformed AVIs (or fps 0 from a degenerate strh)
-                    # must degrade to the stub path, not abort the stage
+                    # the magic check only proves the container; codecs
+                    # beyond BI_RGB/MJPG or malformed AVIs (or fps 0 from a
+                    # degenerate strh) must degrade to the stub, not abort
                     try:
                         avi_fps, avi_frames = avi_decode(p)
                         if avi_fps <= 0:
