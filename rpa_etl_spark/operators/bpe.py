@@ -138,19 +138,25 @@ def attach_bpe_tokens(
     merges: list[tuple[str, str]],
     col: str = "text",
     id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Per-document BPE stats via one Arrow-batched mapInPandas crossing:
-    ``(id_col, n_words, n_tokens)``. The per-word encoder is LRU-cached —
-    Zipf word distribution means one BPE walk per distinct word."""
+    ``(id_col, *carry, n_words, n_tokens)`` — ``carry`` columns pass
+    through the kernel untouched (cheaper than a post-hoc join back). The
+    per-word encoder is LRU-cached — Zipf word distribution means one BPE
+    walk per distinct word."""
     import re as _re
     from collections.abc import Iterator
 
     import pandas as pd
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
+    carry = carry or []
+    in_schema = docs.select(id_col, *carry, col).schema
     schema = StructType(
-        [
-            StructField(id_col, LongType()),
+        [in_schema[id_col]]
+        + [in_schema[c] for c in carry]
+        + [
             StructField("n_words", IntegerType()),
             StructField("n_tokens", IntegerType()),
         ]
@@ -164,17 +170,19 @@ def attach_bpe_tokens(
             return len(apply_merges(w, pairs))
 
         for pdf in batches:
-            ids, n_words, n_tokens = [], [], []
-            for did, text in zip(pdf[id_col], pdf[col]):
+            n_words, n_tokens = [], []
+            for text in pdf[col]:
                 words = [w for w in ws.split(str(text)) if w]
-                ids.append(int(did))
                 n_words.append(len(words))
                 n_tokens.append(sum(count_word(w) for w in words))
-            yield pd.DataFrame(
-                {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["n_words"] = n_words
+            out["n_tokens"] = n_tokens
+            yield pd.DataFrame(out)
 
-    return docs.select(id_col, col).mapInPandas(kernel, schema=schema)
+    return docs.select(id_col, *carry, col).mapInPandas(kernel, schema=schema)
 
 
 # =========================================================================
@@ -234,12 +242,10 @@ def bpe_train_oracle_sql(
     """
 
 
-def bpe_tokenize_oracle_sql(
-    n_merges: int = DEFAULT_N_MERGES, top_words: int = DEFAULT_TOP_WORDS
-) -> str:
-    """Oracle for q_bpe_tokenize: training replay + chained-REPLACE
-    application over word-boundary-safe marker strings; emits
-    (doc_id, n_words, n_tokens)."""
+def _apply_chain_ctes(n_merges: int, top_words: int) -> str:
+    """Training replay + chained-REPLACE application, ending in a CTE
+    ``bpe_counts(doc_id, n_words, n_tokens)`` — the shared building block
+    for every oracle that consumes real token counts."""
     apply_chain = []
     prev = "docsyms"
     for k in range(n_merges):
@@ -251,8 +257,7 @@ def bpe_tokenize_oracle_sql(
         )
         prev = f"a{k}"
     chain = ",\n    ".join(apply_chain)
-    return f"""
-    WITH {_common_ctes(n_merges, top_words)},
+    return f"""{_common_ctes(n_merges, top_words)},
     docsyms AS MATERIALIZED (
         SELECT doc_id,
                CAST(len(words) AS INT) AS n_words,
@@ -261,8 +266,21 @@ def bpe_tokenize_oracle_sql(
                    chr(3) || ' ') AS s
         FROM toks
     ),
-    {chain}
-    SELECT doc_id, n_words,
-           CAST(length(s) - length(REPLACE(s, chr(2), '')) AS INT) AS n_tokens
-    FROM {prev}
+    {chain},
+    bpe_counts AS MATERIALIZED (
+        SELECT doc_id, n_words,
+               CAST(length(s) - length(REPLACE(s, chr(2), '')) AS INT) AS n_tokens
+        FROM {prev}
+    )"""
+
+
+def bpe_tokenize_oracle_sql(
+    n_merges: int = DEFAULT_N_MERGES, top_words: int = DEFAULT_TOP_WORDS
+) -> str:
+    """Oracle for q_bpe_tokenize: training replay + chained-REPLACE
+    application over word-boundary-safe marker strings; emits
+    (doc_id, n_words, n_tokens)."""
+    return f"""
+    WITH {_apply_chain_ctes(n_merges, top_words)}
+    SELECT doc_id, n_words, n_tokens FROM bpe_counts
     """

@@ -213,6 +213,76 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bpe_oracle() -> str:
+    from rpa_etl_spark.operators.bpe import _apply_chain_ctes
+
+    return f"""
+    WITH {_apply_chain_ctes(24, 4096)},
+    tok2 AS (
+        SELECT d.doc_id, d.lang,
+               ({_BUCKET_SQL}) % {_N_SHARDS} AS shard,
+               b.n_tokens
+        FROM documents d JOIN bpe_counts b USING (doc_id)
+    ),
+    packed AS (
+        SELECT lang, shard, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+        FROM tok2
+    )
+    SELECT lang, shard, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed
+    GROUP BY lang, shard, pack_id
+    """
+
+
+@query("q_pack_sequences_bpe", oracle=_pack_bpe_oracle())
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in REAL tokens (round 6): identical
+    packing semantics to q_pack_sequences, but n_tokens comes from the
+    corpus-trained BPE tokenizer (operators/bpe.py) instead of the
+    whitespace proxy — the budget a training pipeline actually packs
+    against. The oracle replays BPE training + application (the full
+    chained-CTE pipeline from q_bpe_tokenize) AND the first-fit packing
+    windows, so tokenizer and packer are verified together end to end.
+
+    Scale shape: word-count shuffle (training) + narrow Arrow tokenize
+    kernel (lang carried through the kernel, no join-back) + ONE window
+    shuffle on (lang, shard) that the final groupBy reuses."""
+    from rpa_etl_spark.operators import bpe as BPE
+    from rpa_etl_spark.tables import spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = BPE.train_bpe(docs)
+    toks = BPE.attach_bpe_tokens(
+        docs.transform(spread), merges, carry=["lang"]
+    ).select(
+        "doc_id",
+        "lang",
+        (_bucket_col() % _N_SHARDS).alias("shard"),
+        "n_tokens",
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET),
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 @query(
     "q_scd2_history",
     oracle="""

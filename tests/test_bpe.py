@@ -96,3 +96,15 @@ def test_oracle_sql_generators_shape():
     assert "m3" in sql and "m4" not in sql
     sql2 = B.bpe_tokenize_oracle_sql(n_merges=4)
     assert "a3" in sql2 and "docsyms" in sql2
+
+
+def test_attach_bpe_tokens_carry_columns(spark, sf_dir):
+    from rpa_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = B.train_bpe(docs, n_merges=4)
+    out = B.attach_bpe_tokens(docs, merges, carry=["lang"])
+    assert out.columns == ["doc_id", "lang", "n_words", "n_tokens"]
+    rows = {r["doc_id"]: r["lang"] for r in out.collect()}
+    truth = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    assert rows == truth
