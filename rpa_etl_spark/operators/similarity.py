@@ -288,18 +288,29 @@ def train_ivf_codebook(
             F.element_at(_nearest_cells_kernel(cmat, 1)(F.col(vec_col)), 1).alias("cell"),
             F.col(vec_col).alias("v"),
         )
+        # per-cell per-dimension sums via posexplode + (cell, pos)-keyed
+        # aggregation, NOT dim-many named sum columns: the wide form makes
+        # Janino recompile a dim-column aggregate EVERY Lloyd round (the
+        # codebook closure changes per round, so no plan reuse) — measured
+        # ~2s/round compile at dim=64. The exploded form is three fixed
+        # columns regardless of dim, and the shuffle still carries at most
+        # n_cells x dim partial rows per upstream partition.
         agg = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+            assigned.select(
+                "cell", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val")
             )
+            .groupBy("cell", "pos")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
             .collect()
         )
         new = cmat.copy()
+        counts = np.zeros(cmat.shape[0], dtype=np.int64)
+        sums = np.zeros_like(cmat)
         for row in agg:
-            if row["n"] > 0:
-                new[row["cell"]] = [row[f"s{i}"] / row["n"] for i in range(dim)]
+            counts[row["cell"]] = row["n"]
+            sums[row["cell"], row["pos"]] = row["s"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
         new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-30)
         cmat = new
     return cmat

