@@ -159,3 +159,46 @@ def test_escape_control_chars_roundtrip():
     text, _ = M.extract_text(b)
     assert "a\x0cb\x08c\x01d" in text
     assert "tab\there" in text
+
+
+# -- property-based round-trip (hypothesis) --------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # printable latin-1 minus the chars the line-splitting layout consumes:
+    # the writer shows each LINE with Tj, so line text itself must not
+    # contain the newline the extractor uses as the line joiner
+    _line = st.text(
+        alphabet=st.characters(
+            codec="latin-1", categories=("L", "N", "P", "S", "Zs")
+        ),
+        min_size=0,
+        max_size=60,
+    ).map(lambda s: s.replace("\n", " ").replace("\r", " "))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        pages=st.lists(
+            st.lists(_line, min_size=1, max_size=4), min_size=1, max_size=3
+        ),
+        cid=st.booleans(),
+        filt=st.sampled_from(["flate", "hex", "a85", "rl", "lzw"]),
+    )
+    def test_roundtrip_property(pages, cid, filt):
+        b = M.write_pdf_hard(
+            pages, content_filter=filt, cid_font=cid, xref_stream=cid
+        )
+        text, n = M.extract_text(b)
+        expect = "\n".join("\n".join(p) for p in pages)
+        # the extractor collapses newline runs and strips outer newlines —
+        # mirror that on the expectation (empty lines merge)
+        import re as _re
+
+        expect = _re.sub(r"\n{2,}", "\n", expect).strip("\n")
+        assert text == expect
+        assert n == len(pages)
+
+except ImportError:  # pragma: no cover
+    pass
