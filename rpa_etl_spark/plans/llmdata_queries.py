@@ -1858,21 +1858,53 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmat = S.train_ivf_codebook(
         fixture, dim=DIM, n_cells=G, iters=2, oversample=16
     )
+    # ONE assignment-kernel pass serves everything downstream: at
+    # n_probe=1 a query's probe cell IS its assigned cell, so the IVF
+    # retrieval is a self-join of the assigned table on `cell` (exactly
+    # ivf_topk's probed-cell join, inlined to avoid re-running the Python
+    # kernel for corpus and query sides — 3 Arrow crossings → 1; the
+    # general operator stays oracle-covered by q_ann_ivf). persist: the
+    # assigned table feeds the window stats AND both join sides.
     assigned = fixture.select(
         "vec_id",
+        "embedding",
         F.element_at(S._nearest_cells_kernel(cmat, 1)(F.col("embedding")), 1).alias(
             "cell"
         ),
-    )
+    ).persist()
     w = Window.partitionBy("cell")
     stats = assigned.select(
         "vec_id",
         F.min("vec_id").over(w).alias("cell_canonical"),
         F.count(F.lit(1)).over(w).alias("cell_size"),
     )
-    nn = S.ivf_topk(
-        fixture, fixture, dim=DIM, k=1, n_cells=G, n_probe=1, codebook=cmat
-    ).select(F.col("query_id").alias("vec_id"), F.col("neighbor_id").alias("nn_id"))
+    q_side = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "cell",
+    )
+    scored = (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            "cell",
+        )
+        .join(F.broadcast(q_side), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            S.cosine_pd(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    # top-1 with the oracle's tie-break (score desc, neighbor asc) as a
+    # max_by aggregate — same shuffle key as a rank window, minus the sort
+    nn = scored.groupBy("query_id").agg(
+        F.max_by(
+            "neighbor_id",
+            F.struct(F.col("score"), (-F.col("neighbor_id")).alias("neg")),
+        ).alias("nn_id")
+    ).select(F.col("query_id").alias("vec_id"), "nn_id")
     return stats.join(nn, "vec_id").select(
         "vec_id",
         "cell_canonical",
