@@ -420,6 +420,88 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _domain_mix_bpe_oracle() -> str:
+    from rpa_etl_spark.operators.bpe import _apply_chain_ctes
+
+    return f"""
+    WITH {_apply_chain_ctes(24, 4096)},
+    dom AS (
+        SELECT d.lang, d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens
+        FROM documents d JOIN bpe_counts b USING (doc_id)
+        GROUP BY d.lang, d.source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_domains
+        FROM dom
+    )
+    SELECT d.lang, d.source, d.n_docs, d.n_tokens,
+           CAST(d.n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+               AS token_share,
+           LEAST(CAST({_MIX_CAP} AS DOUBLE),
+                 (CAST(t.total_tokens AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+                 / CAST(d.n_tokens AS DOUBLE)) AS sample_weight,
+           (CAST(t.total_tokens AS DOUBLE) / CAST(t.n_domains AS DOUBLE))
+               / CAST(d.n_tokens AS DOUBLE) > CAST({_MIX_CAP} AS DOUBLE)
+               AS capped
+    FROM dom d CROSS JOIN tot t
+    """
+
+
+@query("q_domain_mix_bpe", oracle=_domain_mix_bpe_oracle())
+def q_domain_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture design budgeted in REAL tokens (round 6): the
+    q_domain_mix weights recomputed from the corpus-trained BPE tokenizer
+    instead of the whitespace proxy — with q_pack_sequences_bpe this
+    re-expresses BOTH token-budget consumers in actual tokens. The oracle
+    replays BPE training + application and the whole weight derivation;
+    divisions keep the identical association on both engines (bit-equal
+    doubles), grand totals ride uncorrelated scalar subqueries on the
+    Spark side (no constant-key join — see q_domain_mix).
+
+    Scale shape: word-count shuffle (training) + narrow tokenize kernel
+    (lang/source carried through) + one (lang, source) aggregate."""
+    from rpa_etl_spark.operators import bpe as BPE
+    from rpa_etl_spark.tables import spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    merges = BPE.train_bpe(docs)
+    BPE.attach_bpe_tokens(
+        docs.transform(spread), merges, carry=["lang", "source"]
+    ).createOrReplaceTempView("bpe_doc_tokens")
+    return spark.sql(
+        f"""
+        WITH dom AS (
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+            FROM bpe_doc_tokens
+            GROUP BY lang, source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_domains
+            FROM dom
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST((SELECT total_tokens FROM tot) AS DOUBLE)
+                   AS token_share,
+               LEAST(CAST({_MIX_CAP} AS DOUBLE),
+                     (CAST((SELECT total_tokens FROM tot) AS DOUBLE)
+                      / CAST((SELECT n_domains FROM tot) AS DOUBLE))
+                     / CAST(n_tokens AS DOUBLE)) AS sample_weight,
+               (CAST((SELECT total_tokens FROM tot) AS DOUBLE)
+                / CAST((SELECT n_domains FROM tot) AS DOUBLE))
+               / CAST(n_tokens AS DOUBLE) > CAST({_MIX_CAP} AS DOUBLE)
+                   AS capped
+        FROM dom
+        """
+    )
+
+
 @query(
     "q_ngram_novelty",
     oracle=f"""

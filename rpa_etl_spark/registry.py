@@ -50,9 +50,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # latest green verdict is ever more than ~2 rounds old, and every plan
 # change gets an external verdict the round it ships.
 PRIORITY_ORDER = [
-    # == tier 1a (8): NEW in round 6 or plan changed in round 6 — no
+    # == tier 1a (9): NEW in round 6 or plan changed in round 6 — no
     #    external verdict in their current form; must be in the ~50-query
     #    sample ====================================================
+    "q_domain_mix_bpe",
     "q_pack_sequences_bpe",
     "q_pdf_extract_hard",
     "q_bpe_train",
