@@ -760,8 +760,12 @@ def parse_tounicode(cmap_bytes: bytes) -> dict[bytes, str]:
 
 def _decode_shown(raw: bytes, cmap: dict[bytes, str] | None) -> str:
     """Decode one shown string: through the font's ToUnicode CMap when
-    present (greedy longest-code match), else Latin-1."""
+    present (greedy longest-code match); else UTF-16BE when BOM-prefixed
+    (the PDF text-string convention for non-Latin content, §7.9.2.2);
+    else Latin-1 (PDFDocEncoding-compatible for the printable range)."""
     if not cmap:
+        if raw[:2] == b"\xfe\xff":
+            return _utf16be(raw[2:])
         return raw.decode("latin-1", errors="ignore")
     widths = sorted({len(k) for k in cmap}, reverse=True) or [1]
     out: list[str] = []

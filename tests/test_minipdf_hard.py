@@ -202,3 +202,53 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_utf16be_bom_literal_and_hex_strings():
+    """PDF text-string convention (§7.9.2.2): BOM-prefixed UTF-16BE show
+    strings must decode to their unicode content (PyMuPDF parity)."""
+    txt = "Olá — 東京"
+    u16 = "\xfe\xff".encode("latin-1") + txt.encode("utf-16-be")
+    hexstr = u16.hex().upper().encode()
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td <" + hexstr + b"> Tj T* "
+        b"(plain latin) Tj ET"
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(body)
+    # hand-built classic xref over the 4 objects
+    offsets = []
+    pos = len(b"%PDF-1.4\n")
+    for frag in body.split(b"endobj\n")[:-1]:
+        offsets.append(body.find(frag[:12]))
+    pdf = bytearray(body)
+    pdf += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in range(1, 5):
+        off = body.find(b"%d 0 obj" % num)
+        pdf += b"%010d 00000 n \n" % off
+    pdf += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    text, pages = M.extract_text_structured(bytes(pdf))
+    assert pages == 1
+    assert txt in text and "plain latin" in text
+
+
+def test_lzw_with_png_predictor_filter():
+    """LZWDecode + /DecodeParms PNG predictor — the chain classic Acrobat
+    writers used for xref-adjacent data."""
+    rowlen = 5
+    raw = bytes((i * 7 + j) % 256 for i in range(20) for j in range(rowlen))
+    enc = M._lzw_encode(M._png_predict_up(raw, rowlen))
+    out = M._apply_one_filter(
+        enc, "LZWDecode", {"Predictor": 12, "Columns": rowlen}
+    )
+    assert out == raw
