@@ -29,6 +29,15 @@ ascending (identical to the DuckDB oracle's ``ORDER BY f DESC, pair ASC``
 original sequential Sennrich semantics: each merge in rank order, one
 left-to-right non-overlapping pass — which the oracle replays as a chain
 of ``REPLACE`` calls over marker-prefixed symbol strings.
+
+Whitespace is ONE explicit char class ``[ \\t\\n\\r\\f]`` in all three
+engines (Spark/Java regex, the Python Arrow kernel, DuckDB/RE2) — ``\\s``
+means three different things across them (Java: ASCII incl \\x0B; Python:
+Unicode-aware; RE2: ASCII excl \\x0B), so a document containing \\x0B or
+\\xa0 would silently diverge engine vs oracle. BMP caveat: the top-K
+word ORDER BY compares UTF-16 code units in Spark but codepoints in
+DuckDB; for non-BMP characters at a tie boundary the orders differ —
+the corpus is BMP-only and the tie-break assumes that.
 """
 
 from __future__ import annotations
@@ -49,12 +58,16 @@ _WORDSEP = "\x03"
 DEFAULT_TOP_WORDS = 4096
 DEFAULT_N_MERGES = 24
 
+# the one whitespace definition, spelled identically for Java regex
+# (F.split), Python re (Arrow kernel), and RE2 (DuckDB oracle)
+_WS_CLASS = r"[ \t\n\r\f]+"
+
 
 def word_frequencies(docs: DataFrame, col: str = "text") -> DataFrame:
     """Corpus word counts — the one corpus-scale pass (one keyed shuffle,
     map-side combine). Whitespace pre-tokenization, empties dropped."""
     return (
-        docs.select(F.explode(F.split(F.col(col), r"\s+")).alias("word"))
+        docs.select(F.explode(F.split(F.col(col), _WS_CLASS)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -162,7 +175,7 @@ def attach_bpe_tokens(
         ]
     )
     pairs = [(left, right) for left, right, *_ in merges]
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(_WS_CLASS)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         @lru_cache(maxsize=65536)
@@ -172,7 +185,11 @@ def attach_bpe_tokens(
         for pdf in batches:
             n_words, n_tokens = [], []
             for text in pdf[col]:
-                words = [w for w in ws.split(str(text)) if w]
+                # NULL text = empty document (matches word_frequencies and
+                # the oracle, where NULL splits to NULL → no words), not
+                # the literal word 'None'
+                s = "" if text is None or pd.isna(text) else str(text)
+                words = [w for w in ws.split(s) if w]
                 n_words.append(len(words))
                 n_tokens.append(sum(count_word(w) for w in words))
             out = {id_col: pdf[id_col]}
@@ -195,7 +212,7 @@ def attach_bpe_tokens(
 def _common_ctes(n_merges: int, top_words: int) -> str:
     parts = [
         "toks AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(text,"
-        " '\\s+'), w -> w <> '') AS words FROM documents)",
+        " '[ \\t\\n\\r\\f]+'), w -> w <> '') AS words FROM documents)",
         "wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq"
         " FROM toks, UNNEST(words) AS t(w) GROUP BY w)",
         f"top AS MATERIALIZED (SELECT word, freq FROM wf ORDER BY freq DESC, word ASC"

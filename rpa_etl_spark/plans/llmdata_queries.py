@@ -1889,7 +1889,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("c_vec"),
             "cell",
         )
-        .join(F.broadcast(q_side), "cell")
+        .join(q_side, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

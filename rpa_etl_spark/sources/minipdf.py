@@ -466,7 +466,20 @@ def _apply_one_filter(data: bytes, name: str, parms: dict | None) -> bytes:
 
 
 class PdfDoc:
-    """Random-access PDF document: xref-chain resolution + object cache."""
+    """Random-access PDF document: xref-chain resolution + object cache.
+
+    SALVAGE (round 7): real-world files break their xref in two ways —
+    the chain itself is unreadable (truncated tail, garbled ``startxref``)
+    or the table parses but its offsets are wrong (incremental-save tools
+    that shift bytes without rewriting the table). Both are recovered by
+    reconstruction-by-object-scan, the same strategy PyMuPDF applies
+    (reference robot/pdf_reader.py:23-58 never sees a clean-xref
+    guarantee): scan the file for ``N G obj`` headers (last definition of
+    an object number wins, per the incremental-update rule), recover the
+    trailer from the last parseable ``trailer`` dict, and fall back to a
+    ``/Type /Catalog`` scan when no trailer survives. Offset errors are
+    healed lazily: ``get()`` verifies the object number at each recorded
+    offset and consults the scan index on mismatch."""
 
     def __init__(self, data: bytes):
         self.data = data
@@ -475,7 +488,68 @@ class PdfDoc:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
-        self._read_xref_chain()
+        self._scan_index: dict[int, int] | None = None
+        try:
+            self._read_xref_chain()
+        except _BadPdf:
+            self._salvage_scan()
+        if not isinstance(self.trailer.get("Root"), (Ref, dict)):
+            self._salvage_root()
+
+    # -- salvage -----------------------------------------------------------
+
+    def _scan_objects(self) -> dict[int, list[int]]:
+        """Reconstruction index: candidate byte offsets of every
+        ``N G obj`` header in the file, in file order. Headers must start a
+        line (real writers emit them that way) — this keeps random
+        compressed-stream bytes that happen to spell ``obj`` out of the
+        index. Consumers try candidates LAST-first (incremental updates
+        append newer generations). Built once, lazily — the healthy path
+        never pays for it."""
+        if self._scan_index is None:
+            idx: dict[int, list[int]] = {}
+            for m in re.finditer(rb"(?:^|[\r\n])(\d+)\s+(\d+)\s+obj\b", self.data):
+                idx.setdefault(int(m.group(1)), []).append(m.start(1))
+            self._scan_index = idx
+        return self._scan_index
+
+    def _salvage_scan(self) -> None:
+        """Full xref reconstruction: adopt the scan index as the offset
+        table, recover the trailer from the last parseable ``trailer``
+        dict, and register objects packed in any /Type /ObjStm found."""
+        self.offsets = {num: offs[-1] for num, offs in self._scan_objects().items()}
+        for m in re.finditer(rb"trailer", self.data):
+            try:
+                trailer, _ = _parse_value(self.data, m.end())
+            except _BadPdf:
+                continue
+            if isinstance(trailer, dict) and "Root" in trailer:
+                self.trailer = dict(trailer)  # last parseable wins
+        for num, off in list(self.offsets.items()):
+            # cheap pre-filter: only objects whose header region mentions
+            # /ObjStm get the full parse
+            if not _OBJSTM_RE.search(self.data, off, min(off + 512, len(self.data))):
+                continue
+            try:
+                entries = self._load_objstm(num)
+            except (_BadPdf, zlib.error, ValueError):
+                continue
+            for idx, (onum, _) in enumerate(entries):
+                if onum not in self.offsets:
+                    self.in_objstm.setdefault(onum, (num, idx))
+
+    def _salvage_root(self) -> None:
+        """No usable /Root in any trailer: find the document catalog by
+        object scan (``/Type /Catalog``)."""
+        for num in sorted(self._scan_objects()):
+            try:
+                val, _ = self._parse_numbered(num)
+            except _BadPdf:
+                continue
+            if isinstance(val, dict) and val.get("Type") == "Catalog":
+                self.trailer["Root"] = Ref(num, 0)
+                return
+        raise _BadPdf("salvage found no catalog")
 
     # -- xref ------------------------------------------------------------
 
@@ -630,13 +704,35 @@ class PdfDoc:
             data = _apply_one_filter(data, str(f), p if isinstance(p, dict) else None)
         return data
 
+    def _parse_numbered(self, num: int) -> tuple[object, bytes | None]:
+        """Parse object ``num`` at its recorded offset, healing through the
+        scan index when the offset is wrong (points at nothing, or at a
+        different object) — the garbled-incremental-save case. Scan
+        candidates are tried newest-first."""
+        rec = self.offsets.get(num)
+        if rec is not None:
+            # healthy path: the recorded offset resolves — no scan built
+            try:
+                onum, val, raw = self._parse_indirect_at(rec)
+                if onum == num:
+                    return val, raw
+            except _BadPdf:
+                pass
+        for cand in reversed(self._scan_objects().get(num, [])):
+            if cand == rec:
+                continue
+            try:
+                onum, val, raw = self._parse_indirect_at(cand)
+            except _BadPdf:
+                continue
+            if onum == num:
+                return val, raw
+        raise _BadPdf(f"object {num} not found by xref or scan")
+
     def _load_objstm(self, stm_num: int) -> list[tuple[int, object]]:
         if stm_num in self._objstm_cache:
             return self._objstm_cache[stm_num]
-        off = self.offsets.get(stm_num)
-        if off is None:
-            raise _BadPdf(f"objstm {stm_num} has no offset")
-        _, obj, raw = self._parse_indirect_at(off)
+        obj, raw = self._parse_numbered(stm_num)
         if not isinstance(obj, dict) or raw is None:
             raise _BadPdf(f"objstm {stm_num} malformed")
         decoded = self._decode_stream_obj(obj, raw)
@@ -661,7 +757,10 @@ class PdfDoc:
                 v = self._cache[num]
                 continue
             if num in self.offsets:
-                _, val, raw = self._parse_indirect_at(self.offsets[num])
+                try:
+                    val, raw = self._parse_numbered(num)
+                except _BadPdf:
+                    val, raw = None, None
                 if raw is not None and isinstance(val, dict):
                     val = _StreamObj(val, raw, self)
             elif num in self.in_objstm:
@@ -676,7 +775,13 @@ class PdfDoc:
                             val = ov
                             break
             else:
-                val = None
+                # absent from the xref entirely — salvage via the scan index
+                try:
+                    val, raw = self._parse_numbered(num)
+                    if raw is not None and isinstance(val, dict):
+                        val = _StreamObj(val, raw, self)
+                except _BadPdf:
+                    val = None
             self._cache[num] = val
             v = val
         return v
@@ -756,6 +861,153 @@ def parse_tounicode(cmap_bytes: bytes) -> dict[bytes, str]:
                     )
                 i = m3.end()
     return out
+
+
+# ---- simple-font encodings (round 7) --------------------------------------
+# ISO 32000-1 Annex D: StandardEncoding / WinAnsiEncoding byte→char tables
+# plus the Adobe-Glyph-List subset needed to resolve /Differences names.
+
+# glyph name → unicode char (AGL subset: ASCII, WinAnsi extras, Latin-1
+# letters common in pt-BR text). Letters/digits first, punctuation below.
+_AGL: dict[str, str] = {c: c for c in
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"}
+_AGL.update(
+    zip(
+        ("zero one two three four five six seven eight nine").split(),
+        "0123456789",
+    )
+)
+_AGL.update(
+    {
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+        "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+        "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        # Standard/WinAnsi high-half names
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+        "perthousand": "‰", "guilsinglleft": "‹",
+        "guilsinglright": "›", "guillemotleft": "«",
+        "guillemotright": "»", "fi": "ﬁ", "fl": "ﬂ",
+        "florin": "ƒ", "fraction": "⁄", "currency": "¤",
+        "cent": "¢", "sterling": "£", "yen": "¥",
+        "section": "§", "paragraph": "¶",
+        "periodcentered": "·", "exclamdown": "¡",
+        "questiondown": "¿", "Euro": "€", "trademark": "™",
+        "copyright": "©", "registered": "®", "degree": "°",
+        "plusminus": "±", "mu": "µ", "OE": "Œ",
+        "oe": "œ", "Scaron": "Š", "scaron": "š",
+        "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+        "circumflex": "ˆ", "tilde": "˜", "germandbls": "ß",
+        "AE": "Æ", "ae": "æ", "Oslash": "Ø",
+        "oslash": "ø", "Lslash": "Ł", "lslash": "ł",
+        "dotlessi": "ı", "ordfeminine": "ª",
+        "ordmasculine": "º",
+        # Latin-1 accented letters (pt-BR set, both cases)
+        "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+        "Atilde": "Ã", "Adieresis": "Ä", "Ccedilla": "Ç",
+        "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê",
+        "Edieresis": "Ë", "Igrave": "Ì", "Iacute": "Í",
+        "Icircumflex": "Î", "Idieresis": "Ï",
+        "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+        "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö",
+        "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+        "Udieresis": "Ü", "agrave": "à", "aacute": "á",
+        "acircumflex": "â", "atilde": "ã", "adieresis": "ä",
+        "ccedilla": "ç", "egrave": "è", "eacute": "é",
+        "ecircumflex": "ê", "edieresis": "ë", "igrave": "ì",
+        "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+        "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+        "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+        "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+        "udieresis": "ü",
+    }
+)
+
+# WinAnsiEncoding: Latin-1 with the CP1252 0x80–0x9F block
+_WINANSI: dict[int, str] = {c: chr(c) for c in range(0x20, 0x7F)}
+_WINANSI.update({c: chr(c) for c in range(0xA0, 0x100)})
+_WINANSI.update(
+    {
+        0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+        0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+        0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+        0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+        0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+        0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+        0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+    }
+)
+
+# StandardEncoding: ASCII except the typographic quotes, plus Annex D's
+# high half (ligatures, accents-as-spacing-chars, old-style punctuation)
+_STANDARD: dict[int, str] = {c: chr(c) for c in range(0x20, 0x7F)}
+_STANDARD.update({0x27: "’", 0x60: "‘"})
+_STANDARD.update(
+    {
+        0xA1: "¡", 0xA2: "¢", 0xA3: "£", 0xA4: "⁄",
+        0xA5: "¥", 0xA6: "ƒ", 0xA7: "§", 0xA8: "¤",
+        0xA9: "'", 0xAA: "“", 0xAB: "«", 0xAC: "‹",
+        0xAD: "›", 0xAE: "ﬁ", 0xAF: "ﬂ", 0xB1: "–",
+        0xB2: "†", 0xB3: "‡", 0xB4: "·", 0xB6: "¶",
+        0xB7: "•", 0xB8: "‚", 0xB9: "„", 0xBA: "”",
+        0xBB: "»", 0xBC: "…", 0xBD: "‰", 0xBF: "¿",
+        0xC1: "`", 0xC2: "´", 0xC3: "ˆ", 0xC4: "˜",
+        0xC5: "¯", 0xC6: "˘", 0xC7: "˙", 0xC8: "¨",
+        0xCA: "˚", 0xCB: "¸", 0xCD: "˝", 0xCE: "˛",
+        0xCF: "ˇ", 0xD0: "—", 0xE1: "Æ", 0xE3: "ª",
+        0xE8: "Ł", 0xE9: "Ø", 0xEA: "Œ", 0xEB: "º",
+        0xF1: "æ", 0xF5: "ı", 0xF8: "ł", 0xF9: "ø",
+        0xFA: "œ", 0xFB: "ß",
+    }
+)
+
+
+def _simple_font_cmap(doc: "PdfDoc", fobj: dict) -> dict[bytes, str] | None:
+    """Byte→char map for a simple (1-byte) font with an explicit
+    ``/Encoding``: a base table (WinAnsi or Standard) overlaid with the
+    ``/Differences`` array (``[code /name /name code /name ...]`` —
+    integers reset the code counter, names assign consecutive codes).
+    Returned in the same shape as a ToUnicode cmap (1-byte keys) so
+    ``_decode_shown`` handles both uniformly. ``None`` when the font has
+    no ``/Encoding`` (the legacy Latin-1 path)."""
+    enc = doc.get(fobj.get("Encoding"))
+    if isinstance(enc, _StreamObj):
+        enc = enc.dict
+    if enc is None:
+        return None
+    diffs: object = None
+    if isinstance(enc, Name):
+        base_name = str(enc)
+    elif isinstance(enc, dict):
+        base = doc.get(enc.get("BaseEncoding"))
+        base_name = str(base) if isinstance(base, Name) else "StandardEncoding"
+        diffs = doc.get(enc.get("Differences"))
+    else:
+        return None
+    table = dict(_WINANSI if "WinAnsi" in base_name else _STANDARD)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = doc.get(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                ch = _AGL.get(str(item))
+                if ch is None:
+                    table.pop(code, None)  # unresolvable glyph → notdef
+                else:
+                    table[code] = ch
+                code += 1
+    return {bytes([c]): ch for c, ch in table.items()}
 
 
 def _decode_shown(raw: bytes, cmap: dict[bytes, str] | None) -> str:
@@ -908,6 +1160,14 @@ def _page_fonts(doc: PdfDoc, resources: object) -> dict[str, dict[bytes, str] | 
             if isinstance(tu, _StreamObj):
                 try:
                     cmap = parse_tounicode(tu.decoded())
+                except Exception:
+                    cmap = None
+            if cmap is None:
+                # simple font with an explicit /Encoding (WinAnsi/Standard
+                # base + /Differences) — the most common real-world text
+                # path after ToUnicode
+                try:
+                    cmap = _simple_font_cmap(doc, fobj)
                 except Exception:
                     cmap = None
         fonts[fname] = cmap
@@ -1184,6 +1444,8 @@ def write_pdf_hard(
     indirect_length: bool = False,
     cid_font: bool = False,
     split_content: bool = False,
+    encoding_diffs: bool = False,
+    damage: str | None = None,
 ) -> bytes:
     """Spec-conformant PDF writer exercising the HARD structural paths.
 
@@ -1196,12 +1458,34 @@ def write_pdf_hard(
     ``indirect_length`` → stream /Length as an indirect reference;
     ``cid_font`` → Identity-H Type0 font, 2-byte hex show strings, and a
     generated /ToUnicode CMap (bfchar + bfrange forms both emitted);
-    ``split_content`` → per-page /Contents ARRAY of two stream halves.
+    ``split_content`` → per-page /Contents ARRAY of two stream halves;
+    ``encoding_diffs`` → simple font with ``/Encoding << /BaseEncoding
+    /WinAnsiEncoding /Differences [...] >>`` remapping digits and
+    uppercase letters into the 0x80+ range (show strings emit the
+    remapped codes, so decode MUST walk the Differences map);
+    ``damage`` → deliberate corruption exercising the salvage path:
+    ``"truncate_xref"`` drops the xref table/trailer/startxref entirely
+    (a transfer-truncated file), ``"garble_offsets"`` shifts every
+    classic-xref offset by +17 (the stale-incremental-save case). Damage
+    modes assume the classic-xref layout.
 
     Text layout matches ``write_pdf`` exactly (one Tj per line, T* line
     breaks), so the analytic oracle for both is the same expression."""
     if use_objstm:
         xref_stream = True
+
+    # /Differences remap: digit d → 0x80+d (glyphs /zero../nine),
+    # uppercase L → 0x90+(L-'A') (glyphs /A../Z)
+    def remap_diffs(s: str) -> str:
+        out = []
+        for ch in s:
+            if "0" <= ch <= "9":
+                out.append(chr(0x80 + ord(ch) - 0x30))
+            elif "A" <= ch <= "Z":
+                out.append(chr(0x90 + ord(ch) - 0x41))
+            else:
+                out.append(ch)
+        return "".join(out)
     filt_entry, encoder = _HARD_FILTERS[content_filter]
 
     def esc(s: str) -> str:
@@ -1225,6 +1509,8 @@ def write_pdf_hard(
 
     def show_line(ln: str) -> str:
         if not cid_font:
+            if encoding_diffs:
+                ln = remap_diffs(ln)
             return f"({esc(ln)}) Tj"
         hexcodes = "".join(f"{char2code[ch]:04X}" for ch in ln)
         return f"<{hexcodes}> Tj"
@@ -1324,6 +1610,19 @@ def write_pdf_hard(
                 f" /ToUnicode {tounicode_id} 0 R >>"
             ).encode()
         )
+    elif encoding_diffs:
+        digit_names = " ".join(
+            f"/{n}" for n in
+            "zero one two three four five six seven eight nine".split()
+        )
+        upper_names = " ".join(f"/{chr(c)}" for c in range(0x41, 0x5B))
+        font_id = add(
+            (
+                "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                " /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+                f" /Differences [ 128 {digit_names} 144 {upper_names} ] >> >>"
+            ).encode()
+        )
     else:
         font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -1348,7 +1647,12 @@ def write_pdf_hard(
     # --- serialization ----------------------------------------------------
     out = bytearray(b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n")
     # xref rows: list indexed by objnum (0 = free head)
-    n_declared = len(objs) + (2 if use_objstm else 1)  # + objstm + xref stream
+    # classic tables declare exactly the written objects; xref-stream files
+    # reserve one extra slot for the xref stream itself (+ objstm when used)
+    if xref_stream:
+        n_declared = len(objs) + (2 if use_objstm else 1)
+    else:
+        n_declared = len(objs)
     entry: list[tuple[int, int, int] | None] = [None] * (n_declared + 1)
     entry[0] = (0, 0, 65535)
 
@@ -1426,6 +1730,8 @@ def write_pdf_hard(
         out.extend(f"xref\n0 {size}\n0000000000 65535 f \n".encode())
         for e in entry[1:]:
             t, a, _ = e if e is not None else (0, 0, 0)
+            if damage == "garble_offsets":
+                a += 17  # stale table: every offset off by an edit delta
             out.extend(f"{a:010d} 00000 n \n".encode())
         out.extend(
             (
@@ -1433,4 +1739,8 @@ def write_pdf_hard(
                 f"startxref\n{xref_at}\n%%EOF\n"
             ).encode()
         )
+    if damage == "truncate_xref":
+        # the file ends after the last endobj — no xref, trailer, or
+        # startxref survive (transfer-truncated download)
+        return bytes(out[:xref_at])
     return bytes(out)

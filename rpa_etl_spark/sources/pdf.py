@@ -132,10 +132,12 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
-# doc_id % 7 → writer configuration for the adversarial corpus. Together
-# the seven rotate through every structural feature the round-6 parser
-# supports: xref streams, object streams, filter chains (ASCIIHex, A85,
-# RunLength, LZW), indirect /Length, CID/ToUnicode fonts, split /Contents.
+# doc_id % 10 → writer configuration for the adversarial corpus. Together
+# they rotate through every structural feature the parser supports: xref
+# streams, object streams, filter chains (ASCIIHex, A85, RunLength, LZW),
+# indirect /Length, CID/ToUnicode fonts, split /Contents, plus (round 7)
+# the SALVAGE paths — truncated/garbled xref recovered by object scan —
+# and simple-font /Encoding /Differences decoding.
 HARD_VARIANTS: list[dict] = [
     {},  # 0: classic xref, FlateDecode (the write_pdf baseline shape)
     {"xref_stream": True},  # 1: PDF 1.5 xref stream (PNG Up predictor)
@@ -144,6 +146,9 @@ HARD_VARIANTS: list[dict] = [
     {"content_filter": "a85", "split_content": True},  # 4: ASCII85 + array
     {"content_filter": "rl", "xref_stream": True},  # 5: RunLength
     {"content_filter": "lzw", "cid_font": True},  # 6: LZW + CID/ToUnicode
+    {"damage": "truncate_xref"},  # 7: no xref/trailer at all — full rebuild
+    {"damage": "garble_offsets", "indirect_length": True},  # 8: stale table
+    {"encoding_diffs": True},  # 9: WinAnsi base + /Differences remap
 ]
 
 
@@ -151,7 +156,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
     """Adversarial PDF corpus (round 6): same two-page invoice layout as
     ``synth_invoice_pdfs`` — so the analytic oracle is the same expression —
     but written through ``minipdf.write_pdf_hard`` with the structural
-    variant rotating on ``doc_id % 7`` (HARD_VARIANTS). Every 97th row is
+    variant rotating on ``doc_id % 10`` (HARD_VARIANTS). Every 97th row is
     still non-PDF bytes for the S3 magic gate. Arrow-batched 1→1
     mapInPandas — narrow, scan-speed at any scale."""
     from rpa_etl_spark.sources import minipdf
@@ -177,7 +182,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
                         [prefix],
                     ]
                     content = minipdf.write_pdf_hard(
-                        pages, **HARD_VARIANTS[doc_id % 7]
+                        pages, **HARD_VARIANTS[doc_id % 10]
                     )
                 rows.append(
                     {

@@ -242,6 +242,108 @@ def test_utf16be_bom_literal_and_hex_strings():
     assert txt in text and "plain latin" in text
 
 
+# -- round 7: salvage (xref reconstruction) + /Differences encodings -------
+
+DMG_PAGES = [
+    ["NOTA FISCAL DE SERVICOS", "DOC 42", "TOTAL: R$ 1.500,07"],
+    ["prefixo com MAIUSCULAS e 12345"],
+]
+DMG_EXPECT = "\n".join("\n".join(p) for p in DMG_PAGES)
+
+
+def test_salvage_truncated_xref_structured():
+    """No xref/trailer/startxref at all: the STRUCTURED parser (not the
+    sweep) must rebuild by object scan + /Type /Catalog discovery."""
+    b = M.write_pdf_hard(DMG_PAGES, damage="truncate_xref")
+    assert b"startxref" not in b and b"trailer" not in b
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+@pytest.mark.parametrize("filt", ["none", "flate", "hex+flate", "lzw"])
+def test_salvage_truncated_xref_with_filters(filt):
+    b = M.write_pdf_hard(DMG_PAGES, damage="truncate_xref", content_filter=filt)
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_salvage_garbled_offsets_structured():
+    """Classic table parses but every offset is stale (+17): per-object
+    healing through the scan index, trailer /Root still honored."""
+    b = M.write_pdf_hard(DMG_PAGES, damage="garble_offsets")
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_salvage_garbled_offsets_with_indirect_length():
+    # /Length resolution itself goes through the healed object fetch
+    b = M.write_pdf_hard(DMG_PAGES, damage="garble_offsets", indirect_length=True)
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_salvage_truncated_cid_font():
+    # ObjStm-free CID file, truncated: ToUnicode + descendant fonts all
+    # resolve through the reconstructed offset table
+    b = M.write_pdf_hard(DMG_PAGES, damage="truncate_xref", cid_font=True)
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_encoding_differences_roundtrip():
+    """Show strings emit remapped 0x80+ codes; decode must walk
+    /BaseEncoding /WinAnsiEncoding + /Differences back to the glyphs."""
+    b = M.write_pdf_hard(DMG_PAGES, encoding_diffs=True)
+    # the raw content must NOT contain the plain uppercase text (it is
+    # remapped), yet extraction restores it
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_encoding_differences_bytes_actually_remapped():
+    b = M.write_pdf_hard([["DOC 7"]], encoding_diffs=True)
+    import zlib as _z
+
+    stream = M._STREAM_RE.search(b).group(1)
+    content = _z.decompress(stream)
+    # 'D','O','C' remapped to 0x93,0x9E,0x92; '7' to 0x87
+    assert b"DOC" not in content
+    assert bytes([0x93, 0x9E, 0x92]) in content
+    assert M.extract_text_structured(b)[0] == "DOC 7"
+
+
+def test_simple_font_cmap_standard_vs_winansi():
+    """WinAnsi 0x92 is the right single quote; Standard 0x27 is quoteright
+    and 0xE1 is AE — the two base tables must not be conflated."""
+
+    class _FakeDoc:
+        def get(self, v):
+            return v
+
+    win = M._simple_font_cmap(
+        _FakeDoc(), {"Encoding": M.Name("WinAnsiEncoding")}
+    )
+    std = M._simple_font_cmap(
+        _FakeDoc(), {"Encoding": M.Name("StandardEncoding")}
+    )
+    assert win[b"\x92"] == "’" and win[b"\xe9"] == "é"
+    assert std[b"\x27"] == "’" and std[b"\xe1"] == "Æ"
+    assert M._simple_font_cmap(_FakeDoc(), {}) is None
+
+
+def test_simple_font_differences_overlay():
+    class _FakeDoc:
+        def get(self, v):
+            return v
+
+    cmap = M._simple_font_cmap(
+        _FakeDoc(),
+        {
+            "Encoding": {
+                "BaseEncoding": M.Name("WinAnsiEncoding"),
+                "Differences": [65, M.Name("zero"), M.Name("one"), 128, M.Name("Euro")],
+            }
+        },
+    )
+    assert cmap[b"A"] == "0" and cmap[b"B"] == "1"  # consecutive assignment
+    assert cmap[b"C"] == "C"  # untouched base
+    assert cmap[b"\x80"] == "€"
+
+
 def test_lzw_with_png_predictor_filter():
     """LZWDecode + /DecodeParms PNG predictor — the chain classic Acrobat
     writers used for xref-adjacent data."""

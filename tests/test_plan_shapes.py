@@ -182,6 +182,79 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Extract the text of every BroadcastExchange subtree from the plan's
+    indented tree rendering: lines below the exchange whose tree-prefix is
+    deeper belong to its build side."""
+    lines = plan.splitlines()
+    out = []
+    for k, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-"))
+        sub = [line]
+        for nxt in lines[k + 1 :]:
+            if not nxt.strip():
+                break
+            nd = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nd <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+_AGG_LIMIT_RE = re.compile(
+    r"^\s*[:+\- ]*\*?\(?\d*\)?\s*"
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"CollectLimit|GlobalLimit|LocalLimit|TakeOrderedAndProject)\b",
+    re.M,
+)
+_FILTER_LINE_RE = re.compile(r"^\s*[:+\- ]*\*?\(?\d*\)?\s*Filter (.*)$", re.M)
+# a Filter bounds the build side only if it actually compares something —
+# Catalyst's injected isnotnull(joinkey) filters contain no comparison and
+# must NOT count (they exist on every equi-join side)
+_CMP_RE = re.compile(r"[<>=]|\bIN\b|LIKE|Contains|StartsWith|EndsWith|rlike", re.I)
+
+
+def _bounded(sub: str) -> bool:
+    if _AGG_LIMIT_RE.search(sub):
+        return True
+    return any(_CMP_RE.search(m.group(1)) for m in _FILTER_LINE_RE.finditer(sub))
+
+
+def test_no_query_broadcasts_unbounded_fact_side(spark, sf_dir):
+    """The flagship dims-only broadcast rule, generalized to every declared
+    query: with autoBroadcastJoinThreshold=-1 only HINTED broadcasts plan a
+    BroadcastExchange, and no hinted build side may be an UNREDUCED fact /
+    corpus table — at 100 TB that broadcast grows with the data (the
+    q_ann_ivf_trained regression this gate pins, round-6 verdict #1). A
+    fact-derived build side is fine when something bounds it first: a
+    Filter (selective predicate), a Limit/TakeOrdered, or an Aggregate
+    (group-count-bounded). Cached relations get the same rule: an
+    InMemoryTableScan inside a hinted broadcast with no bounding node is a
+    corpus-sized broadcast wearing a cache."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    offenders: dict[str, list[str]] = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in sorted(registry.QUERIES):
+            plan = _plan(spark, sf_dir, name)
+            for sub in _broadcast_subtrees(plan):
+                if _bounded(sub):
+                    continue
+                scans_fact = any(f"/{t}.parquet" in sub for t in FACT_TABLES)
+                scans_cache = "InMemoryTableScan" in sub
+                if scans_fact or scans_cache:
+                    offenders.setdefault(name, []).append(sub.splitlines()[0][:100])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert not offenders, f"unbounded fact-side broadcasts: {offenders}"
+
+
 def test_funnel_is_single_exchange(spark, sf_dir):
     """q_funnel's three chained conditional window minima plus the final
     groupBy must share ONE hash partitioning on user_id — the whole funnel
