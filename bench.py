@@ -71,21 +71,28 @@ def main() -> None:
             print(f"  [warmup] {name} failed: {e}", file=sys.stderr, flush=True)
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
-    # Two timed passes, per-query min: single-shot numbers on a shared box
-    # carry multi-x transient contention spikes (observed repeatedly —
-    # e.g. the same query 1.9 s and 7.6 s across adjacent runs with zero
-    # code change); best-of-2 reports the query's actual cost.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    timings: dict[str, float] = {}
+    # Three timed passes, per-query min AND median: single-shot numbers on
+    # a shared box carry multi-x transient contention spikes (observed
+    # repeatedly — e.g. the same query 1.9 s and 7.6 s across adjacent runs
+    # with zero code change). Min reports the query's actual cost; median
+    # is the round-over-round delta signal — with 3 samples a single spike
+    # can't move it, so a 1.4x noise swing can't masquerade as a plan
+    # regression (round-6 verdict #6).
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {}
     for i in range(n_passes):
         for name in sorted(registry.QUERIES):
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples.setdefault(name, []).append(dt)
             if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
                 print(f"  [pass {i}] {name}: {dt}s", file=sys.stderr, flush=True)
+    import statistics
+
+    timings = {n: min(v) for n, v in samples.items()}
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
 
     # Document-pipeline throughput: the reference's headline figure is
     # ~2 docs/s/core through its full normalize->parse->validate->score
@@ -119,7 +126,7 @@ def main() -> None:
     # exactly this — trailing [bench-delta] lines). The report is
     # best-effort: no exception in it may ever suppress the JSON contract.
     try:
-        _report_deltas(timings)
+        _report_deltas(timings, medians)
     except Exception as e:  # noqa: BLE001
         print(f"[bench-delta] report failed: {e}", file=sys.stderr)
     sys.stderr.flush()
@@ -134,6 +141,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 3),
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "warmup_pass_sf": float(warmup_dir.rstrip("/").rsplit("sf", 1)[-1]),
@@ -150,11 +159,13 @@ def main() -> None:
     )
 
 
-def _report_deltas(timings: dict[str, float]) -> None:
+def _report_deltas(timings: dict[str, float], medians: dict[str, float]) -> None:
     """Round-over-round per-query deltas vs the latest BENCH_r{N}.json, on
     stderr (stdout stays the one-JSON-line driver contract). A swing
     outside the noise band gets flagged so a 50× environment wobble (seen
-    round 2) is investigated in the round it appears."""
+    round 2) is investigated in the round it appears. Medians are compared
+    when the prior record carries them (round 7+); older records fall back
+    to min-vs-min."""
     import glob
     import re as _re
 
@@ -166,13 +177,15 @@ def _report_deltas(timings: dict[str, float]) -> None:
     # walk back to the newest round whose record actually parsed —
     # r03's driver record was `parsed: null`, which must not silence
     # deltas for every later round
-    prior, name = {}, None
+    prior, name, prior_is_median = {}, None, False
     for path in reversed(prior_files):
         try:
             with open(path) as f:
                 doc = json.load(f)
             # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
-            prior = (doc.get("parsed") or doc).get("queries", {})
+            parsed = doc.get("parsed") or doc
+            prior = parsed.get("queries_median") or parsed.get("queries", {})
+            prior_is_median = "queries_median" in parsed
         except (OSError, ValueError, AttributeError):
             continue
         if prior:
@@ -180,8 +193,9 @@ def _report_deltas(timings: dict[str, float]) -> None:
             break
     if not prior:
         return
+    now_side = medians if prior_is_median else timings
     flagged = []
-    for q, now in sorted(timings.items()):
+    for q, now in sorted(now_side.items()):
         then = prior.get(q)
         if then is None:
             continue
@@ -189,9 +203,10 @@ def _report_deltas(timings: dict[str, float]) -> None:
         if abs(now - then) > max(0.5, min(now, then)):
             flagged.append((q, then, now))
     total_then = sum(v for v in prior.values() if isinstance(v, (int, float)))
-    total_now = sum(timings.values())
+    total_now = sum(now_side.values())
+    kind = "median" if prior_is_median else "min"
     print(
-        f"[bench-delta] vs {name}: total {total_then:.1f}s -> {total_now:.1f}s",
+        f"[bench-delta] vs {name} ({kind}): total {total_then:.1f}s -> {total_now:.1f}s",
         file=sys.stderr,
     )
     for q, then, now in flagged:

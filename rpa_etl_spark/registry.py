@@ -50,62 +50,23 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # latest green verdict is ever more than ~2 rounds old, and every plan
 # change gets an external verdict the round it ships.
 PRIORITY_ORDER = [
-    # == tier 1a (9): NEW in round 6 or plan changed in round 6 — no
-    #    external verdict in their current form; must be in the ~50-query
-    #    sample ====================================================
-    "q_domain_mix_bpe",
-    "q_pack_sequences_bpe",
+    # == tier 1a (8): plan/kernel/oracle CHANGED in round 7 — no external
+    #    verdict in their current form; must be in the ~50-query sample.
+    #    q_pdf_extract_hard: variants now rotate %10 (salvage x2 +
+    #    /Differences); q_pdf_extract: parser offset-healing path;
+    #    q_bpe_*: whitespace-class + NULL-kernel fix (engine AND oracle);
+    #    q_ann_ivf_trained: corpus broadcast hint dropped;
+    #    q_dedup_incremental: round-6 verdict #2 — its -1-sentinel rework
+    #    (9f88aa1) postdates its last external green (r5).
     "q_pdf_extract_hard",
+    "q_pdf_extract",
     "q_bpe_train",
     "q_bpe_tokenize",
-    "q_multimodal_mjpeg",
+    "q_pack_sequences_bpe",
+    "q_domain_mix_bpe",
     "q_ann_ivf_trained",
-    "q_decimal_math",
-    "q_approx_count_distinct",
-    # == tier 1b (5): last driver-green in ROUND 2 (4 rounds stale) ==
-    "q_unpivot",
-    "q_window_ntile",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_window_running_sum",
-    # == tier 2 (30): last driver-green in ROUND 3 (3 rounds stale) ==
-    "q_audit_events",
-    "q_dedup_embedding",
-    "q_embedding_centroid",
-    "q_funnel",
-    "q_fuzzy_match",
-    "q_having_large_orders",
-    "q_histogram",
-    "q_hll_sketch_merge",
-    "q_lateral_topk",
-    "q_merge_upsert",
-    "q_multimodal_meta",
-    "q_outlier_zscore",
-    "q_payload_analytics",
-    "q_payload_erp",
-    "q_pii_redact",
-    "q_profile_stats",
-    "q_quantiles",
-    "q_recursive_cte",
-    "q_repetition_stats",
-    "q_retention_cohort",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scd2_history",
-    "q_tfidf_terms",
-    "q_tpch_q10_shape",
-    "q_tpch_q14_shape",
-    "q_tpch_q21_shape",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_window_value_funcs",
-    # == tier 3 (46): last driver-green in ROUND 4 (2 rounds stale) ==
-    "q_agg_skew_salted",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_argmax",
-    "q_array_agg",
-    "q_case_routing",
+    "q_dedup_incremental",
+    # == tier 1b (39): last driver-green in ROUND 4 (3 rounds stale) ==
     "q_chunk_documents",
     "q_contamination",
     "q_corr_stats",
@@ -130,7 +91,6 @@ PRIORITY_ORDER = [
     "q_not_in_null_semantics",
     "q_pack_sequences",
     "q_parse_invoice",
-    "q_pdf_extract",
     "q_percentile_disc",
     "q_quality_cascade",
     "q_set_ops_all",
@@ -146,7 +106,7 @@ PRIORITY_ORDER = [
     "q_window_rank_ties",
     "q_wordcount",
     "q_zorder_code",
-    # == tier 4 (48): green in ROUND 5 — freshest, cheapest to defer ==
+    # == tier 2 (47): last driver-green in ROUND 5 (2 rounds stale) ==
     "q_agg_group",
     "q_array_funcs",
     "q_bm25",
@@ -157,7 +117,6 @@ PRIORITY_ORDER = [
     "q_curation_verdict",
     "q_dedup_containment",
     "q_dedup_exact",
-    "q_dedup_incremental",
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
@@ -195,6 +154,51 @@ PRIORITY_ORDER = [
     "q_topk",
     "q_unigram_logprob",
     "q_url_dedup",
+    # == tier 3 (44): green in ROUND 6 — freshest, cheapest to defer ==
+    "q_multimodal_mjpeg",
+    "q_decimal_math",
+    "q_approx_count_distinct",
+    "q_unpivot",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_audit_events",
+    "q_dedup_embedding",
+    "q_embedding_centroid",
+    "q_funnel",
+    "q_fuzzy_match",
+    "q_having_large_orders",
+    "q_histogram",
+    "q_hll_sketch_merge",
+    "q_lateral_topk",
+    "q_merge_upsert",
+    "q_multimodal_meta",
+    "q_outlier_zscore",
+    "q_payload_analytics",
+    "q_payload_erp",
+    "q_pii_redact",
+    "q_profile_stats",
+    "q_quantiles",
+    "q_recursive_cte",
+    "q_repetition_stats",
+    "q_retention_cohort",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_scd2_history",
+    "q_tfidf_terms",
+    "q_tpch_q10_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q21_shape",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_window_value_funcs",
+    "q_agg_skew_salted",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_argmax",
+    "q_array_agg",
+    "q_case_routing",
 ]
 
 

@@ -78,6 +78,42 @@ def test_train_bpe_on_spark(spark, sf_dir):
     assert m1[0][2] == max(c for _, _, c in m1)
 
 
+def test_train_bpe_full_vocab(spark, sf_dir):
+    """top_words=None = full word-frequency table (round-7 knob). On the
+    test corpus the vocabulary is far below the default cutoff, so the
+    full-vocab table must equal the top-K one; on heavy-tailed corpora it
+    may legitimately differ (SCALE.md §11 records the measured delta)."""
+    from rpa_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    assert B.train_bpe(docs, n_merges=8, top_words=None) == B.train_bpe(
+        docs, n_merges=8
+    )
+
+
+def test_attach_bpe_tokens_null_text(spark):
+    """NULL text is an empty document (0 words, 0 tokens) — not the
+    literal word 'None' (round-7 ADVICE fix)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in B.attach_bpe_tokens(docs, [("a", "b")]).collect()}
+    assert rows[2]["n_words"] == 0 and rows[2]["n_tokens"] == 0
+    assert rows[1]["n_words"] == 2 and rows[1]["n_tokens"] == 2
+
+
+def test_whitespace_class_excludes_vertical_tab_consistently(spark):
+    """\\x0b is NOT a separator in the pinned [ \\t\\n\\r\\f] class — the
+    Spark split and the Arrow kernel must agree (the three-way \\s
+    divergence the round-7 ADVICE pinned)."""
+    txt = "aa\x0bbb cc"
+    docs = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    wf = {r["word"]: r["freq"] for r in B.word_frequencies(docs).collect()}
+    assert wf == {"aa\x0bbb": 1, "cc": 1}
+    out = B.attach_bpe_tokens(docs, []).collect()[0]
+    assert out["n_words"] == 2  # kernel splits identically
+
+
 def test_attach_bpe_tokens_counts(spark, sf_dir):
     from rpa_etl_spark.tables import load
 
