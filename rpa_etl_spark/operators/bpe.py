@@ -131,6 +131,84 @@ def train_bpe(
     return merges
 
 
+def train_bpe_distributed(
+    docs: DataFrame,
+    n_merges: int = DEFAULT_N_MERGES,
+    top_words: int | None = None,
+    col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Fully distributed Sennrich trainer — the 100 TB upgrade path over
+    :func:`train_bpe`'s driver merge loop (SCALE.md §11): the vocabulary
+    NEVER leaves the cluster. The word-frequency table is symbolized into
+    the same marker-string form the oracle uses (``\\x02sym `` per symbol);
+    each merge round is (a) one pair-count aggregate — explode adjacent
+    symbol pairs, freq-weighted sum, argmax via orderBy+limit(1), the only
+    driver transfer being ONE (pair, count) row — and (b) one narrow
+    ``replace`` projection applying the merge. Per-round state is persisted
+    and the previous round unpersisted (the Lloyd-iteration pattern), so
+    cost is n_merges small keyed shuffles, independent of vocabulary size.
+
+    Output is IDENTICAL to ``train_bpe(top_words=None)`` — same counting,
+    same (count desc, marker-pair asc) tie-break, same sequential
+    left-to-right replace semantics (property-tested in tests/test_bpe.py);
+    ``top_words`` bounds the vocab identically when given. Trade-off vs the
+    driver loop: 3×n_merges extra small Spark jobs (measured: the driver
+    loop wins below ~10⁵ distinct words, this wins above — and never holds
+    vocab×freq rows in driver memory)."""
+    wf = word_frequencies(docs, col)
+    if top_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(top_words)
+    # localCheckpoint (not persist): each round's frame must CUT its
+    # lineage, or 24 chained replace-projections nest the logical plan
+    # deep enough that AQE's per-job explainString rendering OOMs the
+    # driver (observed) — same iterative-state pattern as
+    # operators/components.py
+    cur = wf.select(
+        F.concat(
+            F.regexp_replace(F.col("word"), r"(.)", _SYM + r"$1 ")
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            syms = F.split(F.col("s"), " ")  # trailing "" after last sym
+            # guard: a 1-symbol word has size 2 and sequence(0, -1) would
+            # DESCEND (Spark infers step sign) — emit no pairs instead
+            pairs = F.when(
+                F.size(syms) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(syms) - 3),
+                    lambda i: F.concat_ws(
+                        "", syms[i], F.lit(" "), syms[i + 1], F.lit(" ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            best = (
+                cur.select(F.explode(pairs).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("f"))
+                .orderBy(F.desc("f"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["f"])
+            left, right = (t[1:] for t in pair.split(" ")[:2])
+            merges.append((left, right, cnt))
+            merged = pair.replace(" " + _SYM, "")
+            nxt = cur.select(
+                F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"),
+                "freq",
+            ).localCheckpoint()  # eager: materializes, then parent is free
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
 def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Sequential Sennrich application: each merge in rank order, one
     left-to-right non-overlapping pass. Exactly the semantics the oracle's

@@ -1715,6 +1715,31 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_bpe_train_distributed", oracle=BPE.bpe_train_oracle_sql())
+def q_bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shape BPE trainer under the SAME external oracle as
+    q_bpe_train (round 7, SCALE.md §11's upgrade path implemented): the
+    vocabulary never leaves the cluster — each merge round is one keyed
+    pair-count aggregate whose argmax (a single row) is the only driver
+    transfer, and the symbolized word table advances by a narrow replace
+    projection with a localCheckpoint lineage cut per round
+    (operators/bpe.py::train_bpe_distributed). Identical output to the
+    driver-loop trainer by construction AND by this oracle: the SQL replay
+    trains over the top-4096 vocabulary, and the corpus vocabulary is far
+    below the cutoff, so full-vocab distributed training must reproduce it
+    bit-for-bit. Property equality with train_bpe (incl. bounded
+    top_words and NULL text) is pinned in tests/test_bpe.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = BPE.train_bpe_distributed(docs)
+    rows = [
+        (k, left, right, left + right, cnt)
+        for k, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, merged string, pair_count long"
+    )
+
+
 @query("q_bpe_tokenize", oracle=BPE.bpe_tokenize_oracle_sql())
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize every document with the corpus-trained BPE table

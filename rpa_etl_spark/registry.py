@@ -50,7 +50,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # latest green verdict is ever more than ~2 rounds old, and every plan
 # change gets an external verdict the round it ships.
 PRIORITY_ORDER = [
-    # == tier 1a (8): plan/kernel/oracle CHANGED in round 7 — no external
+    # == tier 1a (9): NEW or plan/kernel/oracle CHANGED in round 7 — no external
     #    verdict in their current form; must be in the ~50-query sample.
     #    q_pdf_extract_hard: variants now rotate %10 (salvage x2 +
     #    /Differences); q_pdf_extract: parser offset-healing path;
@@ -60,6 +60,7 @@ PRIORITY_ORDER = [
     #    (9f88aa1) postdates its last external green (r5).
     "q_pdf_extract_hard",
     "q_pdf_extract",
+    "q_bpe_train_distributed",  # NEW round 7 (distributed Sennrich trainer)
     "q_bpe_train",
     "q_bpe_tokenize",
     "q_pack_sequences_bpe",

@@ -91,6 +91,25 @@ def test_train_bpe_full_vocab(spark, sf_dir):
     )
 
 
+def test_train_bpe_distributed_equals_driver_loop(spark, sf_dir):
+    """The distributed Sennrich trainer (keyed pair-count aggregate per
+    round, one-row argmax collect, localCheckpoint lineage cuts) must be
+    OUTPUT-IDENTICAL to the driver merge loop — full-vocab, bounded
+    top_words, and NULL-text cases."""
+    from rpa_etl_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    assert B.train_bpe_distributed(docs, n_merges=8) == B.train_bpe(
+        docs, n_merges=8, top_words=None
+    )
+    small = docs.limit(40).union(
+        spark.createDataFrame([(None,)], "text string")
+    )
+    assert B.train_bpe_distributed(small, n_merges=5, top_words=7) == B.train_bpe(
+        small, n_merges=5, top_words=7
+    )
+
+
 def test_attach_bpe_tokens_null_text(spark):
     """NULL text is an empty document (0 words, 0 tokens) — not the
     literal word 'None' (round-7 ADVICE fix)."""

@@ -45,7 +45,8 @@ SAMPLED_WINDOW = 50
 KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/asof.py": ["q_join_asof"],
     "rpa_etl_spark/operators/bpe.py": [
-        "q_bpe_train", "q_bpe_tokenize", "q_pack_sequences_bpe", "q_domain_mix_bpe",
+        "q_bpe_train", "q_bpe_train_distributed", "q_bpe_tokenize",
+        "q_pack_sequences_bpe", "q_domain_mix_bpe",
     ],
     "rpa_etl_spark/operators/components.py": ["q_dedup_clusters"],
     "rpa_etl_spark/operators/dedup.py": [
