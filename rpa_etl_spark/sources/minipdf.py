@@ -335,6 +335,73 @@ def _parse_value(data: bytes, i: int):
     return (float(tok) if b"." in tok else int(tok)), j
 
 
+# ---- standard security handler (RC4) --------------------------------------
+# ISO 32000-1 §7.6.3 (public spec): V=1/2, R=2/3, RC4. Decryption supports
+# the EMPTY-user-password case — the overwhelmingly common "encrypted"
+# machine-generated invoice (permissions-only encryption). AES (/V 4+) and
+# real passwords are out of scope and degrade to the sweep (no text).
+
+_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (symmetric: encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    o_entry: bytes, p: int, id0: bytes, r: int, key_bytes: int,
+    user_pwd: bytes = b"",
+) -> bytes:
+    """Algorithm 2: file encryption key from the (padded) user password."""
+    import hashlib
+
+    padded = (user_pwd + _PAD)[:32]
+    h = hashlib.md5(
+        padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    )
+    key = h.digest()[:key_bytes]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()[:key_bytes]
+    return key
+
+
+def _std_user_check(key: bytes, r: int, id0: bytes) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U entry the empty password implies."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PAD)
+    h = hashlib.md5(_PAD + id0).digest()
+    out = _rc4(key, h)
+    for i in range(1, 20):
+        out = _rc4(bytes(b ^ i for b in key), out)
+    return (out + out[:16])[:32]  # 16 bytes arbitrary padding; compare 16
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    import hashlib
+
+    ext = file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
+
+
 # ---- stream filters ------------------------------------------------------
 
 
@@ -488,13 +555,67 @@ class PdfDoc:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
-        self._scan_index: dict[int, int] | None = None
+        self._scan_index: dict[int, list[int]] | None = None
+        self._file_key: bytes | None = None
+        self._encrypt_num: int | None = None
         try:
             self._read_xref_chain()
         except _BadPdf:
             self._salvage_scan()
         if not isinstance(self.trailer.get("Root"), (Ref, dict)):
             self._salvage_root()
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            self._setup_encryption(enc)
+
+    # -- encryption ----------------------------------------------------------
+
+    def _setup_encryption(self, enc: object) -> None:
+        """Standard security handler, RC4, EMPTY user password (the
+        permissions-only encryption machine-generated PDFs ship with).
+        Anything else — AES (/V 4+), a real user password — raises _BadPdf
+        and the document degrades to the sweep (which extracts nothing
+        from ciphertext: the honest outcome, never garbage text)."""
+        if isinstance(enc, Ref):
+            self._encrypt_num = enc.num
+        ed = self.get(enc)  # parsed BEFORE _file_key is set → not decrypted
+        if isinstance(ed, _StreamObj):
+            ed = ed.dict
+        if not isinstance(ed, dict):
+            raise _BadPdf("malformed /Encrypt")
+        if str(ed.get("Filter")) != "Standard":
+            raise _BadPdf(f"unsupported security handler {ed.get('Filter')!r}")
+        v, r = int(ed.get("V", 0)), int(ed.get("R", 2))
+        if v not in (1, 2) or r not in (2, 3):
+            raise _BadPdf(f"unsupported encryption V={v} R={r}")
+        o, u = ed.get("O"), ed.get("U")
+        if not (isinstance(o, bytes) and isinstance(u, bytes)):
+            raise _BadPdf("missing /O or /U")
+        ids = self.trailer.get("ID")
+        id0 = (
+            ids[0]
+            if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+            else b""
+        )
+        key = _std_file_key(
+            o, int(ed.get("P", -1)), id0, r, int(ed.get("Length", 40)) // 8
+        )
+        cmp_len = 32 if r == 2 else 16
+        if u[:cmp_len] != _std_user_check(key, r, id0)[:cmp_len]:
+            raise _BadPdf("encrypted with a non-empty user password")
+        self._file_key = key
+
+    def _decrypt_value(self, v: object, key: bytes) -> object:
+        """Recursively decrypt every STRING in a parsed object value —
+        names/numbers/refs pass through (only strings and streams are
+        encrypted, §7.6.2)."""
+        if isinstance(v, bytes):
+            return _rc4(key, v)
+        if isinstance(v, list):
+            return [self._decrypt_value(x, key) for x in v]
+        if isinstance(v, dict):
+            return {k: self._decrypt_value(x, key) for k, x in v.items()}
+        return v
 
     # -- salvage -----------------------------------------------------------
 
@@ -681,6 +802,15 @@ class PdfDoc:
                 if e < 0:
                     raise _BadPdf(f"unterminated stream in obj {num}")
                 raw = data[i:e].rstrip(b"\r\n")
+        # decryption layer sits UNDER the filters (file bytes are
+        # Encrypt(FilterEncode(data)), §7.6.2); xref streams and the
+        # /Encrypt dictionary itself are never encrypted
+        if self._file_key is not None and num != self._encrypt_num:
+            if not (isinstance(val, dict) and val.get("Type") == "XRef"):
+                key = _obj_key(self._file_key, num, int(m.group(2)))
+                val = self._decrypt_value(val, key)
+                if raw is not None:
+                    raw = _rc4(key, raw)
         return num, val, raw
 
     def _decode_stream_obj(self, obj: dict, raw: bytes) -> bytes:
@@ -1446,6 +1576,7 @@ def write_pdf_hard(
     split_content: bool = False,
     encoding_diffs: bool = False,
     damage: str | None = None,
+    encrypt: str | None = None,
 ) -> bytes:
     """Spec-conformant PDF writer exercising the HARD structural paths.
 
@@ -1467,7 +1598,13 @@ def write_pdf_hard(
     ``"truncate_xref"`` drops the xref table/trailer/startxref entirely
     (a transfer-truncated file), ``"garble_offsets"`` shifts every
     classic-xref offset by +17 (the stale-incremental-save case). Damage
-    modes assume the classic-xref layout.
+    modes assume the classic-xref layout;
+    ``encrypt="rc4"`` → standard security handler, V=1 R=2 RC4-40,
+    empty user/owner passwords (the permissions-only encryption of
+    machine-generated invoices): every stream is RC4-encrypted under its
+    per-object key, /Encrypt + /ID land in the trailer. Classic-xref
+    layout only; object bodies must carry no literal strings (this
+    writer's bodies don't — text lives in the encrypted streams).
 
     Text layout matches ``write_pdf`` exactly (one Tj per line, T* line
     breaks), so the analytic oracle for both is the same expression."""
@@ -1644,6 +1781,26 @@ def write_pdf_hard(
         None,
     )
 
+    # encryption (classic layout): V=1 R=2 RC4-40, empty passwords
+    enc_id = None
+    file_key = b""
+    enc_p = -1
+    doc_id0 = b""
+    if encrypt == "rc4":
+        import hashlib
+
+        doc_id0 = hashlib.md5(repr(pages).encode()).digest()
+        o_entry = _rc4(hashlib.md5(_PAD).digest()[:5], _PAD)  # Algorithm 3
+        file_key = _std_file_key(o_entry, enc_p, doc_id0, r=2, key_bytes=5)
+        u_entry = _std_user_check(file_key, 2, doc_id0)
+        enc_id = add(
+            (
+                "<< /Filter /Standard /V 1 /R 2 /Length 40"
+                f" /P {enc_p} /O <{o_entry.hex().upper()}>"
+                f" /U <{u_entry.hex().upper()}> >>"
+            ).encode()
+        )
+
     # --- serialization ----------------------------------------------------
     out = bytearray(b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n")
     # xref rows: list indexed by objnum (0 = free head)
@@ -1665,6 +1822,10 @@ def write_pdf_hard(
         out.extend(f"{num} 0 obj\n".encode())
         out.extend(body)
         if stream is not None:
+            if enc_id is not None and num != enc_id:
+                # RC4 is length-preserving, so /Length (already in body)
+                # stays valid; encryption wraps the FILTERED bytes
+                stream = _rc4(_obj_key(file_key, num, 0), stream)
             out.extend(b"\nstream\n")
             out.extend(stream)
             out.extend(b"\nendstream")
@@ -1733,9 +1894,15 @@ def write_pdf_hard(
             if damage == "garble_offsets":
                 a += 17  # stale table: every offset off by an edit delta
             out.extend(f"{a:010d} 00000 n \n".encode())
+        enc_trailer = (
+            f" /Encrypt {enc_id} 0 R"
+            f" /ID [ <{doc_id0.hex().upper()}> <{doc_id0.hex().upper()}> ]"
+            if enc_id is not None
+            else ""
+        )
         out.extend(
             (
-                f"trailer\n<< /Size {size} /Root {catalog_id} 0 R >>\n"
+                f"trailer\n<< /Size {size} /Root {catalog_id} 0 R{enc_trailer} >>\n"
                 f"startxref\n{xref_at}\n%%EOF\n"
             ).encode()
         )

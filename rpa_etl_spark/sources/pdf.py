@@ -132,12 +132,13 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
-# doc_id % 10 → writer configuration for the adversarial corpus. Together
+# doc_id % 11 → writer configuration for the adversarial corpus. Together
 # they rotate through every structural feature the parser supports: xref
 # streams, object streams, filter chains (ASCIIHex, A85, RunLength, LZW),
 # indirect /Length, CID/ToUnicode fonts, split /Contents, plus (round 7)
 # the SALVAGE paths — truncated/garbled xref recovered by object scan —
-# and simple-font /Encoding /Differences decoding.
+# simple-font /Encoding /Differences decoding, and RC4 standard-security
+# encryption (empty user password, the permissions-only case).
 HARD_VARIANTS: list[dict] = [
     {},  # 0: classic xref, FlateDecode (the write_pdf baseline shape)
     {"xref_stream": True},  # 1: PDF 1.5 xref stream (PNG Up predictor)
@@ -149,6 +150,7 @@ HARD_VARIANTS: list[dict] = [
     {"damage": "truncate_xref"},  # 7: no xref/trailer at all — full rebuild
     {"damage": "garble_offsets", "indirect_length": True},  # 8: stale table
     {"encoding_diffs": True},  # 9: WinAnsi base + /Differences remap
+    {"encrypt": "rc4", "content_filter": "flate"},  # 10: RC4-40 under Flate
 ]
 
 
@@ -156,7 +158,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
     """Adversarial PDF corpus (round 6): same two-page invoice layout as
     ``synth_invoice_pdfs`` — so the analytic oracle is the same expression —
     but written through ``minipdf.write_pdf_hard`` with the structural
-    variant rotating on ``doc_id % 10`` (HARD_VARIANTS). Every 97th row is
+    variant rotating on ``doc_id % 11`` (HARD_VARIANTS). Every 97th row is
     still non-PDF bytes for the S3 magic gate. Arrow-batched 1→1
     mapInPandas — narrow, scan-speed at any scale."""
     from rpa_etl_spark.sources import minipdf
@@ -182,7 +184,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
                         [prefix],
                     ]
                     content = minipdf.write_pdf_hard(
-                        pages, **HARD_VARIANTS[doc_id % 10]
+                        pages, **HARD_VARIANTS[doc_id % 11]
                     )
                 rows.append(
                     {

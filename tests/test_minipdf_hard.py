@@ -344,6 +344,55 @@ def test_simple_font_differences_overlay():
     assert cmap[b"\x80"] == "€"
 
 
+# -- round 7: RC4 standard security handler --------------------------------
+
+
+def test_encrypted_rc4_roundtrip():
+    """RC4-40 standard security, empty user password: streams are real
+    ciphertext on disk, extraction decrypts under per-object keys."""
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="rc4")
+    assert b"NOTA" not in b  # plaintext must not leak
+    assert b"/Encrypt" in b and b"/ID" in b
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {"content_filter": "hex+flate"},
+        {"indirect_length": True},
+        {"encoding_diffs": True},
+        {"split_content": True},
+        {"damage": "garble_offsets"},  # decryption through healed offsets
+    ],
+)
+def test_encrypted_rc4_with_other_axes(extra):
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="rc4", **extra)
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_encrypted_unsupported_degrades_to_empty_not_garbage():
+    """An unsupported handler (or AES) must NOT emit ciphertext as text:
+    the structured parse refuses, the sweep finds nothing decodable."""
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="rc4")
+    for wreck in (
+        b.replace(b"/Standard", b"/Unknown!"),
+        b.replace(b"/V 1 /R 2", b"/V 4 /R 4"),
+    ):
+        text, pages = M.extract_text(wreck)
+        assert text == ""  # never garbage
+
+
+def test_rc4_key_derivation_self_consistent():
+    # Algorithm 2/4 self-check: the U entry derived from the file key must
+    # validate under the same derivation (what _setup_encryption asserts)
+    o = M._rc4(__import__("hashlib").md5(M._PAD).digest()[:5], M._PAD)
+    id0 = b"\x01" * 16
+    key = M._std_file_key(o, -1, id0, r=2, key_bytes=5)
+    assert M._std_user_check(key, 2, id0) == M._rc4(key, M._PAD)
+    assert len(M._obj_key(key, 7, 0)) == 10  # 5 + 5, capped at 16
+
+
 def test_lzw_with_png_predictor_filter():
     """LZWDecode + /DecodeParms PNG predictor — the chain classic Acrobat
     writers used for xref-adjacent data."""
