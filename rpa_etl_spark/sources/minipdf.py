@@ -1240,9 +1240,16 @@ def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> s
                         pieces.append(" ")
             elif op in (b"Td", b"TD", b"T*"):
                 pieces.append("\n")
-            elif op == b"BI":  # inline image — skip to EI
-                e = stream.find(b"EI", i)
-                i = n if e < 0 else e + 2
+            elif op == b"BI":  # inline image — skip past binary data to EI
+                # "EI" must sit at a token boundary (whitespace on both
+                # sides, or EOF after): raw image bytes legally contain
+                # the two-byte sequence "EI", and cutting there would
+                # resume tokenizing inside pixel data (spec §8.9.7 —
+                # readers detect the terminator contextually)
+                m_ei = re.compile(
+                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)"
+                ).search(stream, i)
+                i = n if m_ei is None else m_ei.end()
             operands = []
             continue
     text = "".join(pieces)

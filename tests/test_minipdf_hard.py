@@ -344,6 +344,84 @@ def test_simple_font_differences_overlay():
     assert cmap[b"\x80"] == "€"
 
 
+# -- round 7: content-stream + xref-chain hardening -------------------------
+
+
+def _classic_pdf(objs: dict[int, bytes], root: int, extra_trailer: str = "") -> bytes:
+    """Hand-build a classic-xref PDF from {objnum: body-with-stream}."""
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for num in sorted(objs):
+        offs[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objs) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % size
+    for num in range(1, size):
+        out += b"%010d 00000 n \n" % offs.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, root, extra_trailer.encode(), xref_at)
+    )
+    return bytes(out)
+
+
+def test_inline_image_with_embedded_EI_bytes():
+    """Raw inline-image bytes containing the two-byte sequence 'EI' must
+    not terminate the skip early — 'EI' only counts at a token boundary.
+    Early termination would resume tokenizing inside pixel data and emit
+    garbage (or eat the following real text)."""
+    img = b"\x10EI\x22aEIb"  # embedded fake terminators, no boundaries
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj "
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + img + b" EI "
+        b"(after) Tj ET"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+    }
+    text, pages = M.extract_text_structured(_classic_pdf(objs, root=1))
+    # no Td/T* between the two shows → they concatenate; the point is that
+    # NOTHING from the image bytes leaks in and 'after' is not eaten
+    assert text == "beforeafter" and pages == 1
+
+
+def test_incremental_update_newest_object_wins():
+    """Two xref sections chained by /Prev (an incremental save): the
+    NEWER section's entry for a re-written object must win, so the
+    updated content stream — not the original — is extracted."""
+    s_old = b"BT /F1 12 Tf 72 720 Td (OLD TEXT) Tj ET"
+    s_new = b"BT /F1 12 Tf 72 720 Td (NEW TEXT) Tj ET"
+    base_objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s_old), s_old),
+    }
+    base = _classic_pdf(base_objs, root=1)
+    base_xref_at = base.rfind(b"xref\n")
+    # append the updated object 4 + a new xref section chaining /Prev
+    out = bytearray(base)
+    upd_off = len(out)
+    out += b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(s_new), s_new,
+    )
+    xref2_at = len(out)
+    out += b"xref\n4 1\n%010d 00000 n \n" % upd_off
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (base_xref_at, xref2_at)
+    )
+    text, pages = M.extract_text_structured(bytes(out))
+    assert text == "NEW TEXT" and pages == 1
+    # and the salvage path agrees (scan candidates are tried newest-first)
+    wrecked = bytes(out).replace(b"startxref", b"startXXXX")
+    assert M.extract_text(wrecked) == ("NEW TEXT", 1)
+
+
 # -- round 7: RC4 standard security handler --------------------------------
 
 
