@@ -170,6 +170,8 @@ def train_bpe_distributed(
         "freq",
     ).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
+    since_ckpt = 0
+    last_ckpt = cur  # the checkpointed frame the current chain hangs off
     try:
         for _ in range(n_merges):
             syms = F.split(F.col("s"), " ")  # trailing "" after last sym
@@ -201,11 +203,24 @@ def train_bpe_distributed(
             nxt = cur.select(
                 F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"),
                 "freq",
-            ).localCheckpoint()  # eager: materializes, then parent is free
-            cur.unpersist()
-            cur = nxt
+            )
+            since_ckpt += 1
+            if since_ckpt >= 6:
+                # amortized lineage cut: a ≤6-deep replace chain re-executes
+                # cheaply inside each round's count job, and checkpointing
+                # every round would double the per-round job count (the
+                # dominant cost at small vocab — measured 5.3 s → 4.3 s at
+                # sf0.1 moving from every-round to every-6). Only the
+                # CHECKPOINTED ancestor is unpersisted — intermediate chain
+                # links hold no storage
+                cur = nxt.localCheckpoint()  # eager
+                last_ckpt.unpersist()
+                last_ckpt = cur
+                since_ckpt = 0
+            else:
+                cur = nxt
     finally:
-        cur.unpersist()
+        last_ckpt.unpersist()
     return merges
 
 
