@@ -363,22 +363,173 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# AES-128 (FIPS-197, public): tables generated from the GF(2^8) field
+# rather than transcribed, so a typo is structurally impossible; validated
+# against the FIPS-197 Appendix C test vector in tests.
+
+
+def _aes_tables() -> tuple[list[int], list[int], list[int]]:
+    exp, log = [0] * 512, [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= ((x << 1) ^ (0x1B if x & 0x80 else 0)) & 0xFF  # multiply by 3
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+    sbox = [0] * 256
+    for a in range(256):
+        b = exp[255 - log[a]] if a else 0  # GF inverse
+        s = b
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            s ^= b
+        sbox[a] = s ^ 0x63
+    inv = [0] * 256
+    for a, s in enumerate(sbox):
+        inv[s] = a
+    return sbox, inv, exp
+
+
+_SBOX, _INV_SBOX, _GF_EXP = _aes_tables()
+_GF_LOG = [0] * 256
+for _i in range(255):
+    _GF_LOG[_GF_EXP[_i]] = _i
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _GF_EXP[_GF_LOG[a] + _GF_LOG[b]]
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    """128-bit key schedule → 11 round keys of 16 bytes."""
+    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [_SBOX[t[1]], _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]]
+            t[0] ^= rcon
+            rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [bytes(sum(w[r * 4 : r * 4 + 4], [])) for r in range(11)]
+
+
+def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    for rnd in range(1, 11):
+        s = [_SBOX[b] for b in s]
+        # ShiftRows on column-major byte order: byte index = 4*col + row
+        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+        if rnd < 10:
+            m = list(s)
+            for c in range(4):
+                col = m[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
+                s[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
+                s[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
+                s[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+    return bytes(s)
+
+
+def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    for rnd in range(9, -1, -1):
+        # inverse ShiftRows then inverse SubBytes
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [_INV_SBOX[b] for b in s]
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+        if rnd > 0:
+            m = list(s)
+            for c in range(4):
+                col = m[4 * c : 4 * c + 4]
+                s[4 * c + 0] = (
+                    _gmul(col[0], 14) ^ _gmul(col[1], 11)
+                    ^ _gmul(col[2], 13) ^ _gmul(col[3], 9)
+                )
+                s[4 * c + 1] = (
+                    _gmul(col[0], 9) ^ _gmul(col[1], 14)
+                    ^ _gmul(col[2], 11) ^ _gmul(col[3], 13)
+                )
+                s[4 * c + 2] = (
+                    _gmul(col[0], 13) ^ _gmul(col[1], 9)
+                    ^ _gmul(col[2], 14) ^ _gmul(col[3], 11)
+                )
+                s[4 * c + 3] = (
+                    _gmul(col[0], 11) ^ _gmul(col[1], 13)
+                    ^ _gmul(col[2], 9) ^ _gmul(col[3], 14)
+                )
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 payload: 16-byte IV prefix, CBC, PKCS#7 padding."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rk = _aes_expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16:
+        out = out[:-pad]
+    return bytes(out)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
 def _std_file_key(
     o_entry: bytes, p: int, id0: bytes, r: int, key_bytes: int,
     user_pwd: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: file encryption key from the (padded) user password."""
     import hashlib
 
     padded = (user_pwd + _PAD)[:32]
+    extra = b"" if (encrypt_metadata or r < 4) else b"\xff\xff\xff\xff"
     h = hashlib.md5(
-        padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0 + extra
     )
     key = h.digest()[:key_bytes]
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key).digest()[:key_bytes]
     return key
+
+
+def _std_owner_entry(r: int, key_bytes: int, owner_pwd: bytes = b"",
+                     user_pwd: bytes = b"") -> bytes:
+    """Algorithm 3: the /O entry."""
+    import hashlib
+
+    h = hashlib.md5((owner_pwd + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_bytes]
+    o = _rc4(key, (user_pwd + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
 
 
 def _std_user_check(key: bytes, r: int, id0: bytes) -> bytes:
@@ -394,11 +545,13 @@ def _std_user_check(key: bytes, r: int, id0: bytes) -> bytes:
     return (out + out[:16])[:32]  # 16 bytes arbitrary padding; compare 16
 
 
-def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key."""
+def _obj_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key (AES variants append the 'sAlT' tag)."""
     import hashlib
 
     ext = file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    if aes:
+        ext += b"sAlT"
     return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
 
 
@@ -558,6 +711,7 @@ class PdfDoc:
         self._scan_index: dict[int, list[int]] | None = None
         self._file_key: bytes | None = None
         self._encrypt_num: int | None = None
+        self._cipher = "rc4"
         try:
             self._read_xref_chain()
         except _BadPdf:
@@ -571,11 +725,13 @@ class PdfDoc:
     # -- encryption ----------------------------------------------------------
 
     def _setup_encryption(self, enc: object) -> None:
-        """Standard security handler, RC4, EMPTY user password (the
-        permissions-only encryption machine-generated PDFs ship with).
-        Anything else — AES (/V 4+), a real user password — raises _BadPdf
-        and the document degrades to the sweep (which extracts nothing
-        from ciphertext: the honest outcome, never garbage text)."""
+        """Standard security handler, EMPTY user password (the
+        permissions-only encryption machine-generated PDFs ship with):
+        RC4 (V 1/2, R 2/3) and AES-128-CBC (V 4 R 4, /CFM /AESV2).
+        Anything else — AES-256 (/V 5), a real user password, a custom
+        handler — raises _BadPdf and the document degrades to the sweep
+        (which extracts nothing from ciphertext: the honest outcome,
+        never garbage text)."""
         if isinstance(enc, Ref):
             self._encrypt_num = enc.num
         ed = self.get(enc)  # parsed BEFORE _file_key is set → not decrypted
@@ -586,8 +742,18 @@ class PdfDoc:
         if str(ed.get("Filter")) != "Standard":
             raise _BadPdf(f"unsupported security handler {ed.get('Filter')!r}")
         v, r = int(ed.get("V", 0)), int(ed.get("R", 2))
-        if v not in (1, 2) or r not in (2, 3):
+        if (v, r) not in ((1, 2), (1, 3), (2, 2), (2, 3), (4, 4)):
             raise _BadPdf(f"unsupported encryption V={v} R={r}")
+        cipher = "rc4"
+        encrypt_metadata = ed.get("EncryptMetadata", True) is not False
+        if v == 4:
+            cf = self.get(ed.get("CF"))
+            stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+            cfm = str(stdcf.get("CFM")) if isinstance(stdcf, dict) else ""
+            if cfm == "AESV2":
+                cipher = "aes"
+            elif cfm != "V2":
+                raise _BadPdf(f"unsupported crypt filter {cfm!r}")
         o, u = ed.get("O"), ed.get("U")
         if not (isinstance(o, bytes) and isinstance(u, bytes)):
             raise _BadPdf("missing /O or /U")
@@ -598,23 +764,33 @@ class PdfDoc:
             else b""
         )
         key = _std_file_key(
-            o, int(ed.get("P", -1)), id0, r, int(ed.get("Length", 40)) // 8
+            o, int(ed.get("P", -1)), id0, r,
+            int(ed.get("Length", 128 if v == 4 else 40)) // 8,
+            encrypt_metadata=encrypt_metadata,
         )
         cmp_len = 32 if r == 2 else 16
         if u[:cmp_len] != _std_user_check(key, r, id0)[:cmp_len]:
             raise _BadPdf("encrypted with a non-empty user password")
         self._file_key = key
+        self._cipher = cipher
 
-    def _decrypt_value(self, v: object, key: bytes) -> object:
+    def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
+        if self._cipher == "aes":
+            return _aes_cbc_decrypt(
+                _obj_key(self._file_key, num, gen, aes=True), data
+            )
+        return _rc4(_obj_key(self._file_key, num, gen), data)
+
+    def _decrypt_value(self, v: object, num: int, gen: int) -> object:
         """Recursively decrypt every STRING in a parsed object value —
         names/numbers/refs pass through (only strings and streams are
         encrypted, §7.6.2)."""
         if isinstance(v, bytes):
-            return _rc4(key, v)
+            return self._decrypt_bytes(num, gen, v)
         if isinstance(v, list):
-            return [self._decrypt_value(x, key) for x in v]
+            return [self._decrypt_value(x, num, gen) for x in v]
         if isinstance(v, dict):
-            return {k: self._decrypt_value(x, key) for k, x in v.items()}
+            return {k: self._decrypt_value(x, num, gen) for k, x in v.items()}
         return v
 
     # -- salvage -----------------------------------------------------------
@@ -807,10 +983,10 @@ class PdfDoc:
         # /Encrypt dictionary itself are never encrypted
         if self._file_key is not None and num != self._encrypt_num:
             if not (isinstance(val, dict) and val.get("Type") == "XRef"):
-                key = _obj_key(self._file_key, num, int(m.group(2)))
-                val = self._decrypt_value(val, key)
+                gen = int(m.group(2))
+                val = self._decrypt_value(val, num, gen)
                 if raw is not None:
-                    raw = _rc4(key, raw)
+                    raw = self._decrypt_bytes(num, gen, raw)
         return num, val, raw
 
     def _decode_stream_obj(self, obj: dict, raw: bytes) -> bytes:
@@ -1693,6 +1869,36 @@ def write_pdf_hard(
         chunks += ["endcmap", "end", "end"]
         return "\n".join(chunks).encode("latin-1")
 
+    # --- encryption material (computed BEFORE streams are added so the
+    # per-object cipher can run at add time, keeping /Length correct even
+    # for AES, which grows data by IV + padding) ---------------------------
+    if encrypt and (xref_stream or use_objstm):
+        raise ValueError("encrypt requires the classic-xref layout")
+    file_key = b""
+    enc_p = -1
+    doc_id0 = b""
+    if encrypt in ("rc4", "aes"):
+        import hashlib
+
+        doc_id0 = hashlib.md5(repr(pages).encode()).digest()
+        enc_r = 2 if encrypt == "rc4" else 4
+        enc_nbytes = 5 if encrypt == "rc4" else 16
+        o_entry = _std_owner_entry(enc_r, enc_nbytes)
+        file_key = _std_file_key(o_entry, enc_p, doc_id0, enc_r, enc_nbytes)
+        u_entry = _std_user_check(file_key, enc_r, doc_id0)
+    elif encrypt is not None:
+        raise ValueError(f"unsupported encrypt mode {encrypt!r}")
+
+    def encipher(num: int, data: bytes) -> bytes:
+        if not encrypt:
+            return data
+        if encrypt == "aes":
+            import hashlib
+
+            iv = hashlib.md5(b"iv%d" % num + doc_id0).digest()  # deterministic
+            return _aes_cbc_encrypt(_obj_key(file_key, num, 0, aes=True), iv, data)
+        return _rc4(_obj_key(file_key, num, 0), data)
+
     # --- object assembly --------------------------------------------------
     # Object table: list of (body, raw_stream_or_None); 1-indexed ids.
     objs: list[tuple[bytes, bytes | None]] = []
@@ -1702,7 +1908,9 @@ def write_pdf_hard(
         return len(objs)
 
     def add_filtered_stream(dict_extra: str, raw: bytes) -> int:
-        data = encoder(raw) if encoder else raw
+        # encryption wraps the FILTERED bytes (§7.6.2); the object number
+        # this stream will get is len(objs)+1 in both /Length branches
+        data = encipher(len(objs) + 1, encoder(raw) if encoder else raw)
         filt = f" /Filter {filt_entry}" if filt_entry else ""
         if indirect_length:
             # /Length forward-references the int object written right after
@@ -1788,21 +1996,22 @@ def write_pdf_hard(
         None,
     )
 
-    # encryption (classic layout): V=1 R=2 RC4-40, empty passwords
+    # encryption dictionary (classic layout; keys computed above)
     enc_id = None
-    file_key = b""
-    enc_p = -1
-    doc_id0 = b""
     if encrypt == "rc4":
-        import hashlib
-
-        doc_id0 = hashlib.md5(repr(pages).encode()).digest()
-        o_entry = _rc4(hashlib.md5(_PAD).digest()[:5], _PAD)  # Algorithm 3
-        file_key = _std_file_key(o_entry, enc_p, doc_id0, r=2, key_bytes=5)
-        u_entry = _std_user_check(file_key, 2, doc_id0)
         enc_id = add(
             (
                 "<< /Filter /Standard /V 1 /R 2 /Length 40"
+                f" /P {enc_p} /O <{o_entry.hex().upper()}>"
+                f" /U <{u_entry.hex().upper()}> >>"
+            ).encode()
+        )
+    elif encrypt == "aes":
+        enc_id = add(
+            (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128"
+                " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
                 f" /P {enc_p} /O <{o_entry.hex().upper()}>"
                 f" /U <{u_entry.hex().upper()}> >>"
             ).encode()
@@ -1829,10 +2038,6 @@ def write_pdf_hard(
         out.extend(f"{num} 0 obj\n".encode())
         out.extend(body)
         if stream is not None:
-            if enc_id is not None and num != enc_id:
-                # RC4 is length-preserving, so /Length (already in body)
-                # stays valid; encryption wraps the FILTERED bytes
-                stream = _rc4(_obj_key(file_key, num, 0), stream)
             out.extend(b"\nstream\n")
             out.extend(stream)
             out.extend(b"\nendstream")

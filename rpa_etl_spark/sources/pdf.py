@@ -132,13 +132,14 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
-# doc_id % 11 → writer configuration for the adversarial corpus. Together
+# doc_id % 12 → writer configuration for the adversarial corpus. Together
 # they rotate through every structural feature the parser supports: xref
 # streams, object streams, filter chains (ASCIIHex, A85, RunLength, LZW),
 # indirect /Length, CID/ToUnicode fonts, split /Contents, plus (round 7)
 # the SALVAGE paths — truncated/garbled xref recovered by object scan —
-# simple-font /Encoding /Differences decoding, and RC4 standard-security
-# encryption (empty user password, the permissions-only case).
+# simple-font /Encoding /Differences decoding, and standard-security
+# ENCRYPTION with empty user password (the permissions-only case): RC4-40
+# (V1 R2) and AES-128-CBC (V4 R4 /AESV2, from-scratch FIPS-197 AES).
 HARD_VARIANTS: list[dict] = [
     {},  # 0: classic xref, FlateDecode (the write_pdf baseline shape)
     {"xref_stream": True},  # 1: PDF 1.5 xref stream (PNG Up predictor)
@@ -151,6 +152,7 @@ HARD_VARIANTS: list[dict] = [
     {"damage": "garble_offsets", "indirect_length": True},  # 8: stale table
     {"encoding_diffs": True},  # 9: WinAnsi base + /Differences remap
     {"encrypt": "rc4", "content_filter": "flate"},  # 10: RC4-40 under Flate
+    {"encrypt": "aes", "content_filter": "flate"},  # 11: AES-128-CBC (AESV2)
 ]
 
 
@@ -158,7 +160,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
     """Adversarial PDF corpus (round 6): same two-page invoice layout as
     ``synth_invoice_pdfs`` — so the analytic oracle is the same expression —
     but written through ``minipdf.write_pdf_hard`` with the structural
-    variant rotating on ``doc_id % 11`` (HARD_VARIANTS). Every 97th row is
+    variant rotating on ``doc_id % 12`` (HARD_VARIANTS). Every 97th row is
     still non-PDF bytes for the S3 magic gate. Arrow-batched 1→1
     mapInPandas — narrow, scan-speed at any scale."""
     from rpa_etl_spark.sources import minipdf
@@ -184,7 +186,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
                         [prefix],
                     ]
                     content = minipdf.write_pdf_hard(
-                        pages, **HARD_VARIANTS[doc_id % 11]
+                        pages, **HARD_VARIANTS[doc_id % 12]
                     )
                 rows.append(
                     {

@@ -461,6 +461,55 @@ def test_encrypted_unsupported_degrades_to_empty_not_garbage():
         assert text == ""  # never garbage
 
 
+def test_aes_fips197_vector():
+    """FIPS-197 Appendix C.1: the canonical AES-128 known-answer test."""
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rk = M._aes_expand_key(key)
+    assert M._aes_encrypt_block(rk, pt) == ct
+    assert M._aes_decrypt_block(rk, ct) == pt
+
+
+def test_aes_cbc_roundtrip_all_lengths():
+    key = b"0123456789abcdef"
+    iv = bytes(range(16))
+    for n in (0, 1, 15, 16, 17, 100, 4096):
+        d = (b"payload!" * 512)[:n]
+        assert M._aes_cbc_decrypt(key, M._aes_cbc_encrypt(key, iv, d)) == d
+
+
+def test_encrypted_aes_roundtrip():
+    """AES-128-CBC (/V 4 /R 4 /CFM /AESV2), empty user password."""
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="aes")
+    assert b"NOTA" not in b
+    assert b"/AESV2" in b
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {"content_filter": "hex+flate"},
+        {"indirect_length": True},  # /Length must be the ciphertext length
+        {"encoding_diffs": True},
+        {"cid_font": True},  # encrypted ToUnicode CMap stream
+        {"split_content": True},
+        {"damage": "garble_offsets"},
+    ],
+)
+def test_encrypted_aes_with_other_axes(extra):
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="aes", **extra)
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_encrypt_rejects_nonclassic_layouts():
+    with pytest.raises(ValueError):
+        M.write_pdf_hard(DMG_PAGES, encrypt="aes", xref_stream=True)
+    with pytest.raises(ValueError):
+        M.write_pdf_hard(DMG_PAGES, encrypt="rc4", use_objstm=True)
+
+
 def test_rc4_key_derivation_self_consistent():
     # Algorithm 2/4 self-check: the U entry derived from the file key must
     # validate under the same derivation (what _setup_encryption asserts)
