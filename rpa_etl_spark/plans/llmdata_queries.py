@@ -1846,8 +1846,16 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-routing bug breaks cluster purity or recall and hash-mismatches.
     Scale shape: training = per-round one n_cells-keyed aggregate (map-side
     partial sums) + bounded collects; assignment/probe = broadcast-closure
-    kernel + one cell-keyed join; no all-pairs anywhere (the oracle's
-    brute force is the ORACLE's burden, not the engine's plan)."""
+    kernel + one cell-keyed SHUFFLED join (round 7: no broadcast hint — the
+    query side here is the whole corpus, and a corpus-sized broadcast is
+    the inverse of the small-side rule; the fact-broadcast plan gate now
+    pins this). Caveat this verification query accepts deliberately:
+    n_cells is FIXED at 8, so within-cell candidate volume grows
+    quadratically with the corpus (measured 2.68x time at 5x data — the
+    vectorized cosine kernel keeps the constant small at probe scales).
+    A production retrieval sizes n_cells ~ sqrt(N) via the parameterized
+    ivf_topk, which keeps per-cell volume flat; here 8 cells ARE the
+    ground-truth cluster count the oracle checks against."""
     import numpy as np
 
     from rpa_etl_spark.operators import similarity as S

@@ -44,7 +44,11 @@ REPLICATED: dict[str, list[str]] = {
 DIMS = ["nation", "region", "part", "supplier"]
 
 # shuffle-heaviest families: multi-join TPC-H shapes, skew join, NDV
-# Expand, banded dedups, gram/token corpus aggregations
+# Expand, banded dedups, gram/token corpus aggregations, plus (round 7)
+# the two iterative training jobs — the IVF trainer after its broadcast
+# hint removal (the cell join now shuffles; this measures that choice at
+# 5x) and the distributed BPE trainer (cost should be dominated by
+# per-round job overhead, i.e. nearly size-flat at these scales)
 PROBE_QUERIES = [
     "q_tpch_q5_shape",
     "q_tpch_q10_shape",
@@ -57,6 +61,8 @@ PROBE_QUERIES = [
     "q_ngram_novelty",
     "q_unigram_logprob",
     "q_bm25",
+    "q_ann_ivf_trained",
+    "q_bpe_train_distributed",
 ]
 
 
