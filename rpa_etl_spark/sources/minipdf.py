@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from functools import lru_cache
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
@@ -404,26 +405,31 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _aes_expand_key(key: bytes) -> list[bytes]:
-    """128-bit key schedule → 11 round keys of 16 bytes."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
+    """AES-128/256 key schedule → Nr+1 round keys of 16 bytes."""
+    nk = len(key) // 4  # 4 or 8 words
+    nr = nk + 6  # 10 or 14 rounds
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_SBOX[t[1]], _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]]
             t[0] ^= rcon
             rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [bytes(sum(w[r * 4 : r * 4 + 4], [])) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]  # AES-256 extra SubWord
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [bytes(sum(w[r * 4 : r * 4 + 4], [])) for r in range(nr + 1)]
 
 
 def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    nr = len(rk) - 1
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [_SBOX[b] for b in s]
         # ShiftRows on column-major byte order: byte index = 4*col + row
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < 10:
+        if rnd < nr:
             m = list(s)
             for c in range(4):
                 col = m[4 * c : 4 * c + 4]
@@ -436,8 +442,9 @@ def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
 
 
 def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, -1, -1):
         # inverse ShiftRows then inverse SubBytes
         s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
         s = [_INV_SBOX[b] for b in s]
@@ -466,7 +473,7 @@ def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 payload: 16-byte IV prefix, CBC, PKCS#7 padding."""
+    """PDF AESV2/AESV3 payload: 16-byte IV prefix, CBC, PKCS#7 padding."""
     if len(data) < 32 or len(data) % 16:
         return b""
     rk = _aes_expand_key(key)
@@ -493,6 +500,46 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = _aes_encrypt_block(rk, blk)
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    """No-padding, explicit-IV CBC — the KDF primitive of the R6 handler
+    (Algorithm 2.B hashing, /UE //OE file-key unwrap)."""
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data) - len(data) % 16, 16):
+        blk = data[i : i + 16]
+        if decrypt:
+            out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+            prev = blk
+        else:
+            prev = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(blk, prev)))
+            out += prev
+    return bytes(out)
+
+
+@lru_cache(maxsize=256)
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the iterated SHA-256/384/512 + AES-CBC
+    password hash of the R6 handler. DELIBERATELY expensive (a
+    password-hardening KDF: ≥64 AES-CBC rounds over a 6 KB buffer —
+    ~1.4 s in pure Python), so results are memoized: within one process a
+    repeated (pwd, salt, udata) triple costs nothing, which makes
+    corpus-scale decryption of same-producer files (shared salts)
+    tractable while single-file cost stays what the spec intends."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, decrypt=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
 
 
 def _std_file_key(
@@ -727,11 +774,11 @@ class PdfDoc:
     def _setup_encryption(self, enc: object) -> None:
         """Standard security handler, EMPTY user password (the
         permissions-only encryption machine-generated PDFs ship with):
-        RC4 (V 1/2, R 2/3) and AES-128-CBC (V 4 R 4, /CFM /AESV2).
-        Anything else — AES-256 (/V 5), a real user password, a custom
-        handler — raises _BadPdf and the document degrades to the sweep
-        (which extracts nothing from ciphertext: the honest outcome,
-        never garbage text)."""
+        RC4 (V 1/2, R 2/3), AES-128-CBC (V 4 R 4, /CFM /AESV2), and
+        AES-256-CBC (V 5 R 6, ISO 32000-2 Algorithm 2.B). Anything else —
+        a real user password, a custom handler — raises _BadPdf and the
+        document degrades to the sweep (which extracts nothing from
+        ciphertext: the honest outcome, never garbage text)."""
         if isinstance(enc, Ref):
             self._encrypt_num = enc.num
         ed = self.get(enc)  # parsed BEFORE _file_key is set → not decrypted
@@ -742,6 +789,21 @@ class PdfDoc:
         if str(ed.get("Filter")) != "Standard":
             raise _BadPdf(f"unsupported security handler {ed.get('Filter')!r}")
         v, r = int(ed.get("V", 0)), int(ed.get("R", 2))
+        if (v, r) == (5, 6):
+            # AES-256 (ISO 32000-2): Algorithm 2.B hash validates the empty
+            # user password against /U, then /UE unwraps the FILE key,
+            # which V5 applies directly (no per-object derivation)
+            u5, ue = ed.get("U"), ed.get("UE")
+            if not (isinstance(u5, bytes) and len(u5) >= 48 and isinstance(ue, bytes)):
+                raise _BadPdf("malformed V5 /U or /UE")
+            vsalt, ksalt = u5[32:40], u5[40:48]
+            if _hash_2b(b"", vsalt) != u5[:32]:
+                raise _BadPdf("encrypted with a non-empty user password")
+            self._file_key = _aes_cbc_raw(
+                _hash_2b(b"", ksalt), bytes(16), ue[:32], decrypt=True
+            )
+            self._cipher = "aes256"
+            return
         if (v, r) not in ((1, 2), (1, 3), (2, 2), (2, 3), (4, 4)):
             raise _BadPdf(f"unsupported encryption V={v} R={r}")
         cipher = "rc4"
@@ -775,6 +837,8 @@ class PdfDoc:
         self._cipher = cipher
 
     def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
+        if self._cipher == "aes256":
+            return _aes_cbc_decrypt(self._file_key, data)  # file key direct
         if self._cipher == "aes":
             return _aes_cbc_decrypt(
                 _obj_key(self._file_key, num, gen, aes=True), data
@@ -1877,6 +1941,7 @@ def write_pdf_hard(
     file_key = b""
     enc_p = -1
     doc_id0 = b""
+    v5: dict[str, bytes] = {}
     if encrypt in ("rc4", "aes"):
         import hashlib
 
@@ -1886,12 +1951,41 @@ def write_pdf_hard(
         o_entry = _std_owner_entry(enc_r, enc_nbytes)
         file_key = _std_file_key(o_entry, enc_p, doc_id0, enc_r, enc_nbytes)
         u_entry = _std_user_check(file_key, enc_r, doc_id0)
+    elif encrypt == "aes256":
+        import hashlib
+
+        doc_id0 = hashlib.md5(repr(pages).encode()).digest()
+        file_key = hashlib.sha256(b"fk" + doc_id0).digest()
+        # salts are FIXED fixture constants (not per-document): the KDF is
+        # a ~1.4 s password-hardening hash, and shared salts let the
+        # lru_cache amortize it to once per process — the same-producer
+        # pattern real corpora show. The FILE key stays per-document.
+        uvs = hashlib.md5(b"uvs-minipdf-fixture").digest()[:8]
+        uks = hashlib.md5(b"uks-minipdf-fixture").digest()[:8]
+        u_entry = _hash_2b(b"", uvs) + uvs + uks
+        v5["UE"] = _aes_cbc_raw(_hash_2b(b"", uks), bytes(16), file_key, False)
+        ovs = hashlib.md5(b"ovs-minipdf-fixture").digest()[:8]
+        oks = hashlib.md5(b"oks-minipdf-fixture").digest()[:8]
+        o_entry = _hash_2b(b"", ovs, u_entry) + ovs + oks
+        v5["OE"] = _aes_cbc_raw(
+            _hash_2b(b"", oks, u_entry), bytes(16), file_key, False
+        )
+        perms_blk = (
+            (enc_p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"mini"
+        )
+        v5["Perms"] = _aes_encrypt_block(_aes_expand_key(file_key), perms_blk)
     elif encrypt is not None:
         raise ValueError(f"unsupported encrypt mode {encrypt!r}")
 
     def encipher(num: int, data: bytes) -> bytes:
         if not encrypt:
             return data
+        if encrypt == "aes256":
+            import hashlib
+
+            iv = hashlib.md5(b"iv%d" % num + doc_id0).digest()
+            return _aes_cbc_encrypt(file_key, iv, data)  # file key direct
         if encrypt == "aes":
             import hashlib
 
@@ -2014,6 +2108,19 @@ def write_pdf_hard(
                 " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
                 f" /P {enc_p} /O <{o_entry.hex().upper()}>"
                 f" /U <{u_entry.hex().upper()}> >>"
+            ).encode()
+        )
+    elif encrypt == "aes256":
+        enc_id = add(
+            (
+                "<< /Filter /Standard /V 5 /R 6 /Length 256"
+                " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                " /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                f" /P {enc_p} /O <{o_entry.hex().upper()}>"
+                f" /U <{u_entry.hex().upper()}>"
+                f" /OE <{v5['OE'].hex().upper()}>"
+                f" /UE <{v5['UE'].hex().upper()}>"
+                f" /Perms <{v5['Perms'].hex().upper()}> >>"
             ).encode()
         )
 

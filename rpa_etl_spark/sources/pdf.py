@@ -140,6 +140,10 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
 # simple-font /Encoding /Differences decoding, and standard-security
 # ENCRYPTION with empty user password (the permissions-only case): RC4-40
 # (V1 R2) and AES-128-CBC (V4 R4 /AESV2, from-scratch FIPS-197 AES).
+# AES-256 (V5 R6) is fully supported and unit-tested (test_minipdf_hard)
+# but NOT rotated per-row here: its Algorithm 2.B KDF is a deliberate
+# ~1.4 s password-hardening cost PER FILE — real AES-256 corpora are
+# MB-sized files where that amortizes; 5000 tiny per-row PDFs are not.
 HARD_VARIANTS: list[dict] = [
     {},  # 0: classic xref, FlateDecode (the write_pdf baseline shape)
     {"xref_stream": True},  # 1: PDF 1.5 xref stream (PNG Up predictor)
