@@ -163,9 +163,13 @@ def train_bpe_distributed(
     # deep enough that AQE's per-job explainString rendering OOMs the
     # driver (observed) — same iterative-state pattern as
     # operators/components.py
+    # (?s) DOTALL: Java-regex '.' excludes line terminators (U+2028,
+    # U+2029, U+0085) that the pinned whitespace class deliberately does
+    # NOT split on — without the flag such a char stays unsymbolized and
+    # the output diverges from train_bpe's list(word)
     cur = wf.select(
         F.concat(
-            F.regexp_replace(F.col("word"), r"(.)", _SYM + r"$1 ")
+            F.regexp_replace(F.col("word"), r"(?s)(.)", _SYM + r"$1 ")
         ).alias("s"),
         "freq",
     ).localCheckpoint()

@@ -52,8 +52,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 PRIORITY_ORDER = [
     # == tier 1a (9): NEW or plan/kernel/oracle CHANGED in round 7 — no external
     #    verdict in their current form; must be in the ~50-query sample.
-    #    q_pdf_extract_hard: variants now rotate %10 (salvage x2 +
-    #    /Differences); q_pdf_extract: parser offset-healing path;
+    #    q_pdf_extract_hard: variants now rotate %12 (salvage x2,
+    #    /Differences, RC4 + AES-128 encryption); q_pdf_extract: parser
+    #    offset-healing path;
     #    q_bpe_*: whitespace-class + NULL-kernel fix (engine AND oracle);
     #    q_ann_ivf_trained: corpus broadcast hint dropped;
     #    q_dedup_incremental: round-6 verdict #2 — its -1-sentinel rework

@@ -759,15 +759,25 @@ class PdfDoc:
         self._file_key: bytes | None = None
         self._encrypt_num: int | None = None
         self._cipher = "rc4"
+        self._freed: set[int] = set()
+        self._salvaged = False
+        # zlib/ValueError can escape a CORRUPT compressed xref stream (bad
+        # flate body, malformed a85) — those are exactly the damaged files
+        # salvage exists for, so the catch matches _salvage_scan's own set
         try:
             self._read_xref_chain()
-        except _BadPdf:
+        except (_BadPdf, zlib.error, ValueError):
             self._salvage_scan()
         if not isinstance(self.trailer.get("Root"), (Ref, dict)):
             self._salvage_root()
         enc = self.trailer.get("Encrypt")
         if enc is not None:
             self._setup_encryption(enc)
+        if self._salvaged and self._file_key is not None:
+            # objstms scanned during salvage were still ciphertext — now
+            # that the key exists, re-register their packed objects
+            self._objstm_cache.clear()
+            self._register_scanned_objstms()
 
     # -- encryption ----------------------------------------------------------
 
@@ -878,7 +888,9 @@ class PdfDoc:
         """Full xref reconstruction: adopt the scan index as the offset
         table, recover the trailer from the last parseable ``trailer``
         dict, and register objects packed in any /Type /ObjStm found."""
+        self._salvaged = True
         self.offsets = {num: offs[-1] for num, offs in self._scan_objects().items()}
+        self._freed = set()  # a rebuilt table supersedes any freed marks
         for m in re.finditer(rb"trailer", self.data):
             try:
                 trailer, _ = _parse_value(self.data, m.end())
@@ -886,6 +898,9 @@ class PdfDoc:
                 continue
             if isinstance(trailer, dict) and "Root" in trailer:
                 self.trailer = dict(trailer)  # last parseable wins
+        self._register_scanned_objstms()
+
+    def _register_scanned_objstms(self) -> None:
         for num, off in list(self.offsets.items()):
             # cheap pre-filter: only objects whose header region mentions
             # /ObjStm get the full parse
@@ -901,10 +916,20 @@ class PdfDoc:
 
     def _salvage_root(self) -> None:
         """No usable /Root in any trailer: find the document catalog by
-        object scan (``/Type /Catalog``)."""
+        object scan (``/Type /Catalog``) — top-level objects first, then
+        objects packed inside scanned /ObjStm streams (modern writers put
+        the catalog there)."""
         for num in sorted(self._scan_objects()):
             try:
                 val, _ = self._parse_numbered(num)
+            except _BadPdf:
+                continue
+            if isinstance(val, dict) and val.get("Type") == "Catalog":
+                self.trailer["Root"] = Ref(num, 0)
+                return
+        for num in sorted(self.in_objstm):
+            try:
+                val = self.get(Ref(num, 0))
             except _BadPdf:
                 continue
             if isinstance(val, dict) and val.get("Type") == "Catalog":
@@ -929,13 +954,23 @@ class PdfDoc:
             if offset < 0:
                 break
 
+    def _known(self, num: int) -> bool:
+        return num in self.offsets or num in self.in_objstm or num in self._freed
+
     def _add_type1(self, num: int, off: int) -> None:
-        if num not in self.offsets and num not in self.in_objstm:
+        if not self._known(num):
             self.offsets[num] = off
 
     def _add_type2(self, num: int, stm: int, idx: int) -> None:
-        if num not in self.offsets and num not in self.in_objstm:
+        if not self._known(num):
             self.in_objstm[num] = (stm, idx)
+
+    def _add_free(self, num: int) -> None:
+        """A FREE (type-0 / 'f') entry is authoritative: first-seen wins on
+        the newest-to-oldest chain walk, and a freed object must resolve to
+        null — the scan-index fallback must NOT resurrect its stale body."""
+        if not self._known(num):
+            self._freed.add(num)
 
     def _read_xref_section(self, offset: int) -> int:
         """Parse one xref section (classic table or xref stream) at
@@ -969,6 +1004,8 @@ class PdfDoc:
                         raise _BadPdf(f"bad xref entry at {i}")
                     if em.group(3) == b"n":
                         self._add_type1(start + k, int(em.group(1)))
+                    else:
+                        self._add_free(start + k)
                     i = em.end()
             # unreachable
         # PDF 1.5 xref stream
@@ -1002,6 +1039,8 @@ class PdfDoc:
                     self._add_type1(first + k, f2)
                 elif ftype == 2:
                     self._add_type2(first + k, f2, f3)
+                elif ftype == 0:
+                    self._add_free(first + k)
         if not self.trailer:
             self.trailer = {k: v for k, v in obj.items() if k in ("Root", "Info", "Size")}
         prev = obj.get("Prev", -1)
@@ -1144,6 +1183,10 @@ class PdfDoc:
                         if onum == num:
                             val = ov
                             break
+            elif num in self._freed:
+                # explicitly freed by the (healthy) xref chain: spec-null —
+                # never resurrect the stale body through the scan index
+                val = None
             else:
                 # absent from the xref entirely — salvage via the scan index
                 try:
@@ -1357,13 +1400,31 @@ def _simple_font_cmap(doc: "PdfDoc", fobj: dict) -> dict[bytes, str] | None:
     diffs: object = None
     if isinstance(enc, Name):
         base_name = str(enc)
+        if base_name not in ("WinAnsiEncoding", "StandardEncoding"):
+            # MacRoman, Identity-H (a Type0 whose ToUnicode failed), or a
+            # custom name: routing through the wrong table would silently
+            # DROP bytes — keep the latin-1 fallback path instead
+            return None
     elif isinstance(enc, dict):
         base = doc.get(enc.get("BaseEncoding"))
-        base_name = str(base) if isinstance(base, Name) else "StandardEncoding"
+        base_name = str(base) if isinstance(base, Name) else ""
         diffs = doc.get(enc.get("Differences"))
+        if base_name not in ("WinAnsiEncoding", "StandardEncoding") and not isinstance(
+            diffs, list
+        ):
+            return None
     else:
         return None
-    table = dict(_WINANSI if "WinAnsi" in base_name else _STANDARD)
+    if "WinAnsi" in base_name:
+        table = dict(_WINANSI)
+    elif "Standard" in base_name:
+        table = dict(_STANDARD)
+    else:
+        # unknown/absent base with a /Differences overlay: approximate the
+        # font's built-in encoding with latin-1 (the pre-round-7 fallback)
+        # so un-overridden bytes keep their old decoding instead of
+        # disappearing through a wrong named table
+        table = {c: chr(c) for c in range(0x20, 0x100)}
     if isinstance(diffs, list):
         code = 0
         for item in diffs:
@@ -2041,13 +2102,25 @@ def write_pdf_hard(
             content_refs.append(f"{c} 0 R")
         page_ids.append(-1)  # placeholder, filled below
 
+    def body_str(num: int, raw: bytes) -> str:
+        """A literal string inside an object BODY: encrypted files must
+        cipher it under that object's key (§7.6.2 — ALL strings), emitted
+        as a hex string so arbitrary ciphertext bytes need no escaping."""
+        if not encrypt:
+            return "(" + raw.decode("ascii") + ")"
+        return "<" + encipher(num, raw).hex().upper() + ">"
+
     # font objects
     if cid_font:
         tounicode_id = add_filtered_stream("", make_tounicode())
+        dnum = len(objs) + 1  # the descendant font's object number
         desc_font_id = add(
-            b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth-Identity"
-            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
-            b" /Supplement 0 >> >>"
+            (
+                "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Synth-Identity"
+                f" /CIDSystemInfo << /Registry {body_str(dnum, b'Adobe')}"
+                f" /Ordering {body_str(dnum, b'Identity')}"
+                " /Supplement 0 >> >>"
+            ).encode()
         )
         font_id = add(
             (

@@ -163,3 +163,17 @@ def test_attach_bpe_tokens_carry_columns(spark, sf_dir):
     rows = {r["doc_id"]: r["lang"] for r in out.collect()}
     truth = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
     assert rows == truth
+
+
+def test_bpe_distributed_symbolizes_line_separator(spark):
+    """U+2028 LINE SEPARATOR is NOT whitespace in the pinned class and is
+    skipped by Java-regex '.' without DOTALL — the distributed trainer
+    must still symbolize it identically to the driver loop."""
+    from rpa_etl_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [("a b a b xy xy xy",)], "text string"
+    )
+    assert B.train_bpe_distributed(docs, n_merges=3) == B.train_bpe(
+        docs, n_merges=3, top_words=None
+    )

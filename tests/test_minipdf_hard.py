@@ -402,7 +402,7 @@ def test_incremental_update_newest_object_wins():
         4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s_old), s_old),
     }
     base = _classic_pdf(base_objs, root=1)
-    base_xref_at = base.rfind(b"xref\n")
+    base_xref_at = base.rindex(b"xref\n0 ")  # NOT the tail of "startxref"
     # append the updated object 4 + a new xref section chaining /Prev
     out = bytearray(base)
     upd_off = len(out)
@@ -420,6 +420,46 @@ def test_incremental_update_newest_object_wins():
     # and the salvage path agrees (scan candidates are tried newest-first)
     wrecked = bytes(out).replace(b"startxref", b"startXXXX")
     assert M.extract_text(wrecked) == ("NEW TEXT", 1)
+
+
+def test_freed_object_not_resurrected_by_scan():
+    """An object explicitly FREED by the newest xref section must resolve
+    to null (spec) — the salvage scan index must not resurrect its stale
+    body when the xref chain itself is healthy."""
+    s_old = b"BT /F1 12 Tf 72 720 Td (GHOST TEXT) Tj ET"
+    base_objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(s_old), s_old),
+    }
+    base = _classic_pdf(base_objs, root=1)
+    base_xref_at = base.rindex(b"xref\n0 ")  # NOT the tail of "startxref"
+    # incremental update FREES object 4 (content removed by the author)
+    out = bytearray(base)
+    xref2_at = len(out)
+    out += b"xref\n4 1\n0000000000 00001 f \n"
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (base_xref_at, xref2_at)
+    )
+    text, pages = M.extract_text_structured(bytes(out))
+    assert pages == 1 and text == ""  # the ghost body must NOT come back
+
+
+def test_corrupt_xref_stream_triggers_salvage_not_sweep():
+    """A PDF 1.5 file whose compressed xref STREAM is corrupt raises
+    zlib.error during chain reading — that must route to salvage (full
+    structural recovery incl. objstm objects), not escape to the sweep."""
+    b = M.write_pdf_hard(DMG_PAGES, xref_stream=True, use_objstm=True)
+    # corrupt the xref stream's flate body: find the LAST stream in the
+    # file (the xref stream) and flip bytes in its middle
+    at = b.rfind(b"stream\n")
+    bad = bytearray(b)
+    for k in range(at + 20, at + 28):
+        bad[k] ^= 0xFF
+    text, pages = M.extract_text_structured(bytes(bad))
+    assert (text, pages) == (DMG_EXPECT, 2)
 
 
 # -- round 7: RC4 standard security handler --------------------------------

@@ -169,7 +169,12 @@ def test_changed_queries_are_in_sampled_window():
                 old_src = _git("show", f"{base}:{rel}")
             except subprocess.CalledProcessError:
                 old_src = ""
-            with open(os.path.join(REPO, rel)) as f:
+            abs_path = os.path.join(REPO, rel)
+            if not os.path.exists(abs_path):
+                # plan file DELETED since the base: its queries are gone
+                # from the registry too — nothing left to re-queue
+                continue
+            with open(abs_path) as f:
                 new_src = f.read()
             old_q = _query_fn_sources(old_src) if old_src else {}
             new_q = _query_fn_sources(new_src)
