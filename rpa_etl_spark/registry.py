@@ -48,7 +48,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # first), with any query whose PLAN changed this round re-queued into the
 # sampled window regardless of freshness — the goal is that no query's
 # latest green verdict is ever more than ~2 rounds old, and every plan
-# change gets an external verdict the round it ships.
+# change gets an external verdict the round it ships. The policy is
+# machine-enforced since round 7 (tests/test_rotation_policy.py): when
+# rebuilding this list, ALSO update rpa_etl_spark/rotation_base.txt to the
+# commit the rebuild lands in — the test diffs plan/kernel files against
+# that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
     # == tier 1a (9): NEW or plan/kernel/oracle CHANGED in round 7 — no external
     #    verdict in their current form; must be in the ~50-query sample.
