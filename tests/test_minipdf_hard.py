@@ -85,6 +85,43 @@ def test_full_matrix_sampled():
         assert M.extract_text(b) == (EXPECT, 2), (xs, objstm, filt, indlen, cid, split)
 
 
+def test_round7_axes_matrix_sampled():
+    """The round-7 axes (damage, /Differences, encryption) crossed with
+    filters and layout flags — classic-xref only (the axes' contract).
+    Deterministic 1-in-3 sample; encrypted+truncated is excluded (the
+    trailer carries /ID, so that combination is unrecoverable by design)."""
+    combos = [
+        c
+        for c in itertools.product(
+            [None, "truncate_xref", "garble_offsets"],
+            [False, True],  # encoding_diffs
+            [None, "rc4", "aes"],
+            ["none", "flate", "hex+flate", "lzw"],
+            [False, True],  # indirect_length
+            [False, True],  # split_content
+        )
+        if not (c[0] == "truncate_xref" and c[2])
+    ]
+    for i, (damage, diffs, enc, filt, indlen, split) in enumerate(combos):
+        if i % 3:
+            continue
+        b = M.write_pdf_hard(
+            PAGES,
+            damage=damage,
+            encoding_diffs=diffs,
+            encrypt=enc,
+            content_filter=filt,
+            indirect_length=indlen,
+            split_content=split,
+        )
+        got = (
+            M.extract_text_structured(b)
+            if damage is None
+            else M.extract_text(b)  # damaged files go through the public API
+        )
+        assert got == (EXPECT, 2), (damage, diffs, enc, filt, indlen, split)
+
+
 def test_lzw_roundtrip_and_known_growth():
     rnd = random.Random(7)
     cases = [
