@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every declared query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: first the full record ({"metric": ..., "value": min_total_sec,
+"unit": "sec", "queries": {name: min_sec}, "queries_median": {...}, ...}),
+then a compact HEADLINE as the last stdout line (same scalars + slowest-5
+dicts) sized to survive the driver's 2000-char tail capture intact. The
+full record is also written to BENCH_LOCAL.json for round-over-round
+deltas.
 
 Timing excludes result transfer to the driver: each query executes into
 Spark's noop sink, so the number is plan execution (scan → compute →
@@ -120,46 +124,86 @@ def main() -> None:
     docs_per_sec_per_core = round(n_docs / pipe_sec / n_cores, 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Deltas go FIRST and both streams are flushed before the JSON line:
-    # the driver captures merged stdout+stderr and parses the LAST line,
-    # so nothing may print after the JSON (r03's bench record was lost to
-    # exactly this — trailing [bench-delta] lines). The report is
+    # Deltas go FIRST and both streams are flushed before the JSON lines:
+    # the driver captures merged stdout+stderr, keeps only the LAST 2000
+    # chars as `tail`, and parses the LAST line. The report is
     # best-effort: no exception in it may ever suppress the JSON contract.
     try:
-        _report_deltas(timings, medians)
+        _report_deltas(timings, medians, float(sf))
     except Exception as e:  # noqa: BLE001
         print(f"[bench-delta] report failed: {e}", file=sys.stderr)
     sys.stderr.flush()
-    # stop the JVM BEFORE emitting the contract line: no Spark thread may
-    # write to stderr after (or concurrently with) the final stdout line
+    full = {
+        "metric": "total_declared_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "warmup_pass_sf": float(warmup_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "warmup_sec": warmup_sec,
+        "timed_passes": n_passes,
+        "pipeline_docs": n_docs,
+        "pipeline_sec": round(pipe_sec, 3),
+        "pipeline_cores": n_cores,
+        "docs_per_sec_per_core": docs_per_sec_per_core,
+    }
+    # Persist the full record locally: the driver's tail capture truncates
+    # the per-query dicts (>2000 chars since round 3), so round-over-round
+    # deltas need a local source of truth for per-query numbers.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, separators=(",", ":"))
+    except OSError as e:
+        print(f"[bench] local record write failed: {e}", file=sys.stderr)
+    # stop the JVM BEFORE emitting the contract lines: no Spark thread may
+    # write to stderr after (or concurrently with) the final stdout lines
     spark.stop()
     sys.stderr.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "value_median": round(sum(medians.values()), 3),
-                "sf": float(sf),
-                "n_queries": len(timings),
-                "warmup_pass_sf": float(warmup_dir.rstrip("/").rsplit("sf", 1)[-1]),
-                "warmup_sec": warmup_sec,
-                "timed_passes": n_passes,
-                "pipeline_docs": n_docs,
-                "pipeline_sec": round(pipe_sec, 3),
-                "pipeline_cores": n_cores,
-                "docs_per_sec_per_core": docs_per_sec_per_core,
-            },
-            separators=(",", ":"),  # compact: shorter line, smaller corruption surface
-        ),
-        flush=True,
-    )
+    # Full record first (complete per-query dicts for anyone reading the
+    # whole log), compact HEADLINE LAST: the driver's 2000-char tail always
+    # retains the headline line intact, so min total AND median total both
+    # survive every round (round-7 verdict: r6's tail kept the min dict,
+    # r7's the median dict, and naive cross-round deltas compared medians
+    # against mins). slowest5 keys let the judge spot the expensive tail
+    # without the full dict.
+    print(json.dumps(full, separators=(",", ":")), flush=True)
+    slowest5_min = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    slowest5_med = dict(sorted(medians.items(), key=lambda kv: -kv[1])[:5])
+    headline = {
+        k: full[k]
+        for k in (
+            "metric",
+            "value",
+            "value_median",
+            "unit",
+            "sf",
+            "n_queries",
+            "warmup_sec",
+            "timed_passes",
+            "pipeline_docs",
+            "pipeline_sec",
+            "pipeline_cores",
+            "docs_per_sec_per_core",
+        )
+    }
+    # "queries" stays a real {name: sec} dict (slowest-5 mins) so driver
+    # code that iterates parsed["queries"] keeps working; the full dicts
+    # are on the previous line and in BENCH_LOCAL.json.
+    headline["queries"] = slowest5_min
+    headline["queries_median"] = slowest5_med
+    headline["queries_note"] = "slowest-5 only; full dicts on previous stdout line"
+    print(json.dumps(headline, separators=(",", ":")), flush=True)
 
 
-def _report_deltas(timings: dict[str, float], medians: dict[str, float]) -> None:
+def _report_deltas(
+    timings: dict[str, float], medians: dict[str, float], sf: float
+) -> None:
     """Round-over-round per-query deltas vs the latest BENCH_r{N}.json, on
     stderr (stdout stays the one-JSON-line driver contract). A swing
     outside the noise band gets flagged so a 50× environment wobble (seen
@@ -170,22 +214,42 @@ def _report_deltas(timings: dict[str, float], medians: dict[str, float]) -> None
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    # Prefer the local full record (written by the previous bench run):
+    # driver BENCH_r{N}.json tails truncate the per-query dicts, and from
+    # round 8 on the driver-parsed record carries only the slowest-5.
+    prior_files = [os.path.join(here, "BENCH_LOCAL.json")] + list(
+        reversed(
+            sorted(
+                glob.glob(os.path.join(here, "BENCH_r*.json")),
+                key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+            )
+        )
     )
-    # walk back to the newest round whose record actually parsed —
-    # r03's driver record was `parsed: null`, which must not silence
-    # deltas for every later round
+    # walk back to the newest record that actually parsed — r03's driver
+    # record was `parsed: null`, which must not silence deltas for every
+    # later round
     prior, name, prior_is_median = {}, None, False
-    for path in reversed(prior_files):
+    for path in prior_files:
         try:
             with open(path) as f:
                 doc = json.load(f)
             # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
             parsed = doc.get("parsed") or doc
-            prior = parsed.get("queries_median") or parsed.get("queries", {})
-            prior_is_median = "queries_median" in parsed
+            # deltas are only meaningful at the same scale factor — a local
+            # small-SF smoke run must not become the comparison base
+            rec_sf = parsed.get("sf", doc.get("sf"))
+            if rec_sf is not None and float(rec_sf) != sf:
+                continue
+            # derive the median flag from the dict actually adopted: an
+            # empty/absent queries_median must not label a mins dict as
+            # medians (round-7 ADVICE)
+            pm = parsed.get("queries_median")
+            if pm:
+                prior, prior_is_median = pm, True
+            else:
+                prior, prior_is_median = parsed.get("queries", {}), False
+            if not isinstance(prior, dict):  # round-8+ headline note strings
+                prior = {}
         except (OSError, ValueError, AttributeError):
             continue
         if prior:
