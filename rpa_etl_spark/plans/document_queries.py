@@ -331,7 +331,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM syn
     )
     SELECT doc_id,
-           CAST(doc_id % 12 AS INT) AS variant,
+           CAST(doc_id % 14 AS INT) AS variant,
            2 AS page_count,
            extracted,
            CAST(length(extracted) AS INT) AS n_chars,
@@ -340,9 +340,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pdf_extract_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adversarial S1/S2/S3 (rounds 6-7): like q_pdf_extract, but each PDF
+    """Adversarial S1/S2/S3 (rounds 6-8): like q_pdf_extract, but each PDF
     is written through minipdf.write_pdf_hard with the structural variant
-    rotating on doc_id % 12 — xref STREAMS (PNG predictors), object
+    rotating on doc_id % 14 — xref STREAMS (PNG predictors), object
     streams, filter chains (ASCIIHex+Flate, ASCII85, RunLength, LZW),
     indirect /Length, CID fonts with /ToUnicode CMaps, split /Contents
     arrays, and (round 7) DAMAGED files the salvage path must rebuild —
@@ -352,7 +352,11 @@ def q_pdf_extract_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
     remapped show strings (variant 9) and standard-security ENCRYPTION
     with empty user password — RC4-40 (variant 10) and AES-128-CBC /AESV2
     via a from-scratch FIPS-197 AES (variant 11), per-object keys under
-    the filter chain. The reference gets this coverage
+    the filter chain. Round 8 adds encryption in the MODERN layouts real
+    encrypted PDFs ship in: RC4 with objects packed into an encrypted
+    /ObjStm container, packed strings plaintext per §7.5.7 (variant 12),
+    and AES-128 with /Encrypt + /ID carried by the never-encrypted xref
+    STREAM dict, §7.5.8.2 (variant 13). The reference gets this coverage
     from PyMuPDF (robot/pdf_reader.py:23-58), which never sees a clean-
     xref guarantee; here the pure-Python structured parser
     (minipdf.extract_text_structured + PdfDoc salvage) must round-trip
@@ -375,7 +379,7 @@ def q_pdf_extract_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id = F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long")
     return extracted.select(
         doc_id.alias("doc_id"),
-        (doc_id % 12).cast("int").alias("variant"),
+        (doc_id % 14).cast("int").alias("variant"),
         "page_count",
         F.col("text").alias("extracted"),
         F.length("text").alias("n_chars"),

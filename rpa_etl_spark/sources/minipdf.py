@@ -775,7 +775,11 @@ class PdfDoc:
             self._setup_encryption(enc)
         if self._salvaged and self._file_key is not None:
             # objstms scanned during salvage were still ciphertext — now
-            # that the key exists, re-register their packed objects
+            # that the key exists, re-register their packed objects. The
+            # object cache is cleared too: anything get() resolved before
+            # the key existed (e.g. _salvage_root's catalog probe) would
+            # otherwise retain ciphertext strings (round-7 ADVICE)
+            self._cache.clear()
             self._objstm_cache.clear()
             self._register_scanned_objstms()
 
@@ -1042,7 +1046,14 @@ class PdfDoc:
                 elif ftype == 0:
                     self._add_free(first + k)
         if not self.trailer:
-            self.trailer = {k: v for k, v in obj.items() if k in ("Root", "Info", "Size")}
+            # an xref STREAM's dict doubles as the trailer — /Encrypt and
+            # /ID must come along or encrypted PDF 1.5+ files (the
+            # overwhelming real-world encrypted layout) never set up keys
+            self.trailer = {
+                k: v
+                for k, v in obj.items()
+                if k in ("Root", "Info", "Size", "Encrypt", "ID")
+            }
         prev = obj.get("Prev", -1)
         return int(prev) if isinstance(prev, int) else -1
 
@@ -1187,7 +1198,7 @@ class PdfDoc:
                 # explicitly freed by the (healthy) xref chain: spec-null —
                 # never resurrect the stale body through the scan index
                 val = None
-            else:
+            elif self._salvaged:
                 # absent from the xref entirely — salvage via the scan index
                 try:
                     val, raw = self._parse_numbered(num)
@@ -1195,6 +1206,11 @@ class PdfDoc:
                         val = _StreamObj(val, raw, self)
                 except _BadPdf:
                     val = None
+            else:
+                # a HEALTHY file with a dangling reference (common in real
+                # PDFs): spec-null, without paying for the O(file-size)
+                # scan index a damaged file would justify (round-7 ADVICE)
+                val = None
             self._cache[num] = val
             v = val
         return v
@@ -1550,7 +1566,16 @@ def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> s
                 m_ei = re.compile(
                     rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)"
                 ).search(stream, i)
-                i = n if m_ei is None else m_ei.end()
+                if m_ei is not None:
+                    i = m_ei.end()
+                else:
+                    # the spec does not MANDATE a whitespace byte before
+                    # EI — a stream ending "...dataEI" has no boundary
+                    # match, and skipping to EOF would silently drop all
+                    # text after the image; fall back to the plain scan
+                    # before giving up (round-7 ADVICE)
+                    j = stream.find(b"EI", i)
+                    i = n if j < 0 else j + 2
             operands = []
             continue
     text = "".join(pieces)
@@ -1910,9 +1935,13 @@ def write_pdf_hard(
     ``encrypt="rc4"`` → standard security handler, V=1 R=2 RC4-40,
     empty user/owner passwords (the permissions-only encryption of
     machine-generated invoices): every stream is RC4-encrypted under its
-    per-object key, /Encrypt + /ID land in the trailer. Classic-xref
-    layout only; object bodies must carry no literal strings (this
-    writer's bodies don't — text lives in the encrypted streams).
+    per-object key, /Encrypt + /ID land in the trailer (classic layout)
+    or the xref stream dict (PDF 1.5 layout). Encryption composes with
+    ``xref_stream`` and ``use_objstm`` (round 8) under the spec's layout
+    rules: packed strings stay plaintext while the objstm container is
+    ciphered (§7.5.7), the xref stream is never ciphered (§7.5.8.2), and
+    the /Encrypt dict is never packed. Only ``damage="truncate_xref"``
+    refuses to combine with encryption (the key needs the trailer /ID).
 
     Text layout matches ``write_pdf`` exactly (one Tj per line, T* line
     breaks), so the analytic oracle for both is the same expression."""
@@ -1996,9 +2025,19 @@ def write_pdf_hard(
 
     # --- encryption material (computed BEFORE streams are added so the
     # per-object cipher can run at add time, keeping /Length correct even
-    # for AES, which grows data by IV + padding) ---------------------------
-    if encrypt and (xref_stream or use_objstm):
-        raise ValueError("encrypt requires the classic-xref layout")
+    # for AES, which grows data by IV + padding). Round 8: encryption now
+    # composes with the MODERN layouts too (xref streams, object streams —
+    # the layout real-world encrypted PDFs overwhelmingly use). Spec
+    # corners pinned here and at the serialization sites below: strings
+    # inside an object stream are NOT encrypted per-object (§7.5.7 — the
+    # objstm CONTAINER stream is encrypted under its own object key); the
+    # xref stream itself is NEVER encrypted (§7.5.8.2); the encryption
+    # dictionary shall not live in an object stream (§7.5.7). ------------
+    if encrypt and damage == "truncate_xref":
+        # unrecoverable by design: the file key needs the trailer /ID,
+        # which truncation destroys — refuse to write a fixture whose
+        # expected text could never be extracted
+        raise ValueError("encrypt cannot combine with truncate_xref")
     file_key = b""
     enc_p = -1
     doc_id0 = b""
@@ -2105,8 +2144,12 @@ def write_pdf_hard(
     def body_str(num: int, raw: bytes) -> str:
         """A literal string inside an object BODY: encrypted files must
         cipher it under that object's key (§7.6.2 — ALL strings), emitted
-        as a hex string so arbitrary ciphertext bytes need no escaping."""
-        if not encrypt:
+        as a hex string so arbitrary ciphertext bytes need no escaping.
+        EXCEPT objects packed into an object stream: §7.5.7 — those
+        strings stay plaintext because the objstm container stream is
+        itself encrypted (non-stream objects are exactly the ones packed
+        when ``use_objstm``)."""
+        if not encrypt or use_objstm:
             return "(" + raw.decode("ascii") + ")"
         return "<" + encipher(num, raw).hex().upper() + ">"
 
@@ -2211,7 +2254,13 @@ def write_pdf_hard(
 
     packed: list[int] = []
     if use_objstm:
-        packed = [i + 1 for i, (_, stm) in enumerate(objs) if stm is None]
+        # the encryption dictionary shall not be stored in an object
+        # stream (§7.5.7) — it must be readable before any decryption
+        packed = [
+            i + 1
+            for i, (_, stm) in enumerate(objs)
+            if stm is None and (i + 1) != enc_id
+        ]
 
     def write_obj(num: int, body: bytes, stream: bytes | None) -> None:
         entry[num] = (1, len(out), 0)
@@ -2223,9 +2272,10 @@ def write_pdf_hard(
             out.extend(b"\nendstream")
         out.extend(b"\nendobj\n")
 
+    packed_set = set(packed)
     for i, (body, stream) in enumerate(objs):
         num = i + 1
-        if use_objstm and stream is None:
+        if num in packed_set:
             continue  # goes into the object stream
         write_obj(num, body, stream)
 
@@ -2241,7 +2291,10 @@ def write_pdf_hard(
         header = " ".join(f"{num} {off}" for num, off in zip(packed, offs)).encode()
         payload = header + b"\n" + b"\n".join(bodies) + b"\n"
         first = len(header) + 1
-        data = zlib.compress(payload)
+        # the objstm CONTAINER is an ordinary stream: in an encrypted file
+        # it is ciphered under ITS OWN object key, on top of the filter
+        # (§7.5.7 / §7.6.2) — the packed bodies inside stay plaintext
+        data = encipher(objstm_id, zlib.compress(payload))
         write_obj(
             objstm_id,
             (
@@ -2265,10 +2318,19 @@ def write_pdf_hard(
             rows.append(t)
             rows += a.to_bytes(4, "big")
             rows += b.to_bytes(2, "big")
+        # the xref stream is NEVER encrypted (§7.5.8.2) — no encipher here;
+        # in an xref-stream file its dict doubles as the trailer, so
+        # /Encrypt and /ID live here
         data = zlib.compress(_png_predict_up(bytes(rows), rowlen))
+        enc_xref = (
+            f" /Encrypt {enc_id} 0 R"
+            f" /ID [ <{doc_id0.hex().upper()}> <{doc_id0.hex().upper()}> ]"
+            if enc_id is not None
+            else ""
+        )
         head = (
             f"<< /Type /XRef /Size {size} /W [1 4 2] /Index [0 {size}]"
-            f" /Root {catalog_id} 0 R /Length {len(data)}"
+            f" /Root {catalog_id} 0 R{enc_xref} /Length {len(data)}"
             f" /Filter /FlateDecode"
             f" /DecodeParms << /Predictor 12 /Columns {rowlen} >> >>"
         ).encode()

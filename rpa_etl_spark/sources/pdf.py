@@ -132,7 +132,7 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
 
 
-# doc_id % 12 → writer configuration for the adversarial corpus. Together
+# doc_id % 14 → writer configuration for the adversarial corpus. Together
 # they rotate through every structural feature the parser supports: xref
 # streams, object streams, filter chains (ASCIIHex, A85, RunLength, LZW),
 # indirect /Length, CID/ToUnicode fonts, split /Contents, plus (round 7)
@@ -140,10 +140,17 @@ def synth_invoice_pdfs(docs: DataFrame) -> DataFrame:
 # simple-font /Encoding /Differences decoding, and standard-security
 # ENCRYPTION with empty user password (the permissions-only case): RC4-40
 # (V1 R2) and AES-128-CBC (V4 R4 /AESV2, from-scratch FIPS-197 AES).
+# Round 8 adds encryption × MODERN layouts — the shape real-world
+# encrypted PDFs overwhelmingly use (PDF 1.5+: xref streams + objstms):
+# variant 12 packs objects into an encrypted objstm container (packed
+# strings plaintext per §7.5.7), variant 13 puts /Encrypt + /ID in the
+# xref stream dict (never itself encrypted, §7.5.8.2).
 # AES-256 (V5 R6) is fully supported and unit-tested (test_minipdf_hard)
-# but NOT rotated per-row here: its Algorithm 2.B KDF is a deliberate
-# ~1.4 s password-hardening cost PER FILE — real AES-256 corpora are
-# MB-sized files where that amortizes; 5000 tiny per-row PDFs are not.
+# and externally checked at FILE scale by q_pdf_extract_encrypted (multi-
+# page docs amortize the KDF); it is NOT rotated per-row here: its
+# Algorithm 2.B KDF is a deliberate ~1.4 s password-hardening cost PER
+# FILE — real AES-256 corpora are MB-sized files where that amortizes;
+# 5000 tiny per-row PDFs are not.
 HARD_VARIANTS: list[dict] = [
     {},  # 0: classic xref, FlateDecode (the write_pdf baseline shape)
     {"xref_stream": True},  # 1: PDF 1.5 xref stream (PNG Up predictor)
@@ -157,6 +164,8 @@ HARD_VARIANTS: list[dict] = [
     {"encoding_diffs": True},  # 9: WinAnsi base + /Differences remap
     {"encrypt": "rc4", "content_filter": "flate"},  # 10: RC4-40 under Flate
     {"encrypt": "aes", "content_filter": "flate"},  # 11: AES-128-CBC (AESV2)
+    {"encrypt": "rc4", "xref_stream": True, "use_objstm": True},  # 12
+    {"encrypt": "aes", "xref_stream": True},  # 13: AES-128 + xref stream
 ]
 
 
@@ -164,7 +173,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
     """Adversarial PDF corpus (round 6): same two-page invoice layout as
     ``synth_invoice_pdfs`` — so the analytic oracle is the same expression —
     but written through ``minipdf.write_pdf_hard`` with the structural
-    variant rotating on ``doc_id % 12`` (HARD_VARIANTS). Every 97th row is
+    variant rotating on ``doc_id % 14`` (HARD_VARIANTS). Every 97th row is
     still non-PDF bytes for the S3 magic gate. Arrow-batched 1→1
     mapInPandas — narrow, scan-speed at any scale."""
     from rpa_etl_spark.sources import minipdf
@@ -190,7 +199,7 @@ def synth_invoice_pdfs_hard(docs: DataFrame) -> DataFrame:
                         [prefix],
                     ]
                     content = minipdf.write_pdf_hard(
-                        pages, **HARD_VARIANTS[doc_id % 12]
+                        pages, **HARD_VARIANTS[doc_id % 14]
                     )
                 rows.append(
                     {

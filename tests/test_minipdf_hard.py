@@ -7,6 +7,7 @@ parser to the same structural feature set)."""
 from __future__ import annotations
 
 import itertools
+import re
 import random
 
 import pytest
@@ -580,11 +581,132 @@ def test_encrypted_aes_with_other_axes(extra):
     assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
 
 
-def test_encrypt_rejects_nonclassic_layouts():
+def test_encrypt_rejects_truncate_damage():
+    """encrypt + truncate_xref is unrecoverable BY DESIGN (the file key
+    needs the trailer /ID, which truncation destroys) — the writer must
+    refuse to produce a fixture whose text could never be extracted."""
     with pytest.raises(ValueError):
-        M.write_pdf_hard(DMG_PAGES, encrypt="aes", xref_stream=True)
-    with pytest.raises(ValueError):
-        M.write_pdf_hard(DMG_PAGES, encrypt="rc4", use_objstm=True)
+        M.write_pdf_hard(DMG_PAGES, encrypt="rc4", damage="truncate_xref")
+
+
+# ---- round 8: encryption × modern layouts (xref streams, object streams) --
+
+
+@pytest.mark.parametrize("enc", ["rc4", "aes", "aes256"])
+@pytest.mark.parametrize(
+    "layout",
+    [
+        {"xref_stream": True},
+        {"xref_stream": True, "use_objstm": True},
+    ],
+)
+def test_encrypted_modern_layouts_roundtrip(enc, layout):
+    """Encryption in PDF 1.5+ layouts — the shape real-world encrypted
+    PDFs overwhelmingly use. /Encrypt + /ID ride the xref STREAM dict
+    (itself never encrypted, §7.5.8.2); with objstm the container stream
+    is ciphered under its own object key while packed strings stay
+    plaintext (§7.5.7)."""
+    b = M.write_pdf_hard(DMG_PAGES, encrypt=enc, **layout)
+    assert b"NOTA" not in b  # page text is real ciphertext on disk
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+@pytest.mark.parametrize("enc", ["rc4", "aes"])
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {"content_filter": "hex+flate"},
+        {"indirect_length": True},
+        {"cid_font": True},  # encrypted ToUnicode stream + packed font dicts
+        {"split_content": True},
+        {"encoding_diffs": True},
+    ],
+)
+def test_encrypted_objstm_with_other_axes(enc, extra):
+    b = M.write_pdf_hard(
+        DMG_PAGES, encrypt=enc, xref_stream=True, use_objstm=True, **extra
+    )
+    assert M.extract_text_structured(b) == (DMG_EXPECT, 2)
+
+
+def test_encrypted_objstm_spec_corners():
+    """Pin the three §7.5.7/§7.5.8.2 layout rules the writer+parser agree
+    on: (a) the /Encrypt dictionary is NOT packed into the object stream
+    (it must be readable before any key exists — visible as a top-level
+    `N 0 obj` body containing /Standard); (b) the objstm container is
+    ciphertext (zlib cannot inflate it before decryption); (c) the xref
+    stream inflates WITHOUT any key (it is never encrypted)."""
+    import zlib as _z
+
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="rc4", use_objstm=True)
+    # (a) /Standard appears in a top-level object body, not inside a stream
+    m = re.search(rb"\d+ 0 obj\s*<<[^>]*?/Filter\s*/Standard", b)
+    assert m is not None
+    # (b)+(c): walk every stream; /ObjStm bodies must NOT inflate raw,
+    # the /XRef body MUST
+    saw_objstm = saw_xref = False
+    for sm in re.finditer(rb"<<(.*?)>>\s*stream\r?\n", b, re.S):
+        body_at = sm.end()
+        end = b.find(b"endstream", body_at)
+        raw = b[body_at:end].rstrip(b"\r\n")
+        head = sm.group(1)
+        if b"/ObjStm" in head:
+            saw_objstm = True
+            with pytest.raises(_z.error):
+                _z.decompress(raw)
+        if b"/XRef" in head:
+            saw_xref = True
+            _z.decompress(raw)  # must succeed pre-key
+    assert saw_objstm and saw_xref
+
+
+def test_encrypted_xref_stream_trailer_carries_id():
+    """The xref stream dict doubles as the trailer: /Encrypt and /ID must
+    be adopted from it or key setup never runs (round-8 parser fix)."""
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="aes", xref_stream=True)
+    doc = M.PdfDoc(b)
+    assert doc._file_key is not None
+    assert isinstance(doc.trailer.get("ID"), list)
+
+
+# ---- round-7 ADVICE regressions -------------------------------------------
+
+
+def test_inline_image_EI_without_leading_whitespace():
+    """§8.9.7 does not mandate whitespace between image data and EI: a
+    stream whose image ends '...dataEI' must still terminate the skip and
+    keep the text after it (round-7 ADVICE: the boundary-anchored search
+    alone skipped to EOF and dropped everything after the image)."""
+    stream = b"BT (A) Tj ET BI /W 1 /H 1 /BPC 8 /CS /G ID \x00\x01\x02EI BT (B) Tj ET"
+    assert M._content_text(stream, {}) == "AB"
+
+
+def test_dangling_ref_in_healthy_file_stays_cheap():
+    """A healthy file with a dangling reference (common in real PDFs)
+    resolves it to null WITHOUT building the O(file-size) scan index
+    (round-7 ADVICE: the salvage fallback made every dangling ref pay
+    for a full-file regex scan)."""
+    b = M.write_pdf_hard(DMG_PAGES)
+    doc = M.PdfDoc(b)
+    assert doc.get(M.Ref(999, 0)) is None
+    assert doc._scan_index is None  # the scan was never built
+    # a SALVAGED doc still uses the index for absent objects
+    t = b[: b.rindex(b"xref")]
+    sdoc = M.PdfDoc(t)
+    assert sdoc._salvaged and sdoc.get(M.Ref(999, 0)) is None
+
+
+def test_salvaged_encrypted_cache_is_not_ciphertext():
+    """Garbled startxref on an ENCRYPTED file: salvage rebuilds the
+    table, then key setup runs; any object cached before the key existed
+    must be dropped so strings re-read decrypted (round-7 ADVICE: the
+    post-encryption block cleared only the objstm cache)."""
+    raw = M.write_pdf_hard(DMG_PAGES, encrypt="rc4")
+    m = list(re.finditer(rb"startxref\s+(\d+)", raw))[-1]
+    corrupt = raw[: m.start(1)] + b"999999999" + raw[m.end(1) :]
+    doc = M.PdfDoc(corrupt)
+    assert doc._salvaged and doc._file_key is not None
+    assert M.extract_text(corrupt) == (DMG_EXPECT, 2)
 
 
 def test_aes256_fips197_vector():
