@@ -63,6 +63,33 @@ DEFAULT_N_MERGES = 24
 _WS_CLASS = r"[ \t\n\r\f]+"
 
 
+# ---- byte-level mode (round 8) -------------------------------------------
+# Production LLM tokenizers are BYTE-level (GPT-2 lineage): the initial
+# alphabet is the 256 bytes of the word's UTF-8 encoding, so arbitrary
+# Unicode never needs an UNK symbol. Rather than a GPT-2-style visible-
+# character bijection, a byte symbol here is its fixed-width UPPERCASE hex
+# pair ("61" for b"a"): `hex(encode(word))` exists verbatim in Spark
+# (Java) and DuckDB with identical output, so the ENTIRE marker-string
+# merge machinery — symbolization regex, pair construction, tie-break
+# ordering, REPLACE application, \x02-marker token counting — carries over
+# unchanged, including the SQL training-replay oracle. Hex is also order-
+# faithful: byte value order == hex-pair lexicographic order, so for pure
+# ASCII the byte-level tie-break matches the char-level one (the
+# equivalence property pinned in tests/test_bpe.py). Non-BMP caveat from
+# the module docstring does not apply at byte level (hex is ASCII-only).
+
+
+def _byte_syms(word: str) -> list[str]:
+    """Python twin of the engines' symbolization: UTF-8 bytes as
+    fixed-width uppercase hex pairs."""
+    h = word.encode("utf-8").hex().upper()
+    return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+
+def _symbolize(word: str, byte_level: bool) -> list[str]:
+    return _byte_syms(word) if byte_level else list(word)
+
+
 def word_frequencies(docs: DataFrame, col: str = "text") -> DataFrame:
     """Corpus word counts — the one corpus-scale pass (one keyed shuffle,
     map-side combine). Whitespace pre-tokenization, empties dropped."""
@@ -79,26 +106,38 @@ def train_bpe(
     n_merges: int = DEFAULT_N_MERGES,
     top_words: int | None = DEFAULT_TOP_WORDS,
     col: str = "text",
+    byte_level: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Train a BPE merge table on the corpus; returns
     ``[(left, right, pair_count), ...]`` in rank order (may be shorter than
-    ``n_merges`` if the vocabulary exhausts its pairs).
+    ``n_merges`` if the vocabulary exhausts its pairs). ``byte_level``
+    symbolizes words as UTF-8 hex byte pairs (GPT-2-style no-UNK alphabet)
+    instead of characters.
 
     Distributed counting → bounded top-K collect → driver merge loop (see
     module docstring for the scale argument).
 
+    AT 100 TB: prefer :func:`train_bpe_distributed`. ``top_words=None``
+    here collects the FULL word-frequency table to the driver — its
+    cardinality is the corpus's distinct-word count, which at web scale is
+    10⁷–10⁸ rows (a multi-GB driver collect). The distributed trainer is
+    output-identical (property-tested) with O(1) driver memory at any
+    vocabulary size; this loop's advantage is latency on small/bounded
+    vocabularies (measured crossover in SCALE.md §11).
+
     ``top_words`` is a MEASURED knob, not a hard constant (round-6 verdict
-    #4): ``None`` collects the FULL word-frequency table — still just the
-    output of one keyed aggregate, whose cardinality is the corpus's
-    distinct-word count, not its size. SCALE.md §11 records the measured
-    merge-table delta and timing of full-vocab vs top-4096 at sf0.1; the
-    driver loop is O(vocab · merges) either way, and pair counts ride on
-    word frequencies, so the default cutoff only drops the Zipf tail."""
+    #4): ``None`` trains on the full vocabulary — still just the output of
+    one keyed aggregate. SCALE.md §11 records the measured merge-table
+    delta and timing of full-vocab vs top-4096 at sf0.1; the driver loop
+    is O(vocab · merges) either way, and pair counts ride on word
+    frequencies, so the default cutoff only drops the Zipf tail."""
     wf = word_frequencies(docs, col)
     if top_words is not None:
         wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(top_words)
     top = wf.collect()
-    vocab: list[tuple[list[str], int]] = [(list(r["word"]), int(r["freq"])) for r in top]
+    vocab: list[tuple[list[str], int]] = [
+        (_symbolize(r["word"], byte_level), int(r["freq"])) for r in top
+    ]
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -136,6 +175,7 @@ def train_bpe_distributed(
     n_merges: int = DEFAULT_N_MERGES,
     top_words: int | None = None,
     col: str = "text",
+    byte_level: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Fully distributed Sennrich trainer — the 100 TB upgrade path over
     :func:`train_bpe`'s driver merge loop (SCALE.md §11): the vocabulary
@@ -166,11 +206,15 @@ def train_bpe_distributed(
     # (?s) DOTALL: Java-regex '.' excludes line terminators (U+2028,
     # U+2029, U+0085) that the pinned whitespace class deliberately does
     # NOT split on — without the flag such a char stays unsymbolized and
-    # the output diverges from train_bpe's list(word)
+    # the output diverges from train_bpe's list(word). Byte level instead
+    # symbolizes the UTF-8 hex encoding two digits at a time — pure ASCII,
+    # no DOTALL concern (see the byte-level block above).
+    sym_src = (
+        F.hex(F.encode(F.col("word"), "UTF-8")) if byte_level else F.col("word")
+    )
+    sym_pat = r"(..)" if byte_level else r"(?s)(.)"
     cur = wf.select(
-        F.concat(
-            F.regexp_replace(F.col("word"), r"(?s)(.)", _SYM + r"$1 ")
-        ).alias("s"),
+        F.concat(F.regexp_replace(sym_src, sym_pat, _SYM + r"$1 ")).alias("s"),
         "freq",
     ).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
@@ -228,11 +272,13 @@ def train_bpe_distributed(
     return merges
 
 
-def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+def apply_merges(
+    word: str, merges: list[tuple[str, str]], byte_level: bool = False
+) -> list[str]:
     """Sequential Sennrich application: each merge in rank order, one
     left-to-right non-overlapping pass. Exactly the semantics the oracle's
     REPLACE chain replays."""
-    syms = list(word)
+    syms = _symbolize(word, byte_level)
     for left, right in merges:
         if len(syms) < 2:
             break
@@ -255,6 +301,7 @@ def attach_bpe_tokens(
     col: str = "text",
     id_col: str = "doc_id",
     carry: list[str] | None = None,
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-document BPE stats via one Arrow-batched mapInPandas crossing:
     ``(id_col, *carry, n_words, n_tokens)`` — ``carry`` columns pass
@@ -283,7 +330,7 @@ def attach_bpe_tokens(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         @lru_cache(maxsize=65536)
         def count_word(w: str) -> int:
-            return len(apply_merges(w, pairs))
+            return len(apply_merges(w, pairs, byte_level))
 
         for pdf in batches:
             n_words, n_tokens = [], []
@@ -312,7 +359,16 @@ def attach_bpe_tokens(
 # =========================================================================
 
 
-def _common_ctes(n_merges: int, top_words: int) -> str:
+def _sym_sql(expr: str, byte_level: bool) -> str:
+    """SQL symbolization of one word expression: chars, or UTF-8 hex byte
+    pairs (byte level) — DuckDB's hex(encode(..)) matches Spark's
+    hex(encode(..)) byte for byte (both uppercase, both UTF-8)."""
+    if byte_level:
+        return f"regexp_replace(hex(encode({expr})), '(..)', chr(2) || '\\1 ', 'g')"
+    return f"regexp_replace({expr}, '(.)', chr(2) || '\\1 ', 'g')"
+
+
+def _common_ctes(n_merges: int, top_words: int, byte_level: bool = False) -> str:
     parts = [
         "toks AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(text,"
         " '[ \\t\\n\\r\\f]+'), w -> w <> '') AS words FROM documents)",
@@ -320,8 +376,7 @@ def _common_ctes(n_merges: int, top_words: int) -> str:
         " FROM toks, UNNEST(words) AS t(w) GROUP BY w)",
         f"top AS MATERIALIZED (SELECT word, freq FROM wf ORDER BY freq DESC, word ASC"
         f" LIMIT {top_words})",
-        "it0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', chr(2) || '\\1 ',"
-        " 'g') AS s, freq FROM top)",
+        f"it0 AS MATERIALIZED (SELECT {_sym_sql('word', byte_level)} AS s, freq FROM top)",
     ]
     for k in range(n_merges):
         parts.append(
@@ -343,15 +398,18 @@ def _common_ctes(n_merges: int, top_words: int) -> str:
 
 
 def bpe_train_oracle_sql(
-    n_merges: int = DEFAULT_N_MERGES, top_words: int = DEFAULT_TOP_WORDS
+    n_merges: int = DEFAULT_N_MERGES,
+    top_words: int = DEFAULT_TOP_WORDS,
+    byte_level: bool = False,
 ) -> str:
-    """Oracle for q_bpe_train: the full training replay; final SELECT emits
-    (rank, left, right, merged, pair_count)."""
+    """Oracle for q_bpe_train / q_bpe_train_bytes: the full training
+    replay; final SELECT emits (rank, left, right, merged, pair_count) —
+    symbols are chars, or uppercase hex byte pairs at byte level."""
     union = "\n        UNION ALL ".join(
         f"SELECT {k} AS rank, pair, f FROM m{k}" for k in range(n_merges)
     )
     return f"""
-    WITH {_common_ctes(n_merges, top_words)},
+    WITH {_common_ctes(n_merges, top_words, byte_level)},
     merges AS ({union})
     SELECT CAST(rank AS INT) AS rank,
            REPLACE(string_split(pair, ' ')[1], chr(2), '') AS left_sym,
@@ -362,7 +420,9 @@ def bpe_train_oracle_sql(
     """
 
 
-def _apply_chain_ctes(n_merges: int, top_words: int) -> str:
+def _apply_chain_ctes(
+    n_merges: int, top_words: int, byte_level: bool = False
+) -> str:
     """Training replay + chained-REPLACE application, ending in a CTE
     ``bpe_counts(doc_id, n_words, n_tokens)`` — the shared building block
     for every oracle that consumes real token counts."""
@@ -377,12 +437,12 @@ def _apply_chain_ctes(n_merges: int, top_words: int) -> str:
         )
         prev = f"a{k}"
     chain = ",\n    ".join(apply_chain)
-    return f"""{_common_ctes(n_merges, top_words)},
+    return f"""{_common_ctes(n_merges, top_words, byte_level)},
     docsyms AS MATERIALIZED (
         SELECT doc_id,
                CAST(len(words) AS INT) AS n_words,
                array_to_string(list_transform(words,
-                   w -> regexp_replace(w, '(.)', chr(2) || '\\1 ', 'g')),
+                   w -> {_sym_sql('w', byte_level)}),
                    chr(3) || ' ') AS s
         FROM toks
     ),
@@ -395,12 +455,14 @@ def _apply_chain_ctes(n_merges: int, top_words: int) -> str:
 
 
 def bpe_tokenize_oracle_sql(
-    n_merges: int = DEFAULT_N_MERGES, top_words: int = DEFAULT_TOP_WORDS
+    n_merges: int = DEFAULT_N_MERGES,
+    top_words: int = DEFAULT_TOP_WORDS,
+    byte_level: bool = False,
 ) -> str:
-    """Oracle for q_bpe_tokenize: training replay + chained-REPLACE
-    application over word-boundary-safe marker strings; emits
-    (doc_id, n_words, n_tokens)."""
+    """Oracle for q_bpe_tokenize / q_bpe_tokenize_bytes: training replay +
+    chained-REPLACE application over word-boundary-safe marker strings;
+    emits (doc_id, n_words, n_tokens)."""
     return f"""
-    WITH {_apply_chain_ctes(n_merges, top_words)}
+    WITH {_apply_chain_ctes(n_merges, top_words, byte_level)}
     SELECT doc_id, n_words, n_tokens FROM bpe_counts
     """

@@ -385,3 +385,71 @@ def q_pdf_extract_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         "extraction_method",
     )
+
+
+@query(
+    "q_pdf_extract_encrypted",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               CAST(doc_id % 6 AS INT) AS bucket,
+               trim(regexp_replace(substr(text, 1, 64),
+                                   '[ \t\n\r\f\v]+', ' ', 'g')) AS prefix
+        FROM documents
+        WHERE doc_id < 48
+    ),
+    files AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS INT) AS page_count,
+               string_agg('DOC ' || CAST(doc_id AS VARCHAR) || ': ' || prefix,
+                          chr(10) ORDER BY doc_id) AS extracted
+        FROM src
+        GROUP BY bucket
+    )
+    SELECT bucket,
+           page_count,
+           extracted,
+           CAST(length(extracted) AS INT) AS n_chars,
+           'minipdf' AS extraction_method
+    FROM files
+    """,
+)
+def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES-256 (/V 5 /R 6 /AESV3) under the EXTERNAL oracle at FILE scale
+    (round-8 verdict ask #2). The per-row hard corpus deliberately excludes
+    AES-256 — its ISO 32000-2 Algorithm 2.B KDF is a ~1.5 s-per-call
+    password-hardening hash that cannot amortize on tiny per-row PDFs — so
+    this query builds the corpus shape AES-256 actually ships in: SIX
+    multi-page documents (docs 0-47 bucketed by doc_id % 6, one page per
+    document), written once per bucket and parsed back through the full
+    live KDF path (_hash_2b validates /U, /UE unwraps the file key,
+    AES-256-CBC decrypts every stream). The oracle reconstructs each
+    file's text analytically with an ordered string_agg, so a wrong page
+    order, dropped page, or decryption defect hash-mismatches. Plan: scan
+    → filter (48 rows) → ONE fixture-sized keyed shuffle (groupBy bucket,
+    6 groups) → applyInPandas(write) → mapInPandas(extract); the shuffle
+    is over the fixture rows only — corpus-size-independent — and the six
+    reader KDF runs execute in parallel, one per task. Reference parity:
+    PyMuPDF opens AES-256 files natively (robot/pdf_reader.py:23-58)."""
+    from rpa_etl_spark.sources import pdf as P
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 48)
+        .select(
+            (F.col("doc_id") % 6).cast("int").alias("bucket"),
+            "doc_id",
+            "text",
+        )
+    )
+    extracted = P.extract_pdf_text(
+        P.validate_pdf_ingress(P.synth_encrypted_pdfs(docs)),
+        force_minipdf=True,
+    )
+    return extracted.select(
+        F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("int").alias("bucket"),
+        "page_count",
+        F.col("text").alias("extracted"),
+        F.length("text").alias("n_chars"),
+        "extraction_method",
+    )

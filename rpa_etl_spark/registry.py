@@ -65,9 +65,12 @@ PRIORITY_ORDER = [
     #    (9f88aa1) postdates its last external green (r5).
     "q_pdf_extract_hard",
     "q_pdf_extract",
+    "q_pdf_extract_encrypted",  # NEW round 8 (AES-256 at file scale)
     "q_bpe_train_distributed",  # NEW round 7 (distributed Sennrich trainer)
     "q_bpe_train",
     "q_bpe_tokenize",
+    "q_bpe_train_bytes",  # NEW round 8 (byte-level / no-UNK mode)
+    "q_bpe_tokenize_bytes",  # NEW round 8
     "q_pack_sequences_bpe",
     "q_domain_mix_bpe",
     "q_ann_ivf_trained",

@@ -1898,6 +1898,33 @@ _HARD_FILTERS: dict[str, tuple[str, object]] = {
 }
 
 
+# Precomputed ISO 32000-2 Algorithm 2.B outputs for the WRITER's fixed
+# fixture salts (see the aes256 branch in write_pdf_hard): the KDF is a
+# deliberate ~1.5 s password-hardening hash, and recomputing these four
+# pure-constant values in every Spark worker process would make fixture
+# SYNTHESIS (not parsing) the dominant cost of the AES-256 queries. The
+# reader never touches this table — it always runs the live KDF. Pinned
+# against _hash_2b in tests/test_minipdf_hard.py.
+_FIXTURE_2B: dict[str, bytes] = {
+    # _hash_2b(b"", md5(b"uvs-minipdf-fixture")[:8])
+    "uvs": bytes.fromhex(
+        "575943e99003afe8fc3955b310e3f03316b0409fe54eaf570461a04a5a115146"
+    ),
+    # _hash_2b(b"", md5(b"uks-minipdf-fixture")[:8])
+    "uks": bytes.fromhex(
+        "04f429376968f2a84ecc8c59b71e58849d9d7c31e2407c3f0dff427ed7d3fbd0"
+    ),
+    # _hash_2b(b"", md5(b"ovs-minipdf-fixture")[:8], u_entry)
+    "ovs": bytes.fromhex(
+        "a3cda8c9348dec637ab8cfe644255f0a3651bc609be385eeb583d5f340177e5f"
+    ),
+    # _hash_2b(b"", md5(b"oks-minipdf-fixture")[:8], u_entry)
+    "oks": bytes.fromhex(
+        "0ec9c84bbc744bf65257fb1a836b3bf96f26f929fa8b2c11811f1cbee7d5bb62"
+    ),
+}
+
+
 def write_pdf_hard(
     pages: list[list[str]],
     *,
@@ -2057,19 +2084,20 @@ def write_pdf_hard(
         doc_id0 = hashlib.md5(repr(pages).encode()).digest()
         file_key = hashlib.sha256(b"fk" + doc_id0).digest()
         # salts are FIXED fixture constants (not per-document): the KDF is
-        # a ~1.4 s password-hardening hash, and shared salts let the
-        # lru_cache amortize it to once per process — the same-producer
-        # pattern real corpora show. The FILE key stays per-document.
+        # a ~1.5 s password-hardening hash, so the four writer-side 2.B
+        # values are PRECOMPUTED literals (_FIXTURE_2B, pure functions of
+        # these salts — pinned against the live KDF in test_minipdf_hard).
+        # The FILE key stays per-document, and the READER still runs the
+        # real Algorithm 2.B KDF to validate /U and unwrap /UE: only the
+        # fixture-construction cost is skipped, never the parsing work.
         uvs = hashlib.md5(b"uvs-minipdf-fixture").digest()[:8]
         uks = hashlib.md5(b"uks-minipdf-fixture").digest()[:8]
-        u_entry = _hash_2b(b"", uvs) + uvs + uks
-        v5["UE"] = _aes_cbc_raw(_hash_2b(b"", uks), bytes(16), file_key, False)
+        u_entry = _FIXTURE_2B["uvs"] + uvs + uks
+        v5["UE"] = _aes_cbc_raw(_FIXTURE_2B["uks"], bytes(16), file_key, False)
         ovs = hashlib.md5(b"ovs-minipdf-fixture").digest()[:8]
         oks = hashlib.md5(b"oks-minipdf-fixture").digest()[:8]
-        o_entry = _hash_2b(b"", ovs, u_entry) + ovs + oks
-        v5["OE"] = _aes_cbc_raw(
-            _hash_2b(b"", oks, u_entry), bytes(16), file_key, False
-        )
+        o_entry = _FIXTURE_2B["ovs"] + ovs + oks
+        v5["OE"] = _aes_cbc_raw(_FIXTURE_2B["oks"], bytes(16), file_key, False)
         perms_blk = (
             (enc_p & 0xFFFFFFFF).to_bytes(4, "little")
             + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"mini"

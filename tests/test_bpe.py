@@ -177,3 +177,58 @@ def test_bpe_distributed_symbolizes_line_separator(spark):
     assert B.train_bpe_distributed(docs, n_merges=3) == B.train_bpe(
         docs, n_merges=3, top_words=None
     )
+
+
+# ---- byte-level mode (round 8) --------------------------------------------
+
+
+def test_byte_syms_bijection_and_order():
+    """Hex-pair symbolization is lossless and order-faithful: joining the
+    pairs re-decodes to the word, and for ASCII the pair order mirrors
+    char order (the property the shared tie-break relies on)."""
+    for w in ["lower", "aB9!", "ação", "naïve", " x"]:
+        syms = B._byte_syms(w)
+        assert bytes.fromhex("".join(syms)).decode("utf-8") == w
+        assert all(len(s) == 2 and s == s.upper() for s in syms)
+    assert B._byte_syms("a") < B._byte_syms("b") < B._byte_syms("z")
+
+
+def test_byte_level_equals_char_level_on_pure_ascii(spark):
+    """On a pure-ASCII corpus every char is one byte, so the byte-level
+    trainer must produce EXACTLY the char-level merge table under the
+    hex bijection — same ranks, same counts."""
+    rows = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "new newer newest", "wide wider", "low low new"]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    char_m = B.train_bpe(docs, n_merges=10, top_words=None)
+    byte_m = B.train_bpe(docs, n_merges=10, top_words=None, byte_level=True)
+    def unhex(s: str) -> str:
+        return bytes.fromhex(s).decode("ascii")
+    assert [(unhex(l), unhex(r), c) for l, r, c in byte_m] == char_m
+    # and token counts agree per document
+    a = {r["doc_id"]: r["n_tokens"] for r in B.attach_bpe_tokens(
+        docs, char_m).collect()}
+    b = {r["doc_id"]: r["n_tokens"] for r in B.attach_bpe_tokens(
+        docs, byte_m, byte_level=True).collect()}
+    assert a == b
+
+
+def test_byte_level_distributed_equals_driver_loop(spark):
+    """The distributed trainer honors byte_level identically — including
+    multi-byte UTF-8 words, where a char is 2+ byte symbols."""
+    rows = [(1, "ação ação ação nação"), (2, "maçã maçã"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    drv = B.train_bpe(docs, n_merges=6, top_words=None, byte_level=True)
+    dist = B.train_bpe_distributed(docs, n_merges=6, byte_level=True)
+    assert drv == dist and len(drv) == 6
+
+
+def test_byte_level_multibyte_no_unk():
+    """Non-ASCII chars decompose into byte symbols instead of needing an
+    UNK: 'ç' (C3 A7) starts as two symbols, and applying its merge
+    reassembles it — apply_merges stays lossless at byte level."""
+    merges = [("C3", "A7")]
+    syms = B.apply_merges("ço", merges, byte_level=True)
+    assert syms == ["C3A7", "6F"]
+    assert bytes.fromhex("".join(syms)).decode("utf-8") == "ço"

@@ -775,3 +775,20 @@ def test_lzw_with_png_predictor_filter():
         enc, "LZWDecode", {"Predictor": 12, "Columns": rowlen}
     )
     assert out == raw
+
+
+def test_fixture_2b_constants_match_live_kdf():
+    """The writer's precomputed Algorithm 2.B fixture constants must equal
+    the live KDF's output for the fixed salts — if _hash_2b or the salts
+    ever change, this catches the drift (~6 s: four real KDF runs)."""
+    import hashlib
+
+    uvs = hashlib.md5(b"uvs-minipdf-fixture").digest()[:8]
+    uks = hashlib.md5(b"uks-minipdf-fixture").digest()[:8]
+    ovs = hashlib.md5(b"ovs-minipdf-fixture").digest()[:8]
+    oks = hashlib.md5(b"oks-minipdf-fixture").digest()[:8]
+    assert M._FIXTURE_2B["uvs"] == M._hash_2b(b"", uvs)
+    assert M._FIXTURE_2B["uks"] == M._hash_2b(b"", uks)
+    u_entry = M._FIXTURE_2B["uvs"] + uvs + uks
+    assert M._FIXTURE_2B["ovs"] == M._hash_2b(b"", ovs, u_entry)
+    assert M._FIXTURE_2B["oks"] == M._hash_2b(b"", oks, u_entry)

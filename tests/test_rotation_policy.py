@@ -46,6 +46,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/asof.py": ["q_join_asof"],
     "rpa_etl_spark/operators/bpe.py": [
         "q_bpe_train", "q_bpe_train_distributed", "q_bpe_tokenize",
+        "q_bpe_train_bytes", "q_bpe_tokenize_bytes",
         "q_pack_sequences_bpe", "q_domain_mix_bpe",
     ],
     "rpa_etl_spark/operators/components.py": ["q_dedup_clusters"],
@@ -64,13 +65,17 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/udtf_blocks.py": ["q_chunk_documents"],
     "rpa_etl_spark/operators/zorder.py": ["q_zorder_code"],
     "rpa_etl_spark/sources/jpeg.py": ["q_multimodal_decode", "q_multimodal_mjpeg"],
-    "rpa_etl_spark/sources/minipdf.py": ["q_pdf_extract", "q_pdf_extract_hard"],
+    "rpa_etl_spark/sources/minipdf.py": [
+        "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
+    ],
     "rpa_etl_spark/sources/multimodal.py": [
         "q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames",
         "q_multimodal_audio", "q_multimodal_png", "q_multimodal_resize",
         "q_multimodal_mjpeg",
     ],
-    "rpa_etl_spark/sources/pdf.py": ["q_pdf_extract", "q_pdf_extract_hard"],
+    "rpa_etl_spark/sources/pdf.py": [
+        "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
+    ],
     "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip"],
     "rpa_etl_spark/functions/exprs.py": ["q_parse_invoice"],
     "rpa_etl_spark/functions/parsing.py": ["q_parse_invoice"],
