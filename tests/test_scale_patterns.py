@@ -174,3 +174,74 @@ def test_spread_sizes_to_cpu_parallelism(spark, sf_dir):
         pytest.skip("scan partitions already >= defaultParallelism")
     assert spread(docs).rdd.getNumPartitions() == n_cpu
     assert spread(docs, "doc_id").rdd.getNumPartitions() == n_cpu
+
+
+def test_ivf_sqrt_cells_recall_gate(spark):
+    """The q_ann_ivf_trained docstring's production-sizing claim as a
+    machine gate (round-8 verdict ask #3): with n_cells ~ sqrt(N) on
+    clustered corpora of scale-free geometry (sqrt(N) clusters of sqrt(N)
+    points), recall at FIXED n_probe holds as the corpus grows 4x while
+    candidates/query grow only ~2x (=sqrt(4); brute force grows 4x). The
+    full-size probe (N=2048/8192, with timings) runs in
+    tools/scaling_probe.py; this is the same geometry at suite-friendly
+    sizes. Uniform-corpus honesty note lives in the probe docstring and
+    SCALE.md §10: on uniform vectors recall tracks probed fraction — a
+    data property no index sizing beats."""
+    import math
+
+    import numpy as np
+
+    from rpa_etl_spark.operators import similarity as SIM
+
+    DIM, N_PROBE = 64, 4
+    stats = {}
+    for n in (512, 2048):
+        n_cells = int(math.isqrt(n))
+        per = n // n_cells
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(n_cells, DIM))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = [
+            (
+                int(c * per + j),
+                [float(x) for x in centers[c] + 0.05 * rng.normal(size=DIM)],
+            )
+            for c in range(n_cells)
+            for j in range(per)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = corpus.where(F.col("vec_id") % per == 0)
+        cb = SIM.train_ivf_codebook(corpus, DIM, n_cells=n_cells, iters=3)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.brute_force_topk(corpus, queries, k=10).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(
+                corpus, queries, DIM, k=10, n_cells=n_cells,
+                n_probe=N_PROBE, codebook=cb,
+            ).collect()
+        }
+        sizes = {
+            r["cell"]: r["n"]
+            for r in corpus.select(
+                F.element_at(
+                    SIM._nearest_cells_kernel(cb, 1)(F.col("embedding")), 1
+                ).alias("cell")
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        probed = queries.select(
+            F.explode(
+                SIM._nearest_cells_kernel(cb, N_PROBE)(F.col("embedding"))
+            ).alias("cell")
+        ).collect()
+        cand = sum(sizes.get(r["cell"], 0) for r in probed) / queries.count()
+        stats[n] = (len(got & truth) / len(truth), cand)
+    (rec_s, cand_s), (rec_b, cand_b) = stats[512], stats[2048]
+    assert rec_b >= 0.85 and rec_b >= rec_s - 0.05, f"recall {rec_s} -> {rec_b}"
+    ratio = cand_b / cand_s
+    assert ratio <= 2.6, f"candidates/query grew {ratio:.2f}x at 4x data"

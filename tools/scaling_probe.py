@@ -119,6 +119,8 @@ def main() -> None:
         results[q] = (t1, t5, t5 / t1 if t1 > 0 else float("nan"))
         print(f"{q:24s}  sf0.1 {t1:6.2f}s   {COPIES}x {t5:6.2f}s   ratio {t5/t1:5.2f}")
 
+    ivf = ivf_sqrt_cells_probe(spark)
+
     ratios = sorted(r for _, _, r in results.values())
     med = ratios[len(ratios) // 2]
     print(
@@ -127,6 +129,7 @@ def main() -> None:
                 "data_ratio": float(COPIES),
                 "median_time_ratio": round(med, 2),
                 "queries": {q: [round(a, 2), round(b, 2), round(r, 2)] for q, (a, b, r) in results.items()},
+                "ivf_sqrt_probe": ivf,
             },
             separators=(",", ":"),
         )
@@ -136,3 +139,105 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def ivf_sqrt_cells_probe(spark) -> dict:
+    """Round-8 verdict ask #3: measure `ivf_topk` under its PRODUCTION
+    sizing — n_cells ~ √N — at two corpus scales and test the scaling
+    claim the q_ann_ivf_trained docstring makes.
+
+    Data honesty note (recorded in SCALE.md §10): on the ~uniform synthetic
+    `embeddings` table, recall tracks the probed CORPUS FRACTION — no index
+    sizing holds recall with sub-linear candidates on uniform vectors, which
+    is a property of the data, not the index (measured: recall 0.73 at
+    36% probed / N=500 vs 0.76 at 37% / N=2000). The probe therefore uses
+    CLUSTERED corpora (the case IVF exists for) with scale-free geometry:
+    √N clusters of √N points each, same dispersion at both scales. The
+    claim under test: with n_cells=√N and FIXED n_probe, recall holds as N
+    grows 4x while candidates/query grow only ~2x (=√4, vs 4x for brute
+    force)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators import similarity as SIM
+
+    DIM, K_TOP, N_PROBE = 64, 10, 4
+    out = {}
+    for n in (2048, 8192):
+        n_cells = int(math.isqrt(n))
+        per = n // n_cells
+        rng = np.random.default_rng(7)  # same family at both scales
+        centers = rng.normal(size=(n_cells, DIM))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = [
+            (
+                int(c * per + j),
+                [float(x) for x in centers[c] + 0.05 * rng.normal(size=DIM)],
+            )
+            for c in range(n_cells)
+            for j in range(per)
+        ]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(32)
+        corpus.cache().count()
+        queries = corpus.where(F.col("vec_id") % per == 0)  # one per cluster
+        cb = SIM.train_ivf_codebook(corpus, DIM, n_cells=n_cells, iters=4)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.brute_force_topk(corpus, queries, k=K_TOP).collect()
+        }
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(
+                corpus, queries, DIM, k=K_TOP, n_cells=n_cells,
+                n_probe=N_PROBE, codebook=cb,
+            ).collect()
+        }
+        ivf_sec = time.time() - t0
+        recall = len(got & truth) / len(truth)
+        sizes = {
+            r["cell"]: r["n"]
+            for r in corpus.select(
+                F.element_at(
+                    SIM._nearest_cells_kernel(cb, 1)(F.col("embedding")), 1
+                ).alias("cell")
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        probed = queries.select(
+            F.explode(
+                SIM._nearest_cells_kernel(cb, N_PROBE)(F.col("embedding"))
+            ).alias("cell")
+        ).collect()
+        n_q = queries.count()
+        cand = sum(sizes.get(r["cell"], 0) for r in probed) / n_q
+        corpus.unpersist()
+        out[n] = {
+            "n_cells": n_cells,
+            "recall": round(recall, 3),
+            "cand_per_query": round(cand, 1),
+            "ivf_sec": round(ivf_sec, 2),
+        }
+        print(
+            f"ivf_sqrt_probe N={n} cells={n_cells} probe={N_PROBE} "
+            f"recall={recall:.3f} cand/q={cand:.0f} sec={ivf_sec:.2f}"
+        )
+    small, big = out[2048], out[8192]
+    cand_ratio = big["cand_per_query"] / small["cand_per_query"]
+    out["cand_ratio_at_4x"] = round(cand_ratio, 2)
+    # the gates the docstring claim must survive
+    assert big["recall"] >= 0.85, f"recall degraded at 4x: {big['recall']}"
+    assert big["recall"] >= small["recall"] - 0.05, (
+        f"recall not stable: {small['recall']} -> {big['recall']}"
+    )
+    assert cand_ratio <= 2.6, (
+        f"candidates/query grew {cand_ratio:.2f}x at 4x data — not ~sqrt"
+    )
+    print(json.dumps({"ivf_sqrt_probe": out}, separators=(",", ":")))
+    return out
