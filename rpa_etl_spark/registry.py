@@ -54,70 +54,34 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1a (9): NEW or plan/kernel/oracle CHANGED in round 7 — no external
-    #    verdict in their current form; must be in the ~50-query sample.
-    #    q_pdf_extract_hard: variants now rotate %12 (salvage x2,
-    #    /Differences, RC4 + AES-128 encryption); q_pdf_extract: parser
-    #    offset-healing path;
-    #    q_bpe_*: whitespace-class + NULL-kernel fix (engine AND oracle);
-    #    q_ann_ivf_trained: corpus broadcast hint dropped;
-    #    q_dedup_incremental: round-6 verdict #2 — its -1-sentinel rework
-    #    (9f88aa1) postdates its last external green (r5).
+    # == tier 1a (19): NEW or plan/kernel/oracle CHANGED in round 8 — no
+    #    external verdict in their current form; must be in the ~50-query
+    #    sample. PDF trio: 14-variant corpus (encrypt x modern layouts) +
+    #    the new AES-256 file-scale query; BPE family: byte-level mode
+    #    touched operators/bpe.py (two NEW byte queries + five kernel
+    #    consumers); q_ann_ivf_trained: docstring now cites the measured
+    #    sqrt-N probe; multimodal family: sources/multimodal.py gained the
+    #    MPEG-1 surface (one NEW query + seven kernel consumers).
     "q_pdf_extract_hard",
     "q_pdf_extract",
-    "q_pdf_extract_encrypted",  # NEW round 8 (AES-256 at file scale)
-    "q_bpe_train_distributed",  # NEW round 7 (distributed Sennrich trainer)
+    "q_pdf_extract_encrypted",
+    "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",
-    "q_bpe_train_bytes",  # NEW round 8 (byte-level / no-UNK mode)
-    "q_bpe_tokenize_bytes",  # NEW round 8
+    "q_bpe_train_bytes",
+    "q_bpe_tokenize_bytes",
     "q_pack_sequences_bpe",
     "q_domain_mix_bpe",
     "q_ann_ivf_trained",
-    "q_dedup_incremental",
-    # == tier 1b (39): last driver-green in ROUND 4 (3 rounds stale) ==
-    "q_chunk_documents",
-    "q_contamination",
-    "q_corr_stats",
-    "q_daily_kpis",
-    "q_date_funcs",
-    "q_dedup_clusters",
-    "q_dedup_lines",
-    "q_domain_mix",
-    "q_embedding_quantize",
-    "q_entropy",
-    "q_event_sequence",
-    "q_explode_outer",
-    "q_flagship",
-    "q_join_asof",
-    "q_join_skew_salted",
-    "q_mode",
-    "q_multimodal_audio",
+    "q_multimodal_mpeg_iframes",
+    "q_multimodal_meta",
     "q_multimodal_decode",
     "q_multimodal_frames",
+    "q_multimodal_audio",
     "q_multimodal_png",
-    "q_normalize_docs",
-    "q_not_in_null_semantics",
-    "q_pack_sequences",
-    "q_parse_invoice",
-    "q_percentile_disc",
-    "q_quality_cascade",
-    "q_set_ops_all",
-    "q_sim_topk",
-    "q_sink_roundtrip",
-    "q_text_stats",
-    "q_time_weighted_avg",
-    "q_trust_score",
-    "q_try_arith",
-    "q_url_parse",
-    "q_user_totals_state",
-    "q_window_lead_lag",
-    "q_window_rank_ties",
-    "q_wordcount",
-    "q_zorder_code",
-    # == tier 2 (47): last driver-green in ROUND 5 (2 rounds stale) ==
-    "q_agg_group",
-    "q_array_funcs",
+    "q_multimodal_resize",
+    "q_multimodal_mjpeg",
+    # == last driver-green in ROUND 5 (44) ==
     "q_bm25",
     "q_cnpj_valid",
     "q_corpus_drift",
@@ -146,7 +110,6 @@ PRIORITY_ORDER = [
     "q_lang_quality",
     "q_map_funcs",
     "q_monetary_br",
-    "q_multimodal_resize",
     "q_nfe_key_valid",
     "q_ngram_novelty",
     "q_pivot",
@@ -163,16 +126,16 @@ PRIORITY_ORDER = [
     "q_topk",
     "q_unigram_logprob",
     "q_url_dedup",
-    # == tier 3 (44): green in ROUND 6 — freshest, cheapest to defer ==
-    "q_multimodal_mjpeg",
-    "q_decimal_math",
+    # == last driver-green in ROUND 6 (42) ==
+    "q_agg_skew_salted",
+    "q_ann_ivf",
+    "q_ann_lsh",
     "q_approx_count_distinct",
-    "q_unpivot",
-    "q_window_ntile",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_window_running_sum",
+    "q_argmax",
+    "q_array_agg",
     "q_audit_events",
+    "q_case_routing",
+    "q_decimal_math",
     "q_dedup_embedding",
     "q_embedding_centroid",
     "q_funnel",
@@ -182,7 +145,6 @@ PRIORITY_ORDER = [
     "q_hll_sketch_merge",
     "q_lateral_topk",
     "q_merge_upsert",
-    "q_multimodal_meta",
     "q_outlier_zscore",
     "q_payload_analytics",
     "q_payload_erp",
@@ -201,13 +163,51 @@ PRIORITY_ORDER = [
     "q_tpch_q21_shape",
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
+    "q_unpivot",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running_sum",
     "q_window_value_funcs",
-    "q_agg_skew_salted",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_argmax",
-    "q_array_agg",
-    "q_case_routing",
+    # == last driver-green in ROUND 7 (38) ==
+    "q_agg_group",
+    "q_array_funcs",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_corr_stats",
+    "q_daily_kpis",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_dedup_lines",
+    "q_domain_mix",
+    "q_embedding_quantize",
+    "q_entropy",
+    "q_event_sequence",
+    "q_explode_outer",
+    "q_flagship",
+    "q_join_asof",
+    "q_join_skew_salted",
+    "q_mode",
+    "q_normalize_docs",
+    "q_not_in_null_semantics",
+    "q_pack_sequences",
+    "q_parse_invoice",
+    "q_percentile_disc",
+    "q_quality_cascade",
+    "q_set_ops_all",
+    "q_sim_topk",
+    "q_sink_roundtrip",
+    "q_text_stats",
+    "q_time_weighted_avg",
+    "q_trust_score",
+    "q_try_arith",
+    "q_url_parse",
+    "q_user_totals_state",
+    "q_window_lead_lag",
+    "q_window_rank_ties",
+    "q_wordcount",
+    "q_zorder_code",
 ]
 
 

@@ -1006,3 +1006,98 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=BMP_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL temporal codec: MPEG-1 video (intra path) — sources/mpeg1.py. The
+# keyframe-sampling use case the "temporal codec" boundary used to stub:
+# a genuine I/P elementary stream per row, I-frames decoded through the
+# full intra toolchain (Table B.5 VLCs, dequant + mismatch control, IDCT,
+# 4:2:0, YCbCr), P payloads skipped by start-code scan — never parsed.
+# Motion compensation stays out of scope (README capability table).
+# ---------------------------------------------------------------------------
+
+
+def synth_mpeg1_video(media_id: int, n_frames: int = 6, width: int = 16,
+                      height: int = 16) -> bytes:
+    """Deterministic MPEG-1 stream keyed by id: frame f is SOLID GRAY with
+    value (media_id + 37*f) % 256 — the same closed form as the MJPEG
+    fixture, chosen because a constant block is DC-only through the DCT so
+    the intra path reproduces it EXACTLY (pinned for all 256 values in
+    tests) and the analytic oracle survives the lossy codec. Even frames
+    are I-pictures; odd frames are zero-motion P-pictures."""
+    from rpa_etl_spark.sources.mpeg1 import mpeg1_encode
+
+    frames = [
+        np.full((height, width, 3), (media_id + 37 * f) % 256, dtype=np.uint8)
+        for f in range(n_frames)
+    ]
+    return mpeg1_encode(frames, gop=2)
+
+
+def attach_mpeg1_media(df: DataFrame, id_col: str = "doc_id",
+                       n_frames: int = 6, width: int = 16,
+                       height: int = 16) -> DataFrame:
+    """Media table with REAL MPEG-1 payloads: one synthetic elementary
+    stream per row (DCT encode is CPU-bound → spread first)."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_mpeg1_video(int(m), n_frames, width, height)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+
+
+def sample_mpeg1_iframes(media: DataFrame,
+                         decoder: str = "numpy-mpeg1") -> DataFrame:
+    """I-FRAME extraction (1 stream row → one row per keyframe): walk the
+    elementary stream's start codes, decode INTRA pictures only (P/B
+    payloads are skipped unparsed — the point of keyframe sampling), and
+    emit the same per-frame features as the other video paths. frame_id is
+    the picture's temporal_reference. Fan-out happens inside one Arrow
+    batch — no shuffle; at 100 TB this runs at scan speed and downstream
+    sees only the keyframes."""
+    from rpa_etl_spark.sources.mpeg1 import mpeg1_decode_iframes
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, ws, hs, means, cks = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, frames = mpeg1_decode_iframes(bytes(payload))
+                for tref, arr in frames:
+                    arr = arr.astype(np.int64)
+                    h, w, _ = arr.shape
+                    flat = arr.reshape(-1)
+                    ids.append(mid)
+                    fids.append(tref)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(int(flat.sum()) / flat.size)
+                    cks.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_id": fids,
+                    "width": ws,
+                    "height": hs,
+                    "mean_rgb": means,
+                    "weighted_checksum": cks,
+                    "decoder": decoder,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=AVI_FRAME_FEATURES_SCHEMA)

@@ -71,8 +71,9 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/sources/multimodal.py": [
         "q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames",
         "q_multimodal_audio", "q_multimodal_png", "q_multimodal_resize",
-        "q_multimodal_mjpeg",
+        "q_multimodal_mjpeg", "q_multimodal_mpeg_iframes",
     ],
+    "rpa_etl_spark/sources/mpeg1.py": ["q_multimodal_mpeg_iframes"],
     "rpa_etl_spark/sources/pdf.py": [
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
     ],
