@@ -270,8 +270,10 @@ def _encode_intra_block(
     """DCT -> quantize -> DC diff + Table B.5 AC run/levels. Returns the
     new DC predictor (quantized DC)."""
     coef = _DCT @ (block.astype(np.float64) - 0.0) @ _DCT.T
+    # quantized DC = DC/8 ∈ [0, 255] for 8-bit samples (DC differential
+    # size is capped at 8 bits, §2.4.3.7)
     dc_q = int(np.rint(coef[0, 0] / 8.0))
-    dc_q = max(0, min(255 * 8, dc_q))
+    dc_q = max(0, min(255, dc_q))
     diff = dc_q - pred
     size, extra = _dc_bits(diff)
     bs.put_str((_DC_SIZE_LUMA if luma else _DC_SIZE_CHROMA)[size])
