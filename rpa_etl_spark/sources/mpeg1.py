@@ -324,16 +324,27 @@ def mpeg1_encode(
     gop: int = 2,
     qscale: int = 8,
     requant_first_mb: bool = False,
+    slice_per_row: bool = False,
+    intra_q: "np.ndarray | None" = None,
 ) -> bytes:
     """(H, W, 3) uint8 RGB frames -> MPEG-1 video elementary stream.
 
     Every ``gop``-th frame is a real intra (I) picture; the others are
     structurally valid zero-motion "repeat" P-pictures (one mc-no-coeff
     macroblock per MB, forward MV 0) — a genuine temporal stream whose
-    keyframes carry all the image data. H and W must be multiples of 16."""
+    keyframes carry all the image data. H and W must be multiples of 16.
+    ``slice_per_row`` emits one slice per macroblock row (the layout most
+    real encoders use for error resilience) instead of one per picture;
+    ``intra_q`` loads a CUSTOM intra quantizer matrix in the sequence
+    header (64 values, raster order, transmitted in zigzag per §2.4.3.2)."""
     h, w, _ = frames[0].shape
     if h % 16 or w % 16:
         raise ValueError("mpeg1_encode: frame size must be multiples of 16")
+    if intra_q is not None:
+        intra_q = np.asarray(intra_q, dtype=np.int64).reshape(8, 8)
+        if not ((1 <= intra_q).all() and (intra_q <= 255).all()):
+            raise ValueError("mpeg1_encode: intra_q values must be in 1..255")
+    qmat = DEFAULT_INTRA_Q if intra_q is None else intra_q
     mbw, mbh = w // 16, h // 16
     bs = _Bits()
     _start_code(bs, SEQ_START)
@@ -345,7 +356,14 @@ def mpeg1_encode(
     bs.put(1, 1)  # marker
     bs.put(16, 10)  # vbv buffer size
     bs.put(0, 1)  # constrained flag
-    bs.put(0, 2)  # no custom quant matrices
+    if intra_q is not None:
+        bs.put(1, 1)  # load_intra_quantizer_matrix
+        flat = qmat.reshape(-1)
+        for k in range(64):  # transmitted in zigzag order
+            bs.put(int(flat[_ZZ_FLAT[k]]), 8)
+        bs.put(0, 1)  # load_non_intra_quantizer_matrix
+    else:
+        bs.put(0, 2)  # no custom quant matrices
     _start_code(bs, GOP_START)
     bs.put(0, 12)  # time_code: drop(1) hours(5) minutes(6)
     bs.put(1, 1)  # marker bit inside time_code
@@ -363,46 +381,56 @@ def mpeg1_encode(
             bs.put(0, 1)  # full_pel_forward_vector
             bs.put(1, 3)  # forward_f_code = 1
         bs.put(0, 1)  # extra_bit_picture
-        # one slice covering the picture, vertical position 1
-        _start_code(bs, _SLICE_MIN)
-        bs.put(qscale, 5)
-        bs.put(0, 1)  # extra_bit_slice
         if is_i:
             y, cb, cr = _frame_to_blocks(np.asarray(frame))
-            pred_y = pred_cb = pred_cr = 128
-            for mb in range(mbw * mbh):
-                my, mx = (mb // mbw) * 16, (mb % mbw) * 16
-                bs.put_str(_MB_ADDR_INC[1])
-                if requant_first_mb and mb == 0:
-                    # intra+quant ('01'): restate the same qscale — the
-                    # syntax path decoders must handle (Table B.2a)
-                    bs.put_str(_MB_TYPE_I_INTRA_QUANT)
-                    bs.put(qscale, 5)
-                else:
-                    bs.put_str(_MB_TYPE_I_INTRA)
-                for by in range(2):
-                    for bx in range(2):
-                        blk = y[my + 8 * by : my + 8 * by + 8,
-                                mx + 8 * bx : mx + 8 * bx + 8]
-                        pred_y = _encode_intra_block(
-                            bs, blk, pred_y, qscale, True, DEFAULT_INTRA_Q
-                        )
-                cblk = cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8]
-                pred_cb = _encode_intra_block(
-                    bs, cblk, pred_cb, qscale, False, DEFAULT_INTRA_Q
-                )
-                rblk = cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8]
-                pred_cr = _encode_intra_block(
-                    bs, rblk, pred_cr, qscale, False, DEFAULT_INTRA_Q
-                )
-        else:
-            # P-picture, every MB: type '001' (motion forward, not coded),
-            # motion code 0 in both axes (VLC '1') -> repeat previous frame
-            for _mb in range(mbw * mbh):
-                bs.put_str(_MB_ADDR_INC[1])
-                bs.put_str("001")
-                bs.put_str("1")  # motion_horizontal_code = 0
-                bs.put_str("1")  # motion_vertical_code = 0
+        # slice layout: one per picture (vertical position 1), or one per
+        # MB row when slice_per_row (slice N starts at row N, DC
+        # predictors reset per slice — §2.4.3.6)
+        rows = range(mbh) if slice_per_row else [None]
+        for row in rows:
+            _start_code(bs, _SLICE_MIN + (row if row is not None else 0))
+            bs.put(qscale, 5)
+            bs.put(0, 1)  # extra_bit_slice
+            mbs = (
+                range(mbw * mbh)
+                if row is None
+                else range(row * mbw, (row + 1) * mbw)
+            )
+            if is_i:
+                pred_y = pred_cb = pred_cr = 128
+                for mb in mbs:
+                    my, mx = (mb // mbw) * 16, (mb % mbw) * 16
+                    bs.put_str(_MB_ADDR_INC[1])
+                    if requant_first_mb and mb == 0:
+                        # intra+quant ('01'): restate the same qscale — the
+                        # syntax path decoders must handle (Table B.2a)
+                        bs.put_str(_MB_TYPE_I_INTRA_QUANT)
+                        bs.put(qscale, 5)
+                    else:
+                        bs.put_str(_MB_TYPE_I_INTRA)
+                    for by in range(2):
+                        for bx in range(2):
+                            blk = y[my + 8 * by : my + 8 * by + 8,
+                                    mx + 8 * bx : mx + 8 * bx + 8]
+                            pred_y = _encode_intra_block(
+                                bs, blk, pred_y, qscale, True, qmat
+                            )
+                    cblk = cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8]
+                    pred_cb = _encode_intra_block(
+                        bs, cblk, pred_cb, qscale, False, qmat
+                    )
+                    rblk = cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8]
+                    pred_cr = _encode_intra_block(
+                        bs, rblk, pred_cr, qscale, False, qmat
+                    )
+            else:
+                # P-picture, every MB: type '001' (motion forward, not
+                # coded), motion code 0 both axes -> repeat previous frame
+                for _mb in mbs:
+                    bs.put_str(_MB_ADDR_INC[1])
+                    bs.put_str("001")
+                    bs.put_str("1")  # motion_horizontal_code = 0
+                    bs.put_str("1")  # motion_vertical_code = 0
     _start_code(bs, SEQ_END)
     bs.align()
     return bs.bytes()

@@ -146,3 +146,38 @@ def test_spark_iframe_sampling(spark):
         assert r["mean_rgb"] == float(v)
         assert r["weighted_checksum"] == v * 295296
         assert (r["width"], r["height"]) == (16, 16)
+
+
+def test_multi_slice_picture_decodes_identically():
+    """slice-per-MB-row (the error-resilient layout real encoders use)
+    must decode to the same pixels as the one-slice layout — per-slice DC
+    predictor resets and slice_vertical_position addressing included."""
+    y, x = np.mgrid[0:48, 0:32]
+    frame = np.stack([(y * 5) % 256, (x * 3) % 256, ((x + y)) % 256],
+                     axis=-1).astype(np.uint8)
+    one = M.mpeg1_encode([frame], gop=1, qscale=4)
+    per_row = M.mpeg1_encode([frame], gop=1, qscale=4, slice_per_row=True)
+    assert per_row.count(b"\x00\x00\x01\x03") == 1  # slice 3 exists
+    _, da = M.mpeg1_decode_iframes(one)
+    _, db = M.mpeg1_decode_iframes(per_row)
+    assert np.array_equal(da[0][1], db[0][1])
+
+
+def test_custom_intra_quantizer_matrix_roundtrip():
+    """A custom intra matrix in the sequence header (transmitted in
+    zigzag order) must be used by the decoder: an all-16 flat matrix at
+    low qscale quantizes a gradient much more finely than the default's
+    high-frequency tail, and the decode must agree with the encode-side
+    matrix, not the default."""
+    flat16 = np.full((8, 8), 16, dtype=np.int64)
+    flat16[0, 0] = 8
+    y, x = np.mgrid[0:16, 0:16]
+    frame = np.stack([(y * 16) % 256] * 3, axis=-1).astype(np.uint8)
+    bs = M.mpeg1_encode([frame], gop=1, qscale=2, intra_q=flat16)
+    n, dec = M.mpeg1_decode_iframes(bs)
+    err = np.abs(dec[0][1].astype(int) - frame.astype(int))
+    assert err.max() <= 4, f"custom-matrix decode err {err.max()}"
+    # and the matrix genuinely changes the stream vs the default
+    assert bs != M.mpeg1_encode([frame], gop=1, qscale=2)
+    with pytest.raises(ValueError):
+        M.mpeg1_encode([frame], intra_q=np.zeros((8, 8)))  # 0 is illegal
