@@ -1572,10 +1572,15 @@ def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> s
                     # the spec does not MANDATE a whitespace byte before
                     # EI — a stream ending "...dataEI" has no boundary
                     # match, and skipping to EOF would silently drop all
-                    # text after the image; fall back to the plain scan
-                    # before giving up (round-7 ADVICE)
-                    j = stream.find(b"EI", i)
-                    i = n if j < 0 else j + 2
+                    # text after the image; fall back to a relaxed scan
+                    # that still requires the TRAILING delimiter (EI
+                    # followed by whitespace or EOF), so in-data "EI"
+                    # bytes mid-payload don't resume tokenizing inside
+                    # pixel data (round-7 ADVICE + round-8 review)
+                    m_ei = re.compile(
+                        rb"EI(?=[\x00\t\n\x0c\r ]|$)"
+                    ).search(stream, i)
+                    i = n if m_ei is None else m_ei.end()
             operands = []
             continue
     text = "".join(pieces)

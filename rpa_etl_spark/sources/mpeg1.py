@@ -68,9 +68,8 @@ DEFAULT_INTRA_Q = np.array(
     dtype=np.int64,
 ).reshape(8, 8)
 
-# picture_rate code -> frames/sec (§2.4.3.2); encoder accepts the fps and
-# picks the code, decoder only needs it for metadata
-_PICTURE_RATES = {2: 24, 3: 25, 4: 30, 5: 30, 6: 50, 8: 60}
+# fps -> picture_rate code (§2.4.3.2); the I-frame decoder never consumes
+# the rate — frames are keyed by temporal_reference, not wall time
 _FPS_TO_CODE = {24: 2, 25: 3, 30: 5, 50: 6, 60: 8}
 
 # dct_dc_size_luminance VLC (Annex B, Table B.1a shape): size -> bitstring
@@ -280,10 +279,11 @@ def _encode_intra_block(
     if size:
         bs.put(extra, size)
     flat = coef.reshape(-1)
+    qflat = qmat.reshape(-1)
     run = 0
     for k in range(1, 64):
         c = float(flat[_ZZ_FLAT[k]])
-        w = int(qmat.reshape(-1)[_ZZ_FLAT[k]])
+        w = int(qflat[_ZZ_FLAT[k]])
         level = int(np.rint(8.0 * c / (qscale * w)))
         level = max(-255, min(255, level))
         if level == 0:
@@ -340,6 +340,13 @@ def mpeg1_encode(
     h, w, _ = frames[0].shape
     if h % 16 or w % 16:
         raise ValueError("mpeg1_encode: frame size must be multiples of 16")
+    if not 1 <= qscale <= 31:
+        raise ValueError("mpeg1_encode: quantizer_scale must be in 1..31")
+    if slice_per_row and h // 16 > _SLICE_MAX:
+        # slice start codes are 0x01..0xAF: one-per-row tops out at 175
+        # macroblock rows (2800 px) — beyond that the codes would collide
+        # with reserved/system start codes and corrupt the stream silently
+        raise ValueError("mpeg1_encode: slice_per_row supports <= 175 MB rows")
     if intra_q is not None:
         intra_q = np.asarray(intra_q, dtype=np.int64).reshape(8, 8)
         if not ((1 <= intra_q).all() and (intra_q <= 255).all()):
@@ -491,9 +498,15 @@ def _decode_intra_block(
         if k > 63:
             raise ValueError("mpeg1: coefficient index overflow")
         w = int(qflat[_ZZ_FLAT[k]])
-        v = (2 * level * qscale * w) // 16
+        # §2.4.4.2: integer division TRUNCATES TOWARD ZERO (Python's //
+        # floors, which mis-reconstructs negative levels by up to 2),
+        # then mismatch control forces the result odd
+        prod = 2 * level * qscale * w
+        v = abs(prod) // 16
         if v % 2 == 0 and v != 0:
-            v += -1 if v > 0 else 1
+            v -= 1
+        if prod < 0:
+            v = -v
         flat[_ZZ_FLAT[k]] = max(-2048, min(2047, v))
     coef = flat.reshape(8, 8).astype(np.float64)
     blk = _DCT.T @ coef @ _DCT
@@ -509,7 +522,7 @@ def mpeg1_decode_iframes(data: bytes) -> tuple[int, list]:
     pos = 0
     n_pics = 0
     frames: list = []
-    pending_intra_at = None  # (temporal_ref, slice scan start)
+    pending_tref = None  # temporal_ref of an intra picture awaiting slices
     while True:
         code, nxt = _next_start(data, pos)
         if code < 0:
@@ -526,6 +539,11 @@ def mpeg1_decode_iframes(data: bytes) -> tuple[int, list]:
                     m[_ZZ_FLAT[k]] = vals[k]
                 qmat = m.reshape(8, 8)
                 r.bit()  # load_non_intra flag (matrix unused here)
+            else:
+                # §2.4.3.2: a sequence header that does NOT load a matrix
+                # (re-)establishes the DEFAULT — a stale custom matrix
+                # must not leak across a random-access point
+                qmat = DEFAULT_INTRA_Q
             pos = nxt
         elif code == PIC_START:
             n_pics += 1
@@ -533,13 +551,12 @@ def mpeg1_decode_iframes(data: bytes) -> tuple[int, list]:
             tref = r.bits(10)
             ptype = r.bits(3)
             if ptype == 1:
-                pending_intra_at = (tref, nxt)
+                pending_tref = tref
             pos = nxt
-        elif _SLICE_MIN <= code <= _SLICE_MAX and pending_intra_at is not None:
-            tref, _ = pending_intra_at
+        elif _SLICE_MIN <= code <= _SLICE_MAX and pending_tref is not None:
             frame = _decode_intra_picture(data, nxt, code, w, h, qmat)
-            frames.append((tref, frame))
-            pending_intra_at = None
+            frames.append((pending_tref, frame))
+            pending_tref = None
             pos = nxt
         else:
             pos = nxt
@@ -548,9 +565,11 @@ def mpeg1_decode_iframes(data: bytes) -> tuple[int, list]:
 
 def _slice_ended(r: _Reader, data: bytes) -> bool:
     """The spec's next_start_code() condition: the bits remaining to the
-    byte boundary are zero padding and a start-code prefix (or EOF)
-    follows. Legal streams never emulate start codes in entropy data, so
-    this is the authoritative slice terminator."""
+    byte boundary are zero padding, and a start-code prefix follows —
+    possibly after any number of zero STUFFING bytes, which §2.3 allows
+    before every start code (real encoders emit them) — or EOF. Legal
+    streams never emulate start codes in entropy data, so this is the
+    authoritative slice terminator."""
     if r.pos >= r.end:
         return True
     pad = (-r.pos) % 8
@@ -559,7 +578,13 @@ def _slice_ended(r: _Reader, data: bytes) -> bool:
         if r.data[r.pos >> 3] & mask:
             return False
     byte_at = (r.pos + pad) // 8
-    return byte_at >= len(data) or data[byte_at : byte_at + 3] == b"\x00\x00\x01"
+    j = byte_at
+    while j < len(data) and data[j] == 0:
+        j += 1
+    if j >= len(data):
+        return True  # zero padding to EOF
+    # a start code needs >= 2 zero bytes then 0x01
+    return data[j] == 0x01 and j - byte_at >= 2
 
 
 def _decode_intra_picture(

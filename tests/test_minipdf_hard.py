@@ -792,3 +792,15 @@ def test_fixture_2b_constants_match_live_kdf():
     u_entry = M._FIXTURE_2B["uvs"] + uvs + uks
     assert M._FIXTURE_2B["ovs"] == M._hash_2b(b"", ovs, u_entry)
     assert M._FIXTURE_2B["oks"] == M._hash_2b(b"", oks, u_entry)
+
+
+def test_inline_image_EI_fallback_requires_trailing_delimiter():
+    """The relaxed EI fallback (no leading whitespace) must still demand
+    the TRAILING delimiter, so in-data 'EI' bytes mid-payload don't cut
+    the skip early and leak pixel bytes as text (round-8 review)."""
+    # payload contains 'EIx' (no trailing ws) then the real 'dataEI ' end
+    stream = (
+        b"BT (A) Tj ET "
+        b"BI /W 1 /H 1 /BPC 8 /CS /G ID \x10EIx(junk)\x22EI BT (B) Tj ET"
+    )
+    assert M._content_text(stream, {}) == "AB"

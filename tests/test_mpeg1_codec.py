@@ -181,3 +181,68 @@ def test_custom_intra_quantizer_matrix_roundtrip():
     assert bs != M.mpeg1_encode([frame], gop=1, qscale=2)
     with pytest.raises(ValueError):
         M.mpeg1_encode([frame], intra_q=np.zeros((8, 8)))  # 0 is illegal
+
+
+# ---- round-8 review regressions --------------------------------------------
+
+
+def test_zero_stuffing_before_start_codes_tolerated():
+    """§2.3 allows any number of zero STUFFING bytes before a start code;
+    real encoders emit them. Insert stuffing before every start code of a
+    multi-slice stream — the decode must be unchanged (round-8 review)."""
+    y, x = np.mgrid[0:32, 0:32]
+    frame = np.stack([(y * 5) % 256] * 3, axis=-1).astype(np.uint8)
+    bs = M.mpeg1_encode([frame], gop=1, qscale=4, slice_per_row=True)
+    stuffed = bs.replace(b"\x00\x00\x01", b"\x00\x00\x00\x00\x00\x01")
+    _, da = M.mpeg1_decode_iframes(bs)
+    _, db = M.mpeg1_decode_iframes(stuffed)
+    assert len(db) == 1 and np.array_equal(da[0][1], db[0][1])
+
+
+def test_dequant_truncates_toward_zero():
+    """§2.4.4.2: the dequant division truncates TOWARD ZERO — Python's
+    floor division would mis-reconstruct negative levels (level=-1,
+    qscale=5, w=13: trunc gives -8 → odd -7; floor gives -9). Pin sign
+    symmetry on the reconstruction math (round-8 review)."""
+    from rpa_etl_spark.sources.mpeg1 import _Bits, _Reader, _decode_intra_block
+
+    qmat = np.full((8, 8), 13, dtype=np.int64)
+    for level in (1, -1):
+        bs = _Bits()
+        bs.put_str(M._DC_SIZE_LUMA[0])  # dc diff 0
+        bs.put_str(M._AC_VLC[(0, 1)])   # run 0, |level| 1
+        bs.put(0 if level > 0 else 1, 1)
+        bs.put_str(M._AC_EOB)
+        bs.align()
+        blk, _ = _decode_intra_block(
+            _Reader(bs.bytes()), 128, 5, True, qmat
+        )
+        coef = (M._DCT @ blk @ M._DCT.T)
+        got = int(np.rint(coef.reshape(-1)[M._ZZ_FLAT[1]]))
+        assert got == 7 * (1 if level > 0 else -1), (level, got)
+
+
+def test_encoder_parameter_validation():
+    f = [np.zeros((16, 16, 3), dtype=np.uint8)]
+    with pytest.raises(ValueError):
+        M.mpeg1_encode(f, qscale=0)
+    with pytest.raises(ValueError):
+        M.mpeg1_encode(f, qscale=32)
+    tall = [np.zeros((2816, 16, 3), dtype=np.uint8)]
+    with pytest.raises(ValueError):
+        M.mpeg1_encode(tall, slice_per_row=True)  # 176 rows > 0xAF slices
+
+
+def test_stale_custom_matrix_does_not_leak_across_sequences():
+    """A later sequence header WITHOUT a matrix load re-establishes the
+    default matrix (§2.4.3.2) — concatenated sequences must not decode
+    with the previous sequence's custom weights (round-8 review)."""
+    flat32 = np.full((8, 8), 32, dtype=np.int64)
+    y, x = np.mgrid[0:16, 0:16]
+    frame = np.stack([(y * 16) % 256] * 3, axis=-1).astype(np.uint8)
+    custom = M.mpeg1_encode([frame], gop=1, qscale=4, intra_q=flat32)
+    default = M.mpeg1_encode([frame], gop=1, qscale=4)
+    _, dd = M.mpeg1_decode_iframes(default)
+    _, dc = M.mpeg1_decode_iframes(custom + default)  # concatenated
+    assert [t for t, _ in dc][-1] == 0
+    assert np.array_equal(dc[-1][1], dd[0][1])  # second sequence = default

@@ -137,9 +137,6 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
-
 
 def ivf_sqrt_cells_probe(spark) -> dict:
     """Round-8 verdict ask #3: measure `ivf_topk` under its PRODUCTION
@@ -241,3 +238,7 @@ def ivf_sqrt_cells_probe(spark) -> dict:
     )
     print(json.dumps({"ivf_sqrt_probe": out}, separators=(",", ":")))
     return out
+
+
+if __name__ == "__main__":
+    main()
