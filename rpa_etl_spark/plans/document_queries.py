@@ -453,3 +453,72 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         "extraction_method",
     )
+
+
+@query(
+    "q_pdf_extract_passworded",
+    oracle="""
+    WITH syn AS (
+        SELECT doc_id,
+               trim(regexp_replace(substr(text, 1, 64),
+                                   '[ \t\n\r\f\v]+', ' ', 'g')) AS prefix
+        FROM documents
+        WHERE doc_id < 96
+    ),
+    expect AS (
+        SELECT doc_id,
+               'NOTA FISCAL DE SERVICOS' || chr(10)
+               || 'DOC ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'CNPJ: 04.252.011/0001-10' || chr(10)
+               || 'TOTAL: R$ 1.500,'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || CASE WHEN prefix = '' THEN ''
+                       ELSE chr(10) || prefix END AS extracted
+        FROM syn
+    )
+    SELECT doc_id,
+           CAST(doc_id % 4 AS INT) AS variant,
+           2 AS page_count,
+           extracted,
+           CAST(length(extracted) AS INT) AS n_chars,
+           'minipdf' AS extraction_method
+    FROM expect
+    """,
+)
+def q_pdf_extract_passworded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL user-password decryption under the external oracle (round 8):
+    96 invoice PDFs protected with a non-empty corpus-wide user password
+    (the known-password archive case), cipher × layout rotating on
+    doc_id % 4 — RC4 classic, AES-128 classic, RC4 + encrypted object
+    streams, AES-128 + xref stream. extract_pdf_text(password=...)
+    validates the password against /U (Algorithm 2/4/5), derives
+    per-object keys, and must round-trip the exact analytic text; a
+    /U-validation or key-derivation bug hash-mismatches every row. The
+    fixture is bounded (doc_id < 96) like q_pdf_extract_encrypted: the
+    capability is per-document decryption, not corpus-scale throughput —
+    that is q_pdf_extract_hard's job. Plan: scan → filter → spread →
+    mapInPandas(write) → mapInPandas(extract+decrypt); narrow, no keyed
+    shuffle. Owner-password recovery is deliberately unsupported
+    (minipdf._setup_encryption's docstring states why)."""
+    from rpa_etl_spark.sources import pdf as P
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 96)
+        .select("doc_id", "text")
+        .transform(spread)
+    )
+    extracted = P.extract_pdf_text(
+        P.validate_pdf_ingress(P.synth_passworded_pdfs(docs)),
+        force_minipdf=True,
+        password=P.ARCHIVE_PASSWORD,
+    )
+    doc_id = F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long")
+    return extracted.select(
+        doc_id.alias("doc_id"),
+        (doc_id % 4).cast("int").alias("variant"),
+        "page_count",
+        F.col("text").alias("extracted"),
+        F.length("text").alias("n_chars"),
+        "extraction_method",
+    )

@@ -65,6 +65,7 @@ PRIORITY_ORDER = [
     "q_pdf_extract_hard",
     "q_pdf_extract",
     "q_pdf_extract_encrypted",
+    "q_pdf_extract_passworded",
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",

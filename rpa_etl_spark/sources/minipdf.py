@@ -748,8 +748,16 @@ class PdfDoc:
     healed lazily: ``get()`` verifies the object number at each recorded
     offset and consults the scan index on mismatch."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes | str = b""):
         self.data = data
+        # round 8: a caller-supplied USER password (the known-password
+        # archive case). str is encoded UTF-8 — correct for V5/R6
+        # (Algorithm 2.A) and the pragmatic choice for the legacy
+        # handlers, whose PDFDocEncoding differs from UTF-8 only outside
+        # the ASCII range real invoice-archive passwords use.
+        self.password = (
+            password.encode("utf-8") if isinstance(password, str) else password
+        )
         self.offsets: dict[int, int] = {}  # objnum -> byte offset (type 1)
         self.in_objstm: dict[int, tuple[int, int]] = {}  # objnum -> (stm, idx)
         self.trailer: dict = {}
@@ -786,13 +794,18 @@ class PdfDoc:
     # -- encryption ----------------------------------------------------------
 
     def _setup_encryption(self, enc: object) -> None:
-        """Standard security handler, EMPTY user password (the
-        permissions-only encryption machine-generated PDFs ship with):
-        RC4 (V 1/2, R 2/3), AES-128-CBC (V 4 R 4, /CFM /AESV2), and
-        AES-256-CBC (V 5 R 6, ISO 32000-2 Algorithm 2.B). Anything else —
-        a real user password, a custom handler — raises _BadPdf and the
-        document degrades to the sweep (which extracts nothing from
-        ciphertext: the honest outcome, never garbage text)."""
+        """Standard security handler: RC4 (V 1/2, R 2/3), AES-128-CBC
+        (V 4 R 4, /CFM /AESV2), and AES-256-CBC (V 5 R 6, ISO 32000-2
+        Algorithm 2.B), validated against ``self.password`` — EMPTY by
+        default (the permissions-only encryption machine-generated PDFs
+        ship with), or a caller-supplied USER password (round 8; the
+        known-password archive case). A wrong password or a custom
+        handler raises _BadPdf and the document degrades to the sweep
+        (which extracts nothing from ciphertext: the honest outcome,
+        never garbage text). Owner-password recovery (Algorithm 7) is
+        deliberately out of scope — it exists to BYPASS a user password,
+        which an extraction engine has no business doing silently."""
+        pwd = self.password
         if isinstance(enc, Ref):
             self._encrypt_num = enc.num
         ed = self.get(enc)  # parsed BEFORE _file_key is set → not decrypted
@@ -811,10 +824,11 @@ class PdfDoc:
             if not (isinstance(u5, bytes) and len(u5) >= 48 and isinstance(ue, bytes)):
                 raise _BadPdf("malformed V5 /U or /UE")
             vsalt, ksalt = u5[32:40], u5[40:48]
-            if _hash_2b(b"", vsalt) != u5[:32]:
-                raise _BadPdf("encrypted with a non-empty user password")
+            # Algorithm 2.A: the UTF-8 password is truncated to 127 bytes
+            if _hash_2b(pwd[:127], vsalt) != u5[:32]:
+                raise _BadPdf("user password does not validate against /U")
             self._file_key = _aes_cbc_raw(
-                _hash_2b(b"", ksalt), bytes(16), ue[:32], decrypt=True
+                _hash_2b(pwd[:127], ksalt), bytes(16), ue[:32], decrypt=True
             )
             self._cipher = "aes256"
             return
@@ -842,11 +856,12 @@ class PdfDoc:
         key = _std_file_key(
             o, int(ed.get("P", -1)), id0, r,
             int(ed.get("Length", 128 if v == 4 else 40)) // 8,
+            user_pwd=pwd,
             encrypt_metadata=encrypt_metadata,
         )
         cmp_len = 32 if r == 2 else 16
         if u[:cmp_len] != _std_user_check(key, r, id0)[:cmp_len]:
-            raise _BadPdf("encrypted with a non-empty user password")
+            raise _BadPdf("user password does not validate against /U")
         self._file_key = key
         self._cipher = cipher
 
@@ -1642,12 +1657,15 @@ def _page_fonts(doc: PdfDoc, resources: object) -> dict[str, dict[bytes, str] | 
     return fonts
 
 
-def extract_text_structured(content: bytes) -> tuple[str, int]:
+def extract_text_structured(
+    content: bytes, password: bytes | str = b""
+) -> tuple[str, int]:
     """Full structural extraction: xref chain → /Root → page tree →
     per-page decoded content (arrays concatenated) → text with font-aware
     string decoding. Raises ``_BadPdf`` on structural failure (the public
-    ``extract_text`` catches it and falls back to the sweep)."""
-    doc = PdfDoc(content)
+    ``extract_text`` catches it and falls back to the sweep).
+    ``password``: user password for encrypted documents (default empty)."""
+    doc = PdfDoc(content, password=password)
     root = doc.get(self_ref := doc.trailer.get("Root"))
     if isinstance(root, _StreamObj):
         root = root.dict
@@ -1678,16 +1696,19 @@ def extract_text_structured(content: bytes) -> tuple[str, int]:
     return "\n".join(texts), len(pages)
 
 
-def extract_text(content: bytes) -> tuple[str, int]:
+def extract_text(content: bytes, password: bytes | str = b"") -> tuple[str, int]:
     """Best-effort (text, page_count) from raw PDF bytes.
 
     Tries the structural parser first (real xref/page-tree/filter/CMap
     handling); any structural failure falls back to the regex sweep over
     object bodies, so malformed input degrades instead of erroring. Never
     raises: a PDF with no extractable text yields ``("", 1)``.
+    ``password``: user password for encrypted documents (default empty;
+    a wrong password degrades to the sweep, which extracts nothing from
+    ciphertext — never garbage text).
     """
     try:
-        return extract_text_structured(content)
+        return extract_text_structured(content, password=password)
     except Exception:
         pass
     bodies = _expand_objects(content)
@@ -1942,6 +1963,7 @@ def write_pdf_hard(
     encoding_diffs: bool = False,
     damage: str | None = None,
     encrypt: str | None = None,
+    user_password: bytes | str = b"",
 ) -> bytes:
     """Spec-conformant PDF writer exercising the HARD structural paths.
 
@@ -2070,6 +2092,11 @@ def write_pdf_hard(
         # which truncation destroys — refuse to write a fixture whose
         # expected text could never be extracted
         raise ValueError("encrypt cannot combine with truncate_xref")
+    pw = (
+        user_password.encode("utf-8")
+        if isinstance(user_password, str)
+        else user_password
+    )
     file_key = b""
     enc_p = -1
     doc_id0 = b""
@@ -2080,8 +2107,10 @@ def write_pdf_hard(
         doc_id0 = hashlib.md5(repr(pages).encode()).digest()
         enc_r = 2 if encrypt == "rc4" else 4
         enc_nbytes = 5 if encrypt == "rc4" else 16
-        o_entry = _std_owner_entry(enc_r, enc_nbytes)
-        file_key = _std_file_key(o_entry, enc_p, doc_id0, enc_r, enc_nbytes)
+        o_entry = _std_owner_entry(enc_r, enc_nbytes, owner_pwd=pw, user_pwd=pw)
+        file_key = _std_file_key(
+            o_entry, enc_p, doc_id0, enc_r, enc_nbytes, user_pwd=pw
+        )
         u_entry = _std_user_check(file_key, enc_r, doc_id0)
     elif encrypt == "aes256":
         import hashlib
@@ -2097,12 +2126,23 @@ def write_pdf_hard(
         # fixture-construction cost is skipped, never the parsing work.
         uvs = hashlib.md5(b"uvs-minipdf-fixture").digest()[:8]
         uks = hashlib.md5(b"uks-minipdf-fixture").digest()[:8]
-        u_entry = _FIXTURE_2B["uvs"] + uvs + uks
-        v5["UE"] = _aes_cbc_raw(_FIXTURE_2B["uks"], bytes(16), file_key, False)
         ovs = hashlib.md5(b"ovs-minipdf-fixture").digest()[:8]
         oks = hashlib.md5(b"oks-minipdf-fixture").digest()[:8]
-        o_entry = _FIXTURE_2B["ovs"] + ovs + oks
-        v5["OE"] = _aes_cbc_raw(_FIXTURE_2B["oks"], bytes(16), file_key, False)
+        if pw:
+            # non-empty password: the precomputed constants don't apply —
+            # run the live Algorithm 2.B KDF (Algorithm 2.A: UTF-8
+            # password truncated to 127 bytes)
+            h_uvs, h_uks = _hash_2b(pw[:127], uvs), _hash_2b(pw[:127], uks)
+            u_entry = h_uvs + uvs + uks
+            h_ovs = _hash_2b(pw[:127], ovs, u_entry)
+            h_oks = _hash_2b(pw[:127], oks, u_entry)
+        else:
+            h_uvs, h_uks = _FIXTURE_2B["uvs"], _FIXTURE_2B["uks"]
+            u_entry = h_uvs + uvs + uks
+            h_ovs, h_oks = _FIXTURE_2B["ovs"], _FIXTURE_2B["oks"]
+        v5["UE"] = _aes_cbc_raw(h_uks, bytes(16), file_key, False)
+        o_entry = h_ovs + ovs + oks
+        v5["OE"] = _aes_cbc_raw(h_oks, bytes(16), file_key, False)
         perms_blk = (
             (enc_p & 0xFFFFFFFF).to_bytes(4, "little")
             + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"mini"

@@ -254,7 +254,8 @@ def synth_encrypted_pdfs(docs: DataFrame) -> DataFrame:
 
 
 def _extract_batch(
-    batches: Iterator[pd.DataFrame], *, force_minipdf: bool = False
+    batches: Iterator[pd.DataFrame], *, force_minipdf: bool = False,
+    password: bytes | str = b"",
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched extraction kernel. PyMuPDF when available (full format
     coverage), else the built-in pure-Python ``minipdf`` extractor — a real
@@ -277,6 +278,9 @@ def _extract_batch(
 
         def extract(content: bytes) -> tuple[str, int, str]:
             with fitz.open(stream=content, filetype="pdf") as doc:
+                if doc.needs_pass:
+                    pw = password.decode() if isinstance(password, bytes) else password
+                    doc.authenticate(pw)
                 text = "\n".join(page.get_text() for page in doc)
                 return text, doc.page_count, "pymupdf"
 
@@ -284,7 +288,7 @@ def _extract_batch(
         from rpa_etl_spark.sources import minipdf
 
         def extract(content: bytes) -> tuple[str, int, str]:
-            text, pages = minipdf.extract_text(content)
+            text, pages = minipdf.extract_text(content, password=password)
             return text, pages, "minipdf"
 
     for pdf in batches:
@@ -306,14 +310,21 @@ def _extract_batch(
         yield pd.DataFrame(rows, columns=[f.name for f in PDF_EXTRACTION_SCHEMA.fields])
 
 
-def extract_pdf_text(df: DataFrame, *, force_minipdf: bool = False) -> DataFrame:
+def extract_pdf_text(
+    df: DataFrame, *, force_minipdf: bool = False,
+    password: bytes | str = b"",
+) -> DataFrame:
     """S1/S2 — binary → PDFExtractionResult rows via mapInPandas. Pass
     ``force_minipdf=True`` from oracle-checked callers (the expected text
     encodes minipdf's exact layout; an incidentally-installed PyMuPDF
-    must not change the result)."""
+    must not change the result). ``password``: USER password applied to
+    every encrypted document in the scan (the known-password archive
+    case, round 8); files it does not open degrade to empty text."""
     import functools
 
-    kernel = functools.partial(_extract_batch, force_minipdf=force_minipdf)
+    kernel = functools.partial(
+        _extract_batch, force_minipdf=force_minipdf, password=password
+    )
     return df.select("path", "content").mapInPandas(
         kernel, schema=PDF_EXTRACTION_SCHEMA
     )
@@ -322,3 +333,58 @@ def extract_pdf_text(df: DataFrame, *, force_minipdf: bool = False) -> DataFrame
 def pdf_pipeline(spark: SparkSession, path_glob: str) -> DataFrame:
     """scan → ingress gates → Arrow-batched extraction (one narrow chain)."""
     return extract_pdf_text(validate_pdf_ingress(read_pdf_files(spark, path_glob)))
+
+
+# password-protected corpus (round 8): cipher x layout rotating on
+# doc_id % 4 — all under ONE corpus-wide user password (the
+# known-password archive case extract_pdf_text(password=...) serves)
+PASSWORDED_VARIANTS: list[dict] = [
+    {"encrypt": "rc4"},
+    {"encrypt": "aes"},
+    {"encrypt": "rc4", "xref_stream": True, "use_objstm": True},
+    {"encrypt": "aes", "xref_stream": True},
+]
+ARCHIVE_PASSWORD = "senha-fiscal-2026"
+
+
+def synth_passworded_pdfs(docs: DataFrame, password: str = ARCHIVE_PASSWORD) -> DataFrame:
+    """Real user-password-protected invoice PDFs, same two-page layout as
+    the other fixtures (same analytic oracle expression), cipher x layout
+    rotating on doc_id % 4 (PASSWORDED_VARIANTS). RC4/AES-128 only — no
+    per-file KDF, so per-row synthesis stays cheap; AES-256's password
+    path is pinned at file scale in tests (the KDF argument from
+    HARD_VARIANTS applies doubly with live per-password hashing)."""
+    from rpa_etl_spark.sources import minipdf
+
+    import re as _re
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                prefix = _re.sub(r"[ \t\n\r\f\v]+", " ", str(text)[:64]).strip()
+                pages = [
+                    [
+                        "NOTA FISCAL DE SERVICOS",
+                        f"DOC {doc_id}",
+                        "CNPJ: 04.252.011/0001-10",
+                        f"TOTAL: R$ 1.500,{doc_id % 100:02d}",
+                    ],
+                    [prefix],
+                ]
+                content = minipdf.write_pdf_hard(
+                    pages,
+                    user_password=password,
+                    **PASSWORDED_VARIANTS[doc_id % 4],
+                )
+                rows.append(
+                    {
+                        "path": f"synth://passworded/{doc_id}.pdf",
+                        "content": content,
+                        "length": len(content),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content", "length"])
+
+    return docs.select("doc_id", "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)

@@ -804,3 +804,43 @@ def test_inline_image_EI_fallback_requires_trailing_delimiter():
         b"BI /W 1 /H 1 /BPC 8 /CS /G ID \x10EIx(junk)\x22EI BT (B) Tj ET"
     )
     assert M._content_text(stream, {}) == "AB"
+
+
+# ---- round 8: caller-supplied USER passwords -------------------------------
+
+
+@pytest.mark.parametrize("enc", ["rc4", "aes"])
+@pytest.mark.parametrize(
+    "layout", [{}, {"xref_stream": True, "use_objstm": True}]
+)
+def test_user_password_roundtrip(enc, layout):
+    """Real (non-empty) user passwords — the known-password archive case:
+    the right password opens the document in classic AND modern layouts;
+    no password / a wrong password degrades to empty text (never
+    ciphertext-as-garbage)."""
+    b = M.write_pdf_hard(
+        DMG_PAGES, encrypt=enc, user_password="s3nh4-fiscal", **layout
+    )
+    assert b"NOTA" not in b
+    assert M.extract_text(b, password="s3nh4-fiscal") == (DMG_EXPECT, 2)
+    assert M.extract_text(b)[0] == ""
+    assert M.extract_text(b, password="errada")[0] == ""
+
+
+def test_user_password_aes256_roundtrip():
+    """V5 R6 with a real password: Algorithm 2.A (UTF-8, 127-byte
+    truncation) feeds Algorithm 2.B on both sides; bytes and str
+    passwords are equivalent. Slow (~9 s): six live KDF runs."""
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="aes256", user_password="chave")
+    assert M.extract_text(b, password="chave") == (DMG_EXPECT, 2)
+    assert M.extract_text(b, password=b"chave") == (DMG_EXPECT, 2)
+    assert M.extract_text(b)[0] == ""
+
+
+def test_user_password_unicode_utf8():
+    """Non-ASCII passwords go through UTF-8 on both writer and reader."""
+    pw = "senha-âção-ü"
+    b = M.write_pdf_hard(DMG_PAGES, encrypt="aes", user_password=pw)
+    assert M.extract_text(b, password=pw) == (DMG_EXPECT, 2)
+    assert M.extract_text(b, password=pw.encode("utf-8")) == (DMG_EXPECT, 2)
+    assert M.extract_text(b, password=pw.encode("latin-1", "ignore"))[0] == ""

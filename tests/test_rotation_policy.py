@@ -67,6 +67,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/sources/jpeg.py": ["q_multimodal_decode", "q_multimodal_mjpeg"],
     "rpa_etl_spark/sources/minipdf.py": [
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
+        "q_pdf_extract_passworded",
     ],
     "rpa_etl_spark/sources/multimodal.py": [
         "q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames",
@@ -76,6 +77,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/sources/mpeg1.py": ["q_multimodal_mpeg_iframes"],
     "rpa_etl_spark/sources/pdf.py": [
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
+        "q_pdf_extract_passworded",
     ],
     "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip"],
     "rpa_etl_spark/functions/exprs.py": ["q_parse_invoice"],

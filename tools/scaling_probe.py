@@ -63,6 +63,13 @@ PROBE_QUERIES = [
     "q_bm25",
     "q_ann_ivf_trained",
     "q_bpe_train_distributed",
+    # round 8: the AES-256 file-scale query is FIXTURE-sized (docs 0-47
+    # regardless of corpus size) — its ratio should read ~1.0, proving the
+    # one keyed shuffle it owns is corpus-size-independent. Per-row codec
+    # queries (mpeg/mjpeg) are deliberately absent: they are narrow,
+    # shuffle-free, and scale linearly with rows by construction — the
+    # scan-speed shape, not a shuffle behavior this probe measures.
+    "q_pdf_extract_encrypted",
 ]
 
 
