@@ -2028,3 +2028,57 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn_id",
         (F.col("nn_id") % G == F.col("vec_id") % G).alias("nn_same_cluster"),
     )
+
+
+@query(
+    "q_multimodal_g711",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mu' ELSE 'a' END AS law,
+           8000 AS sample_rate, 256 AS n_samples,
+           CAST(32000 AS BIGINT) AS duration_us,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
+           'numpy-g711' AS decoder
+    FROM (
+        SELECT doc_id, i,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   -- mu-law expansion of code c: u = ~c; sign bit 0x80;
+                   -- mag = ((man*8 + 132) << exp) - 132
+                   (CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END)
+                   * ((((255 - c) % 16) * 8 + 132)
+                      * (1 << (((255 - c) % 128) // 16)) - 132)
+               ELSE
+                   -- A-law expansion: a = c XOR 0x55; sign 0x80 = positive;
+                   -- seg 0 linear, segs 1-7 offset by 0x108
+                   (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+                   * (CASE WHEN (xor(c, 85) % 128) // 16 = 0
+                           THEN (xor(c, 85) % 16) * 16 + 8
+                           ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                * (1 << ((xor(c, 85) % 128) // 16 - 1))
+                      END)
+               END AS v
+        FROM (
+            SELECT doc_id, i, (doc_id * 7 + i * 13) % 256 AS c
+            FROM documents, range(256) t(i)
+        )
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-audio decode, oracle-checked (round 8): synthesize
+    a 256-code G.711 WAV per document — μ-law (fmt 7) on even ids, A-law
+    (fmt 6) on odd — expand the companded bytes to int16 through the
+    from-scratch ITU-T formulas (sources/multimodal.py::mulaw_expand /
+    alaw_expand, perfect-code-reconstruction test-pinned), and emit the
+    PCM feature set plus the law the CONTAINER declares. The oracle
+    recomputes the full companding expansion ARITHMETICALLY in SQL
+    (complement/xor, segment shifts, sign conventions) from the code
+    formula — not the bytes — so a sign, segment-offset, or fmt-dispatch
+    bug hash-mismatches. Same narrow Arrow-batched shape as
+    q_multimodal_audio; no keyed shuffle at any scale."""
+    from rpa_etl_spark.sources.multimodal import attach_g711_media, decode_g711_features
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_g711_features(attach_g711_media(docs))

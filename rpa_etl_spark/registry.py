@@ -82,6 +82,7 @@ PRIORITY_ORDER = [
     "q_multimodal_png",
     "q_multimodal_resize",
     "q_multimodal_mjpeg",
+    "q_multimodal_g711",  # NEW round 8 (telephony audio, ITU-T companding)
     # == last driver-green in ROUND 5 (44) ==
     "q_bm25",
     "q_cnpj_valid",

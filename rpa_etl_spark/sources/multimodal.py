@@ -463,28 +463,39 @@ def wav_encode(samples: "np.ndarray", rate: int = 8000) -> bytes:
 
 
 def wav_decode(data: bytes) -> tuple[int, "np.ndarray"]:
-    """RIFF/WAVE (PCM16 mono) → (sample_rate, int16 samples). Walks the
-    chunk list (a real WAV may carry LIST/fact chunks before data);
-    raises ValueError on non-PCM or multi-channel payloads."""
+    """RIFF/WAVE mono → (sample_rate, int16 samples). PCM16 (fmt 1),
+    A-law (fmt 6), and μ-law (fmt 7, both G.711-expanded to int16 —
+    round 8). Walks the chunk list (a real WAV may carry LIST/fact
+    chunks before data); raises ValueError on other encodings or
+    multi-channel payloads."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, n_channels, bps = 12, None, None, None
+    pos, rate, n_channels, bps, fmt_tag = 12, None, None, None, None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = pos + 8
         if cid == b"fmt ":
             fmt_tag, n_channels, rate = struct.unpack_from("<HHI", data, body)
             bps = struct.unpack_from("<H", data, body + 14)[0]
-            if fmt_tag != 1:
+            if fmt_tag not in (1, 6, 7):
                 raise ValueError(f"unsupported WAV encoding (fmt={fmt_tag})")
         elif cid == b"data":
             if rate is None:
                 raise ValueError("data chunk before fmt")
-            if n_channels != 1 or bps != 16:
+            want_bps = 16 if fmt_tag == 1 else 8
+            if n_channels != 1 or bps != want_bps:
                 raise ValueError(
                     f"unsupported layout (channels={n_channels}, bps={bps})"
                 )
-            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=body)
+            if fmt_tag == 1:
+                samples = np.frombuffer(
+                    data, dtype="<i2", count=size // 2, offset=body
+                )
+            else:
+                codes = np.frombuffer(data, dtype=np.uint8, count=size, offset=body)
+                samples = (
+                    alaw_expand(codes) if fmt_tag == 6 else mulaw_expand(codes)
+                )
             return rate, samples
         pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
     raise ValueError("no data chunk")
@@ -1101,3 +1112,167 @@ def sample_mpeg1_iframes(media: DataFrame,
             )
 
     return media.mapInPandas(kernel, schema=AVI_FRAME_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (ITU-T): μ-law (WAVE fmt 7) and A-law (fmt 6) —
+# the telephony formats call-center/voice corpora actually arrive in.
+# Expansion (decode) is the ground-truth integer formula; compression
+# (encode) is its segment-wise inverse. Both are table-free closed forms,
+# so the DuckDB oracle recomputes the EXPANSION in SQL bit-for-bit and a
+# sign/segment/complement bug cannot round-trip past the comparison.
+# Perfect-code-reconstruction (encode(decode(c)) == c for all 256 codes)
+# and bounded expansion error over the full int16 range are test-pinned.
+# ---------------------------------------------------------------------------
+
+
+def mulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """μ-law code bytes (uint8) → int16 samples (ITU-T G.711 §A.1):
+    u = ~c; magnitude = ((man·8 + 0x84) << exp) − 0x84; sign bit 0x80."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    exp = (u >> 4) & 7
+    man = u & 15
+    mag = (((man << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """A-law code bytes (uint8) → int16 samples (G.711 §A.2): a = c ^ 0x55;
+    segment 0 is linear (man·16 + 8), segments 1-7 add the 0x108 offset;
+    sign bit 0x80 SET means positive (A-law convention)."""
+    a = codes.astype(np.int64) ^ 0x55
+    t = a & 0x7F
+    exp = t >> 4
+    man = t & 15
+    mag = np.where(exp == 0, (man << 4) + 8, ((man << 4) + 0x108) << (exp - 1))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+def mulaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """int16 → μ-law code bytes: bias 0x84, clip 32635, complemented."""
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int64)) - 7
+    man = (mag >> (exp + 3)) & 15
+    return ((~(sign | (exp << 4) | man)) & 0xFF).astype(np.uint8)
+
+
+def alaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """int16 → A-law code bytes: segment-wise inverse of alaw_expand."""
+    x = samples.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0)
+    man = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 15)
+    return (((sign | (exp << 4) | man)) ^ 0x55).astype(np.uint8)
+
+
+def wav_encode_g711(codes: "np.ndarray", rate: int = 8000, law: str = "mu") -> bytes:
+    """G.711 code bytes → RIFF/WAVE container (fmt 7 = μ-law, 6 = A-law,
+    8 bits/sample, mono)."""
+    fmt_tag = 7 if law == "mu" else 6
+    body = codes.astype(np.uint8).tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, fmt_tag, 1, rate, rate, 1, 8,
+        b"data", len(body),
+    )
+    return header + body
+
+
+def synth_g711_audio(media_id: int, n_samples: int = 256, rate: int = 8000) -> bytes:
+    """Deterministic G.711 WAV keyed by id: code byte i =
+    (media_id*7 + i*13) % 256, μ-law on even ids, A-law on odd — the
+    closed form the DuckDB oracle expands arithmetically."""
+    i = np.arange(n_samples, dtype=np.int64)
+    codes = ((media_id * 7 + i * 13) % 256).astype(np.uint8)
+    return wav_encode_g711(codes, rate, law="mu" if media_id % 2 == 0 else "a")
+
+
+def attach_g711_media(df: DataFrame, id_col: str = "doc_id",
+                      n_samples: int = 256) -> DataFrame:
+    """Media table with REAL telephony-audio payloads (G.711-in-WAV)."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_g711_audio(int(m), n_samples)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+
+
+def wav_format_tag(data: bytes) -> int:
+    """The RIFF fmt chunk's wFormatTag (1 PCM, 6 A-law, 7 μ-law)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            return struct.unpack_from("<H", data, pos + 8)[0]
+        pos = pos + 8 + size + (size & 1)
+    raise ValueError("no fmt chunk")
+
+
+def decode_g711_features(media: DataFrame) -> DataFrame:
+    """G.711 decode stage: parse the container, EXPAND the companded
+    codes to int16 (mulaw_expand/alaw_expand via wav_decode), and emit
+    the same integer features as the PCM path plus the law actually
+    declared by the container's fmt tag — so a companding-formula or
+    fmt-dispatch bug becomes an oracle mismatch."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("law", StringType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("duration_us", LongType()),
+            StructField("energy", LongType()),
+            StructField("weighted_checksum", LongType()),
+            StructField("decoder", StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            laws, rates, ns, durs, energies, cks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                fmt = wav_format_tag(raw)
+                rate, s = wav_decode(raw)
+                s64 = s.astype(np.int64)
+                laws.append("mu" if fmt == 7 else "a")
+                rates.append(rate)
+                ns.append(len(s))
+                durs.append(len(s) * 1_000_000 // rate)
+                energies.append(int((s64 * s64).sum()))
+                cks.append(int((s64 * (np.arange(len(s64)) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "law": laws,
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "duration_us": durs,
+                    "energy": energies,
+                    "weighted_checksum": cks,
+                    "decoder": "numpy-g711",
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=schema)

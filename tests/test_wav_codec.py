@@ -88,3 +88,57 @@ def test_synth_is_deterministic_and_valid():
     # closed form: ((42*31 + 17*i) % 4096) - 2048
     i = np.arange(256, dtype=np.int64)
     np.testing.assert_array_equal(s, (((42 * 31 + 17 * i) % 4096) - 2048).astype(np.int16))
+
+
+# ---- G.711 companded audio (round 8) ---------------------------------------
+
+
+def test_g711_perfect_code_reconstruction():
+    """compress(expand(c)) == c for every code byte — the strong inverse
+    property. Exception: μ-law 0x7F is NEGATIVE ZERO, which decodes to 0
+    and canonically re-encodes as 0xFF (G.711 has two zero codes)."""
+    import numpy as np
+
+    from rpa_etl_spark.sources import multimodal as MM
+
+    codes = np.arange(256, dtype=np.uint8)
+    a_rt = MM.alaw_compress(MM.alaw_expand(codes))
+    assert np.array_equal(a_rt, codes)
+    mu_rt = MM.mulaw_compress(MM.mulaw_expand(codes))
+    assert np.array_equal(mu_rt[codes != 0x7F], codes[codes != 0x7F])
+    assert MM.mulaw_expand(np.array([0x7F], np.uint8))[0] == 0
+    assert mu_rt[0x7F] == 0xFF
+
+
+def test_g711_expansion_error_bounded_and_monotone():
+    """Over the full int16 range the compand→expand error stays within
+    the largest segment's step (truncating quantizer), and expansion is
+    monotone in the companded magnitude."""
+    import numpy as np
+
+    from rpa_etl_spark.sources import multimodal as MM
+
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    for comp, exp in ((MM.mulaw_compress, MM.mulaw_expand),
+                      (MM.alaw_compress, MM.alaw_expand)):
+        got = exp(comp(x.astype(np.int16))).astype(np.int64)
+        assert np.abs(got - x).max() <= 1024  # 8<<7, the top-segment step
+        dec = np.sort(exp(np.arange(256, dtype=np.uint8)))
+        assert np.all(np.diff(dec) >= 0)
+
+
+def test_g711_wav_fmt_dispatch():
+    """fmt 6/7 containers expand through the right law; fmt tag is
+    readable; PCM16 stays on the fmt-1 path."""
+    import numpy as np
+
+    from rpa_etl_spark.sources import multimodal as MM
+
+    codes = ((np.arange(64) * 13 + 5) % 256).astype(np.uint8)
+    for law, fmt, expand in (("mu", 7, MM.mulaw_expand), ("a", 6, MM.alaw_expand)):
+        wav = MM.wav_encode_g711(codes, rate=8000, law=law)
+        assert MM.wav_format_tag(wav) == fmt
+        rate, s = MM.wav_decode(wav)
+        assert rate == 8000 and np.array_equal(s, expand(codes))
+    pcm = MM.wav_encode(np.arange(-8, 8, dtype=np.int16))
+    assert MM.wav_format_tag(pcm) == 1
