@@ -1391,6 +1391,16 @@ _WINANSI.update(
     }
 )
 
+# MacRomanEncoding (Annex D): stdlib 'mac_roman' covers the table except
+# two PDF-spec divergences — Annex D keeps the PRE-Mac-OS-8.5 currency
+# sign at 0xDB (the codec gives the euro that replaced it), and 0xF0
+# (the Apple logo) is not an Annex D glyph at all (notdef).
+_MACROMAN: dict[int, str] = {
+    c: bytes([c]).decode("mac_roman") for c in range(0x20, 0x100)
+}
+_MACROMAN[0xDB] = "¤"
+del _MACROMAN[0xF0]
+
 # StandardEncoding: ASCII except the typographic quotes, plus Annex D's
 # high half (ligatures, accents-as-spacing-chars, old-style punctuation)
 _STANDARD: dict[int, str] = {c: chr(c) for c in range(0x20, 0x7F)}
@@ -1429,20 +1439,19 @@ def _simple_font_cmap(doc: "PdfDoc", fobj: dict) -> dict[bytes, str] | None:
     if enc is None:
         return None
     diffs: object = None
+    _BASES = ("WinAnsiEncoding", "StandardEncoding", "MacRomanEncoding")
     if isinstance(enc, Name):
         base_name = str(enc)
-        if base_name not in ("WinAnsiEncoding", "StandardEncoding"):
-            # MacRoman, Identity-H (a Type0 whose ToUnicode failed), or a
-            # custom name: routing through the wrong table would silently
-            # DROP bytes — keep the latin-1 fallback path instead
+        if base_name not in _BASES:
+            # Identity-H (a Type0 whose ToUnicode failed), MacExpert, or
+            # a custom name: routing through the wrong table would
+            # silently DROP bytes — keep the latin-1 fallback path instead
             return None
     elif isinstance(enc, dict):
         base = doc.get(enc.get("BaseEncoding"))
         base_name = str(base) if isinstance(base, Name) else ""
         diffs = doc.get(enc.get("Differences"))
-        if base_name not in ("WinAnsiEncoding", "StandardEncoding") and not isinstance(
-            diffs, list
-        ):
+        if base_name not in _BASES and not isinstance(diffs, list):
             return None
     else:
         return None
@@ -1450,6 +1459,8 @@ def _simple_font_cmap(doc: "PdfDoc", fobj: dict) -> dict[bytes, str] | None:
         table = dict(_WINANSI)
     elif "Standard" in base_name:
         table = dict(_STANDARD)
+    elif "MacRoman" in base_name:
+        table = dict(_MACROMAN)
     else:
         # unknown/absent base with a /Differences overlay: approximate the
         # font's built-in encoding with latin-1 (the pre-round-7 fallback)

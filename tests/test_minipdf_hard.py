@@ -844,3 +844,48 @@ def test_user_password_unicode_utf8():
     assert M.extract_text(b, password=pw) == (DMG_EXPECT, 2)
     assert M.extract_text(b, password=pw.encode("utf-8")) == (DMG_EXPECT, 2)
     assert M.extract_text(b, password=pw.encode("latin-1", "ignore"))[0] == ""
+
+
+def test_macroman_encoding_base_table():
+    """/Encoding /MacRomanEncoding routes high bytes through the Annex D
+    Mac table (round 8): 0x8E = eacute, 0xA4 = section; the two PDF-spec
+    divergences from stdlib mac_roman are pinned (0xDB is the CURRENCY
+    sign, not the euro Mac OS 8.5 put there; 0xF0 — the Apple logo — is
+    notdef and must DROP, not leak a glyph)."""
+    page = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    stream = b"BT /F1 12 Tf 72 720 Td (caf\x8e \xa4 \xdb \xf0fim) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: page,
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Times"
+           b" /Encoding /MacRomanEncoding >>",
+    }
+    text, pages = M.extract_text_structured(_classic_pdf(objs, root=1))
+    assert text == "café § ¤ fim" and pages == 1
+
+
+def test_macroman_with_differences_overlay():
+    """A /Differences array overlays the MacRoman base like the other
+    bases: remapped code decodes through the override, untouched codes
+    keep the Mac table."""
+    page = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    stream = b"BT /F1 12 Tf 72 720 Td (\x80\x8e) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: page,
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Times"
+           b" /Encoding << /BaseEncoding /MacRomanEncoding"
+           b" /Differences [ 128 /zero ] >> >>",
+    }
+    text, _ = M.extract_text_structured(_classic_pdf(objs, root=1))
+    assert text == "0é"  # 0x80 remapped to /zero, 0x8E stays eacute
