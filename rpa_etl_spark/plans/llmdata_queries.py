@@ -2082,3 +2082,39 @@ def q_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return decode_g711_features(attach_g711_media(docs))
+
+
+@query(
+    "q_multimodal_gif",
+    oracle="""
+    SELECT doc_id AS media_id, 0 AS frame_id,
+           16 AS width, 16 AS height,
+           SUM(v) / 768.0 AS mean_rgb,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_checksum,
+           'numpy-gif' AS decoder
+    FROM (
+        SELECT doc_id, i,
+               (((doc_id + 5 * (i // 48) + 3 * ((i % 48) // 3)) % 256)
+                * (CASE i % 3 WHEN 0 THEN 3 WHEN 1 THEN 7 ELSE 11 END)) % 256 AS v
+        FROM documents, range(768) t(i)
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL legacy-web image decode, oracle-checked (round 8): synthesize
+    a palettized GIF per document — GIF89a with extension blocks on even
+    ids, INTERLACED GIF87a on odd ids — and decode it back through the
+    from-scratch GIF-dialect LZW (LSB-first variable-width codes,
+    CLEAR/EOI, sub-block reassembly, 4-pass de-interlacing, color-table
+    mapping; sources/multimodal.py::gif_decode). The oracle recomputes
+    every pixel from the index/palette closed forms — index(r, x) =
+    (id + 5r + 3x) % 256 through palette channel c ∈ {3i, 7i, 11i} % 256
+    — so an LZW, interlace, or palette bug hash-mismatches. The 12-bit
+    width growth + 4096-entry table reset path is stress-pinned in
+    tests/test_gif_codec.py. Same narrow Arrow-batched shape as the
+    other image paths; no keyed shuffle at any scale."""
+    from rpa_etl_spark.sources.multimodal import attach_gif_media, decode_gif_features
+
+    docs = load(spark, sf_dir, "documents")
+    return decode_gif_features(attach_gif_media(docs))

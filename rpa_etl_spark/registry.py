@@ -83,6 +83,7 @@ PRIORITY_ORDER = [
     "q_multimodal_resize",
     "q_multimodal_mjpeg",
     "q_multimodal_g711",  # NEW round 8 (telephony audio, ITU-T companding)
+    "q_multimodal_gif",  # NEW round 8 (GIF-dialect LZW decode)
     # == last driver-green in ROUND 5 (44) ==
     "q_bm25",
     "q_cnpj_valid",

@@ -1276,3 +1276,268 @@ def decode_g711_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL legacy-web image codec: GIF87a/89a (round 8) — the remaining
+# entropy-coded image format web-scrape corpora actually carry. The LZW
+# here is the GIF dialect (LSB-first bit packing, variable 3..12-bit
+# codes, CLEAR/EOI, 255-byte sub-blocks) — a different wire format from
+# the PDF LZWDecode filter in sources/minipdf.py (MSB-first, early-change).
+# Decoder handles global/local color tables, 89a extension blocks, and
+# 4-pass interlacing; encoder emits spec-conformant streams (optionally
+# interlaced) so round-trips exercise the real parse path.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int) -> bytes:
+    """GIF-dialect LZW over a flat index sequence."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(1 << min_code_size)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w: tuple = ()
+    for px in indices.reshape(-1).tolist():
+        wc = w + (px,)
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = (px,)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> "np.ndarray":
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = nbits = 0
+    width = min_code_size + 1
+    table: list[tuple] = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+    out: list = []
+    prev: tuple | None = None
+
+    def read() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: stop cleanly
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while len(out) < n_pixels:
+        code = read()
+        if code == clear:
+            table = [(i,) for i in range(1 << min_code_size)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    arr = np.asarray(out[:n_pixels], dtype=np.uint8)
+    if len(arr) < n_pixels:  # truncated: pad with 0 (degrade, don't raise)
+        arr = np.pad(arr, (0, n_pixels - len(arr)))
+    return arr
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def gif_encode(indices: "np.ndarray", palette: "np.ndarray",
+               version: bytes = b"89a", interlace: bool = False) -> bytes:
+    """(H, W) uint8 index raster + (N, 3) palette → GIF87a/89a bytes.
+    89a additionally writes a Graphic Control Extension (so the
+    extension-skip path is exercised by fixtures)."""
+    h, w = indices.shape
+    n = len(palette)
+    depth = max(1, (int(n) - 1).bit_length())
+    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    gct[:n] = palette
+    out = bytearray(b"GIF" + version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += gct.tobytes()
+    if version == b"89a":
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency
+        out += b"\x21\xfe\x07minipdf\x00"  # comment extension
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    rows = indices[_gif_interlace_order(h)] if interlace else indices
+    mcs = max(2, depth)
+    out.append(mcs)
+    lzw = _gif_lzw_encode(rows, mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> "np.ndarray":
+    """GIF87a/89a → (H, W, 3) uint8 RGB (first image block; extensions
+    skipped; local color table and interlacing honored)."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 1 << ((flags & 7) + 1)
+        gct = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-block chain
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                size = 1 << ((iflags & 7) + 1)
+                pal = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
+                pos += size * 3
+            if pal is None:
+                raise ValueError("gif: no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _gif_lzw_decode(bytes(lzw), mcs, w * h).reshape(h, w)
+            if iflags & 0x40:  # de-interlace
+                order = _gif_interlace_order(h)
+                out = np.zeros_like(idx)
+                out[order] = idx
+                idx = out
+            return pal[np.minimum(idx, len(pal) - 1)]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{b:02x}")
+    raise ValueError("gif: no image block")
+
+
+def synth_gif_image(media_id: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic GIF keyed by id: index(r, x) = (id + 5r + 3x) % 256,
+    palette[i] = (3i % 256, 7i % 256, 11i % 256) — closed forms the
+    DuckDB oracle recomputes. Odd ids are INTERLACED (4-pass row order),
+    even ids carry 89a extension blocks — both decode paths rotate."""
+    r = np.arange(height).reshape(-1, 1)
+    x = np.arange(width).reshape(1, -1)
+    idx = ((media_id + 5 * r + 3 * x) % 256).astype(np.uint8)
+    i = np.arange(256)
+    pal = np.stack([(3 * i) % 256, (7 * i) % 256, (11 * i) % 256], axis=1).astype(np.uint8)
+    return gif_encode(
+        idx, pal,
+        version=b"89a" if media_id % 2 == 0 else b"87a",
+        interlace=media_id % 2 == 1,
+    )
+
+
+def attach_gif_media(df: DataFrame, id_col: str = "doc_id",
+                     width: int = 16, height: int = 16) -> DataFrame:
+    """Media table with REAL GIF payloads (LZW encode is CPU-bound →
+    spread first)."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_gif_image(int(m), width, height)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """GIF decode stage: LZW-expand the index raster, map through the
+    color table, emit the same pixel features as the other image paths."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, means, cks = [], [], [], []
+            for payload in pdf["payload"]:
+                arr = gif_decode(bytes(payload)).astype(np.int64)
+                h, w, _ = arr.shape
+                flat = arr.reshape(-1)
+                ws.append(w)
+                hs.append(h)
+                means.append(int(flat.sum()) / flat.size)
+                cks.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_id": 0,
+                    "width": ws,
+                    "height": hs,
+                    "mean_rgb": means,
+                    "weighted_checksum": cks,
+                    "decoder": "numpy-gif",
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=AVI_FRAME_FEATURES_SCHEMA)

@@ -73,7 +73,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames",
         "q_multimodal_audio", "q_multimodal_png", "q_multimodal_resize",
         "q_multimodal_mjpeg", "q_multimodal_mpeg_iframes",
-        "q_multimodal_g711",
+        "q_multimodal_g711", "q_multimodal_gif",
     ],
     "rpa_etl_spark/sources/mpeg1.py": ["q_multimodal_mpeg_iframes"],
     "rpa_etl_spark/sources/pdf.py": [
