@@ -66,6 +66,7 @@ PRIORITY_ORDER = [
     "q_pdf_extract",
     "q_pdf_extract_encrypted",
     "q_pdf_extract_passworded",
+    "q_warc_extract",  # NEW round 8 (Common Crawl WARC + HTML extraction)
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",

@@ -80,6 +80,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
         "q_pdf_extract_passworded",
     ],
+    "rpa_etl_spark/sources/warc.py": ["q_warc_extract"],
     "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip"],
     "rpa_etl_spark/functions/exprs.py": ["q_parse_invoice"],
     "rpa_etl_spark/functions/parsing.py": ["q_parse_invoice"],
