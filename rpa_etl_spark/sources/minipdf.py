@@ -1511,6 +1511,11 @@ def _decode_shown(raw: bytes, cmap: dict[bytes, str] | None) -> str:
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+# inline-image terminators (see the BI handler): boundary-anchored first,
+# trailing-delimiter-only fallback — module-level so the tokenizer loop
+# never recompiles them (round-8 review)
+_EI_BOUNDED_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+_EI_TRAILING_RE = re.compile(rb"EI(?=[\x00\t\n\x0c\r ]|$)")
 
 
 def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> str:
@@ -1589,9 +1594,7 @@ def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> s
                 # the two-byte sequence "EI", and cutting there would
                 # resume tokenizing inside pixel data (spec §8.9.7 —
                 # readers detect the terminator contextually)
-                m_ei = re.compile(
-                    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)"
-                ).search(stream, i)
+                m_ei = _EI_BOUNDED_RE.search(stream, i)
                 if m_ei is not None:
                     i = m_ei.end()
                 else:
@@ -1603,9 +1606,7 @@ def _content_text(stream: bytes, fonts: dict[str, dict[bytes, str] | None]) -> s
                     # followed by whitespace or EOF), so in-data "EI"
                     # bytes mid-payload don't resume tokenizing inside
                     # pixel data (round-7 ADVICE + round-8 review)
-                    m_ei = re.compile(
-                        rb"EI(?=[\x00\t\n\x0c\r ]|$)"
-                    ).search(stream, i)
+                    m_ei = _EI_TRAILING_RE.search(stream, i)
                     i = n if m_ei is None else m_ei.end()
             operands = []
             continue

@@ -468,6 +468,13 @@ def wav_decode(data: bytes) -> tuple[int, "np.ndarray"]:
     round 8). Walks the chunk list (a real WAV may carry LIST/fact
     chunks before data); raises ValueError on other encodings or
     multi-channel payloads."""
+    _, rate, samples = wav_decode_full(data)
+    return rate, samples
+
+
+def wav_decode_full(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Like :func:`wav_decode` but also returns the fmt tag — one chunk
+    walk for callers that need both (round-8 review)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, n_channels, bps, fmt_tag = 12, None, None, None, None
@@ -496,7 +503,7 @@ def wav_decode(data: bytes) -> tuple[int, "np.ndarray"]:
                 samples = (
                     alaw_expand(codes) if fmt_tag == 6 else mulaw_expand(codes)
                 )
-            return rate, samples
+            return fmt_tag, rate, samples
         pos = body + size + (size & 1)  # RIFF chunks are 2-byte aligned
     raise ValueError("no data chunk")
 
@@ -1253,8 +1260,7 @@ def decode_g711_features(media: DataFrame) -> DataFrame:
             laws, rates, ns, durs, energies, cks = [], [], [], [], [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                fmt = wav_format_tag(raw)
-                rate, s = wav_decode(raw)
+                fmt, rate, s = wav_decode_full(raw)
                 s64 = s.astype(np.int64)
                 laws.append("mu" if fmt == 7 else "a")
                 rates.append(rate)
@@ -1451,8 +1457,12 @@ def gif_decode(data: bytes) -> "np.ndarray":
                 raise ValueError("gif: no color table")
             mcs = data[pos]
             pos += 1
+            # bounds-checked sub-block walk: a transfer-truncated file
+            # runs off the end mid-chain — decode what arrived and let
+            # the LZW layer zero-pad the tail (degrade, don't fail the
+            # task; round-8 review)
             lzw = bytearray()
-            while data[pos] != 0:
+            while pos < len(data) and data[pos] != 0:
                 n = data[pos]
                 lzw += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n

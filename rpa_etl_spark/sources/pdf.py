@@ -277,12 +277,23 @@ def _extract_batch(
     if fitz is not None:
 
         def extract(content: bytes) -> tuple[str, int, str]:
-            with fitz.open(stream=content, filetype="pdf") as doc:
-                if doc.needs_pass:
-                    pw = password.decode() if isinstance(password, bytes) else password
-                    doc.authenticate(pw)
-                text = "\n".join(page.get_text() for page in doc)
-                return text, doc.page_count, "pymupdf"
+            # per-document degrade: a locked or corrupt file must yield
+            # an empty-text row, never fail the whole Arrow batch/task
+            # (round-8 review — the minipdf path already never raises)
+            try:
+                with fitz.open(stream=content, filetype="pdf") as doc:
+                    if doc.needs_pass:
+                        pw = (
+                            password.decode()
+                            if isinstance(password, bytes)
+                            else password
+                        )
+                        if not doc.authenticate(pw):
+                            return "", doc.page_count or 1, "pymupdf"
+                    text = "\n".join(page.get_text() for page in doc)
+                    return text, doc.page_count, "pymupdf"
+            except Exception:  # noqa: BLE001 — degrade, don't fail the task
+                return "", 1, "pymupdf"
 
     else:
         from rpa_etl_spark.sources import minipdf

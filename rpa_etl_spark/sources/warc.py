@@ -111,7 +111,12 @@ def _split_gzip_members(data: bytes) -> Iterator[bytes]:
     rest = data
     while rest:
         d = zlib.decompressobj(31)
-        yield d.decompress(rest)
+        try:
+            yield d.decompress(rest)
+        except zlib.error:
+            # trailing garbage / corrupted member (partial transfer):
+            # stop at the last good member — degrade, don't fail the task
+            return
         rest = d.unused_data
 
 
@@ -179,6 +184,28 @@ def parse_warc(data: bytes) -> list[dict]:
     return out
 
 
+_CHARSET_RE = re.compile(r"charset=([A-Za-z0-9_.-]+)")
+
+
+def decode_http_body(rec: dict) -> str:
+    """Record body → str: honor the Content-Type charset when it names a
+    codec Python knows, else try UTF-8, else latin-1 (which never fails).
+    Real crawls are full of mislabeled and mixed encodings — a decode
+    must NEVER fail the Spark task (round-8 review)."""
+    body = rec["body"]
+    ctype = rec.get("http_headers", {}).get("content-type", "")
+    m = _CHARSET_RE.search(ctype)
+    if m:
+        try:
+            return body.decode(m.group(1), errors="replace")
+        except LookupError:
+            pass  # unknown codec name → fall through
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("latin-1")
+
+
 # ---------------------------------------------------------------------------
 # HTML → text
 # ---------------------------------------------------------------------------
@@ -187,19 +214,26 @@ _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+# named references are CASE-SENSITIVE in HTML (&Eacute; ≠ &eacute;) —
+# the table carries both cases explicitly; unknown names pass through
+# verbatim rather than being case-folded into the wrong glyph
 _ENTITIES = {
     "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+    "AMP": "&", "LT": "<", "GT": ">", "QUOT": '"',  # HTML5 allows these
     "nbsp": " ", "aacute": "á", "eacute": "é", "iacute": "í",
     "oacute": "ó", "uacute": "ú", "atilde": "ã", "otilde": "õ",
     "ccedil": "ç", "agrave": "à", "acirc": "â", "ecirc": "ê",
     "ocirc": "ô",
+    "Aacute": "Á", "Eacute": "É", "Iacute": "Í", "Oacute": "Ó",
+    "Uacute": "Ú", "Atilde": "Ã", "Otilde": "Õ", "Ccedil": "Ç",
+    "Agrave": "À", "Acirc": "Â", "Ecirc": "Ê", "Ocirc": "Ô",
 }
-_ENT_RE = re.compile(r"&(#x?[0-9A-Fa-f]+|[A-Za-z]+);")
+_ENT_RE = re.compile(r"&(#[xX][0-9A-Fa-f]+|#[0-9]+|[A-Za-z]+);")
 
 
 def _entity(m: re.Match) -> str:
     t = m.group(1)
-    if t.startswith("#x") or t.startswith("#X"):
+    if t[:2] in ("#x", "#X"):
         try:
             return chr(int(t[2:], 16))
         except ValueError:
@@ -209,7 +243,7 @@ def _entity(m: re.Match) -> str:
             return chr(int(t[1:]))
         except ValueError:
             return m.group(0)
-    return _ENTITIES.get(t.lower(), m.group(0))
+    return _ENTITIES.get(t, m.group(0))
 
 
 def html_to_text(html: str) -> str:
@@ -322,7 +356,7 @@ def extract_warc_text(archives) -> "DataFrame":  # noqa: F821
                     if rec["type"] != "response":
                         continue
                     m = re.search(r"/doc/(\d+)$", rec["uri"])
-                    text = html_to_text(rec["body"].decode("utf-8"))
+                    text = html_to_text(decode_http_body(rec))
                     ids.append(int(m.group(1)) if m else -1)
                     uris.append(rec["uri"])
                     gzs.append(gz)

@@ -67,13 +67,26 @@ def test_89a_extensions_skipped_and_version_bytes():
 
 
 def test_truncated_stream_degrades_not_raises():
+    """A transfer-truncated GIF (cut mid-LZW-sub-block) must yield a
+    padded raster, not fail the task; the decoded prefix must match the
+    intact image (round-8 review: the original test decoded the intact
+    bytes and the degrade path was never exercised)."""
     idx = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
     b = MM.gif_encode(idx, _pal())
-    # cut the LZW data mid-sub-block but keep structure parseable:
-    # zero out the last data bytes instead of shortening the container
-    cut = bytearray(b)
-    rgb = MM.gif_decode(bytes(cut))
-    assert rgb.shape == (16, 16, 3)
+    full = MM.gif_decode(b)
+    cut = MM.gif_decode(b[: len(b) * 3 // 4])  # drop the tail sub-blocks
+    assert cut.shape == (16, 16, 3)
+    # some prefix of rows decoded correctly, the rest is zero padding
+    flat_full, flat_cut = full.reshape(-1, 3), cut.reshape(-1, 3)
+    n_good = next(
+        (k for k in range(len(flat_cut)) if not np.array_equal(flat_cut[k], flat_full[k])),
+        len(flat_cut),
+    )
+    assert 0 < n_good < 256  # genuinely truncated, genuinely partial
+    pal0 = _pal()[0]
+    assert all(
+        np.array_equal(px, pal0) or px.sum() == 0 for px in flat_cut[n_good:][-10:]
+    )
 
 
 def test_not_a_gif_raises():

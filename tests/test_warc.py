@@ -83,3 +83,39 @@ def test_spark_warc_extract(spark):
         assert r["extracted"] == f"Doc {i} NOTA {i} texto <b>{i}</b> & mais & fim"
         assert r["gzipped"] == (i % 2 == 1)
         assert r["http_status"] == 200
+
+
+# ---- round-8 second-review regressions -------------------------------------
+
+
+def test_non_utf8_bodies_never_fail():
+    """Real crawls carry mislabeled/mixed encodings: the charset header
+    wins when known, UTF-8 is tried next, latin-1 absorbs the rest —
+    decode must NEVER raise (round-8 review)."""
+    rec = {
+        "body": b"ol\xe1 mundo",  # latin-1 bytes
+        "http_headers": {"content-type": "text/html; charset=iso-8859-1"},
+    }
+    assert W.decode_http_body(rec) == "olá mundo"
+    rec["http_headers"] = {"content-type": "text/html"}  # no charset
+    assert W.decode_http_body(rec) == "olá mundo"  # utf-8 fails → latin-1
+    rec["http_headers"] = {"content-type": "text/html; charset=bogus-enc"}
+    assert W.decode_http_body(rec) == "olá mundo"  # unknown codec → fallback
+    rec["body"] = "çedilha".encode("utf-8")
+    rec["http_headers"] = {}
+    assert W.decode_http_body(rec) == "çedilha"
+
+
+def test_entities_are_case_sensitive():
+    f = W.html_to_text
+    assert f("&Eacute;rico &eacute;") == "Érico é"
+    assert f("&AMP; &amp;") == "& &"
+    assert f("&EACUTE;") == "&EACUTE;"  # not a valid name: pass through
+    assert f("&#X41;&#x42;") == "AB"  # uppercase hex refs decode too
+
+
+def test_gzip_trailing_garbage_degrades():
+    data = W.write_warc([("https://e/doc/9", b"<p>ok</p>")], gzip_members=True)
+    out = W.parse_warc(data + b"NOT GZIP TAIL")
+    assert [r["type"] for r in out] == ["warcinfo", "response"]
+    assert W.html_to_text(W.decode_http_body(out[1])) == "ok"
