@@ -581,3 +581,48 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return W.extract_warc_text(W.synth_warc_archives(docs))
+
+
+@query(
+    "q_tar_extract",
+    oracle="""
+    SELECT doc_id,
+           'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+           doc_id % 6 % 2 = 1 AS gzipped,
+           trim(regexp_replace(substr(text, 1, 64),
+                               '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
+           CAST(octet_length(encode(trim(regexp_replace(substr(text, 1, 64),
+                               '[ \t\n\r\f\v]+', ' ', 'g')))) AS INT) AS n_bytes
+    FROM documents
+    WHERE doc_id < 96
+    """,
+)
+def q_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARBALL corpus ingestion, oracle-checked (round 8): non-crawl text
+    corpora ship as .tar / .tar.gz of one file per document, and this is
+    the from-scratch ustar reader for them (sources/tarball.py — octal
+    headers with VERIFIED checksums, 512-byte blocking, ustar prefix +
+    GNU longname + PAX extended-header long names, whole-archive gzip,
+    truncation degrade; writer conformance is cross-checked against the
+    stdlib tarfile reader AND all three stdlib writer formats parse
+    back). Fixture: docs 0-95 bucketed into six archives — odd buckets
+    gzipped, even plain — each member ``corpus/doc_{id}.txt`` holding the
+    doc's collapsed prefix; the oracle reconstructs member names, bytes,
+    and text analytically (n_bytes is the UTF-8 length, hence
+    octet_length(encode(...)) — length() would count codepoints). Plan:
+    scan →
+    filter → ONE fixture-sized keyed shuffle (groupBy bucket) →
+    applyInPandas(write) → mapInPandas(parse) — member fan-out inside
+    the Arrow batch, no corpus-scale shuffle."""
+    from rpa_etl_spark.sources import tarball as T
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 96)
+        .select(
+            (F.col("doc_id") % 6).cast("int").alias("bucket"),
+            "doc_id",
+            "text",
+        )
+    )
+    return T.extract_tar_members(T.synth_tar_archives(docs))

@@ -67,6 +67,7 @@ PRIORITY_ORDER = [
     "q_pdf_extract_encrypted",
     "q_pdf_extract_passworded",
     "q_warc_extract",  # NEW round 8 (Common Crawl WARC + HTML extraction)
+    "q_tar_extract",  # NEW round 8 (ustar/PAX/GNU tarball corpus source)
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",
