@@ -32,7 +32,13 @@ _BLOCK = 512
 
 
 def _octal(value: int, width: int) -> bytes:
-    return f"{value:0{width - 1}o}".encode() + b"\0"
+    enc = f"{value:0{width - 1}o}".encode() + b"\0"
+    if len(enc) != width:
+        # an overflowing field would silently shift every later header
+        # byte (round-8 review) — e.g. sizes >= 8 GiB need the base-256
+        # extension this fixture writer deliberately does not implement
+        raise ValueError(f"tar: value {value} does not fit an {width}-byte octal field")
+    return enc
 
 
 def _header(name: str, size: int, mtime: int = 0) -> bytes:
@@ -141,14 +147,24 @@ def parse_tar(data: bytes) -> list[dict]:
         except ValueError:
             break
         name = h[0:100].split(b"\0", 1)[0].decode("utf-8", "replace")
-        prefix = h[345:500].split(b"\0", 1)[0].decode("utf-8", "replace")
-        if prefix:
-            name = prefix + "/" + name
+        # the prefix field exists only in POSIX ustar headers — old-GNU
+        # headers (magic 'ustar  ') store atime/ctime at offset 345, and
+        # reading those as a path corrupts names (round-8 review; stdlib
+        # tarfile guards identically on the magic)
+        if h[257:263] == b"ustar\0":
+            prefix = h[345:500].split(b"\0", 1)[0].decode("utf-8", "replace")
+            if prefix:
+                name = prefix + "/" + name
+        t = h[156]
         body_at = pos + _BLOCK
+        if t in (0x30, 0x00) and pending_size is not None:
+            # a PAX size override is AUTHORITATIVE for the data extent
+            # (stdlib writes 0 in the ustar field for >8 GiB members) —
+            # both the member body and the walk advance must use it
+            size = pending_size
         if body_at + size > len(data):
             break  # truncated member: drop it
         body = data[body_at : body_at + size]
-        t = h[156]
         if t == 0x4C:  # GNU 'L': body is the NEXT member's full name
             pending_name = body.rstrip(b"\0").decode("utf-8", "replace")
         elif t == 0x78:  # PAX 'x': overrides for the NEXT member
@@ -165,9 +181,6 @@ def parse_tar(data: bytes) -> list[dict]:
         elif t in (0x30, 0x00):  # regular file ('0' or legacy NUL)
             if pending_name is not None:
                 name = pending_name
-            if pending_size is not None and body_at + pending_size <= len(data):
-                size = pending_size
-                body = data[body_at : body_at + size]
             out.append({"name": name, "size": size, "content": body})
             pending_name = pending_size = None
         else:  # directories, links, devices: not corpus content

@@ -32,14 +32,18 @@ _EOCD_SIG = b"PK\x05\x06"
 # ---------------------------------------------------------------------------
 
 
+_UTF8_FLAG = 0x800  # APPNOTE general-purpose bit 11: names are UTF-8
+
+
 def write_zip(
     members: list[tuple[str, bytes]], *, deflate: bool = True
 ) -> bytes:
     """[(name, content), ...] → ZIP bytes. ``deflate`` compresses every
-    member (method 8); False stores them (method 0)."""
+    member (method 8); False stores them (method 0). Flag bit 11 is set
+    so conformant readers decode names as UTF-8, not cp437."""
     out = bytearray()
     central = bytearray()
-    offsets: list[int] = []
+    recorded: list[tuple[bytes, int, int, int, int, int]] = []
     for name, content in members:
         nm = name.encode("utf-8")
         crc = zlib.crc32(content) & 0xFFFFFFFF
@@ -50,29 +54,20 @@ def write_zip(
         else:
             data = content
             method = 0
-        offsets.append(len(out))
+        recorded.append((nm, crc, len(data), len(content), method, len(out)))
         out += _LOCAL_SIG
         out += struct.pack(
             "<HHHHHIIIHH",
-            20, 0, method, 0, 0x21,  # version, flags, method, time, date
+            20, _UTF8_FLAG, method, 0, 0x21,  # version, flags, method, time, date
             crc, len(data), len(content), len(nm), 0,
         )
         out += nm + data
-    for (name, content), off in zip(members, offsets):
-        nm = name.encode("utf-8")
-        crc = zlib.crc32(content) & 0xFFFFFFFF
-        if deflate:
-            co = zlib.compressobj(6, zlib.DEFLATED, -15)
-            data_len = len(co.compress(content) + co.flush())
-            method = 8
-        else:
-            data_len = len(content)
-            method = 0
+    for nm, crc, data_len, usize, method, off in recorded:
         central += _CENTRAL_SIG
         central += struct.pack(
             "<HHHHHHIIIHHHHHII",
-            20, 20, 0, method, 0, 0x21,
-            crc, data_len, len(content), len(nm), 0, 0, 0, 0, 0, off,
+            20, 20, _UTF8_FLAG, method, 0, 0x21,
+            crc, data_len, usize, len(nm), 0, 0, 0, 0, 0, off,
         )
         central += nm
     eocd = _EOCD_SIG + struct.pack(
@@ -105,16 +100,18 @@ def parse_zip(data: bytes) -> list[dict]:
     out: list[dict] = []
     pos = base + cd_off
     for _ in range(n_total):
-        if data[pos : pos + 4] != _CENTRAL_SIG:
-            break
+        if data[pos : pos + 4] != _CENTRAL_SIG or pos + 46 > len(data):
+            break  # truncated/corrupt directory: stop at the last good entry
         (
-            _vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+            _vmade, _vneed, flags, method, _t, _d, crc, csize, usize,
             nlen, xlen, clen, _dks, _iattr, _eattr, lho,
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
-        name = data[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        # APPNOTE: names are cp437 unless general-purpose bit 11 says UTF-8
+        codec = "utf-8" if flags & _UTF8_FLAG else "cp437"
+        name = data[pos + 46 : pos + 46 + nlen].decode(codec, "replace")
         pos += 46 + nlen + xlen + clen
         lh = base + lho
-        if data[lh : lh + 4] != _LOCAL_SIG:
+        if data[lh : lh + 4] != _LOCAL_SIG or lh + 30 > len(data):
             continue
         lnlen, lxlen = struct.unpack_from("<HH", data, lh + 26)
         body_at = lh + 30 + lnlen + lxlen
@@ -133,7 +130,14 @@ def parse_zip(data: bytes) -> list[dict]:
         if len(content) != usize or (zlib.crc32(content) & 0xFFFFFFFF) != crc:
             continue  # corrupt payload: never return wrong bytes
         if not name.endswith("/"):  # directories carry no content
-            out.append({"name": name, "size": usize, "content": content})
+            out.append(
+                {
+                    "name": name,
+                    "size": usize,
+                    "content": content,
+                    "method": method,
+                }
+            )
     return out
 
 
@@ -215,18 +219,11 @@ def extract_zip_members(archives) -> "DataFrame":  # noqa: F821
         for pdf in batches:
             ids, names, dfl, texts, ns = [], [], [], [], []
             for payload in pdf["content"]:
-                raw = bytes(payload)
-                # method of the FIRST local header tags the archive
-                is_deflated = (
-                    len(raw) > 10
-                    and raw[:4] == _LOCAL_SIG
-                    and struct.unpack_from("<H", raw, 8)[0] == 8
-                )
-                for m in parse_zip(raw):
+                for m in parse_zip(bytes(payload)):
                     mm = idre.search(m["name"])
                     ids.append(int(mm.group(1)) if mm else -1)
                     names.append(m["name"])
-                    dfl.append(is_deflated)
+                    dfl.append(m["method"] == 8)  # per member, SFX-safe
                     texts.append(m["content"].decode("utf-8", "replace"))
                     ns.append(m["size"])
             yield pd.DataFrame(

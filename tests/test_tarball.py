@@ -18,13 +18,71 @@ MEMBERS = [
 
 @pytest.mark.parametrize("gz", [False, True])
 def test_roundtrip_and_stdlib_reads_our_writer(gz):
-    data = T.write_tar(MEMBERS[:1] + MEMBERS[2:], gzip_archive=gz)
+    """Round-trip INCLUDING the writer's ustar prefix-split branch (the
+    137-char member) — round-8 review: the long name was previously only
+    covered read-side."""
+    data = T.write_tar(MEMBERS, gzip_archive=gz)
     got = [(m["name"], m["content"]) for m in T.parse_tar(data)]
-    assert got == MEMBERS[:1] + MEMBERS[2:]
+    assert got == MEMBERS
     if not gz:
         tf = tarfile.open(fileobj=io.BytesIO(data))
         std = [(ti.name, tf.extractfile(ti).read()) for ti in tf if ti.isreg()]
-        assert std == MEMBERS[:1] + MEMBERS[2:]
+        assert std == MEMBERS
+
+
+def test_writer_rejects_unencodable_values():
+    with pytest.raises(ValueError):
+        T.write_tar([("x" * 300, b"")])  # name too long for ustar split
+    with pytest.raises(ValueError):
+        T._header("big.bin", 8 * 1024**3)  # size needs base-256 extension
+
+
+def test_old_gnu_header_prefix_field_not_misread():
+    """Old-GNU headers (magic 'ustar  ') store atime at offset 345 — a
+    POSIX-prefix read there corrupts names (round-8 review). stdlib's
+    GNU writer emits that magic; our parse must keep the short name."""
+    buf = io.BytesIO()
+    tf = tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT)
+    ti = tarfile.TarInfo("doc_7.txt")
+    ti.size = 2
+    tf.addfile(ti, io.BytesIO(b"ok"))
+    tf.close()
+    raw = bytearray(buf.getvalue())
+    assert raw[257:263] == b"ustar "  # old-GNU magic, NOT 'ustar\0'
+    # plant a nonzero atime-like octal where POSIX would put the prefix
+    raw[345:357] = b"00000001230\0"
+    h = raw[0:512]
+    chk = sum(h) - sum(h[148:156]) + 8 * ord(" ")
+    raw[148:156] = f"{chk:06o}".encode() + b"\0 "
+    got = T.parse_tar(bytes(raw))
+    assert [(m["name"], m["content"]) for m in got] == [("doc_7.txt", b"ok")]
+
+
+def _pax_block(payload: bytes) -> bytes:
+    """Hand-craft a PAX 'x' extended header block + padded payload."""
+    h = bytearray(T._header("pax", len(payload)))
+    h[156] = ord("x")
+    h[148:156] = b" " * 8
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\0 "
+    return bytes(h) + payload + bytes((-len(payload)) % 512)
+
+
+def test_pax_size_override_is_authoritative_and_truncation_drops():
+    """A PAX 'size' record overrides the ustar size field (stdlib writes
+    0 there for >8 GiB members); when the overridden extent runs past the
+    available data the member must be DROPPED, not emitted as a bogus
+    empty one (round-8 review)."""
+    pax = _pax_block(b"12 size=700\n")
+    member_hdr = T._header("corpus/doc_5.txt", 0)  # ustar field says 0
+    body = b"z" * 700
+    whole = pax + member_hdr + body + bytes((-len(body)) % 512) + bytes(1024)
+    got = T.parse_tar(whole)
+    assert [(m["name"], m["size"], m["content"]) for m in got] == [
+        ("corpus/doc_5.txt", 700, body)
+    ]
+    cut = pax + member_hdr  # header present, data never arrived
+    assert T.parse_tar(cut) == []
 
 
 @pytest.mark.parametrize(
