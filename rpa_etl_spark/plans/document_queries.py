@@ -669,3 +669,44 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ZS.extract_zip_members(ZS.synth_zip_archives(docs))
+
+
+@query(
+    "q_avro_extract",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 6 % 2 = 1 AS deflated,
+           trim(regexp_replace(substr(text, 1, 64),
+                               '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
+           CAST(length(trim(regexp_replace(substr(text, 1, 64),
+                               '[ \t\n\r\f\v]+', ' ', 'g'))) AS INT) AS n_chars
+    FROM documents
+    WHERE doc_id < 96
+    """,
+)
+def q_avro_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO object-container ingestion, oracle-checked (round 8): the
+    data-lake interchange format (Kafka archives, warehouse exports),
+    read by a from-scratch spec implementation (sources/avro_src.py —
+    zigzag-varint wire primitives with the spec's known-answer encodings
+    test-pinned, schema-driven record decode incl. [null, X] unions,
+    per-block SYNC-MARKER verification, null + deflate codecs; Spark
+    itself needs the external spark-avro package for this format).
+    Fixture: docs 0-95 bucketed into six containers — odd buckets
+    deflate-coded, even null — each record (doc_id, nullable text); the
+    'deflated' column comes from the container's own metadata, never
+    sniffed bytes. Plan: scan → filter → ONE fixture-sized keyed shuffle
+    → applyInPandas(write) → mapInPandas(parse) — record fan-out inside
+    the Arrow batch, no corpus-scale shuffle."""
+    from rpa_etl_spark.sources import avro_src as AV
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 96)
+        .select(
+            (F.col("doc_id") % 6).cast("int").alias("bucket"),
+            "doc_id",
+            "text",
+        )
+    )
+    return AV.extract_avro_records(AV.synth_avro_archives(docs))

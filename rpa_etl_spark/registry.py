@@ -69,6 +69,7 @@ PRIORITY_ORDER = [
     "q_warc_extract",  # NEW round 8 (Common Crawl WARC + HTML extraction)
     "q_tar_extract",  # NEW round 8 (ustar/PAX/GNU tarball corpus source)
     "q_zip_extract",  # NEW round 8 (ZIP central-directory source, CRC-verified)
+    "q_avro_extract",  # NEW round 8 (Avro object-container source)
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",

@@ -1,0 +1,92 @@
+"""Avro object-container tests (round 8, sources/avro_src.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rpa_etl_spark.sources import avro_src as A
+
+SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+RECS = [
+    {
+        "doc_id": i * 7 - 3,
+        "text": None if i == 2 else f"texto {i} ção",
+        "score": i * 0.5,
+        "ok": i % 2 == 0,
+        "raw": bytes([i] * i),
+    }
+    for i in range(10)
+]
+
+
+def test_zigzag_known_answers():
+    """The Avro spec's varint examples — the wire format's ground truth
+    (a sign or shift slip breaks these immediately)."""
+    kats = {
+        0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+        64: b"\x80\x01", -64: b"\x7f", -65: b"\x81\x01",
+    }
+    for n, enc in kats.items():
+        assert A.zigzag_encode(n) == enc
+        assert A.zigzag_decode(enc, 0) == (n, len(enc))
+    big = 2**62 - 7
+    assert A.zigzag_decode(A.zigzag_encode(big), 0)[0] == big
+    assert A.zigzag_decode(A.zigzag_encode(-big), 0)[0] == -big
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_multiblock_unions(codec):
+    data = A.write_avro(SCHEMA, RECS, codec=codec, block_records=3)
+    schema, got_codec, out = A.parse_avro(data)
+    assert schema == SCHEMA and got_codec == codec and out == RECS
+    assert data == A.write_avro(SCHEMA, RECS, codec=codec, block_records=3)
+
+
+def test_truncation_and_desync_degrade():
+    data = A.write_avro(SCHEMA, RECS, block_records=3)
+    _, _, cut = A.parse_avro(data[:-20])  # cut inside the final block
+    assert 0 < len(cut) < 10 and cut == RECS[: len(cut)]
+    bad = bytearray(data)
+    bad[-10] ^= 0xFF  # corrupt the final sync marker
+    _, _, out = A.parse_avro(bytes(bad))
+    assert out == RECS[: len(out)] and len(out) < 10
+    with pytest.raises(ValueError):
+        A.parse_avro(b"not avro")
+
+
+def test_unsupported_schema_rejected():
+    with pytest.raises(ValueError):
+        A.write_avro({"type": "record", "name": "x",
+                      "fields": [{"name": "m", "type": "map"}]}, [])
+    with pytest.raises(ValueError):
+        A.write_avro(SCHEMA, [], codec="snappy")
+
+
+def test_spark_avro_extract(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in A.extract_avro_records(
+            A.synth_avro_archives(
+                spark.createDataFrame(
+                    [(i, i % 2, f"texto {i}  com   espaços") for i in range(6)],
+                    "doc_id long, bucket int, text string",
+                )
+            )
+        ).collect()
+    }
+    assert len(rows) == 6
+    for i in range(6):
+        r = rows[i]
+        assert r["text"] == f"texto {i} com espaços"
+        assert r["deflated"] == (i % 2 == 1)
+        assert r["n_chars"] == len(r["text"])

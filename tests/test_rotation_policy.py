@@ -83,6 +83,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/sources/warc.py": ["q_warc_extract"],
     "rpa_etl_spark/sources/tarball.py": ["q_tar_extract"],
     "rpa_etl_spark/sources/zipfile_src.py": ["q_zip_extract"],
+    "rpa_etl_spark/sources/avro_src.py": ["q_avro_extract"],
     "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip"],
     "rpa_etl_spark/functions/exprs.py": ["q_parse_invoice"],
     "rpa_etl_spark/functions/parsing.py": ["q_parse_invoice"],
