@@ -205,13 +205,22 @@ def parse_avro(data: bytes) -> tuple[dict, str, list[dict]]:
             _, pos = zigzag_decode(data, pos)
         for _ in range(count):
             klen, pos = zigzag_decode(data, pos)
-            key = data[pos : pos + klen].decode("utf-8")
+            if klen < 0 or pos + klen > len(data):
+                raise ValueError("avro: metadata key length out of range")
+            key = data[pos : pos + klen].decode("utf-8", "replace")
             pos += klen
             vlen, pos = zigzag_decode(data, pos)
+            if vlen < 0 or pos + vlen > len(data):
+                raise ValueError("avro: metadata value length out of range")
             meta[key] = data[pos : pos + vlen]
             pos += vlen
-    schema = json.loads(meta["avro.schema"])
-    codec = meta.get("avro.codec", b"null").decode()
+    if "avro.schema" not in meta:
+        raise ValueError("avro: container metadata lacks avro.schema")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ValueError(f"avro: undecodable schema metadata: {e}") from e
+    codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     fields = _check_schema(schema)
@@ -337,8 +346,14 @@ def extract_avro_records(archives) -> "DataFrame":  # noqa: F821
             ids, dfl, texts, ns = [], [], [], []
             for payload in pdf["content"]:
                 # codec comes from the container's own metadata — never
-                # sniffed from raw bytes (the zip-review lesson)
-                _, codec, records = parse_avro(bytes(payload))
+                # sniffed from raw bytes (the zip-review lesson). A corrupt
+                # container (bad magic, truncated header, undecodable
+                # schema) is SKIPPED like the tar/zip/warc kernels degrade
+                # — it must never kill the Spark task (round-8 advice)
+                try:
+                    _, codec, records = parse_avro(bytes(payload))
+                except ValueError:
+                    continue
                 is_deflate = codec == "deflate"
                 for rec in records:
                     ids.append(rec["doc_id"])

@@ -1442,8 +1442,13 @@ def gif_decode(data: bytes) -> "np.ndarray":
         b = data[pos]
         if b == 0x21:  # extension: label + sub-block chain
             pos += 2
-            while data[pos] != 0:
+            # bounds-checked like the image-data walk below: a file
+            # truncated mid-extension must degrade (clean ValueError the
+            # caller already tolerates), not IndexError the Arrow batch
+            while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
+            if pos >= len(data):
+                raise ValueError("gif: truncated extension block")
             pos += 1
         elif b == 0x2C:
             _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)

@@ -90,3 +90,25 @@ def test_spark_avro_extract(spark):
         assert r["text"] == f"texto {i} com espaços"
         assert r["deflated"] == (i % 2 == 1)
         assert r["n_chars"] == len(r["text"])
+
+
+def test_corrupt_header_degrades(spark):
+    """Round-8 advice: a corrupt container (bad magic / truncated header
+    metadata / undecodable schema) must be SKIPPED by the Spark kernel
+    like the tar/zip/warc kernels degrade, never kill the task."""
+    good = A.write_avro(SCHEMA, RECS[:2])
+    for bad in (
+        b"Obj\x01\x03",  # header varint runs past end
+        b"Obj\x01" + b"\x02" + b"\xff" * 6,  # metadata key length insane
+        good[:6],  # truncated mid-metadata
+        b"Obj\x01\x02\x16avro.schema\x08not}{\x00" + b"\x00" * 16,  # bad JSON
+    ):
+        with pytest.raises(ValueError):
+            A.parse_avro(bad)
+    import pandas as pd
+
+    arch = spark.createDataFrame(
+        pd.DataFrame({"content": [good, b"Obj\x01\x03", b"nope"]})
+    )
+    out = A.extract_avro_records(arch).collect()
+    assert len(out) == 2  # corrupt containers skipped, good one intact

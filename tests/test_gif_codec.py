@@ -109,3 +109,15 @@ def test_spark_gif_features(spark):
         flat = rgb.reshape(-1)
         assert r["mean_rgb"] == flat.sum() / flat.size
         assert r["weighted_checksum"] == int((flat * (np.arange(flat.size) + 1)).sum())
+
+
+def test_truncated_extension_degrades_cleanly():
+    """Round-8 advice: a GIF cut mid-EXTENSION (before any image block)
+    must raise a clean ValueError the feature kernel tolerates — not
+    IndexError, which would kill the whole Arrow batch."""
+    idx = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
+    b = MM.gif_encode(idx, _pal(), version=b"89a")
+    ext_at = b.find(b"\x21")  # first extension introducer
+    assert ext_at > 0
+    with pytest.raises(ValueError):
+        MM.gif_decode(b[: ext_at + 3])  # ends inside the sub-block chain
