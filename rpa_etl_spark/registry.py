@@ -54,31 +54,47 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1a (19): NEW or plan/kernel/oracle CHANGED in round 8 — no
-    #    external verdict in their current form; must be in the ~50-query
-    #    sample. PDF trio: 14-variant corpus (encrypt x modern layouts) +
-    #    the new AES-256 file-scale query; BPE family: byte-level mode
-    #    touched operators/bpe.py (two NEW byte queries + five kernel
-    #    consumers); q_ann_ivf_trained: docstring now cites the measured
-    #    sqrt-N probe; multimodal family: sources/multimodal.py gained the
-    #    MPEG-1 surface (one NEW query + seven kernel consumers).
-    "q_pdf_extract_hard",
-    "q_pdf_extract",
-    "q_pdf_extract_encrypted",
-    "q_pdf_extract_passworded",
-    "q_warc_extract",  # NEW round 8 (Common Crawl WARC + HTML extraction)
-    "q_tar_extract",  # NEW round 8 (ustar/PAX/GNU tarball corpus source)
-    "q_zip_extract",  # NEW round 8 (ZIP central-directory source, CRC-verified)
-    "q_avro_extract",  # NEW round 8 (Avro object-container source)
-    "q_bpe_train_distributed",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_bpe_train_bytes",
-    "q_bpe_tokenize_bytes",
-    "q_pack_sequences_bpe",
-    "q_domain_mix_bpe",
-    "q_ann_ivf_trained",
-    "q_multimodal_mpeg_iframes",
+    # == tier 1 (20): last driver-green in ROUND 5 — 3 rounds stale,
+    #    breaching the ~2-round policy (round-8 verdict's top ask). None
+    #    changed since r5; they HEAD the sample so every one gets a fresh
+    #    external verdict this round.
+    "q_scan_project",
+    "q_topk",
+    "q_rollup",
+    "q_set_ops",
+    "q_pivot",
+    "q_string_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_monetary_br",
+    "q_nfe_key_valid",
+    "q_lang_quality",
+    "q_session_window",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_scalar_subquery",
+    "q_ngram_novelty",
+    "q_unigram_logprob",
+    "q_url_dedup",
+    # == tier 1a (18): NEW or plan/kernel CHANGED in round 9 — no external
+    #    verdict in their current form. zstd (RFC 8878) lands in
+    #    sources/warc.py + tarball.py (one NEW query each + the two
+    #    existing consumers); MPEG-1 P-frames land in sources/mpeg1.py
+    #    (one NEW query + the I-frame consumer); the e2e binary→verdict
+    #    composition is NEW and touches pipeline.py (q_flagship is that
+    #    kernel's other consumer); multimodal.py's gif-truncation degrade
+    #    fix re-queues all ten of its consumers; avro_src.py's
+    #    corrupt-header degrade fix re-queues its one.
+    "q_warc_extract_zst",  # NEW round 9 (.warc.zst, from-scratch zstd)
+    "q_tar_extract_zst",  # NEW round 9 (.tar.zst)
+    "q_multimodal_mpeg_pframes",  # NEW round 9 (motion-compensated decode)
+    "q_pipeline_e2e",  # NEW round 9 (S1→P8→B5→V*→O2/O3 in one query)
+    "q_warc_extract",
+    "q_tar_extract",
+    "q_flagship",
+    "q_avro_extract",
     "q_multimodal_meta",
     "q_multimodal_decode",
     "q_multimodal_frames",
@@ -86,54 +102,12 @@ PRIORITY_ORDER = [
     "q_multimodal_png",
     "q_multimodal_resize",
     "q_multimodal_mjpeg",
-    "q_multimodal_g711",  # NEW round 8 (telephony audio, ITU-T companding)
-    "q_multimodal_gif",  # NEW round 8 (GIF-dialect LZW decode)
-    # == last driver-green in ROUND 5 (44) ==
-    "q_bm25",
-    "q_cnpj_valid",
-    "q_corpus_drift",
-    "q_count_distinct",
-    "q_cube",
-    "q_curation_verdict",
-    "q_dedup_containment",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_embedding_project",
-    "q_filter_predicates",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_hash",
-    "q_join_anti",
-    "q_join_full",
-    "q_join_inner_broadcast",
-    "q_join_left",
-    "q_join_null_safe",
-    "q_join_range",
-    "q_join_semi",
-    "q_json_funcs",
-    "q_lang_quality",
-    "q_map_funcs",
-    "q_monetary_br",
-    "q_nfe_key_valid",
-    "q_ngram_novelty",
-    "q_pivot",
-    "q_rollup",
-    "q_scalar_subquery",
-    "q_scan_project",
-    "q_session_window",
-    "q_set_ops",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_string_funcs",
-    "q_topk",
-    "q_unigram_logprob",
-    "q_url_dedup",
-    # == last driver-green in ROUND 6 (42) ==
+    "q_multimodal_mpeg_iframes",
+    "q_multimodal_g711",
+    "q_multimodal_gif",
+    # == tier 2 (12): round-6-green fills up to the 50-query window —
+    #    oldest remaining cohort, taken in registry order; the other 30
+    #    r6 queries head the round-10 rotation.
     "q_agg_skew_salted",
     "q_ann_ivf",
     "q_ann_lsh",
@@ -146,6 +120,8 @@ PRIORITY_ORDER = [
     "q_dedup_embedding",
     "q_embedding_centroid",
     "q_funnel",
+    # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 6 (30 remaining) ==
     "q_fuzzy_match",
     "q_having_large_orders",
     "q_histogram",
@@ -176,6 +152,44 @@ PRIORITY_ORDER = [
     "q_window_rank",
     "q_window_running_sum",
     "q_window_value_funcs",
+    # == last driver-green in ROUND 8 (fresh; verified last round) ==
+    "q_pdf_extract_hard",
+    "q_pdf_extract",
+    "q_pdf_extract_encrypted",
+    "q_pdf_extract_passworded",
+    "q_zip_extract",
+    "q_bpe_train_distributed",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_bpe_train_bytes",
+    "q_bpe_tokenize_bytes",
+    "q_pack_sequences_bpe",
+    "q_domain_mix_bpe",
+    "q_ann_ivf_trained",
+    "q_bm25",
+    "q_cnpj_valid",
+    "q_corpus_drift",
+    "q_count_distinct",
+    "q_cube",
+    "q_curation_verdict",
+    "q_dedup_containment",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_embedding_project",
+    "q_filter_predicates",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hash",
+    "q_join_anti",
+    "q_join_full",
+    "q_join_inner_broadcast",
+    "q_join_left",
+    "q_join_null_safe",
+    "q_join_range",
+    "q_join_semi",
     # == last driver-green in ROUND 7 (38) ==
     "q_agg_group",
     "q_array_funcs",
@@ -192,7 +206,6 @@ PRIORITY_ORDER = [
     "q_entropy",
     "q_event_sequence",
     "q_explode_outer",
-    "q_flagship",
     "q_join_asof",
     "q_join_skew_salted",
     "q_mode",
