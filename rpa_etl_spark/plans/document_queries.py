@@ -710,3 +710,97 @@ def q_avro_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return AV.extract_avro_records(AV.synth_avro_archives(docs))
+
+
+@query(
+    "q_warc_extract_zst",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               trim(regexp_replace(substr(text, 1, 64),
+                                   '[ \t\n\r\f\v]+', ' ', 'g')) AS prefix
+        FROM documents
+        WHERE doc_id < 96
+    ),
+    expect AS (
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR)
+               || ' NOTA ' || CAST(doc_id AS VARCHAR) || ' '
+               || CASE WHEN prefix = '' THEN '& fim'
+                       ELSE prefix || ' & fim' END AS extracted
+        FROM src
+    )
+    SELECT doc_id,
+           'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           doc_id % 6 % 3 = 0 AS checksummed,
+           200 AS http_status,
+           extracted,
+           CAST(length(extracted) AS INT) AS n_chars
+    FROM expect
+    """,
+)
+def q_warc_extract_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD WEB-ARCHIVE ingestion (round 9): Common Crawl ships
+    ``.warc.zst`` today, and this runs it through the from-scratch
+    RFC 8878 decoder (sources/zstd.py — FSE, Huffman, sequences with
+    repeat offsets, skippable frames, XXH64 checksums) in the
+    seekable-WARC layout: a leading skippable dictionary-slot frame then
+    one zstd frame per record. The codec rotates on bucket % 3 so the
+    driver-checked query exercises raw-block store frames WITH verified
+    checksums (0), reference level 3 (1), and reference level 19 (2);
+    ``checksummed`` is detected from the frame headers and must land
+    exactly on doc_id % 6 % 3 = 0. Downstream, the same HTML→text
+    extraction as q_warc_extract must round-trip bit-exactly through
+    compression. Plan: scan → filter → ONE fixture-sized keyed shuffle
+    (groupBy bucket) → applyInPandas(write) → mapInPandas(decode+parse+
+    extract) — record fan-out inside the Arrow batch, no corpus-scale
+    shuffle; at crawl scale decode runs embarrassingly parallel at scan
+    speed."""
+    from rpa_etl_spark.sources import warc as W
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 96)
+        .select(
+            (F.col("doc_id") % 6).cast("int").alias("bucket"),
+            "doc_id",
+            "text",
+        )
+    )
+    return W.extract_warc_text_zst(W.synth_warc_archives_zst(docs))
+
+
+@query(
+    "q_tar_extract_zst",
+    oracle="""
+    SELECT doc_id,
+           'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+           doc_id % 6 % 3 = 0 AS checksummed,
+           trim(regexp_replace(substr(text, 1, 64),
+                               '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
+           CAST(octet_length(encode(trim(regexp_replace(substr(text, 1, 64),
+                               '[ \t\n\r\f\v]+', ' ', 'g')))) AS INT) AS n_bytes
+    FROM documents
+    WHERE doc_id < 96
+    """,
+)
+def q_tar_extract_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZSTD TARBALL ingestion (round 9): the ``.tar.zst`` layout modern
+    dataset dumps ship — whole ustar archive wrapped in zstd frames,
+    decoded by the from-scratch RFC 8878 implementation and then the
+    round-8 tar walk. Codec rotation and the detected ``checksummed``
+    column as in q_warc_extract_zst (store+XXH64 / level 3 / level 19 on
+    bucket % 3). Same plan shape: one fixture-sized keyed shuffle, then
+    shuffle-free Arrow fan-out."""
+    from rpa_etl_spark.sources import tarball as T
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 96)
+        .select(
+            (F.col("doc_id") % 6).cast("int").alias("bucket"),
+            "doc_id",
+            "text",
+        )
+    )
+    return T.extract_tar_members_zst(T.synth_tar_archives_zst(docs))

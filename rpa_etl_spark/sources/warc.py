@@ -154,7 +154,18 @@ def parse_warc(data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":
         chunks = b"".join(_split_gzip_members(data))
     else:
-        chunks = data
+        from rpa_etl_spark.sources import zstd as _zstd
+
+        if _zstd.is_zstd(data):
+            # .warc.zst: per-record zstd frames (the seekable-WARC
+            # convention, minus its optional dictionary — carried in a
+            # leading skippable frame, which the decoder skips)
+            try:
+                chunks = _zstd.decompress(data)
+            except ValueError:
+                return []
+        else:
+            chunks = data
     out: list[dict] = []
     for rec in _parse_plain(chunks):
         h = rec["headers"]
@@ -368,6 +379,148 @@ def extract_warc_text(archives) -> "DataFrame":  # noqa: F821
                     "doc_id": ids,
                     "uri": uris,
                     "gzipped": gzs,
+                    "http_status": sts,
+                    "extracted": texts,
+                    "n_chars": ns,
+                }
+            )
+
+    return archives.select("content").mapInPandas(kernel, schema=schema)
+
+
+def synth_warc_archives_zst(docs) -> "DataFrame":  # noqa: F821
+    """``.warc.zst`` fixtures in the seekable-WARC layout Common Crawl
+    ships: a leading SKIPPABLE frame (the dictionary slot — empty here;
+    frames are dictionary-less) followed by one zstd frame PER RECORD,
+    so readers can seek to any record boundary. Codec rotates on
+    bucket % 3: 0 → from-scratch store frames WITH XXH64 checksums,
+    1 → reference level 3, 2 → reference level 19."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from rpa_etl_spark.sources import zstd as _zstd
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("content", BinaryType()),
+            StructField("length", LongType()),
+        ]
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        responses = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            prefix = _WS_RE.sub(" ", str(text)[:64]).strip()
+            esc = (
+                prefix.replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+            )
+            html = (
+                f"<html><head><title>Doc {doc_id}</title>"
+                f'<script>var x = "<p>not text</p>";</script></head>'
+                f"<body><h1>NOTA {doc_id}</h1>"
+                f"<p>{esc} &amp; fim</p><!-- crawler --></body></html>"
+            )
+            responses.append(
+                (f"https://corpus.example/doc/{doc_id}", html.encode("utf-8"))
+            )
+        plain = write_warc(responses)
+        # split back into per-record chunks on the WARC/ record marker so
+        # each record gets its own frame (every chunk starts with WARC/)
+        marks = []
+        at = 0
+        while True:
+            nxt = plain.find(b"WARC/", at + 1)
+            if nxt < 0:
+                break
+            marks.append(nxt)
+            at = nxt
+        records = [
+            plain[a:b] for a, b in zip([0] + marks, marks + [len(plain)])
+        ]
+        mode = bucket % 3
+        if mode == 0:
+            frames = [_zstd.compress_store(r, checksum=True) for r in records]
+        else:
+            lvl = 3 if mode == 1 else 19
+            frames = [_zstd.compress(r, level=lvl) for r in records]
+        content = _zstd.skippable_frame(b"") + b"".join(frames)
+        return pd.DataFrame(
+            [
+                {
+                    "path": f"synth://warc/{bucket}.warc.zst",
+                    "content": content,
+                    "length": len(content),
+                }
+            ],
+            columns=["path", "content", "length"],
+        )
+
+    return (
+        docs.select("bucket", "doc_id", "text")
+        .groupBy("bucket")
+        .applyInPandas(build, schema=schema)
+    )
+
+
+def extract_warc_text_zst(archives) -> "DataFrame":  # noqa: F821
+    """``.warc.zst`` → one row per HTTP-response record with the HTML
+    -extracted text. ``checksummed`` reports whether every content frame
+    carried a VERIFIED XXH64 checksum (detected from frame headers).
+    Same no-shuffle Arrow fan-out as the gzip WARC kernel."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from rpa_etl_spark.sources import zstd as _zstd
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("uri", StringType()),
+            StructField("checksummed", BooleanType()),
+            StructField("http_status", IntegerType()),
+            StructField("extracted", StringType()),
+            StructField("n_chars", IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, uris, cks, sts, texts, ns = [], [], [], [], [], []
+            for payload in pdf["content"]:
+                raw = bytes(payload)
+                if not _zstd.is_zstd(raw):
+                    continue
+                try:
+                    plain, info = _zstd.decompress_with_info(raw)
+                except ValueError:
+                    continue  # corrupt archive: degrade, don't fail
+                for rec in parse_warc(plain):
+                    if rec["type"] != "response":
+                        continue
+                    m = re.search(r"/doc/(\d+)$", rec["uri"])
+                    text = html_to_text(decode_http_body(rec))
+                    ids.append(int(m.group(1)) if m else -1)
+                    uris.append(rec["uri"])
+                    cks.append(info["all_checksummed"])
+                    sts.append(rec["http_status"])
+                    texts.append(text)
+                    ns.append(len(text))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "uri": uris,
+                    "checksummed": cks,
                     "http_status": sts,
                     "extracted": texts,
                     "n_chars": ns,

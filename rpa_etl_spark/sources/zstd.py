@@ -1,0 +1,800 @@
+"""Zstandard (RFC 8878) decoder, from scratch on the stdlib — round 9.
+
+Modern corpus dumps ship zstd-framed: Common Crawl moved to ``.warc.zst``
+and most dataset tarballs to ``.tar.zst``. The round-8 container layer
+(WARC/tar/zip/Avro) stopped at gzip/deflate; this module closes that gap
+the same way the DEFLATE/LZW/JPEG work did — a complete spec
+implementation, not a binding:
+
+- frame layer: magic, frame-header descriptor (single-segment, FCS
+  field sizes, dictionary-ID rejection, content-checksum), window
+  descriptor, SKIPPABLE frames, multi-frame concatenation;
+- block layer: raw / RLE / compressed, with the per-frame output window
+  shared across blocks (matches can reach earlier blocks);
+- literals: raw / RLE / Huffman-compressed / treeless (table reuse),
+  1-stream and 4-stream (jump-table) forms; Huffman tree descriptions
+  both direct (4-bit weights) and FSE-compressed (two alternating
+  states);
+- sequences: predefined / RLE / FSE-compressed / repeat table modes for
+  the literal-length, offset, and match-length channels; the RFC's
+  variable-bit probability headers; interleaved backward-bitstream
+  decode in the spec's exact state/extra-bit order; the 3-slot repeat
+  -offset history with the ``litLen == 0`` shift rule;
+- integrity: XXH64 (from scratch) verifies the optional 32-bit content
+  checksum.
+
+Conformance is pinned by tests against the reference encoder exposed via
+``pyarrow.Codec('zstd')`` across levels/shapes, plus hand-built frames
+for corners real encoders rarely emit. The module also provides
+``compress_store`` — a raw-block-only zstd ENCODER (valid frames, no
+entropy coding) — so fixture writers work even without pyarrow.
+
+Scale shape: decode is per-document CPU work inside Arrow-batched
+kernels (one archive row in, decoded members out) — embarrassingly
+parallel, no shuffle; a 100 TB crawl decodes at scan speed across
+executors exactly like the gzip path it extends.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0xFD2FB528
+_SKIP_BASE = 0x184D2A50  # low nibble 0x0-0xF all skippable
+
+# ---------------------------------------------------------------------------
+# bitstreams
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    """zstd backward bitstream: the LAST byte carries a padding marker
+    (its highest set bit); payload bits are read from just below the
+    marker downward toward the first byte. Reads past the start return
+    zero bits (the spec's defined zero-padding for final peeks)."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ValueError("zstd: empty backward bitstream")
+        v = int.from_bytes(data, "little")
+        if v == 0:
+            raise ValueError("zstd: backward bitstream lacks start marker")
+        self.val = v
+        self.pos = v.bit_length() - 1  # bits remaining below the marker
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos - n
+        self.pos = p
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        # zero-pad past the start
+        return (self.val << -p) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        p = self.pos - n
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        return (self.val << -p) & ((1 << n) - 1)
+
+    @property
+    def remaining(self) -> int:
+        return self.pos
+
+
+class _FwdBits:
+    """Forward LSB-first bitstream (FSE probability headers)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            byte = self.bitpos >> 3
+            if byte >= len(self.data):
+                raise ValueError("zstd: FSE header runs past end of data")
+            out |= ((self.data[byte] >> (self.bitpos & 7)) & 1) << i
+            self.bitpos += 1
+        return out
+
+    def rewind(self, n: int) -> None:
+        self.bitpos -= n
+
+    def bytes_consumed(self) -> int:
+        return (self.bitpos + 7) >> 3
+
+
+# ---------------------------------------------------------------------------
+# FSE
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_distribution(fbits: _FwdBits, max_log: int) -> tuple[list[int], int]:
+    """RFC 8878 §4.1.1 probability header: accuracy log, then variable
+    -bit probabilities with the small-value one-fewer-bit trick and
+    2-bit zero-repeat flags. Returns (probs, accuracy_log); the caller
+    byte-aligns via fbits.bytes_consumed()."""
+    al = fbits.read(4) + 5
+    if al > max_log:
+        raise ValueError(f"zstd: accuracy log {al} exceeds max {max_log}")
+    remaining = (1 << al) + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > 255:
+            raise ValueError("zstd: FSE distribution has too many symbols")
+        nbits = remaining.bit_length()
+        val = fbits.read(nbits)
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            fbits.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        prob = val - 1
+        probs.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            rep = fbits.read(2)
+            while rep == 3:
+                probs.extend((0, 0, 0))
+                rep = fbits.read(2)
+            probs.extend((0,) * rep)
+    return probs, al
+
+
+def _fse_build_table(
+    probs: list[int], al: int
+) -> list[tuple[int, int, int]]:
+    """Decode table: state → (symbol, nb_bits, new_state_base). The
+    spec's spread: prob −1 symbols take single cells from the table end;
+    the rest scatter with the (5/8·size + 3) step skipping the tail."""
+    size = 1 << al
+    table = [-1] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            table[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    pos = 0
+    for s, p in enumerate(probs):
+        for _ in range(p if p > 0 else 0):
+            table[pos] = s
+            pos = (pos + step) & (size - 1)
+            while pos > high:
+                pos = (pos + step) & (size - 1)
+    if pos != 0:
+        raise ValueError("zstd: corrupt FSE distribution (spread mismatch)")
+    nxt = [p if p > 0 else 1 for p in probs]
+    out: list[tuple[int, int, int]] = [(-1, 0, 0)] * size
+    for state in range(size):
+        s = table[state]
+        if s < 0:
+            raise ValueError("zstd: FSE table cell left unassigned")
+        ns = nxt[s]
+        nxt[s] = ns + 1
+        nb = al - (ns.bit_length() - 1)
+        out[state] = (s, nb, (ns << nb) - size)
+    return out
+
+
+def _fse_rle_table(symbol: int) -> list[tuple[int, int, int]]:
+    return [(symbol, 0, 0)]
+
+
+def _fse_decode_stream(
+    table: list[tuple[int, int, int]], al: int, data: bytes, cap: int
+) -> list[int]:
+    """Two-state alternating FSE stream (Huffman weights): symbols come
+    from states 1 and 2 in turn; when an update would overdraw the
+    bitstream, the OTHER state flushes its symbol and decoding ends."""
+    br = _BackBits(data)
+    states = [br.read(al), br.read(al)]
+    out: list[int] = []
+    cur = 0
+    while True:
+        sym, nb, base = table[states[cur]]
+        out.append(sym)
+        if len(out) > cap:
+            raise ValueError("zstd: runaway FSE weight stream")
+        if nb > br.remaining:
+            out.append(table[states[1 - cur]][0])
+            break
+        states[cur] = base + br.read(nb)
+        cur ^= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _huf_read_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    """Huffman-tree description → (weights, new_pos). Header byte ≥ 128:
+    direct 4-bit weights for (byte−127) symbols; < 128: that many bytes
+    of FSE-compressed weights (accuracy log ≤ 6)."""
+    h = data[pos]
+    pos += 1
+    if h >= 128:
+        n = h - 127
+        packed = data[pos : pos + ((n + 1) >> 1)]
+        if len(packed) < (n + 1) >> 1:
+            raise ValueError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = packed[i >> 1]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, pos + ((n + 1) >> 1)
+    comp = data[pos : pos + h]
+    if len(comp) < h:
+        raise ValueError("zstd: truncated FSE Huffman weights")
+    fb = _FwdBits(comp)
+    probs, al = _fse_read_distribution(fb, 6)
+    table = _fse_build_table(probs, al)
+    stream = comp[fb.bytes_consumed() :]
+    weights = _fse_decode_stream(table, al, stream, 255)
+    return weights, pos + h
+
+
+def _huf_build_table(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Canonical zstd Huffman: the LAST symbol's weight is implied (it
+    completes the weight sum to a power of two). Returns a full
+    2^table_log lookup of (symbol, nb_bits) plus the table log."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: empty Huffman weight set")
+    table_log = total.bit_length()  # log2 of next power of two > total
+    left = (1 << table_log) - total
+    if left & (left - 1):
+        raise ValueError("zstd: Huffman weights do not sum to a power of 2")
+    weights = weights + [left.bit_length()]  # implied last weight
+    if table_log > 11:
+        raise ValueError("zstd: Huffman table log exceeds 11")
+    # rank layout: smallest weight (longest code) first
+    rank_count = [0] * (table_log + 2)
+    for w in weights:
+        if w > 0:
+            rank_count[w] += 1
+    table: list[tuple[int, int]] = [(-1, 0)] * (1 << table_log)
+    rank_idx = [0] * (table_log + 2)
+    at = 0
+    for w in range(1, table_log + 2):
+        rank_idx[w] = at
+        at += rank_count[w] << (w - 1)
+    if at != 1 << table_log:
+        raise ValueError("zstd: corrupt Huffman weight ranks")
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        nb = table_log + 1 - w
+        start = rank_idx[w]
+        span = 1 << (w - 1)
+        for i in range(start, start + span):
+            table[i] = (sym, nb)
+        rank_idx[w] += span
+    return table, table_log
+
+
+def _huf_decode(
+    table: list[tuple[int, int]], table_log: int, data: bytes, n_out: int
+) -> bytearray:
+    """One Huffman-coded literal stream (backward, MSB-first peeks,
+    zero-padded at the tail) → exactly n_out symbols."""
+    out = bytearray()
+    if n_out == 0:
+        return out
+    br = _BackBits(data)
+    for _ in range(n_out):
+        sym, nb = table[br.peek(table_log)]
+        if sym < 0:
+            raise ValueError("zstd: invalid Huffman code")
+        br.read(nb)
+        out.append(sym)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sequences: code tables (RFC 8878 §3.1.1.3.2.1)
+# ---------------------------------------------------------------------------
+
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                       13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+
+# predefined distributions (RFC 8878 tables 15/17/19) + accuracy logs
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+    6,
+)
+_MAX_LOG = {"ll": 9, "of": 8, "ml": 9}
+
+
+def _read_seq_table(
+    data: bytes, pos: int, mode: int, channel: str, prev
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """One channel's table per its 2-bit compression mode:
+    0 predefined, 1 RLE (one symbol byte), 2 FSE-compressed (inline
+    distribution), 3 repeat previous block's table."""
+    if mode == 0:
+        probs, al = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}[
+            channel
+        ]
+        return _fse_build_table(probs, al), al, pos
+    if mode == 1:
+        if pos >= len(data):
+            raise ValueError("zstd: truncated RLE sequence table")
+        return _fse_rle_table(data[pos]), 0, pos + 1
+    if mode == 2:
+        fb = _FwdBits(data[pos:])
+        probs, al = _fse_read_distribution(fb, _MAX_LOG[channel])
+        return _fse_build_table(probs, al), al, pos + fb.bytes_consumed()
+    if prev is None:
+        raise ValueError("zstd: repeat mode with no previous table")
+    return prev[0], prev[1], pos
+
+
+# ---------------------------------------------------------------------------
+# block decode
+# ---------------------------------------------------------------------------
+
+
+class _FrameState:
+    """Per-frame decoder state shared across blocks: the output window,
+    the previous Huffman table (treeless literals), the previous
+    sequence tables (repeat mode), and the repeat-offset history."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.huf: tuple[list[tuple[int, int]], int] | None = None
+        self.seq_tables: dict[str, tuple] = {"ll": None, "of": None, "ml": None}
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(data: bytes, pos: int, st: _FrameState) -> tuple[bytes, int]:
+    b0 = data[pos]
+    lit_type = b0 & 3
+    size_fmt = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        if size_fmt in (0, 2):
+            rs = b0 >> 3
+            pos += 1
+        elif size_fmt == 1:
+            rs = (b0 >> 4) + (data[pos + 1] << 4)
+            pos += 2
+        else:
+            rs = (b0 >> 4) + (data[pos + 1] << 4) + (data[pos + 2] << 12)
+            pos += 3
+        if lit_type == 0:
+            lits = data[pos : pos + rs]
+            if len(lits) < rs:
+                raise ValueError("zstd: truncated raw literals")
+            return lits, pos + rs
+        return bytes([data[pos]]) * rs, pos + 1
+    # Compressed (2) / Treeless (3)
+    if size_fmt == 0:
+        streams, rs, cs = 1, (b0 >> 4) + ((data[pos + 1] & 0x3F) << 4), (
+            data[pos + 1] >> 6
+        ) + (data[pos + 2] << 2)
+        pos += 3
+    elif size_fmt == 1:
+        streams, rs, cs = 4, (b0 >> 4) + ((data[pos + 1] & 0x3F) << 4), (
+            data[pos + 1] >> 6
+        ) + (data[pos + 2] << 2)
+        pos += 3
+    elif size_fmt == 2:
+        streams = 4
+        rs = (b0 >> 4) + (data[pos + 1] << 4) + ((data[pos + 2] & 3) << 12)
+        cs = (data[pos + 2] >> 2) + (data[pos + 3] << 6)
+        pos += 4
+    else:
+        streams = 4
+        rs = (b0 >> 4) + (data[pos + 1] << 4) + ((data[pos + 2] & 0x3F) << 12)
+        cs = (data[pos + 2] >> 6) + (data[pos + 3] << 2) + (data[pos + 4] << 10)
+        pos += 5
+    section = data[pos : pos + cs]
+    if len(section) < cs:
+        raise ValueError("zstd: truncated compressed literals")
+    at = 0
+    if lit_type == 2:
+        weights, at = _huf_read_weights(section, 0)
+        st.huf = _huf_build_table(weights)
+    elif st.huf is None:
+        raise ValueError("zstd: treeless literals with no previous table")
+    table, tlog = st.huf
+    body = section[at:]
+    if streams == 1:
+        lits = bytes(_huf_decode(table, tlog, body, rs))
+    else:
+        if len(body) < 6:
+            raise ValueError("zstd: truncated 4-stream jump table")
+        s1, s2, s3 = struct.unpack_from("<HHH", body, 0)
+        chunks = []
+        sizes = [(rs + 3) >> 2] * 3
+        sizes.append(rs - sum(sizes))
+        if sizes[3] < 0:
+            raise ValueError("zstd: negative fourth-stream size")
+        offs = [6, 6 + s1, 6 + s1 + s2, 6 + s1 + s2 + s3, len(body)]
+        for i in range(4):
+            chunk = body[offs[i] : offs[i + 1]]
+            chunks.append(bytes(_huf_decode(table, tlog, chunk, sizes[i])))
+        lits = b"".join(chunks)
+    if len(lits) != rs:
+        raise ValueError("zstd: literal size mismatch")
+    return lits, pos + cs
+
+
+def _decode_block(data: bytes, st: _FrameState) -> None:
+    """One compressed block body → append to st.out."""
+    lits, pos = _decode_literals(data, 0, st)
+    # sequence count
+    b0 = data[pos]
+    if b0 == 0:
+        n_seq = 0
+        pos += 1
+    elif b0 < 128:
+        n_seq = b0
+        pos += 1
+    elif b0 < 255:
+        n_seq = ((b0 - 0x80) << 8) + data[pos + 1]
+        pos += 2
+    else:
+        n_seq = data[pos + 1] + (data[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if n_seq == 0:
+        st.out += lits
+        return
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll_t, ll_al, pos = _read_seq_table(
+        data, pos, modes >> 6, "ll", st.seq_tables["ll"]
+    )
+    of_t, of_al, pos = _read_seq_table(
+        data, pos, (modes >> 4) & 3, "of", st.seq_tables["of"]
+    )
+    ml_t, ml_al, pos = _read_seq_table(
+        data, pos, (modes >> 2) & 3, "ml", st.seq_tables["ml"]
+    )
+    st.seq_tables = {"ll": (ll_t, ll_al), "of": (of_t, of_al), "ml": (ml_t, ml_al)}
+    br = _BackBits(data[pos:])
+    ll_state = br.read(ll_al)
+    of_state = br.read(of_al)
+    ml_state = br.read(ml_al)
+    out = st.out
+    reps = st.reps
+    lit_at = 0
+    for i in range(n_seq):
+        of_code = of_t[of_state][0]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        off_val = (1 << of_code) + br.read(of_code)
+        ml_code = ml_t[ml_state][0]
+        match_len = _ML_BASE[ml_code] + br.read(_ML_BITS[ml_code])
+        ll_code = ll_t[ll_state][0]
+        lit_len = _LL_BASE[ll_code] + br.read(_LL_BITS[ll_code])
+        # resolve offset against the repeat history
+        if off_val > 3:
+            offset = off_val - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = off_val + (1 if lit_len == 0 else 0)
+            if idx == 1:
+                offset = reps[0]
+            elif idx == 2:
+                offset = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            elif idx == 3:
+                offset = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # idx == 4: rep1 - 1
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        out += lits[lit_at : lit_at + lit_len]
+        lit_at += lit_len
+        if offset > len(out):
+            raise ValueError("zstd: match offset beyond window")
+        if offset >= match_len:  # non-overlapping fast path
+            start = len(out) - offset
+            out += out[start : start + match_len]
+        else:
+            for _ in range(match_len):
+                out.append(out[-offset])
+        if i < n_seq - 1:  # state updates in LL, ML, OF order
+            s, nb, base = ll_t[ll_state]
+            ll_state = base + br.read(nb)
+            s, nb, base = ml_t[ml_state]
+            ml_state = base + br.read(nb)
+            s, nb, base = of_t[of_state]
+            of_state = base + br.read(nb)
+    if br.remaining != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    out += lits[lit_at:]
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (frame content checksum)
+# ---------------------------------------------------------------------------
+
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 — zstd's content-checksum hash (public algorithm)."""
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        i = 0
+        for i in range(0, n - 31, 32):
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl((v1 + a * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + b * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + c * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + d * _P2) & _M64, 31) * _P1) & _M64
+        i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((_rotl((v * _P2) & _M64, 31) * _P1) & _M64)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+        i = 0
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = (_rotl(h ^ ((_rotl((k * _P2) & _M64, 31) * _P1) & _M64), 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl(h ^ (k * _P1) & _M64, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M64, 11) * _P1) & _M64
+        i += 1
+    h = ((h ^ (h >> 33)) * _P2) & _M64
+    h = ((h ^ (h >> 29)) * _P3) & _M64
+    return h ^ (h >> 32)
+
+
+# ---------------------------------------------------------------------------
+# frame decode
+# ---------------------------------------------------------------------------
+
+
+def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
+    """One zstd frame starting at ``pos`` → (content, next_pos).
+    Skippable frames return b'' and skip forward. Dictionary IDs are
+    rejected (corpus frames are dictionary-less; the seekable-WARC
+    dictionary convention is handled a layer up)."""
+    if pos + 4 > len(data):
+        raise ValueError("zstd: truncated frame magic")
+    (magic,) = struct.unpack_from("<I", data, pos)
+    if (magic & 0xFFFFFFF0) == _SKIP_BASE:
+        if pos + 8 > len(data):
+            raise ValueError("zstd: truncated skippable frame")
+        (sz,) = struct.unpack_from("<I", data, pos + 4)
+        end = pos + 8 + sz
+        if end > len(data):
+            raise ValueError("zstd: skippable frame runs past end")
+        return b"", end
+    if magic != _MAGIC:
+        raise ValueError(f"zstd: bad magic 0x{magic:08x}")
+    pos += 4
+    fhd = data[pos]
+    pos += 1
+    if fhd & 0x08:
+        raise ValueError("zstd: reserved frame-header bit set")
+    single_segment = bool(fhd & 0x20)
+    checksum = bool(fhd & 0x04)
+    dict_flag = fhd & 3
+    fcs_flag = fhd >> 6
+    window_size = None
+    if not single_segment:
+        wd = data[pos]
+        pos += 1
+        exp, mant = wd >> 3, wd & 7
+        base = 1 << (10 + exp)
+        window_size = base + (base >> 3) * mant
+    dict_size = (0, 1, 2, 4)[dict_flag]
+    if dict_size:
+        did = int.from_bytes(data[pos : pos + dict_size], "little")
+        pos += dict_size
+        if did != 0:
+            raise ValueError("zstd: dictionary frames are not supported")
+    fcs = None
+    fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+    if fcs_size:
+        fcs = int.from_bytes(data[pos : pos + fcs_size], "little")
+        if fcs_size == 2:
+            fcs += 256
+        pos += fcs_size
+    if single_segment:
+        window_size = fcs if fcs is not None else 0
+    st = _FrameState()
+    while True:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated block header")
+        bh = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 0:  # raw
+            if pos + bsize > len(data):
+                raise ValueError("zstd: truncated raw block")
+            st.out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos >= len(data):
+                raise ValueError("zstd: truncated RLE block")
+            st.out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            body = data[pos : pos + bsize]
+            if len(body) < bsize:
+                raise ValueError("zstd: truncated compressed block")
+            _decode_block(body, st)
+            pos += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            break
+    if fcs is not None and len(st.out) != fcs:
+        raise ValueError(
+            f"zstd: content size mismatch ({len(st.out)} != {fcs})"
+        )
+    if checksum:
+        if pos + 4 > len(data):
+            raise ValueError("zstd: truncated content checksum")
+        (want,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if xxh64(bytes(st.out)) & 0xFFFFFFFF != want:
+            raise ValueError("zstd: content checksum mismatch")
+    return bytes(st.out), pos
+
+
+def decompress(data: bytes) -> bytes:
+    """All concatenated frames (skippables skipped) → joined content."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        content, pos = decode_frame(data, pos)
+        out.append(content)
+    return b"".join(out)
+
+
+def decompress_with_info(data: bytes) -> tuple[bytes, dict]:
+    """Like ``decompress`` but also reports frame-level facts the corpus
+    readers surface as columns: content-frame count, skippable-frame
+    count, and whether EVERY content frame carried a (verified) XXH64
+    checksum — an integrity property worth knowing per archive."""
+    out = []
+    pos = 0
+    n_frames = n_skip = 0
+    all_ck = True
+    while pos < len(data):
+        (magic,) = struct.unpack_from("<I", data, pos) if pos + 4 <= len(
+            data
+        ) else (0,)
+        if (magic & 0xFFFFFFF0) == _SKIP_BASE:
+            n_skip += 1
+        elif magic == _MAGIC:
+            n_frames += 1
+            if not data[pos + 4] & 0x04:
+                all_ck = False
+        content, pos = decode_frame(data, pos)
+        out.append(content)
+    return b"".join(out), {
+        "n_frames": n_frames,
+        "n_skippable": n_skip,
+        "all_checksummed": all_ck and n_frames > 0,
+    }
+
+
+def is_zstd(data: bytes) -> bool:
+    if len(data) < 4:
+        return False
+    (magic,) = struct.unpack_from("<I", data, 0)
+    return magic == _MAGIC or (magic & 0xFFFFFFF0) == _SKIP_BASE
+
+
+# ---------------------------------------------------------------------------
+# encoders (fixtures)
+# ---------------------------------------------------------------------------
+
+
+def compress_store(data: bytes, *, checksum: bool = False) -> bytes:
+    """Valid zstd frame with RAW blocks only (no entropy coding) — the
+    stdlib-only fixture path, and the 'store' rotation the conformance
+    fixtures use alongside reference-encoded frames."""
+    n = len(data)
+    out = bytearray(struct.pack("<I", _MAGIC))
+    fhd = 0x20 | (0x04 if checksum else 0)  # single-segment
+    if n < 256:
+        out.append(fhd)
+        out.append(n)
+    elif n < 65536 + 256:
+        out.append(fhd | 0x40)
+        out += struct.pack("<H", n - 256)
+    else:
+        out.append(fhd | 0x80)
+        out += struct.pack("<I", n)
+    chunk = 65536
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last, raw, size 0
+    else:
+        for i in range(0, n, chunk):
+            piece = data[i : i + chunk]
+            last = 1 if i + chunk >= n else 0
+            out += ((len(piece) << 3) | last).to_bytes(3, "little")
+            out += piece
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
+    """A skippable frame (magic 0x184D2A5x) wrapping ``payload`` — the
+    slot seekable .warc.zst files use for their dictionary."""
+    return struct.pack("<II", _SKIP_BASE | (nibble & 0xF), len(payload)) + payload
+
+
+def compress(data: bytes, level: int = 3) -> bytes:
+    """Reference-encoded zstd frame via pyarrow's bundled libzstd when
+    available (exercises the full FSE/Huffman decode path), else the
+    store-only frame. Fixture writers rotate levels so compressed,
+    raw-block, and RLE shapes all flow through the decoder."""
+    try:
+        import pyarrow as pa
+
+        return bytes(pa.Codec("zstd", compression_level=level).compress(data))
+    except Exception:
+        return compress_store(data)

@@ -80,8 +80,9 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
         "q_pdf_extract_passworded",
     ],
-    "rpa_etl_spark/sources/warc.py": ["q_warc_extract"],
-    "rpa_etl_spark/sources/tarball.py": ["q_tar_extract"],
+    "rpa_etl_spark/sources/warc.py": ["q_warc_extract", "q_warc_extract_zst"],
+    "rpa_etl_spark/sources/tarball.py": ["q_tar_extract", "q_tar_extract_zst"],
+    "rpa_etl_spark/sources/zstd.py": ["q_warc_extract_zst", "q_tar_extract_zst"],
     "rpa_etl_spark/sources/zipfile_src.py": ["q_zip_extract"],
     "rpa_etl_spark/sources/avro_src.py": ["q_avro_extract"],
     "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip"],

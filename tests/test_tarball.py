@@ -146,3 +146,32 @@ def test_spark_tar_extract(spark):
         assert r["text"] == f"texto {i} com espaços"
         assert r["gzipped"] == (i % 2 == 1)
         assert r["n_bytes"] == len(r["text"].encode("utf-8"))
+
+
+def test_parse_tar_zst_roundtrip():
+    from rpa_etl_spark.sources import zstd as Z
+
+    tar = T.write_tar([("a.txt", b"alpha"), ("dir/b.txt", b"beta" * 1000)])
+    for blob in (Z.compress_store(tar, checksum=True), Z.compress(tar, level=19)):
+        out = T.parse_tar(blob)
+        assert [(m["name"], m["content"][:5]) for m in out] == [
+            ("a.txt", b"alpha"), ("dir/b.txt", b"betab"),
+        ]
+    corrupt = bytearray(Z.compress_store(tar, checksum=True))
+    corrupt[-1] ^= 0xFF  # break the XXH64 checksum
+    assert T.parse_tar(bytes(corrupt)) == []  # degrade, don't raise
+
+
+def test_spark_tar_extract_zst(spark):
+    docs = spark.createDataFrame(
+        [(i % 6, i, f"texto {i}  com   espaços") for i in range(12)],
+        "bucket int, doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.extract_tar_members_zst(
+        T.synth_tar_archives_zst(docs)).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        r = rows[i]
+        assert r["member"] == f"corpus/doc_{i}.txt"
+        assert r["checksummed"] == (i % 6 % 3 == 0)
+        assert r["text"] == f"texto {i} com espaços"

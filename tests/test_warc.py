@@ -119,3 +119,43 @@ def test_gzip_trailing_garbage_degrades():
     out = W.parse_warc(data + b"NOT GZIP TAIL")
     assert [r["type"] for r in out] == ["warcinfo", "response"]
     assert W.html_to_text(W.decode_http_body(out[1])) == "ok"
+
+
+def test_parse_warc_zst_roundtrip():
+    """Seekable .warc.zst layout: skippable dictionary-slot frame + one
+    zstd frame per record, decoded transparently by parse_warc."""
+    from rpa_etl_spark.sources import zstd as Z
+
+    plain = W.write_warc([("https://x/doc/1", b"<p>um</p>"),
+                          ("https://x/doc/2", b"<p>dois</p>")])
+    # frame-per-record split on the WARC/ marker
+    recs, at = [], 0
+    while True:
+        nxt = plain.find(b"WARC/", at + 1)
+        if nxt < 0:
+            break
+        recs.append(plain[at:nxt]); at = nxt
+    recs.append(plain[at:])
+    blob = Z.skippable_frame(b"dict-slot") + b"".join(
+        Z.compress(r, level=19) for r in recs
+    )
+    out = W.parse_warc(blob)
+    assert [r["uri"] for r in out if r["type"] == "response"] == [
+        "https://x/doc/1", "https://x/doc/2",
+    ]
+    assert W.parse_warc(blob[:10]) == []  # truncated: degrade
+
+
+def test_spark_warc_extract_zst(spark):
+    docs = spark.createDataFrame(
+        [(i % 6, i, f"texto {i}  com   <markup> & stuff") for i in range(12)],
+        "bucket int, doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in W.extract_warc_text_zst(
+        W.synth_warc_archives_zst(docs)).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        r = rows[i]
+        assert r["checksummed"] == (i % 6 % 3 == 0)
+        assert r["http_status"] == 200
+        assert f"texto {i} com <markup> & stuff" in r["extracted"]
