@@ -653,3 +653,796 @@ def _decode_intra_picture(
     ycc = np.stack([y, cb_full, cr_full], axis=-1)
     rgb = _ycbcr_to_rgb(ycc)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# P-pictures: motion compensation (round 9 — closes the round-8 scope
+# note "motion compensation out of scope"). Forward-predicted pictures
+# per ISO 11172-2 §2.4.4.2: differential motion vectors with f_code
+# scaling and the ±16f wrap, half-pel interpolation (rounding away from
+# zero), macroblock types of Table B.2b, coded_block_pattern (Table
+# B.3), non-intra dequantization (all-16 default matrix, truncation
+# toward zero + oddification), and skipped-macroblock semantics (copy at
+# zero motion; PMV and DC predictors reset). The encoder is CLOSED-LOOP:
+# residuals are computed against its own dequantized reconstruction, so
+# decode is drift-free.
+# ---------------------------------------------------------------------------
+
+# default non-intra quantizer matrix: flat 16 (§2.4.3.3)
+DEFAULT_NONINTRA_Q = np.full((8, 8), 16, dtype=np.int64)
+
+# motion_code VLC (Table B.4) is Table B.1's prefix code reindexed:
+# 0 -> '1'; +k -> increment code 2k+1; -k -> increment code 2k
+_MOTION_VLC = {0: "1"}
+for _k in range(1, 17):
+    _MOTION_VLC[_k] = _MB_ADDR_INC[2 * _k + 1]
+    _MOTION_VLC[-_k] = _MB_ADDR_INC[2 * _k]
+_MOTION_DEC = {(len(b), int(b, 2)): v for v, b in _MOTION_VLC.items()}
+
+# macroblock_type, P-pictures (Table B.2b): (quant, mc_forward, pattern,
+# intra)
+_MB_TYPE_P = {
+    (0, 1, 1, 0): "1",
+    (0, 0, 1, 0): "01",
+    (0, 1, 0, 0): "001",
+    (0, 0, 0, 1): "00011",
+    (1, 1, 1, 0): "00010",
+    (1, 0, 1, 0): "00001",
+    (1, 0, 0, 1): "000001",
+}
+_MB_TYPE_P_DEC = {(len(b), int(b, 2)): k for k, b in _MB_TYPE_P.items()}
+
+# coded_block_pattern VLC (Table B.3): cbp value (bit 5 = Y0 .. bit 0 = Cr)
+_CBP_VLC = {
+    60: "111", 4: "1101", 8: "1100", 16: "1011", 32: "1010", 12: "10011",
+    48: "10010", 20: "10001", 40: "10000", 28: "01111", 44: "01110",
+    52: "01101", 56: "01100", 1: "01011", 61: "01010", 2: "01001",
+    62: "01000", 24: "001111", 36: "001110", 3: "001101", 63: "001100",
+    5: "0010111", 9: "0010110", 17: "0010101", 33: "0010100",
+    6: "0010011", 10: "0010010", 18: "0010001", 34: "0010000",
+    7: "00011111", 11: "00011110", 19: "00011101", 35: "00011100",
+    13: "00011011", 49: "00011010", 21: "00011001", 41: "00011000",
+    14: "00010111", 50: "00010110", 22: "00010101", 42: "00010100",
+    15: "00010011", 51: "00010010", 23: "00010001", 43: "00010000",
+    25: "00001111", 37: "00001110", 26: "00001101", 38: "00001100",
+    29: "00001011", 45: "00001010", 53: "00001001", 57: "00001000",
+    30: "00000111", 46: "00000110", 54: "00000101", 58: "00000100",
+    31: "000000111", 47: "000000110", 55: "000000101", 59: "000000100",
+    27: "000000011", 39: "000000010",
+}
+_CBP_DEC = {(len(b), int(b, 2)): v for v, b in _CBP_VLC.items()}
+
+
+def _dequant_nonintra(level: int, qscale: int, w: int) -> int:
+    """§2.4.4.2 non-intra reconstruction: (2·level + sign)·q·w/16 with
+    truncation toward zero, then mismatch-control oddification."""
+    if level == 0:
+        return 0
+    s = 1 if level > 0 else -1
+    v = abs(2 * level + s) * qscale * w // 16
+    if v % 2 == 0 and v != 0:
+        v -= 1
+    return max(-2048, min(2047, s * v))
+
+
+def _quant_nonintra(
+    block: np.ndarray, qscale: int, nqmat: np.ndarray
+) -> list[tuple[int, int]]:
+    """Residual block → [(zigzag_index, level), ...] nonzero entries
+    (encoder side; includes the DC position, coded like any AC in
+    non-intra blocks)."""
+    coef = _DCT @ block.astype(np.float64) @ _DCT.T
+    flat = coef.reshape(-1)
+    qflat = nqmat.reshape(-1)
+    out = []
+    for k in range(64):
+        w = int(qflat[_ZZ_FLAT[k]])
+        c = float(flat[_ZZ_FLAT[k]])
+        level = int(np.trunc(8.0 * c / (qscale * w)))
+        level = max(-255, min(255, level))
+        if level:
+            out.append((k, level))
+    return out
+
+
+def _recon_nonintra(
+    entries: list[tuple[int, int]], qscale: int, nqmat: np.ndarray
+) -> np.ndarray:
+    flat = np.zeros(64, dtype=np.int64)
+    qflat = nqmat.reshape(-1)
+    for k, level in entries:
+        flat[_ZZ_FLAT[k]] = _dequant_nonintra(
+            level, qscale, int(qflat[_ZZ_FLAT[k]])
+        )
+    return _DCT.T @ flat.reshape(8, 8).astype(np.float64) @ _DCT
+
+
+def _emit_nonintra_block(bs: _Bits, entries: list[tuple[int, int]]) -> None:
+    """Table B.5 with the non-intra FIRST-coefficient rule: (0, ±1) as
+    the first run/level is '1' + sign (EOB cannot appear first)."""
+    prev_k = -1
+    first = True
+    for k, level in entries:
+        run = k - prev_k - 1
+        prev_k = k
+        key = (run, abs(level))
+        if first and key == (0, 1):
+            bs.put_str("1")
+            bs.put(0 if level > 0 else 1, 1)
+        elif key in _AC_VLC:
+            bs.put_str(_AC_VLC[key])
+            bs.put(0 if level > 0 else 1, 1)
+        else:
+            bs.put_str(_AC_ESCAPE)
+            bs.put(run, 6)
+            if -127 <= level <= 127:
+                bs.put(level & 0xFF, 8)
+            elif level > 0:
+                bs.put(0x00, 8)
+                bs.put(level, 8)
+            else:
+                bs.put(0x80, 8)
+                bs.put(level & 0xFF, 8)
+        first = False
+    bs.put_str(_AC_EOB)
+
+
+def _decode_nonintra_block(
+    r: _Reader, qscale: int, nqmat: np.ndarray
+) -> np.ndarray:
+    """Non-intra block: no DC prediction; first-coefficient special case;
+    dequant per §2.4.4.2."""
+    flat = np.zeros(64, dtype=np.int64)
+    qflat = nqmat.reshape(-1)
+    k = -1
+    first = True
+    while True:
+        if first and r.bit():
+            # '1' + sign: run 0, level ±1 (the first-coeff form)
+            run, level = 0, (-1 if r.bit() else 1)
+        else:
+            if first:
+                # already consumed the leading 0 — continue the walk
+                code, length = 0, 1
+                got = None
+                while length < 17:
+                    code = (code << 1) | r.bit()
+                    length += 1
+                    got = _AC_WALK.get((length, code))
+                    if got is not None:
+                        break
+                if got is None:
+                    raise ValueError("mpeg1: no VLC match within 17 bits")
+            else:
+                got = r.vlc(_AC_WALK, max_len=17)
+            if got == "eob":
+                break
+            if got == "esc":
+                run = r.bits(6)
+                lv = r.bits(8)
+                if lv == 0x00:
+                    level = r.bits(8)
+                elif lv == 0x80:
+                    level = r.bits(8) - 256
+                else:
+                    level = lv if lv < 128 else lv - 256
+            else:
+                run, level = got
+                if r.bit():
+                    level = -level
+        first = False
+        k += run + 1
+        if k > 63:
+            raise ValueError("mpeg1: coefficient index overflow")
+        flat[_ZZ_FLAT[k]] = _dequant_nonintra(
+            level, qscale, int(qflat[_ZZ_FLAT[k]])
+        )
+    return _DCT.T @ flat.reshape(8, 8).astype(np.float64) @ _DCT
+
+
+def _mc_pred(
+    plane: np.ndarray, y0: int, x0: int, h: int, w: int, dy: int, dx: int
+) -> np.ndarray:
+    """Forward prediction block from an integer reference plane; (dy, dx)
+    in HALF-pel units. Half-pel samples average 2 (or 4) neighbors with
+    rounding away from zero (§2.4.4.2's '//')."""
+    iy, hy = dy >> 1, dy & 1
+    ix, hx = dx >> 1, dx & 1
+    ys, xs = y0 + iy, x0 + ix
+    hh, ww = h + (1 if hy else 0), w + (1 if hx else 0)
+    if ys < 0 or xs < 0 or ys + hh > plane.shape[0] or xs + ww > plane.shape[1]:
+        raise ValueError("mpeg1: motion vector points outside the reference")
+    win = plane[ys : ys + hh, xs : xs + ww].astype(np.int64)
+    if hy and hx:
+        return (
+            win[:-1, :-1] + win[1:, :-1] + win[:-1, 1:] + win[1:, 1:] + 2
+        ) >> 2
+    if hy:
+        return (win[:-1, :] + win[1:, :] + 1) >> 1
+    if hx:
+        return (win[:, :-1] + win[:, 1:] + 1) >> 1
+    return win
+
+
+def _motion_diff_bits(bs: _Bits, diff: int, f_code: int) -> None:
+    """Encode one differential component: motion_code VLC + f_code-1
+    residual bits (§2.4.3.7). |diff| must be <= 16·f − ... in-range;
+    callers keep differentials inside [-16f, 16f-1]."""
+    f = 1 << (f_code - 1)
+    if diff == 0:
+        bs.put_str(_MOTION_VLC[0])
+        return
+    a = abs(diff)
+    code = (a + f - 1) // f
+    if not 1 <= code <= 16:
+        raise ValueError(f"mpeg1: motion differential {diff} out of range")
+    bs.put_str(_MOTION_VLC[code if diff > 0 else -code])
+    if f_code > 1:
+        complement = code * f - a
+        bs.put(f - 1 - complement, f_code - 1)
+
+
+def _read_motion_diff(r: _Reader, f_code: int) -> int:
+    code = r.vlc(_MOTION_DEC, max_len=11)
+    if code == 0:
+        return 0
+    f = 1 << (f_code - 1)
+    complement = 0
+    if f_code > 1:
+        complement = f - 1 - r.bits(f_code - 1)
+    little = code * f
+    if little > 0:
+        little -= complement
+    else:
+        little += complement
+    return little
+
+
+def _wrap_mv(v: int, f_code: int) -> int:
+    f = 1 << (f_code - 1)
+    lo, hi = -16 * f, 16 * f - 1
+    if v > hi:
+        v -= 32 * f
+    elif v < lo:
+        v += 32 * f
+    return v
+
+
+def _encode_intra_block_recon(
+    bs: _Bits, block: np.ndarray, pred: int, qscale: int, luma: bool,
+    qmat: np.ndarray,
+) -> tuple[int, np.ndarray]:
+    """_encode_intra_block + the decoder-identical reconstruction (for
+    the closed encoding loop): re-derives the dequantized coefficients
+    exactly as _decode_intra_block would."""
+    mark = len(bs.buf) * 8 + bs.n
+    new_pred = _encode_intra_block(bs, block, pred, qscale, luma, qmat)
+    # re-decode the bits just written (cheap at fixture scale, and by
+    # construction identical to the decoder's arithmetic)
+    tmp = _Bits()
+    tmp.buf = bytearray(bs.buf)
+    tmp.acc, tmp.n = bs.acc, bs.n
+    tmp.align()
+    r = _Reader(bytes(tmp.buf), mark)
+    recon, dec_pred = _decode_intra_block(r, pred, qscale, luma, qmat)
+    assert dec_pred == new_pred
+    return new_pred, recon
+
+
+def mpeg1_encode_temporal(
+    frames: list,
+    fps: int = 25,
+    qscale: int = 8,
+    f_code: int = 2,
+    candidates: tuple = ((0, 0), (0, -32)),
+    intra_threshold: float = 16.0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB frames → MPEG-1 elementary stream with a REAL
+    temporal structure: frame 0 is intra, the rest are P-pictures with
+    motion-compensated macroblocks. Per MB the encoder evaluates the
+    candidate forward vectors ((dy, dx) in half-pels) against its own
+    reconstruction, then picks: skip (zero residual at zero motion,
+    where legal) → mc-not-coded → mc/no-mc + coded residual → intra when
+    the best mean |residual| exceeds ``intra_threshold``. Closed-loop:
+    every reconstruction path reuses the decoder's dequantization."""
+    h, w, _ = frames[0].shape
+    if h % 16 or w % 16:
+        raise ValueError("mpeg1_encode_temporal: size must be multiples of 16")
+    mbw, mbh = w // 16, h // 16
+    nqmat = DEFAULT_NONINTRA_Q
+    bs = _Bits()
+    _start_code(bs, SEQ_START)
+    bs.put(w, 12)
+    bs.put(h, 12)
+    bs.put(1, 4)
+    bs.put(_FPS_TO_CODE.get(fps, 3), 4)
+    bs.put(0x3FFFF, 18)
+    bs.put(1, 1)
+    bs.put(16, 10)
+    bs.put(0, 1)
+    bs.put(0, 2)
+    _start_code(bs, GOP_START)
+    bs.put(0, 12)
+    bs.put(1, 1)
+    bs.put(0, 12)
+    bs.put(1, 1)
+    bs.put(0, 1)
+
+    ref: list[np.ndarray] | None = None  # reconstructed [y, cb, cr] ints
+    for t, frame in enumerate(frames):
+        is_i = t == 0 or ref is None
+        y, cb, cr = _frame_to_blocks(np.asarray(frame))
+        cur = [y, cb, cr]
+        rec = [np.zeros_like(y), np.zeros_like(cb), np.zeros_like(cr)]
+        _start_code(bs, PIC_START)
+        bs.put(t, 10)
+        bs.put(1 if is_i else 2, 3)
+        bs.put(0xFFFF, 16)
+        if not is_i:
+            bs.put(0, 1)  # full_pel_forward_vector
+            bs.put(f_code, 3)
+        bs.put(0, 1)
+        _start_code(bs, _SLICE_MIN)
+        bs.put(qscale, 5)
+        bs.put(0, 1)
+        pred_y = pred_cb = pred_cr = 128
+        pmv = [0, 0]
+        last_addr = -1
+        total = mbw * mbh
+        for mb in range(total):
+            my, mx = (mb // mbw) * 16, (mb % mbw) * 16
+            cur_blocks = _mb_blocks(cur, my, mx)
+            if is_i:
+                bs.put_str(_MB_ADDR_INC[1])
+                bs.put_str(_MB_TYPE_I_INTRA)
+                pred_y, pred_cb, pred_cr = _emit_intra_mb(
+                    bs, cur_blocks, pred_y, pred_cb, pred_cr, qscale,
+                    DEFAULT_INTRA_Q, rec, my, mx,
+                )
+                last_addr = mb
+                continue
+            # evaluate candidates on the reconstructed reference
+            best = None
+            for dy, dx in candidates:
+                try:
+                    pred = _mb_pred(ref, my, mx, dy, dx)
+                except ValueError:
+                    continue
+                sad = float(
+                    np.mean(np.abs(cur_blocks[0] - pred[0]))
+                )
+                if best is None or sad < best[0]:
+                    best = (sad, (dy, dx), pred)
+            use_intra = best is None or best[0] > intra_threshold
+            if use_intra:
+                inc = mb - last_addr
+                _emit_addr_inc(bs, inc)
+                bs.put_str(_MB_TYPE_P[(0, 0, 0, 1)])
+                if inc != 1:
+                    pred_y = pred_cb = pred_cr = 128
+                pred_y, pred_cb, pred_cr = _emit_intra_mb(
+                    bs, cur_blocks, pred_y, pred_cb, pred_cr, qscale,
+                    DEFAULT_INTRA_Q, rec, my, mx,
+                )
+                pmv = [0, 0]
+                last_addr = mb
+                continue
+            _, (dy, dx), pred = best
+            resid = [c - p for c, p in zip(cur_blocks, pred)]
+            entries6 = _quant_mb_residual(resid, qscale, nqmat)
+            coded = any(entries6)
+            zero_mv = (dy, dx) == (0, 0)
+            if not coded and zero_mv and 0 < mb < total - 1:
+                _apply_mb(rec, my, mx, pred, None, qscale, nqmat)
+                pred_y = pred_cb = pred_cr = 128
+                pmv = [0, 0]
+                continue  # SKIPPED (copy at zero motion)
+            inc = mb - last_addr
+            _emit_addr_inc(bs, inc)
+            if inc != 1:
+                pred_y = pred_cb = pred_cr = 128
+            mc = not zero_mv
+            if coded:
+                key = (0, 1, 1, 0) if mc else (0, 0, 1, 0)
+            else:
+                key = (0, 1, 0, 0)  # mc, not coded (dy,dx may be 0 too)
+                mc = True
+            bs.put_str(_MB_TYPE_P[key])
+            if mc:
+                dmy = _wrap_mv(dy - pmv[0], f_code)
+                dmx = _wrap_mv(dx - pmv[1], f_code)
+                # spec order: horizontal then vertical
+                _motion_diff_bits(bs, dmx, f_code)
+                _motion_diff_bits(bs, dmy, f_code)
+                pmv = [dy, dx]
+            else:
+                pmv = [0, 0]
+            if coded:
+                cbp = 0
+                for i, e in enumerate(entries6):
+                    if e:
+                        cbp |= 1 << (5 - i)
+                bs.put_str(_CBP_VLC[cbp])
+                for e in entries6:
+                    if e:
+                        _emit_nonintra_block(bs, e)
+            _apply_mb(rec, my, mx, pred, entries6 if coded else None,
+                      qscale, nqmat)
+            pred_y = pred_cb = pred_cr = 128
+            last_addr = mb
+        ref = [np.clip(np.rint(p), 0, 255).astype(np.int64) for p in rec]
+    _start_code(bs, SEQ_END)
+    bs.align()
+    return bs.bytes()
+
+
+def _emit_addr_inc(bs: _Bits, inc: int) -> None:
+    while inc > 33:
+        bs.put_str(_MB_ESCAPE)
+        inc -= 33
+    bs.put_str(_MB_ADDR_INC[inc])
+
+
+def _mb_blocks(planes: list, my: int, mx: int) -> list:
+    """[Y 16x16, Cb 8x8, Cr 8x8] views for one macroblock."""
+    y, cb, cr = planes
+    return [
+        np.asarray(y[my : my + 16, mx : mx + 16], dtype=np.float64),
+        np.asarray(cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8],
+                   dtype=np.float64),
+        np.asarray(cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8],
+                   dtype=np.float64),
+    ]
+
+
+def _mb_pred(ref: list, my: int, mx: int, dy: int, dx: int) -> list:
+    """Forward-predicted [Y, Cb, Cr] blocks; chroma vector = luma/2 with
+    truncation toward zero (§2.4.4.2)."""
+    cdy = abs(dy) // 2 * (1 if dy >= 0 else -1)
+    cdx = abs(dx) // 2 * (1 if dx >= 0 else -1)
+    return [
+        _mc_pred(ref[0], my, mx, 16, 16, dy, dx).astype(np.float64),
+        _mc_pred(ref[1], my // 2, mx // 2, 8, 8, cdy, cdx).astype(np.float64),
+        _mc_pred(ref[2], my // 2, mx // 2, 8, 8, cdy, cdx).astype(np.float64),
+    ]
+
+
+def _quant_mb_residual(resid: list, qscale: int, nqmat: np.ndarray) -> list:
+    """Residual MB → per-block nonzero level lists in cbp order
+    [Y0, Y1, Y2, Y3, Cb, Cr]."""
+    out = []
+    for by in range(2):
+        for bx in range(2):
+            out.append(
+                _quant_nonintra(
+                    resid[0][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8],
+                    qscale, nqmat,
+                )
+            )
+    out.append(_quant_nonintra(resid[1], qscale, nqmat))
+    out.append(_quant_nonintra(resid[2], qscale, nqmat))
+    return out
+
+
+def _apply_mb(
+    rec: list, my: int, mx: int, pred: list, entries6, qscale: int,
+    nqmat: np.ndarray,
+) -> None:
+    """Write prediction (+ reconstructed residual) into the encoder's
+    reconstruction planes."""
+    yblk = pred[0].copy()
+    if entries6:
+        for i, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            if entries6[i]:
+                yblk[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] += (
+                    _recon_nonintra(entries6[i], qscale, nqmat)
+                )
+    rec[0][my : my + 16, mx : mx + 16] = yblk
+    for pi, ei in ((1, 4), (2, 5)):
+        cblk = pred[pi].copy()
+        if entries6 and entries6[ei]:
+            cblk += _recon_nonintra(entries6[ei], qscale, nqmat)
+        rec[pi][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = cblk
+
+
+def _emit_intra_mb(
+    bs: _Bits, blocks: list, pred_y: int, pred_cb: int, pred_cr: int,
+    qscale: int, qmat: np.ndarray, rec: list, my: int, mx: int,
+) -> tuple[int, int, int]:
+    for by in range(2):
+        for bx in range(2):
+            blk = blocks[0][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+            pred_y, rblk = _encode_intra_block_recon(
+                bs, blk, pred_y, qscale, True, qmat
+            )
+            rec[0][my + 8 * by : my + 8 * by + 8,
+                   mx + 8 * bx : mx + 8 * bx + 8] = rblk
+    pred_cb, rblk = _encode_intra_block_recon(
+        bs, blocks[1], pred_cb, qscale, False, qmat
+    )
+    rec[1][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = rblk
+    pred_cr, rblk = _encode_intra_block_recon(
+        bs, blocks[2], pred_cr, qscale, False, qmat
+    )
+    rec[2][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = rblk
+    return pred_y, pred_cb, pred_cr
+
+
+# ---------------------------------------------------------------------------
+# full I+P decoder
+# ---------------------------------------------------------------------------
+
+
+def mpeg1_decode_frames(data: bytes) -> tuple[int, list]:
+    """MPEG-1 elementary stream → (total_picture_count, [(temporal_ref,
+    picture_type, RGB frame), ...]) decoding BOTH intra and forward
+    -predicted pictures (B-pictures are skipped unparsed). picture_type
+    is 'I' or 'P'. The forward reference is the previously decoded
+    I/P picture, clipped to integer samples per the spec."""
+    w = h = 0
+    qmat = DEFAULT_INTRA_Q
+    nqmat = DEFAULT_NONINTRA_Q
+    pos = 0
+    n_pics = 0
+    out: list = []
+    ref: list | None = None
+    pending = None  # (tref, type, full_pel, f_code)
+    while True:
+        code, nxt = _next_start(data, pos)
+        if code < 0:
+            break
+        if code == SEQ_START:
+            r = _Reader(data, nxt * 8)
+            w = r.bits(12)
+            h = r.bits(12)
+            r.bits(4 + 4 + 18 + 1 + 10 + 1)
+            if r.bit():
+                vals = [r.bits(8) for _ in range(64)]
+                m = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    m[_ZZ_FLAT[k]] = vals[k]
+                qmat = m.reshape(8, 8)
+            else:
+                qmat = DEFAULT_INTRA_Q
+            if r.bit():  # load_non_intra_quantizer_matrix
+                vals = [r.bits(8) for _ in range(64)]
+                m = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    m[_ZZ_FLAT[k]] = vals[k]
+                nqmat = m.reshape(8, 8)
+            else:
+                nqmat = DEFAULT_NONINTRA_Q
+            pos = nxt
+        elif code == PIC_START:
+            n_pics += 1
+            r = _Reader(data, nxt * 8)
+            tref = r.bits(10)
+            ptype = r.bits(3)
+            if ptype == 1:
+                pending = (tref, 1, 0, 1)
+            elif ptype == 2:
+                r.bits(16)  # vbv_delay
+                full_pel = r.bit()
+                f_code = r.bits(3)
+                pending = (tref, 2, full_pel, f_code)
+            else:
+                pending = None  # B (or D) pictures: skip unparsed
+            pos = nxt
+        elif _SLICE_MIN <= code <= _SLICE_MAX and pending is not None:
+            tref, ptype, full_pel, f_code = pending
+            if ptype == 1:
+                planes = _decode_intra_planes(data, nxt, code, w, h, qmat)
+            else:
+                if ref is None:
+                    raise ValueError("mpeg1: P-picture with no reference")
+                planes = _decode_p_planes(
+                    data, nxt, code, w, h, qmat, nqmat, ref, full_pel, f_code
+                )
+            ref = [np.clip(np.rint(p), 0, 255).astype(np.int64) for p in planes]
+            out.append((tref, "I" if ptype == 1 else "P", _planes_to_rgb(ref, h, w)))
+            pending = None
+            pos = nxt
+        else:
+            pos = nxt
+    return n_pics, out
+
+
+def _planes_to_rgb(planes: list, h: int, w: int) -> np.ndarray:
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    cb_full = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr_full = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    rgb = _ycbcr_to_rgb(np.stack([y, cb_full, cr_full], axis=-1))
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _decode_intra_planes(
+    data: bytes, after_slice_start: int, slice_code: int, w: int, h: int,
+    qmat: np.ndarray,
+) -> list:
+    """Intra picture → [Y, Cb, Cr] float planes (the slice walk of
+    _decode_intra_picture, factored for reference keeping)."""
+    mbw, mbh = w // 16, h // 16
+    y = np.zeros((mbh * 16, mbw * 16))
+    cb = np.zeros((mbh * 8, mbw * 8))
+    cr = np.zeros((mbh * 8, mbw * 8))
+    total_mbs = mbw * mbh
+    done = 0
+    pos = after_slice_start
+    code = slice_code
+    while done < total_mbs:
+        r = _Reader(data, pos * 8)
+        qscale = r.bits(5)
+        while r.bit():
+            r.bits(8)
+        addr = (code - 1) * mbw - 1
+        pred_y = pred_cb = pred_cr = 128
+        while done < total_mbs:
+            if _slice_ended(r, data):
+                break
+            inc = 0
+            while True:
+                got = r.vlc(_MB_INC_WALK, max_len=11)
+                if got == "esc":
+                    inc += 33
+                    continue
+                if got == "stuff":
+                    continue
+                inc += got
+                break
+            addr += inc
+            if inc != 1:
+                pred_y = pred_cb = pred_cr = 128
+            if r.bit():
+                pass
+            else:
+                if not r.bit():
+                    raise ValueError("mpeg1: bad I-picture macroblock type")
+                qscale = r.bits(5)
+            my, mx = (addr // mbw) * 16, (addr % mbw) * 16
+            for by in range(2):
+                for bx in range(2):
+                    blk, pred_y = _decode_intra_block(r, pred_y, qscale, True, qmat)
+                    y[my + 8 * by : my + 8 * by + 8,
+                      mx + 8 * bx : mx + 8 * bx + 8] = blk
+            blk, pred_cb = _decode_intra_block(r, pred_cb, qscale, False, qmat)
+            cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+            blk, pred_cr = _decode_intra_block(r, pred_cr, qscale, False, qmat)
+            cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+            done += 1
+        if done < total_mbs:
+            ncode, npos = _next_start(data, (r.pos // 8))
+            if not (_SLICE_MIN <= ncode <= _SLICE_MAX):
+                raise ValueError("mpeg1: picture ended before all MBs decoded")
+            code, pos = ncode, npos
+    return [y, cb, cr]
+
+
+def _decode_p_planes(
+    data: bytes, after_slice_start: int, slice_code: int, w: int, h: int,
+    qmat: np.ndarray, nqmat: np.ndarray, ref: list, full_pel: int,
+    f_code: int,
+) -> list:
+    """P-picture slice walk: skipped MBs copy the co-located reference
+    block; MC macroblocks apply the differentially-coded forward vector
+    (±16f wrap, half-pel interpolation); coded blocks add non-intra
+    residuals; intra MBs decode as in I-pictures. PMV and DC predictors
+    reset exactly where §2.4.4.2 says."""
+    mbw, mbh = w // 16, h // 16
+    y = np.zeros((mbh * 16, mbw * 16))
+    cb = np.zeros((mbh * 8, mbw * 8))
+    cr = np.zeros((mbh * 8, mbw * 8))
+    planes = [y, cb, cr]
+    total_mbs = mbw * mbh
+    seen = np.zeros(total_mbs, dtype=bool)
+    done = 0
+    pos = after_slice_start
+    code = slice_code
+
+    def copy_ref(addr: int) -> None:
+        my, mx = (addr // mbw) * 16, (addr % mbw) * 16
+        _apply_decoded_mb(planes, my, mx, _mb_pred(ref, my, mx, 0, 0), None)
+
+    last_coded = -1
+    while done < total_mbs:
+        r = _Reader(data, pos * 8)
+        qscale = r.bits(5)
+        while r.bit():
+            r.bits(8)
+        addr = (code - 1) * mbw - 1
+        last_coded = addr
+        pred_y = pred_cb = pred_cr = 128
+        pmv = [0, 0]
+        while done < total_mbs:
+            if _slice_ended(r, data):
+                break
+            inc = 0
+            while True:
+                got = r.vlc(_MB_INC_WALK, max_len=11)
+                if got == "esc":
+                    inc += 33
+                    continue
+                if got == "stuff":
+                    continue
+                inc += got
+                break
+            addr += inc
+            if addr >= total_mbs:
+                raise ValueError("mpeg1: macroblock address out of range")
+            for skip_addr in range(last_coded + 1, addr):
+                copy_ref(skip_addr)  # skipped: zero-motion copy
+                seen[skip_addr] = True
+                done += 1
+            if inc != 1:
+                pred_y = pred_cb = pred_cr = 128
+                pmv = [0, 0]
+            quant, mf, pat, intra = r.vlc(_MB_TYPE_P_DEC, max_len=6)
+            if quant:
+                qscale = r.bits(5)
+            my, mx = (addr // mbw) * 16, (addr % mbw) * 16
+            if intra:
+                for by in range(2):
+                    for bx in range(2):
+                        blk, pred_y = _decode_intra_block(
+                            r, pred_y, qscale, True, qmat
+                        )
+                        y[my + 8 * by : my + 8 * by + 8,
+                          mx + 8 * bx : mx + 8 * bx + 8] = blk
+                blk, pred_cb = _decode_intra_block(r, pred_cb, qscale, False, qmat)
+                cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+                blk, pred_cr = _decode_intra_block(r, pred_cr, qscale, False, qmat)
+                cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+                pmv = [0, 0]
+            else:
+                pred_y = pred_cb = pred_cr = 128
+                if mf:
+                    dmx = _read_motion_diff(r, f_code)
+                    dmy = _read_motion_diff(r, f_code)
+                    mvx = _wrap_mv(pmv[1] + dmx, f_code)
+                    mvy = _wrap_mv(pmv[0] + dmy, f_code)
+                    if full_pel:
+                        use_y, use_x = mvy * 2, mvx * 2
+                    else:
+                        use_y, use_x = mvy, mvx
+                    pmv = [mvy, mvx]
+                else:
+                    use_y = use_x = 0
+                    pmv = [0, 0]
+                pred = _mb_pred(ref, my, mx, use_y, use_x)
+                resid6 = [None] * 6
+                if pat:
+                    cbp = r.vlc(_CBP_DEC, max_len=9)
+                    for i in range(6):
+                        if cbp & (1 << (5 - i)):
+                            resid6[i] = _decode_nonintra_block(r, qscale, nqmat)
+                _apply_decoded_mb(planes, my, mx, pred, resid6)
+            seen[addr] = True
+            done += 1
+            last_coded = addr
+        if done < total_mbs:
+            ncode, npos = _next_start(data, (r.pos // 8))
+            if not (_SLICE_MIN <= ncode <= _SLICE_MAX):
+                # remaining MBs after the last slice are skipped copies
+                for skip_addr in range(total_mbs):
+                    if not seen[skip_addr]:
+                        copy_ref(skip_addr)
+                        done += 1
+                break
+            code, pos = ncode, npos
+            last_coded = (code - 1) * mbw - 1
+    return planes
+
+
+def _apply_decoded_mb(
+    planes: list, my: int, mx: int, pred: list, resid6
+) -> None:
+    yblk = pred[0].copy()
+    if resid6:
+        for i, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            if resid6[i] is not None:
+                yblk[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] += resid6[i]
+    planes[0][my : my + 16, mx : mx + 16] = yblk
+    for pi, ei in ((1, 4), (2, 5)):
+        cblk = pred[pi].copy()
+        if resid6 and resid6[ei] is not None:
+            cblk += resid6[ei]
+        planes[pi][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = cblk

@@ -1556,3 +1556,121 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=AVI_FRAME_FEATURES_SCHEMA)
+
+
+def synth_mpeg1_motion_video(media_id: int) -> bytes:
+    """Deterministic MOTION MPEG-1 stream keyed by id (round 9): 4
+    pictures (I P P P) of a 64x48 grayscale macroblock mosaic whose
+    evolution exercises every P-picture path bit-exactly — row 0 shifts
+    right one MB per frame with a +5 delta (MC + coded, f_code=2 vector
+    -32 half-pels), row 1 is static with a +3 delta on the slice's last
+    MB (skip runs + no-MC coded), row 2 shifts with no delta (MC not
+    coded), and the column entering the frame is fresh (intra-in-P).
+    Per-MB constants are DC-only through the DCT and the odd deltas
+    survive non-intra dequantization at qscale 8, so the decode is
+    EXACT and the DuckDB oracle can state every macroblock's value in
+    closed form."""
+    from rpa_etl_spark.sources.mpeg1 import mpeg1_encode_temporal
+
+    d7 = (media_id % 256) * 7
+
+    def v(t: int, i: int, j: int) -> int:
+        if i == 0:
+            if j >= t:
+                return (d7 + 31 * (j - t)) % 200 + 5 * t
+            return (d7 + 90 + 23 * (t - j)) % 200 + 5 * j
+        if i == 1:
+            if j <= 2:
+                return (d7 + 31 * (4 + j)) % 200
+            return (d7 + 31 * 7) % 200 + 3 * t
+        if j >= t:
+            return (d7 + 31 * (8 + j - t)) % 200
+        return (d7 + 160 + 47 * (t - j)) % 200
+
+    frames = []
+    for t in range(4):
+        f = np.zeros((48, 64, 3), dtype=np.uint8)
+        for i in range(3):
+            for j in range(4):
+                f[16 * i : 16 * i + 16, 16 * j : 16 * j + 16, :] = v(t, i, j)
+        frames.append(f)
+    return mpeg1_encode_temporal(frames)
+
+
+def attach_mpeg1_motion_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table with motion MPEG-1 payloads (one 4-picture stream per
+    row; encode is CPU-bound → spread first)."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_mpeg1_motion_video(int(m))
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+
+
+MPEG_MOTION_MB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_id", IntegerType()),
+        StructField("picture_type", StringType()),
+        StructField("mb_row", IntegerType()),
+        StructField("mb_col", IntegerType()),
+        StructField("mb_value", IntegerType()),
+    ]
+)
+
+
+def decode_mpeg1_motion_mbs(media: DataFrame) -> DataFrame:
+    """FULL temporal decode (1 stream row → one row per frame per
+    macroblock): I AND P pictures through motion compensation, then each
+    16x16 region's value — the decoded constant when the region is
+    uniform, −1 otherwise (so ANY motion/residual/skip bug surfaces as a
+    -1 or a wrong constant under the hash compare). Fan-out inside one
+    Arrow batch — no shuffle; at corpus scale this runs at scan speed."""
+    from rpa_etl_spark.sources.mpeg1 import mpeg1_decode_frames
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, pts, rows, cols, vals = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, frames = mpeg1_decode_frames(bytes(payload))
+                for tref, ptype, rgb in frames:
+                    h, w, _ = rgb.shape
+                    for i in range(h // 16):
+                        for j in range(w // 16):
+                            region = rgb[16 * i : 16 * i + 16,
+                                         16 * j : 16 * j + 16, :]
+                            first = int(region[0, 0, 0])
+                            uniform = bool((region == first).all())
+                            ids.append(mid)
+                            fids.append(tref)
+                            pts.append(ptype)
+                            rows.append(i)
+                            cols.append(j)
+                            vals.append(first if uniform else -1)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_id": fids,
+                    "picture_type": pts,
+                    "mb_row": rows,
+                    "mb_col": cols,
+                    "mb_value": vals,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=MPEG_MOTION_MB_SCHEMA)

@@ -246,3 +246,178 @@ def test_stale_custom_matrix_does_not_leak_across_sequences():
     _, dc = M.mpeg1_decode_iframes(custom + default)  # concatenated
     assert [t for t, _ in dc][-1] == 0
     assert np.array_equal(dc[-1][1], dd[0][1])  # second sequence = default
+
+
+# ---------------------------------------------------------------------------
+# P-pictures / motion compensation (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _mosaic_frames(m: int, n: int = 4, mbw: int = 4, mbh: int = 3) -> list:
+    """The q_multimodal_mpeg_pframes fixture: per-MB constant grayscale,
+    row 0 shifting right one MB per frame (+5), row 1 static with a +3
+    delta on the last MB, row 2 shifting with no delta — exercising
+    skip, MC+coded, MC-not-coded, no-MC-coded, and intra-in-P paths,
+    all bit-exact through the codec (DC-only blocks + odd deltas at
+    qscale 8 survive dequantization exactly)."""
+    d7 = (m % 256) * 7
+
+    def v(t, i, j):
+        if i == 0:
+            if j >= t:
+                return (d7 + 31 * (j - t)) % 200 + 5 * t
+            return (d7 + 90 + 23 * (t - j)) % 200 + 5 * j
+        if i == 1:
+            if j <= 2:
+                return (d7 + 31 * (4 + j)) % 200
+            return (d7 + 31 * 7) % 200 + 3 * t
+        if j >= t:
+            return (d7 + 31 * (8 + j - t)) % 200
+        return (d7 + 160 + 47 * (t - j)) % 200
+
+    frames = []
+    for t in range(n):
+        f = np.zeros((mbh * 16, mbw * 16, 3), dtype=np.uint8)
+        for i in range(mbh):
+            for j in range(mbw):
+                f[16 * i : 16 * i + 16, 16 * j : 16 * j + 16, :] = v(t, i, j)
+        frames.append(f)
+    return frames
+
+
+def test_p_vlc_tables_prefix_free():
+    tables = {
+        "motion": list(M._MOTION_VLC.values()),
+        "cbp": list(M._CBP_VLC.values()),
+        "mb_type_p": list(M._MB_TYPE_P.values()),
+    }
+    for name, codes in tables.items():
+        assert len(codes) == len(set(codes)), f"{name}: duplicate codes"
+        assert not _prefix_free(codes), f"{name}: prefix violations"
+
+
+def test_cbp_table_covers_1_to_63():
+    # every cbp a P encoder can emit (at least one coded block): 1..63
+    assert set(M._CBP_VLC) == set(range(1, 64))
+
+
+def test_motion_diff_roundtrip_all_fcodes():
+    for f_code in (1, 2, 3):
+        f = 1 << (f_code - 1)
+        for diff in range(-16 * f, 16 * f):
+            bs = M._Bits()
+            M._motion_diff_bits(bs, diff, f_code)
+            bs.align()
+            r = M._Reader(bytes(bs.buf), 0)
+            assert M._read_motion_diff(r, f_code) == diff, (f_code, diff)
+
+
+def test_mv_wrap():
+    assert M._wrap_mv(32, 2) == -32
+    assert M._wrap_mv(-33, 2) == 31
+    assert M._wrap_mv(31, 2) == 31
+    assert M._wrap_mv(-32, 2) == -32
+
+
+def test_temporal_mosaic_bit_exact():
+    for m in (0, 55, 123, 255):
+        frames = _mosaic_frames(m)
+        n_pics, out = M.mpeg1_decode_frames(M.mpeg1_encode_temporal(frames))
+        assert n_pics == 4
+        assert [(t, p) for t, p, _ in out] == [
+            (0, "I"), (1, "P"), (2, "P"), (3, "P"),
+        ]
+        for t, (_, _, rgb) in enumerate(out):
+            assert np.array_equal(rgb, frames[t]), f"m={m} frame {t}"
+
+
+def test_temporal_static_video_all_skipped():
+    """A static video of intra-exact content (per-MB constants): the
+    reconstruction equals the source, so every P macroblock except the
+    slice ends is SKIPPED — the stream shrinks to near the I-frame size
+    and decodes to identical frames. (With lossy content the encoder
+    would instead keep refining the residual toward the source, which is
+    correct closed-loop behavior but not an exact repeat.)"""
+    base = _mosaic_frames(42, n=1)[0]
+    frames = [base.copy() for _ in range(4)]
+    bits = M.mpeg1_encode_temporal(frames, candidates=((0, 0),))
+    n_pics, out = M.mpeg1_decode_frames(bits)
+    assert n_pics == 4 and len(out) == 4
+    first = out[0][2]
+    for _, ptype, rgb in out[1:]:
+        assert ptype == "P"
+        assert np.array_equal(rgb, first)  # exact repeat of the recon
+    # each P picture costs only headers + the two unskippable slice-end
+    # MBs — a few dozen bytes regardless of frame content
+    i_only = M.mpeg1_encode_temporal([base])
+    assert (len(bits) - len(i_only)) / 3 < 30
+
+
+def test_temporal_halfpel_prediction_exact():
+    """frame0 is intra-EXACT (per-8x8-block constants), frame1 is its
+    half-pel interpolation computed with the spec's round-away-from-zero
+    averaging (edge macroblocks repeat frame0 so the (0,0) fallback
+    stays exact there): MC at (dy, dx) = (1, 1) predicts the interior
+    bit-exactly, so the whole P frame decodes with zero residual."""
+    rng = np.random.default_rng(9)
+    vals = rng.integers(10, 246, (6, 6), dtype=np.int64)
+    y0 = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)  # 48x48, 8x8-flat
+    interp = np.empty_like(y0)
+    interp[:-1, :-1] = (
+        y0[:-1, :-1] + y0[1:, :-1] + y0[:-1, 1:] + y0[1:, 1:] + 2
+    ) >> 2
+    y1 = y0.copy()
+    y1[:32, :32] = interp[:32, :32]  # interior MBs; last MB row/col repeat
+    f0 = np.repeat(y0[:, :, None], 3, axis=2).astype(np.uint8)
+    f1 = np.repeat(y1[:, :, None], 3, axis=2).astype(np.uint8)
+    bits = M.mpeg1_encode_temporal(
+        [f0, f1], candidates=((1, 1), (0, 0)), intra_threshold=255.0
+    )
+    _, out = M.mpeg1_decode_frames(bits)
+    assert np.array_equal(out[0][2], f0)  # intra-exact reference
+    assert np.array_equal(out[1][2], f1)  # half-pel MC bit-exact
+
+
+def test_temporal_lossy_general_content_psnr():
+    """Natural-ish moving content through the full lossy path: decode
+    must track the source within normal codec error."""
+    rng = np.random.default_rng(4)
+    lowres = rng.integers(40, 216, (6, 8, 3))
+    base = np.repeat(np.repeat(lowres, 8, axis=0), 8, axis=1)  # smooth-ish
+    base = base.astype(np.uint8)
+    frames = [base]
+    for t in range(3):
+        nxt = np.roll(frames[-1], 16, axis=1)  # global 16-px shift right
+        nxt[:, :16] = (60 + 40 * t)
+        frames.append(nxt)
+    bits = M.mpeg1_encode_temporal(frames, candidates=((0, 0), (0, -32)))
+    n_pics, out = M.mpeg1_decode_frames(bits)
+    assert n_pics == 4 and len(out) == 4
+    for t, (_, _, rgb) in enumerate(out):
+        err = rgb.astype(np.float64) - frames[t].astype(np.float64)
+        psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-9))
+        assert psnr > 28.0, f"frame {t}: psnr {psnr:.1f}"
+
+
+def test_iframe_decoder_skips_p_payloads_of_temporal_stream():
+    """The round-8 keyframe sampler on a round-9 motion stream: all 4
+    pictures counted, only the I frame decoded."""
+    frames = _mosaic_frames(7)
+    bits = M.mpeg1_encode_temporal(frames)
+    n_pics, iframes = M.mpeg1_decode_iframes(bits)
+    assert n_pics == 4
+    assert len(iframes) == 1 and iframes[0][0] == 0
+    assert np.array_equal(iframes[0][1], frames[0])
+
+
+def test_nonintra_dequant_properties():
+    """§2.4.4.2: truncation toward zero, oddification, sign symmetry."""
+    for q in (1, 8, 16, 31):
+        for w in (16, 24):
+            for level in range(-40, 41):
+                v = M._dequant_nonintra(level, q, w)
+                if level == 0:
+                    assert v == 0
+                elif abs(v) < 2047:  # below the asymmetric 12-bit clamp
+                    assert v == -M._dequant_nonintra(-level, q, w)
+                    assert v % 2 != 0  # odd after mismatch control
