@@ -804,3 +804,173 @@ def q_tar_extract_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return T.extract_tar_members_zst(T.synth_tar_archives_zst(docs))
+
+
+def _synth_text_pdfs(docs: DataFrame, id_col: str = "o_orderkey") -> DataFrame:
+    """One-page PDF per row embedding the row's FULL text (one PDF text
+    op per line) — the e2e fixture writer. Mirrors
+    sources/pdf.synth_invoice_pdfs' rotation: alternating rows compress
+    their content streams, every 97th key emits non-PDF bytes the S3
+    ingress gate must drop. Lives here (not pdf.py) because it is a
+    fixture builder for this plan, not an engine kernel."""
+    import pandas as pd
+
+    from rpa_etl_spark.sources import minipdf
+    from rpa_etl_spark.sources.pdf import SYNTH_PDF_SCHEMA
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for key, text in zip(pdf[id_col], pdf["text"]):
+                key = int(key)
+                if key % 97 == 0:
+                    content = b"NOT A PDF: " + str(key).encode()
+                else:
+                    content = minipdf.write_pdf(
+                        [str(text).split("\n")], compress=key % 2 == 0
+                    )
+                rows.append(
+                    {
+                        "path": f"synth://e2e/{key}.pdf",
+                        "content": content,
+                        "length": len(content),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["path", "content", "length"])
+
+    return docs.select(id_col, "text").mapInPandas(batch, schema=SYNTH_PDF_SCHEMA)
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH syn AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey < 1000 AND o_orderkey % 97 <> 0
+    ),
+    built AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, cents,
+               'NOTA FISCAL DE SERVICOS ELETRONICA' || chr(10)
+               || 'EMISSÃO: ' || strftime(o_orderdate, '%d/%m/%Y') || ' 10:30:00' || chr(10)
+               || 'COMPETÊNCIA: ' || strftime(o_orderdate, '%m/%Y') || chr(10)
+               || 'PRESTADOR DE SERVIÇOS' || chr(10)
+               || 'CNPJ: ' || CASE WHEN o_orderkey % 2 = 0
+                                   THEN '{_VALID_ISSUER}'
+                                   ELSE '{_INVALID_ISSUER}' END || chr(10)
+               || 'EMPRESA ' || CAST(o_custkey AS VARCHAR)
+               || ' COMERCIO EXPORTACAO LTDA' || chr(10)
+               || 'TOMADOR DE SERVIÇOS' || chr(10)
+               || 'CNPJ: {_RECIPIENT}' || chr(10)
+               || 'DISCRIMINAÇÃO DOS SERVIÇOS' || chr(10)
+               || 'SERVICOS PRESTADOS CONFORME CONTRATO ANUAL R$ '
+               || ({_br_total_sql()}) || chr(10)
+               || 'VALOR TOTAL DA NOTA' || chr(10)
+               || 'R$ ' || ({_br_total_sql()}) AS invoice
+        FROM syn
+    ),
+    normed AS (
+        -- the P3 digit-run join strips the dots inside digit groups:
+        -- CNPJs lose their thousands dots, BR totals lose theirs
+        SELECT o_orderkey, o_custkey, o_orderdate, cents, invoice,
+               'NOTA FISCAL DE SERVICOS ELETRONICA' || chr(10)
+               || 'EMISSÃO: ' || strftime(o_orderdate, '%d/%m/%Y') || ' 10:30:00' || chr(10)
+               || 'COMPETÊNCIA: ' || strftime(o_orderdate, '%m/%Y') || chr(10)
+               || 'PRESTADOR DE SERVIÇOS' || chr(10)
+               || 'CNPJ: ' || CASE WHEN o_orderkey % 2 = 0
+                                   THEN '04252011/0001-10'
+                                   ELSE '04252011/0001-11' END || chr(10)
+               || 'EMPRESA ' || CAST(o_custkey AS VARCHAR)
+               || ' COMERCIO EXPORTACAO LTDA' || chr(10)
+               || 'TOMADOR DE SERVIÇOS' || chr(10)
+               || 'CNPJ: 11222333/0001-81' || chr(10)
+               || 'DISCRIMINAÇÃO DOS SERVIÇOS' || chr(10)
+               || 'SERVICOS PRESTADOS CONFORME CONTRATO ANUAL R$ '
+               || CAST(cents // 100 AS VARCHAR) || ',' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') || chr(10)
+               || 'VALOR TOTAL DA NOTA' || chr(10)
+               || 'R$ ' || CAST(cents // 100 AS VARCHAR) || ',' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0')
+               AS norm_invoice
+        FROM built
+    ),
+    texts AS (
+        SELECT *,
+               invoice || chr(10) || 'LINHA DUPLICADA' || chr(10)
+                       || 'LINHA DUPLICADA' || chr(10) || 'ab' AS raw,
+               norm_invoice || chr(10) || 'LINHA DUPLICADA' AS norm
+        FROM normed
+    )
+    SELECT o_orderkey,
+           sha256(raw)  AS raw_sha256,
+           sha256(norm) AS norm_sha256,
+           ROUND(1 - CAST(length(norm) AS DOUBLE) / length(raw), 2)
+                                                   AS reduction_ratio,
+           strftime(o_orderdate, '%d/%m/%Y') || ' 10:30:00' AS emission_date,
+           strftime(o_orderdate, '%m/%Y')                   AS competence_date,
+           CASE WHEN o_orderkey % 2 = 0 THEN '{_VALID_ISSUER}' END AS issuer_cnpj,
+           '{_RECIPIENT}'                                   AS recipient_cnpj,
+           ({_br_total_sql()})                              AS total_br,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS INT) AS n_issues,
+           CASE WHEN o_orderkey % 2 = 0 THEN ''
+                ELSE 'ISSUER_CNPJ_INVALID' END              AS issue_codes,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+                                                            AS trust_score,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'success' ELSE 'error' END AS status,
+           CASE WHEN o_orderkey % 2 <> 0          THEN 'revisao_manual'
+                WHEN cents / 100.0 > 10000.0      THEN 'auditoria_fiscal'
+                ELSE 'processamento_normal' END              AS route
+    FROM texts
+    """,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END binary→verdict in ONE query (round-8 verdict ask #4):
+    the full reference orchestrator path (robot/orchestrator.py:118-298)
+    S1 pdf-decode → S3 ingress → P8 normalize → B1-B5 parse → V2/V4
+    validate → O1 hashes / O5 reduction → O2 trust / O3 status →
+    R1/R2 routing, chained with NO intermediate materialization. The
+    fixture embeds the deterministic NFS-e invoice corpus (q_parse
+    _invoice's construction, issuer CNPJ valid on even keys) INTO real
+    one-page PDFs plus a messy tail (duplicate + noise lines the P7/P6
+    normalizer must strip); every 97th key is non-PDF bytes the ingress
+    gate must drop. The oracle rebuilds the extracted text analytically
+    and states the byte-exact SHA-256 of BOTH raw and normalized text,
+    every parsed field, the issue set, the exact trust decimal, status,
+    and the value-threshold route — a defect in any of the ten stages
+    hash-mismatches. Bounded corpus (o_orderkey < 1000) like the other
+    file-capability fixtures; corpus-scale throughput is covered by
+    q_pdf_extract_hard + q_parse_invoice. Plan: one narrow chain —
+    scan → spread → mapInPandas(write) → mapInPandas(extract) → fused
+    column pipeline; no shuffle anywhere, scan-speed at 100 TB."""
+    from rpa_etl_spark.pipeline import process_documents
+    from rpa_etl_spark.sources import pdf as P
+
+    base = build_invoice_corpus(spark, sf_dir).where(F.col("o_orderkey") < 1000)
+    messy = base.select(
+        "o_orderkey",
+        F.concat(
+            F.col("text"), F.lit("\nLINHA DUPLICADA\nLINHA DUPLICADA\nab")
+        ).alias("text"),
+    ).transform(spread)
+    extracted = P.extract_pdf_text(
+        P.validate_pdf_ingress(_synth_text_pdfs(messy)), force_minipdf=True
+    )
+    key = F.regexp_extract("path", r"(\d+)\.pdf$", 1).cast("long")
+    out = process_documents(extracted.select(key.alias("o_orderkey"), "text"))
+    return out.select(
+        "o_orderkey",
+        "raw_sha256",
+        "norm_sha256",
+        "reduction_ratio",
+        "emission_date",
+        "competence_date",
+        F.col("issuer")["cnpj_cpf"].alias("issuer_cnpj"),
+        F.col("recipient")["cnpj_cpf"].alias("recipient_cnpj"),
+        F.col("total").alias("total_br"),
+        F.size("validation_issues").alias("n_issues"),
+        F.array_join(
+            F.transform(F.col("validation_issues"), lambda i: i["code"]), ","
+        ).alias("issue_codes"),
+        F.col("trust_score").cast("double").alias("trust_score"),
+        "status",
+        "route",
+    )
