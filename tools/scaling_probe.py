@@ -70,6 +70,13 @@ PROBE_QUERIES = [
     # shuffle-free, and scale linearly with rows by construction — the
     # scan-speed shape, not a shuffle behavior this probe measures.
     "q_pdf_extract_encrypted",
+    # round 9: the one iterative LLM-data operator previously absent from
+    # this measured set — candidate pairs -> iterative min-label
+    # propagation -> canonical-per-cluster. Time should scale ~linearly
+    # (each round is one keyed shuffle over edges); the ITERATION COUNT
+    # is diameter-bound, not size-bound, which components_iteration_probe
+    # below measures directly at both scales.
+    "q_dedup_clusters",
 ]
 
 
@@ -127,6 +134,7 @@ def main() -> None:
         print(f"{q:24s}  sf0.1 {t1:6.2f}s   {COPIES}x {t5:6.2f}s   ratio {t5/t1:5.2f}")
 
     ivf = ivf_sqrt_cells_probe(spark)
+    comp = components_iteration_probe(spark)
 
     ratios = sorted(r for _, _, r in results.values())
     med = ratios[len(ratios) // 2]
@@ -137,12 +145,59 @@ def main() -> None:
                 "median_time_ratio": round(med, 2),
                 "queries": {q: [round(a, 2), round(b, 2), round(r, 2)] for q, (a, b, r) in results.items()},
                 "ivf_sqrt_probe": ivf,
+                "components_probe": comp,
             },
             separators=(",", ":"),
         )
     )
     spark.stop()
 
+
+
+def components_iteration_probe(spark) -> dict:
+    """Round-8 verdict ask #5: connected components' CONVERGENCE count at
+    both corpus scales. The q_dedup_clusters graph (exact-duplicate
+    cliques) has constant diameter, so the fixpoint must converge in the
+    same number of label-propagation rounds regardless of corpus size —
+    measured here as the smallest max_iter whose output already equals
+    the fully-converged labeling."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators.components import connected_components
+
+    out = {}
+    for tag, sf_dir in (("sf0.1", BASE), (f"{COPIES}x", DERIVED)):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.unionByName(
+            docs.select((F.col("doc_id") + 10**9).alias("doc_id"), "text")
+        ).unionByName(
+            docs.select((F.col("doc_id") + 2 * 10**9).alias("doc_id"), "text")
+        )
+        h = corpus.select("doc_id", F.sha2("text", 256).alias("sha"))
+        pairs = (
+            h.alias("a")
+            .join(h.alias("b"), "sha")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+
+        def fingerprint(df):
+            return df.select(
+                F.sum(F.hash("id", "component").cast("long")).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+        full = fingerprint(connected_components(pairs, max_iter=20))
+        iters = None
+        for k in (1, 2, 3, 4):
+            if fingerprint(connected_components(pairs, max_iter=k)) == full:
+                iters = k
+                break
+        out[tag] = {"n_vertices": int(full["n"]), "converged_at_iter": iters}
+        print(f"components {tag}: {full['n']} vertices, converged at iteration {iters}")
+    return out
 
 
 def ivf_sqrt_cells_probe(spark) -> dict:
