@@ -1452,3 +1452,63 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p, name in ((0.25, "p25"), (0.50, "p50"), (0.90, "p90"))
     ]
     return cd.groupBy("event_type").agg(*aggs)
+
+
+@query(
+    "q_table_time_travel",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, 'create' AS kind,
+           COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT CAST(1 AS INT), 'append', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 80
+    UNION ALL
+    SELECT CAST(2 AS INT), 'overwrite', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id < 80 AND doc_id % 3 <> 0
+    """,
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAKEHOUSE SEMANTICS under the external oracle (round-8 verdict
+    stretch #8): a snapshot-isolated commit-log table format over plain
+    parquet (operators/tablefmt.py — full-manifest log, link(2)-atomic
+    commit arbitration, optimistic concurrency, time travel). The query
+    runs a real three-commit lifecycle — create (docs < 50), append
+    (50..79), then an atomic OVERWRITE deleting every doc_id % 3 == 0 —
+    and reads ALL THREE snapshots back BY VERSION through
+    ``snapshot_read``; the oracle states each snapshot's row count and
+    id sum from the source table. A torn commit, a non-isolated read, a
+    lost append, or wrong time-travel resolution changes a version's
+    aggregate and hash-mismatches. (Concurrent-writer serialization is
+    gated separately in tests/test_tablefmt.py — multi-process races
+    are not expressible as a deterministic declared query.) Plan: three
+    tiny parquet writes + three explicit-file-list scans — Catalyst
+    sees plain multi-file parquet scans, pushdown intact."""
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_")
+    TF.create_table(docs.where(F.col("doc_id") < 50), path)
+    TF.append(
+        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)), path
+    )
+    TF.overwrite(
+        docs.where((F.col("doc_id") < 80) & (F.col("doc_id") % 3 != 0)), path
+    )
+    hist = {h["version"]: h["kind"] for h in TF.history(path)}
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            TF.snapshot_read(spark, path, version=v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(hist[v]).alias("kind"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_doc_id"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -55,6 +55,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_dedup_ngram_jaccard", "q_dedup_containment",
     ],
     "rpa_etl_spark/operators/maintenance.py": [],  # sink-side compaction; no declared query
+    "rpa_etl_spark/operators/tablefmt.py": ["q_table_time_travel"],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
         "q_dedup_embedding",

@@ -1,0 +1,93 @@
+"""Snapshot-isolated table format (operators/tablefmt.py, round 9)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from rpa_etl_spark.operators import tablefmt as TF
+
+
+def test_create_append_overwrite_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v0 = TF.create_table(spark.range(0, 10), p)
+    v1 = TF.append(spark.range(10, 15), p)
+    v2 = TF.overwrite(spark.range(100, 103), p)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert TF.snapshot_read(spark, p, 0).count() == 10
+    assert TF.snapshot_read(spark, p, 1).count() == 15
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
+        100, 101, 102,
+    ]
+    kinds = [h["kind"] for h in TF.history(p)]
+    assert kinds == ["create", "append", "overwrite"]
+    with pytest.raises(FileExistsError):
+        TF.create_table(spark.range(1), p)
+
+
+def test_snapshot_isolation_under_later_commits(spark, tmp_path):
+    """A reader that resolved version N must keep reading N's files even
+    after later commits replace the table contents."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5), p)
+    snap = TF.snapshot_read(spark, p)  # resolves v0 now
+    TF.overwrite(spark.range(50, 51), p)
+    assert snap.count() == 5  # unaffected by the overwrite
+    assert TF.snapshot_read(spark, p).count() == 1
+
+
+def test_overwrite_conflict_detected(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5), p)
+    base = TF.current_version(p)
+    TF.append(spark.range(5, 8), p)  # another writer advances the head
+    with pytest.raises(TF.CommitConflict):
+        TF.overwrite(spark.range(99, 100), p, base_version=base)
+    # the conflicting writer re-reads and retries successfully
+    TF.overwrite(spark.range(99, 100), p)
+    assert TF.snapshot_read(spark, p).count() == 1
+
+
+def test_concurrent_appends_all_serialize(spark, tmp_path):
+    """8 threads x 3 appends race on the commit log: link(2) arbitration
+    must serialize every commit with no lost updates."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 0), p)
+    errors = []
+
+    def writer(k: int) -> None:
+        try:
+            for j in range(3):
+                lo = (k * 3 + j) * 10
+                TF.append(spark.range(lo, lo + 10), p)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert TF.current_version(p) == 24  # 1 create + 24 appends, no gaps
+    rows = TF.snapshot_read(spark, p).count()
+    assert rows == 240  # every append's rows present exactly once
+    assert sorted(
+        r["id"] for r in TF.snapshot_read(spark, p).collect()
+    ) == list(range(240))
+
+
+def test_manifest_atomicity_no_partial_state(spark, tmp_path):
+    """After any committed version, the manifest fully describes the
+    snapshot: no .tmp files linger and every listed file exists."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 4), p)
+    TF.append(spark.range(4, 8), p)
+    log = os.listdir(os.path.join(p, "_log"))
+    assert not [n for n in log if n.startswith(".tmp")]
+    m = TF.read_manifest(p, TF.current_version(p))
+    for f in m["files"]:
+        assert os.path.exists(os.path.join(p, f))
