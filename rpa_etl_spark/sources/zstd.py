@@ -681,7 +681,13 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
             body = data[pos : pos + bsize]
             if len(body) < bsize:
                 raise ValueError("zstd: truncated compressed block")
-            _decode_block(body, st)
+            try:
+                _decode_block(body, st)
+            except (IndexError, struct.error) as e:
+                # malformed internal sizes walk off the block body — the
+                # degrade contract is a clean ValueError, never an
+                # IndexError that kills a whole Arrow batch
+                raise ValueError(f"zstd: corrupt compressed block: {e}") from e
             pos += bsize
         else:
             raise ValueError("zstd: reserved block type")

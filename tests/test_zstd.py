@@ -181,3 +181,22 @@ def test_window_copy_overlap():
     assert Z.decompress(_ref(d, 3)) == d
     d2 = b"\x01" * 70000 + b"\x02"
     assert Z.decompress(_ref(d2, 1)) == d2
+
+
+def test_fuzzed_corruption_never_escapes_valueerror():
+    """Degrade contract: random truncations and bit flips of reference
+    frames either decode (flips can land in don't-care padding) or raise
+    ValueError — never IndexError/struct.error, which would kill a whole
+    Arrow batch in the container kernels."""
+    rng = np.random.default_rng(21)
+    base = _ref(bytes(rng.integers(0, 256, 5000, dtype=np.uint8)) + b"abc" * 4000, 19)
+    for _ in range(300):
+        bad = bytearray(base)
+        if rng.integers(0, 2):
+            bad = bad[: rng.integers(4, len(bad))]  # truncate
+        else:
+            bad[rng.integers(4, len(bad))] ^= 1 << rng.integers(0, 8)
+        try:
+            Z.decompress(bytes(bad))
+        except ValueError:
+            pass  # the only acceptable failure mode
