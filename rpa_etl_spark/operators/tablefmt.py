@@ -138,12 +138,24 @@ def _commit(path: str, kind: str, files: list[str], schema: str,
 
 
 def create_table(df, path: str) -> int:
-    """Create (or fail if data exists) — version 0."""
+    """Create (or fail if the table exists) — version 0 EXACTLY. The
+    commit is strict on version 0, so two racing create_table calls
+    cannot both succeed (the round-9 review caught the loser previously
+    re-publishing as v1 and silently replacing the winner's snapshot)."""
     if current_version(path) >= 0:
         raise FileExistsError(f"table already exists at {path}")
     files = _write_data_files(df, path)
-    return _commit(path, "create", files, df.schema.simpleString(),
-                   base_version=-1, strict_base=False)
+    manifest = {
+        "version": 0,
+        "parent": -1,
+        "kind": "create",
+        "schema": df.schema.simpleString(),
+        "files": files,
+        "committed_at": time.time(),
+    }
+    if not _publish(path, 0, manifest):
+        raise FileExistsError(f"table already exists at {path}")
+    return 0
 
 
 def append(df, path: str) -> int:

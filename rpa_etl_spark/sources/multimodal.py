@@ -1451,15 +1451,24 @@ def gif_decode(data: bytes) -> "np.ndarray":
                 raise ValueError("gif: truncated extension block")
             pos += 1
         elif b == 0x2C:
+            # bounds-checked like the extension walk: truncation at or
+            # inside the image descriptor must degrade with a clean
+            # ValueError, not struct.error/IndexError (round-9 review)
+            if pos + 10 > len(data):
+                raise ValueError("gif: truncated image descriptor")
             _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
             pal = gct
             if iflags & 0x80:
                 size = 1 << ((iflags & 7) + 1)
+                if pos + size * 3 > len(data):
+                    raise ValueError("gif: truncated local color table")
                 pal = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
                 pos += size * 3
             if pal is None:
                 raise ValueError("gif: no color table")
+            if pos >= len(data):
+                raise ValueError("gif: truncated before LZW code size")
             mcs = data[pos]
             pos += 1
             # bounds-checked sub-block walk: a transfer-truncated file

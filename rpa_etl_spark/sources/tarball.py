@@ -202,20 +202,31 @@ def parse_tar(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _doc_members(pdf) -> list[tuple[str, bytes]]:
+    """The shared per-bucket member construction BOTH tar synths use —
+    two DuckDB oracles (q_tar_extract, q_tar_extract_zst) state its
+    inverse, so it exists exactly once (round-9 review)."""
+    import re as _re
+
+    ws = _re.compile(r"[ \t\n\r\f\v]+")
+    members = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        prefix = ws.sub(" ", str(text)[:64]).strip()
+        members.append((f"corpus/doc_{int(doc_id)}.txt", prefix.encode("utf-8")))
+    return members
+
+
 def synth_tar_archives(docs) -> "DataFrame":  # noqa: F821
     """One tarball per ``bucket`` group: each member is
     ``corpus/doc_{id}.txt`` holding the document's collapsed prefix as
     UTF-8. Odd buckets gzip the whole archive (.tar.gz), even stay plain
     — both parse paths rotate. Fixture-sized groups, corpus-size-
     independent shuffle (the WARC/AES pattern)."""
-    import re as _re
-
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType, LongType, StringType, StructField, StructType,
     )
 
-    ws = _re.compile(r"[ \t\n\r\f\v]+")
     schema = StructType(
         [
             StructField("path", StringType()),
@@ -227,13 +238,7 @@ def synth_tar_archives(docs) -> "DataFrame":  # noqa: F821
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
         bucket = int(pdf["bucket"].iloc[0])
-        members = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            prefix = ws.sub(" ", str(text)[:64]).strip()
-            members.append(
-                (f"corpus/doc_{int(doc_id)}.txt", prefix.encode("utf-8"))
-            )
-        content = write_tar(members, gzip_archive=bucket % 2 == 1)
+        content = write_tar(_doc_members(pdf), gzip_archive=bucket % 2 == 1)
         return pd.DataFrame(
             [
                 {
@@ -308,8 +313,6 @@ def synth_tar_archives_zst(docs) -> "DataFrame":  # noqa: F821
     -checked query: 0 → raw-block 'store' frames WITH content checksums
     (the from-scratch encoder; exercises XXH64 verify), 1 → reference
     level 3, 2 → reference level 19 (dense FSE/Huffman shapes)."""
-    import re as _re
-
     import pandas as pd
     from pyspark.sql.types import (
         BinaryType, LongType, StringType, StructField, StructType,
@@ -317,7 +320,6 @@ def synth_tar_archives_zst(docs) -> "DataFrame":  # noqa: F821
 
     from rpa_etl_spark.sources import zstd as _zstd
 
-    ws = _re.compile(r"[ \t\n\r\f\v]+")
     schema = StructType(
         [
             StructField("path", StringType()),
@@ -329,13 +331,7 @@ def synth_tar_archives_zst(docs) -> "DataFrame":  # noqa: F821
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
         bucket = int(pdf["bucket"].iloc[0])
-        members = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            prefix = ws.sub(" ", str(text)[:64]).strip()
-            members.append(
-                (f"corpus/doc_{int(doc_id)}.txt", prefix.encode("utf-8"))
-            )
-        tar = write_tar(members)
+        tar = write_tar(_doc_members(pdf))
         mode = bucket % 3
         if mode == 0:
             content = _zstd.compress_store(tar, checksum=True)

@@ -274,6 +274,33 @@ def html_to_text(html: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _doc_responses(pdf) -> list[tuple[str, bytes]]:
+    """The shared per-bucket fixture construction BOTH warc synths use:
+    each member document becomes an HTTP response whose HTML embeds the
+    doc's whitespace-collapsed prefix, HTML-escaped. TWO DuckDB oracles
+    (q_warc_extract, q_warc_extract_zst) state this construction's
+    inverse, so it must exist exactly once (round-9 review)."""
+    responses = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        doc_id = int(doc_id)
+        prefix = _WS_RE.sub(" ", str(text)[:64]).strip()
+        esc = (
+            prefix.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+        html = (
+            f"<html><head><title>Doc {doc_id}</title>"
+            f'<script>var x = "<p>not text</p>";</script></head>'
+            f"<body><h1>NOTA {doc_id}</h1>"
+            f"<p>{esc} &amp; fim</p><!-- crawler --></body></html>"
+        )
+        responses.append(
+            (f"https://corpus.example/doc/{doc_id}", html.encode("utf-8"))
+        )
+    return responses
+
+
 def synth_warc_archives(docs) -> "DataFrame":  # noqa: F821 — forward ref
     """One WARC archive per ``bucket`` group (the multi-record file shape
     real crawls have): each member document becomes an HTTP-response
@@ -298,25 +325,7 @@ def synth_warc_archives(docs) -> "DataFrame":  # noqa: F821 — forward ref
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
         bucket = int(pdf["bucket"].iloc[0])
-        responses = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            doc_id = int(doc_id)
-            prefix = _WS_RE.sub(" ", str(text)[:64]).strip()
-            esc = (
-                prefix.replace("&", "&amp;")
-                .replace("<", "&lt;")
-                .replace(">", "&gt;")
-            )
-            html = (
-                f"<html><head><title>Doc {doc_id}</title>"
-                f'<script>var x = "<p>not text</p>";</script></head>'
-                f"<body><h1>NOTA {doc_id}</h1>"
-                f"<p>{esc} &amp; fim</p><!-- crawler --></body></html>"
-            )
-            responses.append(
-                (f"https://corpus.example/doc/{doc_id}", html.encode("utf-8"))
-            )
-        content = write_warc(responses, gzip_members=bucket % 2 == 1)
+        content = write_warc(_doc_responses(pdf), gzip_members=bucket % 2 == 1)
         return pd.DataFrame(
             [
                 {
@@ -413,25 +422,7 @@ def synth_warc_archives_zst(docs) -> "DataFrame":  # noqa: F821
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
         bucket = int(pdf["bucket"].iloc[0])
-        responses = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            doc_id = int(doc_id)
-            prefix = _WS_RE.sub(" ", str(text)[:64]).strip()
-            esc = (
-                prefix.replace("&", "&amp;")
-                .replace("<", "&lt;")
-                .replace(">", "&gt;")
-            )
-            html = (
-                f"<html><head><title>Doc {doc_id}</title>"
-                f'<script>var x = "<p>not text</p>";</script></head>'
-                f"<body><h1>NOTA {doc_id}</h1>"
-                f"<p>{esc} &amp; fim</p><!-- crawler --></body></html>"
-            )
-            responses.append(
-                (f"https://corpus.example/doc/{doc_id}", html.encode("utf-8"))
-            )
-        plain = write_warc(responses)
+        plain = write_warc(_doc_responses(pdf))
         # split back into per-record chunks on the WARC/ record marker so
         # each record gets its own frame (every chunk starts with WARC/)
         marks = []

@@ -58,9 +58,12 @@ class _BackBits:
     def __init__(self, data: bytes):
         if not data:
             raise ValueError("zstd: empty backward bitstream")
-        v = int.from_bytes(data, "little")
-        if v == 0:
+        if data[-1] == 0:
+            # RFC 8878: the final byte carries the padding marker and
+            # must be non-zero — a zeroed tail would silently shift
+            # every subsequent read
             raise ValueError("zstd: backward bitstream lacks start marker")
+        v = int.from_bytes(data, "little")
         self.val = v
         self.pos = v.bit_length() - 1  # bits remaining below the marker
 
@@ -529,6 +532,8 @@ def _decode_block(data: bytes, st: _FrameState) -> None:
                 reps[2] = reps[1]
                 reps[1] = reps[0]
                 reps[0] = offset
+        if lit_at + lit_len > len(lits):
+            raise ValueError("zstd: sequence literals overrun the buffer")
         out += lits[lit_at : lit_at + lit_len]
         lit_at += lit_len
         if offset > len(out):
@@ -630,6 +635,8 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     if magic != _MAGIC:
         raise ValueError(f"zstd: bad magic 0x{magic:08x}")
     pos += 4
+    if pos >= len(data):
+        raise ValueError("zstd: truncated frame-header descriptor")
     fhd = data[pos]
     pos += 1
     if fhd & 0x08:
@@ -640,6 +647,8 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     fcs_flag = fhd >> 6
     window_size = None
     if not single_segment:
+        if pos >= len(data):
+            raise ValueError("zstd: truncated window descriptor")
         wd = data[pos]
         pos += 1
         exp, mant = wd >> 3, wd & 7
@@ -647,6 +656,8 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         window_size = base + (base >> 3) * mant
     dict_size = (0, 1, 2, 4)[dict_flag]
     if dict_size:
+        if pos + dict_size > len(data):
+            raise ValueError("zstd: truncated dictionary id")
         did = int.from_bytes(data[pos : pos + dict_size], "little")
         pos += dict_size
         if did != 0:
@@ -654,6 +665,8 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     fcs = None
     fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     if fcs_size:
+        if pos + fcs_size > len(data):
+            raise ValueError("zstd: truncated frame content size")
         fcs = int.from_bytes(data[pos : pos + fcs_size], "little")
         if fcs_size == 2:
             fcs += 256
@@ -734,7 +747,7 @@ def decompress_with_info(data: bytes) -> tuple[bytes, dict]:
             n_skip += 1
         elif magic == _MAGIC:
             n_frames += 1
-            if not data[pos + 4] & 0x04:
+            if pos + 5 > len(data) or not data[pos + 4] & 0x04:
                 all_ck = False
         content, pos = decode_frame(data, pos)
         out.append(content)

@@ -121,3 +121,16 @@ def test_truncated_extension_degrades_cleanly():
     assert ext_at > 0
     with pytest.raises(ValueError):
         MM.gif_decode(b[: ext_at + 3])  # ends inside the sub-block chain
+
+
+def test_truncated_image_descriptor_degrades_cleanly():
+    """Round-9 review: truncation AT or INSIDE the image descriptor
+    (not just the extension walk) must raise ValueError, never
+    struct.error/IndexError."""
+    idx = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
+    b = MM.gif_encode(idx, _pal())
+    img_at = b.find(b"\x2c")
+    assert img_at > 0
+    for cut in (img_at + 1, img_at + 5, img_at + 10):
+        with pytest.raises(ValueError):
+            MM.gif_decode(b[:cut])

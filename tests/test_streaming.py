@@ -221,7 +221,12 @@ def test_rate_source_wallclock_trigger_crash_replay_exactly_once(spark, tmp_path
         files = glob.glob(f"{out}/b*/*.parquet")
         if not files:
             return 0
-        return spark.read.parquet(f"{out}/b*").count()
+        try:
+            return spark.read.parquet(f"{out}/b*").count()
+        except Exception:  # noqa: BLE001 — a trigger's overwrite can
+            # delete a listed file mid-read; keep polling (round-9
+            # review: only post-stop reads are asserted on)
+            return 0
 
     # ---- run 1: let >= 2 finalized windows reach the sink, then CRASH
     q = build()

@@ -91,3 +91,28 @@ def test_manifest_atomicity_no_partial_state(spark, tmp_path):
     m = TF.read_manifest(p, TF.current_version(p))
     for f in m["files"]:
         assert os.path.exists(os.path.join(p, f))
+
+
+def test_concurrent_creates_only_one_wins(spark, tmp_path):
+    """Round-9 review: two racing create_table calls must not both
+    succeed — the loser gets FileExistsError and the winner's snapshot
+    survives as version 0 (previously the loser re-published as v1 and
+    silently replaced the winner's files)."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 7), p)
+    # simulate the race's second half: the exists-check passed before
+    # the winner committed, so the loser goes straight to publish
+    files = TF._write_data_files(spark.range(100, 105), p)
+    manifest = {
+        "version": 0, "parent": -1, "kind": "create",
+        "schema": "", "files": files, "committed_at": 0,
+    }
+    assert not TF._publish(p, 0, manifest)  # link(2) arbitration holds
+    with pytest.raises(FileExistsError):
+        TF.create_table(spark.range(100, 105), p)
+    assert TF.current_version(p) == 0
+    assert TF.snapshot_read(spark, p).count() == 7  # winner intact
+    assert not [n for n in os.listdir(os.path.join(p, "_log"))
+                if n.startswith(".tmp")]

@@ -200,3 +200,20 @@ def test_fuzzed_corruption_never_escapes_valueerror():
             Z.decompress(bytes(bad))
         except ValueError:
             pass  # the only acceptable failure mode
+
+
+def test_truncated_frame_headers_raise_valueerror():
+    """Round-9 review: truncation anywhere in the FRAME HEADER (magic
+    only, mid-descriptor, mid-FCS) must raise ValueError, not
+    IndexError — the container kernels' degrade handlers catch only
+    ValueError."""
+    good = Z.compress_store(b"payload " * 50, checksum=True)
+    for cut in (4, 5, 6, len(good) - 1):
+        with pytest.raises(ValueError):
+            Z.decompress(good[:cut])
+    with pytest.raises(ValueError):
+        Z.decompress_with_info(b"\x28\xb5\x2f\xfd")
+    # zeroed final byte of a backward bitstream = corruption, never a
+    # silent shift of the padding marker
+    with pytest.raises(ValueError):
+        Z._BackBits(b"\x12\x00")
