@@ -41,6 +41,7 @@ import struct
 
 _MAGIC = 0xFD2FB528
 _SKIP_BASE = 0x184D2A50  # low nibble 0x0-0xF all skippable
+_DICT_MAGIC = 0xEC30A437
 
 # ---------------------------------------------------------------------------
 # bitstreams
@@ -612,15 +613,72 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 
 # ---------------------------------------------------------------------------
+# dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+
+class Dictionary:
+    """A parsed zstd dictionary: window-prefix content plus the initial
+    entropy state frames reference it with start from — the Huffman
+    literal table (used by a first-block TREELESS literal section), the
+    OF/ML/LL FSE tables (used by first-block REPEAT sequence modes),
+    and the starting repeat-offset history."""
+
+    __slots__ = ("dict_id", "content", "huf", "seq_tables", "reps")
+
+    def __init__(self, dict_id, content, huf, seq_tables, reps):
+        self.dict_id = dict_id
+        self.content = content
+        self.huf = huf
+        self.seq_tables = seq_tables
+        self.reps = reps
+
+
+def parse_dictionary(data: bytes) -> Dictionary:
+    """Dictionary blob → Dictionary. A blob WITHOUT the dictionary magic
+    is treated as a RAW-CONTENT dictionary (window prefix only, id 0) —
+    the same convention the reference implementation uses."""
+    if len(data) < 8 or struct.unpack_from("<I", data, 0)[0] != _DICT_MAGIC:
+        return Dictionary(0, data, None,
+                          {"ll": None, "of": None, "ml": None}, [1, 4, 8])
+    (dict_id,) = struct.unpack_from("<I", data, 4)
+    pos = 8
+    # entropy tables: Huffman literal weights, then OF, ML, LL FSE
+    # distributions (§5: in that order), then 3 LE32 repeat offsets
+    weights, pos = _huf_read_weights(data, pos)
+    huf = _huf_build_table(weights)
+    seq = {}
+    for channel in ("of", "ml", "ll"):
+        fb = _FwdBits(data[pos:])
+        probs, al = _fse_read_distribution(fb, _MAX_LOG[channel])
+        seq[channel] = (_fse_build_table(probs, al), al)
+        pos += fb.bytes_consumed()
+    if pos + 12 > len(data):
+        raise ValueError("zstd: truncated dictionary repeat offsets")
+    reps = list(struct.unpack_from("<III", data, pos))
+    pos += 12
+    content = data[pos:]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("zstd: dictionary repeat offset out of range")
+    return Dictionary(dict_id, content, huf,
+                      {"ll": seq["ll"], "of": seq["of"], "ml": seq["ml"]},
+                      reps)
+
+
+# ---------------------------------------------------------------------------
 # frame decode
 # ---------------------------------------------------------------------------
 
 
-def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
+def decode_frame(
+    data: bytes, pos: int = 0, dictionary: "Dictionary | None" = None
+) -> tuple[bytes, int]:
     """One zstd frame starting at ``pos`` → (content, next_pos).
-    Skippable frames return b'' and skip forward. Dictionary IDs are
-    rejected (corpus frames are dictionary-less; the seekable-WARC
-    dictionary convention is handled a layer up)."""
+    Skippable frames return b'' and skip forward. A frame that declares
+    a dictionary ID requires a matching ``dictionary`` (parsed via
+    :func:`parse_dictionary`); its content primes the match window and
+    its entropy tables/repeat offsets seed the first block."""
     if pos + 4 > len(data):
         raise ValueError("zstd: truncated frame magic")
     (magic,) = struct.unpack_from("<I", data, pos)
@@ -661,7 +719,13 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
         did = int.from_bytes(data[pos : pos + dict_size], "little")
         pos += dict_size
         if did != 0:
-            raise ValueError("zstd: dictionary frames are not supported")
+            if dictionary is None or (
+                dictionary.dict_id and dictionary.dict_id != did
+            ):
+                raise ValueError(
+                    f"zstd: frame requires dictionary id {did}, "
+                    "which was not provided"
+                )
     fcs = None
     fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     if fcs_size:
@@ -674,6 +738,15 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
     if single_segment:
         window_size = fcs if fcs is not None else 0
     st = _FrameState()
+    prefix_len = 0
+    if dictionary is not None:
+        # the dictionary content primes the window; its entropy tables
+        # and rep offsets seed the first block's repeat/treeless modes
+        st.out += dictionary.content
+        prefix_len = len(dictionary.content)
+        st.huf = dictionary.huf
+        st.seq_tables = dict(dictionary.seq_tables)
+        st.reps = list(dictionary.reps)
     while True:
         if pos + 3 > len(data):
             raise ValueError("zstd: truncated block header")
@@ -706,26 +779,32 @@ def decode_frame(data: bytes, pos: int = 0) -> tuple[bytes, int]:
             raise ValueError("zstd: reserved block type")
         if last:
             break
-    if fcs is not None and len(st.out) != fcs:
+    content = bytes(st.out[prefix_len:])
+    if fcs is not None and len(content) != fcs:
         raise ValueError(
-            f"zstd: content size mismatch ({len(st.out)} != {fcs})"
+            f"zstd: content size mismatch ({len(content)} != {fcs})"
         )
     if checksum:
         if pos + 4 > len(data):
             raise ValueError("zstd: truncated content checksum")
         (want,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        if xxh64(bytes(st.out)) & 0xFFFFFFFF != want:
+        if xxh64(content) & 0xFFFFFFFF != want:
             raise ValueError("zstd: content checksum mismatch")
-    return bytes(st.out), pos
+    return content, pos
 
 
-def decompress(data: bytes) -> bytes:
-    """All concatenated frames (skippables skipped) → joined content."""
+def decompress(data: bytes, dictionary: "Dictionary | bytes | None" = None) -> bytes:
+    """All concatenated frames (skippables skipped) → joined content.
+    ``dictionary`` (a Dictionary or a raw blob for parse_dictionary)
+    applies to every frame that declares a dictionary ID — and, per the
+    reference behavior, primes dictionary-less frames too when given."""
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_dictionary(bytes(dictionary))
     out = []
     pos = 0
     while pos < len(data):
-        content, pos = decode_frame(data, pos)
+        content, pos = decode_frame(data, pos, dictionary=dictionary)
         out.append(content)
     return b"".join(out)
 

@@ -217,3 +217,75 @@ def test_truncated_frame_headers_raise_valueerror():
     # silent shift of the padding marker
     with pytest.raises(ValueError):
         Z._BackBits(b"\x12\x00")
+
+
+def test_parse_dictionary_raw_content_fallback():
+    d = Z.parse_dictionary(b"no magic here, just window bytes")
+    assert d.dict_id == 0 and d.content.endswith(b"window bytes")
+    assert d.reps == [1, 4, 8] and d.huf is None
+
+
+def test_dictionary_required_error_names_id():
+    # FHD 0x23: single-segment + 4-byte dictionary id; 1-byte FCS = 0
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x23]) + struct.pack(
+        "<I", 0xDEADBEEF
+    ) + bytes([0])
+    with pytest.raises(ValueError, match="3735928559"):
+        Z.decompress(frame + (1).to_bytes(3, "little"))
+
+
+@pytest.mark.skipif(_CLI is None, reason="zstd CLI not on PATH")
+def test_cli_dictionary_conformance(tmp_path):
+    """Dictionary decode against the reference toolchain: the CLI trains
+    a real dictionary (entropy tables + rep offsets + content), then
+    dict-compresses payloads of several shapes/levels; the from-scratch
+    decoder must reproduce every one (checksummed frames, so XXH64 over
+    the dictionary-EXCLUDED content is verified too), and must reject
+    the same frames without the dictionary."""
+    import numpy as np
+
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(80):
+        body = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: https://ex.com/doc/{i}\r\n\r\n"
+            f"<html><body><h1>Doc {i}</h1><p>conteudo repetitivo comum "
+            f"{'x' * (i % 17)}</p></body></html>"
+        ).encode() * 3
+        (samples / f"s{i}.bin").write_bytes(body)
+    dict_file = tmp_path / "dict.bin"
+    subprocess.run(
+        [_CLI, "--train", *map(str, samples.glob("s*.bin")),
+         "-o", str(dict_file), "-q"],
+        check=True, stderr=subprocess.DEVNULL,
+    )
+    blob = dict_file.read_bytes()
+    d = Z.parse_dictionary(blob)
+    assert d.dict_id != 0 and len(d.content) > 0
+    payloads = [
+        b"tiny",
+        (samples / "s3.bin").read_bytes(),
+        b"<html><body><h1>Doc 999</h1><p>conteudo repetitivo comum</p>"
+        b"</body></html>" * 50,
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),
+    ]
+    for lvl in ("-1", "-19"):
+        for i, p in enumerate(payloads):
+            src = tmp_path / "p.bin"
+            dst = tmp_path / "p.zst"
+            src.write_bytes(p)
+            subprocess.run(
+                [_CLI, "-q", "-f", lvl, "-D", str(dict_file), str(src),
+                 "-o", str(dst)],
+                check=True,
+            )
+            frame = dst.read_bytes()
+            assert Z.decompress(frame, dictionary=d) == p, (lvl, i)
+            assert Z.decompress(frame, dictionary=blob) == p  # raw blob path
+            if struct.unpack_from("<I", frame, 0)[0] == 0xFD2FB528 and (
+                frame[4] & 3
+            ):
+                with pytest.raises(ValueError, match="dictionary"):
+                    Z.decompress(frame)
