@@ -2168,3 +2168,51 @@ def q_multimodal_mpeg_pframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
     return decode_mpeg1_motion_mbs(attach_mpeg1_motion_media(docs))
+
+
+@query(
+    "q_multimodal_mpeg_bframes",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(t AS INT) AS frame_id,
+           CASE WHEN t = 0 THEN 'I' WHEN t = 1 THEN 'B' ELSE 'P' END
+               AS picture_type,
+           CAST(i AS INT) AS mb_row,
+           CAST(j AS INT) AS mb_col,
+           CAST(
+             (d7 + 29*(4*i+j)) % 200
+             + CASE WHEN t = 2 THEN 9
+                    WHEN t = 1 AND i = 1 THEN 9
+                    WHEN t = 1 AND i = 2 THEN 5
+                    ELSE 0 END
+           AS INT) AS mb_value
+    FROM (SELECT doc_id, (doc_id % 256) * 7 AS d7
+          FROM documents WHERE doc_id < 96),
+         (VALUES (0), (1), (2)) tt(t),
+         (VALUES (0), (1), (2)) ii(i),
+         (VALUES (0), (1), (2), (3)) jj(j)
+    """,
+)
+def q_multimodal_mpeg_bframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONAL video decode under the external oracle (round 9 —
+    completes the temporal codec: I+P+B): 3-picture streams in display
+    order [I, B, P], coded I(0) P(2) B(1), decoded through the
+    B-picture path of sources/mpeg1.py — per-direction differential
+    vectors and PMVs, Table B.2d macroblock types, interpolated
+    prediction with the spec's round-away averaging, and the B-specific
+    SKIP rule (repeat the previous macroblock's prediction mode and
+    vectors — a zero-motion-forward copy here would reconstruct row 1
+    from the wrong anchor and hash-mismatch). The mosaic rows pin each
+    direction bit-exactly: row 0 forward (= I values), row 1 backward
+    (= P values = I+9), row 2 interpolated ((v + v+9 + 1) >> 1 = v+5);
+    the oracle restates every macroblock's constant in closed form.
+    Fixture bounded (doc_id < 96) like the other codec-capability
+    queries; plan: spread → mapInPandas(encode) → mapInPandas(decode) —
+    narrow at any scale."""
+    from rpa_etl_spark.sources.multimodal import (
+        attach_mpeg1_bidi_media,
+        decode_mpeg1_motion_mbs,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
+    return decode_mpeg1_motion_mbs(attach_mpeg1_bidi_media(docs))

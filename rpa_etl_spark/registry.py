@@ -78,7 +78,7 @@ PRIORITY_ORDER = [
     "q_ngram_novelty",
     "q_unigram_logprob",
     "q_url_dedup",
-    # == tier 1a (19): NEW or plan/kernel CHANGED in round 9 — no external
+    # == tier 1a (20): NEW or plan/kernel CHANGED in round 9 — no external
     #    verdict in their current form. zstd (RFC 8878) lands in
     #    sources/warc.py + tarball.py (one NEW query each + the two
     #    existing consumers); MPEG-1 P-frames land in sources/mpeg1.py
@@ -90,6 +90,7 @@ PRIORITY_ORDER = [
     "q_warc_extract_zst",  # NEW round 9 (.warc.zst, from-scratch zstd)
     "q_tar_extract_zst",  # NEW round 9 (.tar.zst)
     "q_multimodal_mpeg_pframes",  # NEW round 9 (motion-compensated decode)
+    "q_multimodal_mpeg_bframes",  # NEW round 9 (bidirectional decode)
     "q_pipeline_e2e",  # NEW round 9 (S1→P8→B5→V*→O2/O3 in one query)
     "q_table_time_travel",  # NEW round 9 (snapshot-isolated table format)
     "q_warc_extract",
@@ -106,8 +107,8 @@ PRIORITY_ORDER = [
     "q_multimodal_mpeg_iframes",
     "q_multimodal_g711",
     "q_multimodal_gif",
-    # == tier 2 (11): round-6-green fills up to the 50-query window —
-    #    oldest remaining cohort, taken in registry order; the other 31
+    # == tier 2 (10): round-6-green fills up to the 50-query window —
+    #    oldest remaining cohort, taken in registry order; the other 32
     #    r6 queries head the round-10 rotation.
     "q_agg_skew_salted",
     "q_ann_ivf",
@@ -119,8 +120,8 @@ PRIORITY_ORDER = [
     "q_case_routing",
     "q_decimal_math",
     "q_dedup_embedding",
-    "q_embedding_centroid",
     # ---------------- below the sampled window ----------------
+    "q_embedding_centroid",
     "q_funnel",
     # == last driver-green in ROUND 6 (30 remaining) ==
     "q_fuzzy_match",

@@ -1186,7 +1186,8 @@ def mpeg1_decode_frames(data: bytes) -> tuple[int, list]:
     n_pics = 0
     out: list = []
     ref: list | None = None
-    pending = None  # (tref, type, full_pel, f_code)
+    prev_ref: list | None = None
+    pending = None  # (tref, type, fp_fwd, fc_fwd, fp_bwd, fc_bwd)
     while True:
         code, nxt = _next_start(data, pos)
         if code < 0:
@@ -1219,27 +1220,47 @@ def mpeg1_decode_frames(data: bytes) -> tuple[int, list]:
             tref = r.bits(10)
             ptype = r.bits(3)
             if ptype == 1:
-                pending = (tref, 1, 0, 1)
+                pending = (tref, 1, 0, 1, 0, 1)
             elif ptype == 2:
                 r.bits(16)  # vbv_delay
                 full_pel = r.bit()
                 f_code = r.bits(3)
-                pending = (tref, 2, full_pel, f_code)
+                pending = (tref, 2, full_pel, f_code, 0, 1)
+            elif ptype == 3:
+                r.bits(16)  # vbv_delay
+                fp_f = r.bit()
+                fc_f = r.bits(3)
+                fp_b = r.bit()
+                fc_b = r.bits(3)
+                pending = (tref, 3, fp_f, fc_f, fp_b, fc_b)
             else:
-                pending = None  # B (or D) pictures: skip unparsed
+                pending = None  # D pictures: skip unparsed
             pos = nxt
         elif _SLICE_MIN <= code <= _SLICE_MAX and pending is not None:
-            tref, ptype, full_pel, f_code = pending
+            tref, ptype, fp_f, fc_f, fp_b, fc_b = pending
             if ptype == 1:
                 planes = _decode_intra_planes(data, nxt, code, w, h, qmat)
-            else:
+            elif ptype == 2:
                 if ref is None:
                     raise ValueError("mpeg1: P-picture with no reference")
                 planes = _decode_p_planes(
-                    data, nxt, code, w, h, qmat, nqmat, ref, full_pel, f_code
+                    data, nxt, code, w, h, qmat, nqmat, ref, fp_f, fc_f
                 )
-            ref = [np.clip(np.rint(p), 0, 255).astype(np.int64) for p in planes]
-            out.append((tref, "I" if ptype == 1 else "P", _planes_to_rgb(ref, h, w)))
+            else:  # B: forward anchor = previous I/P, backward = latest
+                if ref is None or prev_ref is None:
+                    raise ValueError("mpeg1: B-picture without both anchors")
+                planes = _decode_b_planes(
+                    data, nxt, code, w, h, qmat, nqmat,
+                    prev_ref, ref, fp_f, fc_f, fp_b, fc_b,
+                )
+            clipped = [
+                np.clip(np.rint(p), 0, 255).astype(np.int64) for p in planes
+            ]
+            if ptype != 3:  # B pictures are never references
+                prev_ref = ref
+                ref = clipped
+            ptag = {1: "I", 2: "P", 3: "B"}[ptype]
+            out.append((tref, ptag, _planes_to_rgb(clipped, h, w)))
             pending = None
             pos = nxt
         else:
@@ -1446,3 +1467,371 @@ def _apply_decoded_mb(
         if resid6 and resid6[ei] is not None:
             cblk += resid6[ei]
         planes[pi][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = cblk
+
+
+# ---------------------------------------------------------------------------
+# B-pictures: bidirectional prediction (round 9, closing the last video
+# scope note). ISO 11172-2 §2.4.4.3: forward and/or backward motion
+# compensation against the PREVIOUS and NEXT anchor (I/P) pictures —
+# coded order puts the future anchor before the B — with interpolated
+# prediction averaging both (the spec's round-away '//'), Table B.2d
+# macroblock types, per-direction f_codes and PMVs, and the B-specific
+# skipped-macroblock rule (repeat the previous macroblock's prediction
+# MODE and VECTORS, not a zero-motion copy).
+# ---------------------------------------------------------------------------
+
+# macroblock_type, B-pictures (Annex B): (quant, fwd, bwd, pattern, intra)
+_MB_TYPE_B = {
+    (0, 1, 1, 0, 0): "10",
+    (0, 1, 1, 1, 0): "11",
+    (0, 0, 1, 0, 0): "010",
+    (0, 0, 1, 1, 0): "011",
+    (0, 1, 0, 0, 0): "0010",
+    (0, 1, 0, 1, 0): "0011",
+    (0, 0, 0, 0, 1): "00011",
+    (1, 1, 1, 1, 0): "00010",
+    (1, 1, 0, 1, 0): "000011",
+    (1, 0, 1, 1, 0): "000010",
+    (1, 0, 0, 0, 1): "000001",
+}
+_MB_TYPE_B_DEC = {(len(b), int(b, 2)): k for k, b in _MB_TYPE_B.items()}
+
+
+def _interp_pred(fwd: list, bwd: list) -> list:
+    """Interpolated prediction: per-sample (fwd + bwd) // 2 with the
+    spec's round-away-from-zero division (samples are non-negative, so
+    (a + b + 1) >> 1)."""
+    return [
+        ((f.astype(np.int64) + b.astype(np.int64) + 1) >> 1).astype(np.float64)
+        for f, b in zip(fwd, bwd)
+    ]
+
+
+def mpeg1_encode_bidi(
+    display_frames: list,
+    fps: int = 25,
+    qscale: int = 8,
+    f_code: int = 2,
+    intra_threshold: float = 16.0,
+) -> bytes:
+    """[f0, f1, f2] in DISPLAY order → elementary stream in CODED order
+    I(0) P(2) B(1): f0 intra, f2 forward-predicted from f0 at zero
+    motion (coded residual / skip), f1 bidirectional — per macroblock
+    the encoder picks the zero-residual prediction among forward,
+    backward, and interpolated (priority in that order), SKIPS when the
+    previous macroblock used the same mode (the B skip rule repeats
+    mode+vectors), codes the residual otherwise, and falls back to
+    intra past ``intra_threshold``. Closed-loop like the P encoder."""
+    if len(display_frames) != 3:
+        raise ValueError("mpeg1_encode_bidi: exactly [I, B, P] display frames")
+    h, w, _ = display_frames[0].shape
+    if h % 16 or w % 16:
+        raise ValueError("mpeg1_encode_bidi: size must be multiples of 16")
+    mbw, mbh = w // 16, h // 16
+    total = mbw * mbh
+    nqmat = DEFAULT_NONINTRA_Q
+    bs = _Bits()
+    _start_code(bs, SEQ_START)
+    bs.put(w, 12)
+    bs.put(h, 12)
+    bs.put(1, 4)
+    bs.put(_FPS_TO_CODE.get(fps, 3), 4)
+    bs.put(0x3FFFF, 18)
+    bs.put(1, 1)
+    bs.put(16, 10)
+    bs.put(0, 1)
+    bs.put(0, 2)
+    _start_code(bs, GOP_START)
+    bs.put(0, 12)
+    bs.put(1, 1)
+    bs.put(0, 12)
+    bs.put(1, 1)
+    bs.put(0, 1)
+
+    recs: dict[int, list] = {}
+    for coded_idx, (tref, ptype) in enumerate(((0, 1), (2, 2), (1, 3))):
+        cur = [*_frame_to_blocks(np.asarray(display_frames[tref]))]
+        rec = [np.zeros_like(p) for p in cur]
+        _start_code(bs, PIC_START)
+        bs.put(tref, 10)
+        bs.put(ptype, 3)
+        bs.put(0xFFFF, 16)
+        if ptype == 2:
+            bs.put(0, 1)
+            bs.put(f_code, 3)
+        elif ptype == 3:
+            bs.put(0, 1)
+            bs.put(f_code, 3)  # forward
+            bs.put(0, 1)
+            bs.put(f_code, 3)  # backward
+        bs.put(0, 1)
+        _start_code(bs, _SLICE_MIN)
+        bs.put(qscale, 5)
+        bs.put(0, 1)
+        pred_y = pred_cb = pred_cr = 128
+        last_addr = -1
+        prev_mode = None  # B: (fwd?, bwd?) of the previous macroblock
+        fwd_ref = recs.get(0)
+        bwd_ref = recs.get(2)
+        for mb in range(total):
+            my, mx = (mb // mbw) * 16, (mb % mbw) * 16
+            cur_blocks = _mb_blocks(cur, my, mx)
+            if ptype == 1:
+                bs.put_str(_MB_ADDR_INC[1])
+                bs.put_str(_MB_TYPE_I_INTRA)
+                pred_y, pred_cb, pred_cr = _emit_intra_mb(
+                    bs, cur_blocks, pred_y, pred_cb, pred_cr, qscale,
+                    DEFAULT_INTRA_Q, rec, my, mx,
+                )
+                last_addr = mb
+                continue
+            if ptype == 2:
+                pred = _mb_pred(fwd_ref, my, mx, 0, 0)
+                resid = [c - p for c, p in zip(cur_blocks, pred)]
+                sad = float(np.mean(np.abs(resid[0])))
+                if sad > intra_threshold:
+                    inc = mb - last_addr
+                    _emit_addr_inc(bs, inc)
+                    bs.put_str(_MB_TYPE_P[(0, 0, 0, 1)])
+                    if inc != 1:
+                        pred_y = pred_cb = pred_cr = 128
+                    pred_y, pred_cb, pred_cr = _emit_intra_mb(
+                        bs, cur_blocks, pred_y, pred_cb, pred_cr, qscale,
+                        DEFAULT_INTRA_Q, rec, my, mx,
+                    )
+                    last_addr = mb
+                    continue
+                entries6 = _quant_mb_residual(resid, qscale, nqmat)
+                coded = any(entries6)
+                if not coded and 0 < mb < total - 1:
+                    _apply_mb(rec, my, mx, pred, None, qscale, nqmat)
+                    pred_y = pred_cb = pred_cr = 128
+                    continue  # skipped (zero-motion copy)
+                inc = mb - last_addr
+                _emit_addr_inc(bs, inc)
+                if inc != 1:
+                    pred_y = pred_cb = pred_cr = 128
+                if coded:
+                    bs.put_str(_MB_TYPE_P[(0, 0, 1, 0)])  # no-MC coded
+                    cbp = 0
+                    for i, e in enumerate(entries6):
+                        if e:
+                            cbp |= 1 << (5 - i)
+                    bs.put_str(_CBP_VLC[cbp])
+                    for e in entries6:
+                        if e:
+                            _emit_nonintra_block(bs, e)
+                else:
+                    bs.put_str(_MB_TYPE_P[(0, 1, 0, 0)])  # MC not coded, MV 0
+                    bs.put_str(_MOTION_VLC[0])
+                    bs.put_str(_MOTION_VLC[0])
+                _apply_mb(rec, my, mx, pred, entries6 if coded else None,
+                          qscale, nqmat)
+                pred_y = pred_cb = pred_cr = 128
+                last_addr = mb
+                continue
+            # ---- B picture: choose among fwd / bwd / interp at MV 0
+            preds = {
+                (1, 0): _mb_pred(fwd_ref, my, mx, 0, 0),
+                (0, 1): _mb_pred(bwd_ref, my, mx, 0, 0),
+            }
+            preds[(1, 1)] = _interp_pred(preds[(1, 0)], preds[(0, 1)])
+            best = None
+            for mode in ((1, 0), (0, 1), (1, 1)):
+                resid = [c - p for c, p in zip(cur_blocks, preds[mode])]
+                sad = float(np.mean(np.abs(resid[0])))
+                if best is None or sad < best[0] - 1e-9:
+                    best = (sad, mode, resid)
+            sad, mode, resid = best
+            if sad > intra_threshold:
+                inc = mb - last_addr
+                _emit_addr_inc(bs, inc)
+                bs.put_str(_MB_TYPE_B[(0, 0, 0, 0, 1)])
+                if inc != 1:
+                    pred_y = pred_cb = pred_cr = 128
+                pred_y, pred_cb, pred_cr = _emit_intra_mb(
+                    bs, cur_blocks, pred_y, pred_cb, pred_cr, qscale,
+                    DEFAULT_INTRA_Q, rec, my, mx,
+                )
+                prev_mode = None  # B skip may not follow intra
+                last_addr = mb
+                continue
+            entries6 = _quant_mb_residual(resid, qscale, nqmat)
+            coded = any(entries6)
+            if (
+                not coded
+                and prev_mode == mode
+                and 0 < mb < total - 1
+            ):
+                # B skip: repeat previous MB's mode+vectors, no coeffs
+                _apply_mb(rec, my, mx, preds[mode], None, qscale, nqmat)
+                pred_y = pred_cb = pred_cr = 128
+                continue
+            inc = mb - last_addr
+            _emit_addr_inc(bs, inc)
+            if inc != 1:
+                pred_y = pred_cb = pred_cr = 128
+            fwd, bwd = mode
+            bs.put_str(_MB_TYPE_B[(0, fwd, bwd, 1 if coded else 0, 0)])
+            if fwd:
+                bs.put_str(_MOTION_VLC[0])
+                bs.put_str(_MOTION_VLC[0])
+            if bwd:
+                bs.put_str(_MOTION_VLC[0])
+                bs.put_str(_MOTION_VLC[0])
+            if coded:
+                cbp = 0
+                for i, e in enumerate(entries6):
+                    if e:
+                        cbp |= 1 << (5 - i)
+                bs.put_str(_CBP_VLC[cbp])
+                for e in entries6:
+                    if e:
+                        _emit_nonintra_block(bs, e)
+            _apply_mb(rec, my, mx, preds[mode], entries6 if coded else None,
+                      qscale, nqmat)
+            pred_y = pred_cb = pred_cr = 128
+            prev_mode = mode
+            last_addr = mb
+        recs[tref] = [
+            np.clip(np.rint(p), 0, 255).astype(np.int64) for p in rec
+        ]
+    _start_code(bs, SEQ_END)
+    bs.align()
+    return bs.bytes()
+
+
+def _decode_b_planes(
+    data: bytes, after_slice_start: int, slice_code: int, w: int, h: int,
+    qmat: np.ndarray, nqmat: np.ndarray, fwd_ref: list, bwd_ref: list,
+    full_pel_f: int, f_code_f: int, full_pel_b: int, f_code_b: int,
+) -> list:
+    """B-picture slice walk: per-direction differential vectors and
+    PMVs; interpolated prediction averages both directions; a SKIPPED
+    macroblock repeats the previous macroblock's prediction mode and
+    reconstructed vectors (§2.4.4.3 — unlike P's zero-motion copy)."""
+    mbw, mbh = w // 16, h // 16
+    planes = [
+        np.zeros((mbh * 16, mbw * 16)),
+        np.zeros((mbh * 8, mbw * 8)),
+        np.zeros((mbh * 8, mbw * 8)),
+    ]
+    total_mbs = mbw * mbh
+    done = 0
+    pos = after_slice_start
+    code = slice_code
+
+    def predict(addr: int, mode: tuple, mv_f: list, mv_b: list) -> list:
+        my, mx = (addr // mbw) * 16, (addr % mbw) * 16
+        fy = mv_f[0] * 2 if full_pel_f else mv_f[0]
+        fx = mv_f[1] * 2 if full_pel_f else mv_f[1]
+        by = mv_b[0] * 2 if full_pel_b else mv_b[0]
+        bx = mv_b[1] * 2 if full_pel_b else mv_b[1]
+        if mode == (1, 0):
+            return _mb_pred(fwd_ref, my, mx, fy, fx)
+        if mode == (0, 1):
+            return _mb_pred(bwd_ref, my, mx, by, bx)
+        return _interp_pred(
+            _mb_pred(fwd_ref, my, mx, fy, fx),
+            _mb_pred(bwd_ref, my, mx, by, bx),
+        )
+
+    while done < total_mbs:
+        r = _Reader(data, pos * 8)
+        qscale = r.bits(5)
+        while r.bit():
+            r.bits(8)
+        addr = (code - 1) * mbw - 1
+        last_coded = addr
+        pred_y = pred_cb = pred_cr = 128
+        pmv_f = [0, 0]
+        pmv_b = [0, 0]
+        prev_mode = (1, 1)
+        prev_mv_f = [0, 0]
+        prev_mv_b = [0, 0]
+        while done < total_mbs:
+            if _slice_ended(r, data):
+                break
+            inc = 0
+            while True:
+                got = r.vlc(_MB_INC_WALK, max_len=11)
+                if got == "esc":
+                    inc += 33
+                    continue
+                if got == "stuff":
+                    continue
+                inc += got
+                break
+            addr += inc
+            if addr >= total_mbs:
+                raise ValueError("mpeg1: macroblock address out of range")
+            for skip_addr in range(last_coded + 1, addr):
+                # B skip: repeat the previous MB's mode and vectors
+                _apply_decoded_mb(
+                    planes, (skip_addr // mbw) * 16, (skip_addr % mbw) * 16,
+                    predict(skip_addr, prev_mode, prev_mv_f, prev_mv_b),
+                    None,
+                )
+                done += 1
+            if inc != 1:
+                pred_y = pred_cb = pred_cr = 128
+                # NOTE: B-picture PMVs survive skips (the skipped MBs
+                # reuse the previous vectors); they reset only at slice
+                # start and after intra MBs (§2.4.4.3)
+            quant, mf, mb_, pat, intra = r.vlc(_MB_TYPE_B_DEC, max_len=6)
+            if quant:
+                qscale = r.bits(5)
+            my, mx = (addr // mbw) * 16, (addr % mbw) * 16
+            if intra:
+                for by2 in range(2):
+                    for bx2 in range(2):
+                        blk, pred_y = _decode_intra_block(
+                            r, pred_y, qscale, True, qmat
+                        )
+                        planes[0][my + 8 * by2 : my + 8 * by2 + 8,
+                                  mx + 8 * bx2 : mx + 8 * bx2 + 8] = blk
+                blk, pred_cb = _decode_intra_block(r, pred_cb, qscale, False, qmat)
+                planes[1][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+                blk, pred_cr = _decode_intra_block(r, pred_cr, qscale, False, qmat)
+                planes[2][my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+                pmv_f = [0, 0]
+                pmv_b = [0, 0]
+                prev_mode = (1, 1)
+                prev_mv_f = [0, 0]
+                prev_mv_b = [0, 0]
+            else:
+                pred_y = pred_cb = pred_cr = 128
+                if mf:
+                    dmx = _read_motion_diff(r, f_code_f)
+                    dmy = _read_motion_diff(r, f_code_f)
+                    pmv_f = [
+                        _wrap_mv(pmv_f[0] + dmy, f_code_f),
+                        _wrap_mv(pmv_f[1] + dmx, f_code_f),
+                    ]
+                if mb_:
+                    dmx = _read_motion_diff(r, f_code_b)
+                    dmy = _read_motion_diff(r, f_code_b)
+                    pmv_b = [
+                        _wrap_mv(pmv_b[0] + dmy, f_code_b),
+                        _wrap_mv(pmv_b[1] + dmx, f_code_b),
+                    ]
+                mode = (1 if mf else 0, 1 if mb_ else 0)
+                pred = predict(addr, mode, pmv_f, pmv_b)
+                resid6 = [None] * 6
+                if pat:
+                    cbp = r.vlc(_CBP_DEC, max_len=9)
+                    for i in range(6):
+                        if cbp & (1 << (5 - i)):
+                            resid6[i] = _decode_nonintra_block(r, qscale, nqmat)
+                _apply_decoded_mb(planes, my, mx, pred, resid6)
+                prev_mode = mode
+                prev_mv_f = list(pmv_f)
+                prev_mv_b = list(pmv_b)
+            done += 1
+            last_coded = addr
+        if done < total_mbs:
+            ncode, npos = _next_start(data, (r.pos // 8))
+            if not (_SLICE_MIN <= ncode <= _SLICE_MAX):
+                raise ValueError("mpeg1: B picture ended before all MBs decoded")
+            code, pos = ncode, npos
+    return planes

@@ -1683,3 +1683,57 @@ def decode_mpeg1_motion_mbs(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=MPEG_MOTION_MB_SCHEMA)
+
+
+def synth_mpeg1_bidi_video(media_id: int) -> bytes:
+    """Deterministic BIDIRECTIONAL MPEG-1 stream keyed by id (round 9):
+    display order [I, B, P] coded as I(0) P(2) B(1). P = I + 9
+    everywhere (no-MC coded; odd delta exact at qscale 8). The B frame
+    exercises every prediction direction bit-exactly: row 0 forward
+    -copies the I anchor, row 1 backward-copies the P anchor, row 2 is
+    the interpolated average ((v + v+9 + 1) >> 1 = v + 5) — with B-skip
+    runs inside each row (repeat-mode semantics) and closed forms the
+    DuckDB oracle restates per macroblock."""
+    from rpa_etl_spark.sources.mpeg1 import mpeg1_encode_bidi
+
+    d7 = (media_id % 256) * 7
+
+    def mosaic(vals):
+        f = np.zeros((48, 64, 3), dtype=np.uint8)
+        for i in range(3):
+            for j in range(4):
+                f[16 * i : 16 * i + 16, 16 * j : 16 * j + 16, :] = vals[i][j]
+        return f
+
+    v0 = [[(d7 + 29 * (4 * i + j)) % 200 for j in range(4)] for i in range(3)]
+    v2 = [[v0[i][j] + 9 for j in range(4)] for i in range(3)]
+    v1 = [
+        [v0[0][j] for j in range(4)],
+        [v2[1][j] for j in range(4)],
+        [v0[2][j] + 5 for j in range(4)],
+    ]
+    return mpeg1_encode_bidi([mosaic(v0), mosaic(v1), mosaic(v2)])
+
+
+def attach_mpeg1_bidi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table with bidirectional MPEG-1 payloads (spread first —
+    encode is CPU-bound)."""
+    id_field = F.col(id_col).alias("media_id")
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        synth_mpeg1_bidi_video(int(m)) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    from rpa_etl_spark.tables import spread
+
+    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)

@@ -421,3 +421,79 @@ def test_nonintra_dequant_properties():
                 elif abs(v) < 2047:  # below the asymmetric 12-bit clamp
                     assert v == -M._dequant_nonintra(-level, q, w)
                     assert v % 2 != 0  # odd after mismatch control
+
+
+# ---------------------------------------------------------------------------
+# B-pictures / bidirectional prediction (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _bidi_frames(m: int, mbw: int = 4, mbh: int = 3) -> list:
+    """The q_multimodal_mpeg_bframes fixture: display order [I, B, P]
+    where P = I + 9 everywhere (no-MC coded, odd delta exact at qscale
+    8); the B frame's row 0 forward-copies the I anchor, row 1
+    backward-copies the P anchor, row 2 is the interpolated average
+    ((v + v+9 + 1) >> 1 = v+5) — every prediction direction bit-exact."""
+    d7 = (m % 256) * 7
+
+    def mosaic(vals):
+        f = np.zeros((mbh * 16, mbw * 16, 3), dtype=np.uint8)
+        for i in range(mbh):
+            for j in range(mbw):
+                f[16 * i : 16 * i + 16, 16 * j : 16 * j + 16, :] = vals[i][j]
+        return f
+
+    v0 = [[(d7 + 29 * (4 * i + j)) % 200 for j in range(4)] for i in range(3)]
+    v2 = [[v0[i][j] + 9 for j in range(4)] for i in range(3)]
+    v1 = [
+        [v0[0][j] for j in range(4)],
+        [v2[1][j] for j in range(4)],
+        [v0[2][j] + 5 for j in range(4)],
+    ]
+    return [mosaic(v0), mosaic(v1), mosaic(v2)]
+
+
+def test_b_vlc_table_prefix_free():
+    codes = list(M._MB_TYPE_B.values())
+    assert len(codes) == len(set(codes))
+    assert not _prefix_free(codes)
+
+
+def test_bidi_mosaic_bit_exact():
+    for m in (0, 55, 123, 255):
+        frames = _bidi_frames(m)
+        n, out = M.mpeg1_decode_frames(M.mpeg1_encode_bidi(frames))
+        assert n == 3
+        got = {t: (p, rgb) for t, p, rgb in out}
+        assert [got[t][0] for t in (0, 1, 2)] == ["I", "B", "P"]
+        for t in (0, 1, 2):
+            assert np.array_equal(got[t][1], frames[t]), f"m={m} t={t}"
+
+
+def test_b_skip_repeats_previous_prediction():
+    """Mid-row macroblocks repeating the previous mode/vectors with zero
+    residual are SKIPPED — the B stream stays near header-sized and the
+    skip reconstruction (repeat mode, not zero-motion-forward) is what
+    makes the backward row decode correctly."""
+    frames = _bidi_frames(7)
+    bits = M.mpeg1_encode_bidi(frames)
+    # rough budget: the B picture carries ~1 explicit MB per row plus
+    # slice-edge MBs; it must be far smaller than the I picture
+    n, out = M.mpeg1_decode_frames(bits)
+    assert [p for _, p, _ in sorted(out)] == ["I", "B", "P"]
+    # decoding via the keyframe sampler must skip BOTH predicted kinds
+    n2, iframes = M.mpeg1_decode_iframes(bits)
+    assert n2 == 3 and len(iframes) == 1 and iframes[0][0] == 0
+
+
+def test_b_without_anchors_raises():
+    frames = _bidi_frames(3)
+    bits = M.mpeg1_encode_bidi(frames)
+    # cut the stream so the B picture appears before any anchor decoded:
+    # take the sequence+gop headers, then splice the B picture directly
+    b_at = bits.find(b"\x00\x00\x01\x00", 20)          # first picture (I)
+    p2 = bits.find(b"\x00\x00\x01\x00", b_at + 4)      # second picture (P)
+    b3 = bits.find(b"\x00\x00\x01\x00", p2 + 4)        # third picture (B)
+    spliced = bits[:b_at] + bits[b3:]
+    with pytest.raises(ValueError, match="anchor"):
+        M.mpeg1_decode_frames(spliced)

@@ -75,9 +75,9 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_multimodal_audio", "q_multimodal_png", "q_multimodal_resize",
         "q_multimodal_mjpeg", "q_multimodal_mpeg_iframes",
         "q_multimodal_g711", "q_multimodal_gif",
-        "q_multimodal_mpeg_pframes",
+        "q_multimodal_mpeg_pframes", "q_multimodal_mpeg_bframes",
     ],
-    "rpa_etl_spark/sources/mpeg1.py": ["q_multimodal_mpeg_iframes", "q_multimodal_mpeg_pframes"],
+    "rpa_etl_spark/sources/mpeg1.py": ["q_multimodal_mpeg_iframes", "q_multimodal_mpeg_pframes", "q_multimodal_mpeg_bframes"],
     "rpa_etl_spark/sources/pdf.py": [
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
         "q_pdf_extract_passworded",
