@@ -929,6 +929,42 @@ def _encode_intra_block_recon(
     return new_pred, recon
 
 
+def _emit_seq_gop(bs: _Bits, w: int, h: int, fps: int) -> None:
+    """Sequence + GOP headers shared by the temporal (P) and bidi (B)
+    encoders (default quantizer matrices, variable bitrate, closed GOP;
+    the round-8 intra encoder keeps its own variant with the custom
+    -matrix option)."""
+    _start_code(bs, SEQ_START)
+    bs.put(w, 12)
+    bs.put(h, 12)
+    bs.put(1, 4)
+    bs.put(_FPS_TO_CODE.get(fps, 3), 4)
+    bs.put(0x3FFFF, 18)
+    bs.put(1, 1)
+    bs.put(16, 10)
+    bs.put(0, 1)
+    bs.put(0, 2)
+    _start_code(bs, GOP_START)
+    bs.put(0, 12)
+    bs.put(1, 1)
+    bs.put(0, 12)
+    bs.put(1, 1)
+    bs.put(0, 1)
+
+
+def _emit_cbp_blocks(bs: _Bits, entries6: list) -> None:
+    """coded_block_pattern + the non-intra blocks it marks (shared by
+    every predicted-macroblock emission path)."""
+    cbp = 0
+    for i, e in enumerate(entries6):
+        if e:
+            cbp |= 1 << (5 - i)
+    bs.put_str(_CBP_VLC[cbp])
+    for e in entries6:
+        if e:
+            _emit_nonintra_block(bs, e)
+
+
 def mpeg1_encode_temporal(
     frames: list,
     fps: int = 25,
@@ -951,22 +987,7 @@ def mpeg1_encode_temporal(
     mbw, mbh = w // 16, h // 16
     nqmat = DEFAULT_NONINTRA_Q
     bs = _Bits()
-    _start_code(bs, SEQ_START)
-    bs.put(w, 12)
-    bs.put(h, 12)
-    bs.put(1, 4)
-    bs.put(_FPS_TO_CODE.get(fps, 3), 4)
-    bs.put(0x3FFFF, 18)
-    bs.put(1, 1)
-    bs.put(16, 10)
-    bs.put(0, 1)
-    bs.put(0, 2)
-    _start_code(bs, GOP_START)
-    bs.put(0, 12)
-    bs.put(1, 1)
-    bs.put(0, 12)
-    bs.put(1, 1)
-    bs.put(0, 1)
+    _emit_seq_gop(bs, w, h, fps)
 
     ref: list[np.ndarray] | None = None  # reconstructed [y, cb, cr] ints
     for t, frame in enumerate(frames):
@@ -1058,14 +1079,7 @@ def mpeg1_encode_temporal(
             else:
                 pmv = [0, 0]
             if coded:
-                cbp = 0
-                for i, e in enumerate(entries6):
-                    if e:
-                        cbp |= 1 << (5 - i)
-                bs.put_str(_CBP_VLC[cbp])
-                for e in entries6:
-                    if e:
-                        _emit_nonintra_block(bs, e)
+                _emit_cbp_blocks(bs, entries6)
             _apply_mb(rec, my, mx, pred, entries6 if coded else None,
                       qscale, nqmat)
             pred_y = pred_cb = pred_cr = 128
@@ -1248,7 +1262,12 @@ def mpeg1_decode_frames(data: bytes) -> tuple[int, list]:
                 )
             else:  # B: forward anchor = previous I/P, backward = latest
                 if ref is None or prev_ref is None:
-                    raise ValueError("mpeg1: B-picture without both anchors")
+                    # open-GOP start / random-access entry: a B without
+                    # both anchors is SKIPPED unparsed (the round-8
+                    # boundary) — never aborts the I/P frames around it
+                    pending = None
+                    pos = nxt
+                    continue
                 planes = _decode_b_planes(
                     data, nxt, code, w, h, qmat, nqmat,
                     prev_ref, ref, fp_f, fc_f, fp_b, fc_b,
@@ -1531,22 +1550,7 @@ def mpeg1_encode_bidi(
     total = mbw * mbh
     nqmat = DEFAULT_NONINTRA_Q
     bs = _Bits()
-    _start_code(bs, SEQ_START)
-    bs.put(w, 12)
-    bs.put(h, 12)
-    bs.put(1, 4)
-    bs.put(_FPS_TO_CODE.get(fps, 3), 4)
-    bs.put(0x3FFFF, 18)
-    bs.put(1, 1)
-    bs.put(16, 10)
-    bs.put(0, 1)
-    bs.put(0, 2)
-    _start_code(bs, GOP_START)
-    bs.put(0, 12)
-    bs.put(1, 1)
-    bs.put(0, 12)
-    bs.put(1, 1)
-    bs.put(0, 1)
+    _emit_seq_gop(bs, w, h, fps)
 
     recs: dict[int, list] = {}
     for coded_idx, (tref, ptype) in enumerate(((0, 1), (2, 2), (1, 3))):
@@ -1613,14 +1617,7 @@ def mpeg1_encode_bidi(
                     pred_y = pred_cb = pred_cr = 128
                 if coded:
                     bs.put_str(_MB_TYPE_P[(0, 0, 1, 0)])  # no-MC coded
-                    cbp = 0
-                    for i, e in enumerate(entries6):
-                        if e:
-                            cbp |= 1 << (5 - i)
-                    bs.put_str(_CBP_VLC[cbp])
-                    for e in entries6:
-                        if e:
-                            _emit_nonintra_block(bs, e)
+                    _emit_cbp_blocks(bs, entries6)
                 else:
                     bs.put_str(_MB_TYPE_P[(0, 1, 0, 0)])  # MC not coded, MV 0
                     bs.put_str(_MOTION_VLC[0])
@@ -1680,14 +1677,7 @@ def mpeg1_encode_bidi(
                 bs.put_str(_MOTION_VLC[0])
                 bs.put_str(_MOTION_VLC[0])
             if coded:
-                cbp = 0
-                for i, e in enumerate(entries6):
-                    if e:
-                        cbp |= 1 << (5 - i)
-                bs.put_str(_CBP_VLC[cbp])
-                for e in entries6:
-                    if e:
-                        _emit_nonintra_block(bs, e)
+                _emit_cbp_blocks(bs, entries6)
             _apply_mb(rec, my, mx, preds[mode], entries6 if coded else None,
                       qscale, nqmat)
             pred_y = pred_cb = pred_cr = 128
@@ -1720,6 +1710,7 @@ def _decode_b_planes(
     done = 0
     pos = after_slice_start
     code = slice_code
+    last_coded = -1
 
     def predict(addr: int, mode: tuple, mv_f: list, mv_b: list) -> list:
         my, mx = (addr // mbw) * 16, (addr % mbw) * 16
@@ -1736,6 +1727,10 @@ def _decode_b_planes(
             _mb_pred(bwd_ref, my, mx, by, bx),
         )
 
+    seen = np.zeros(total_mbs, dtype=bool)
+    prev_mode = (1, 1)
+    prev_mv_f = [0, 0]
+    prev_mv_b = [0, 0]
     while done < total_mbs:
         r = _Reader(data, pos * 8)
         qscale = r.bits(5)
@@ -1772,6 +1767,7 @@ def _decode_b_planes(
                     predict(skip_addr, prev_mode, prev_mv_f, prev_mv_b),
                     None,
                 )
+                seen[skip_addr] = True
                 done += 1
             if inc != 1:
                 pred_y = pred_cb = pred_cr = 128
@@ -1827,11 +1823,25 @@ def _decode_b_planes(
                 prev_mode = mode
                 prev_mv_f = list(pmv_f)
                 prev_mv_b = list(pmv_b)
+            seen[addr] = True
             done += 1
             last_coded = addr
         if done < total_mbs:
             ncode, npos = _next_start(data, (r.pos // 8))
             if not (_SLICE_MIN <= ncode <= _SLICE_MAX):
-                raise ValueError("mpeg1: B picture ended before all MBs decoded")
+                # remaining MBs after the last slice: skipped — repeat
+                # the previous prediction, like the P decoder's fill
+                for skip_addr in range(total_mbs):
+                    if not seen[skip_addr]:
+                        _apply_decoded_mb(
+                            planes, (skip_addr // mbw) * 16,
+                            (skip_addr % mbw) * 16,
+                            predict(skip_addr, prev_mode, prev_mv_f,
+                                    prev_mv_b),
+                            None,
+                        )
+                        done += 1
+                break
             code, pos = ncode, npos
+            last_coded = (code - 1) * mbw - 1
     return planes

@@ -1606,9 +1606,10 @@ def synth_mpeg1_motion_video(media_id: int) -> bytes:
     return mpeg1_encode_temporal(frames)
 
 
-def attach_mpeg1_motion_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Media table with motion MPEG-1 payloads (one 4-picture stream per
-    row; encode is CPU-bound → spread first)."""
+def _attach_media(df: DataFrame, synth_fn, id_col: str = "doc_id") -> DataFrame:
+    """Shared media-table builder: one synthetic payload per row via
+    ``synth_fn(media_id)`` (encode is CPU-bound → spread first). All the
+    attach_* wrappers delegate here (round-9 review dedup)."""
     id_field = F.col(id_col).alias("media_id")
     schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
@@ -1619,16 +1620,19 @@ def attach_mpeg1_motion_media(df: DataFrame, id_col: str = "doc_id") -> DataFram
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_mpeg1_motion_video(int(m))
-                        for m in pdf["media_id"]
-                    ],
+                    "payload": [synth_fn(int(m)) for m in pdf["media_id"]],
                 }
             )
 
     from rpa_etl_spark.tables import spread
 
     return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+
+
+def attach_mpeg1_motion_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table with motion MPEG-1 payloads (one 4-picture I+P
+    stream per row)."""
+    return _attach_media(df, synth_mpeg1_motion_video, id_col)
 
 
 MPEG_MOTION_MB_SCHEMA = StructType(
@@ -1716,24 +1720,6 @@ def synth_mpeg1_bidi_video(media_id: int) -> bytes:
 
 
 def attach_mpeg1_bidi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Media table with bidirectional MPEG-1 payloads (spread first —
-    encode is CPU-bound)."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
-    )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_mpeg1_bidi_video(int(m)) for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
+    """Media table with bidirectional MPEG-1 payloads ([I, B, P] per
+    row)."""
+    return _attach_media(df, synth_mpeg1_bidi_video, id_col)

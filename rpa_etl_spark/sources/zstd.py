@@ -643,16 +643,20 @@ def parse_dictionary(data: bytes) -> Dictionary:
                           {"ll": None, "of": None, "ml": None}, [1, 4, 8])
     (dict_id,) = struct.unpack_from("<I", data, 4)
     pos = 8
-    # entropy tables: Huffman literal weights, then OF, ML, LL FSE
-    # distributions (§5: in that order), then 3 LE32 repeat offsets
-    weights, pos = _huf_read_weights(data, pos)
-    huf = _huf_build_table(weights)
-    seq = {}
-    for channel in ("of", "ml", "ll"):
-        fb = _FwdBits(data[pos:])
-        probs, al = _fse_read_distribution(fb, _MAX_LOG[channel])
-        seq[channel] = (_fse_build_table(probs, al), al)
-        pos += fb.bytes_consumed()
+    try:
+        # entropy tables: Huffman literal weights, then OF, ML, LL FSE
+        # distributions (§5: in that order), then 3 LE32 repeat offsets
+        weights, pos = _huf_read_weights(data, pos)
+        huf = _huf_build_table(weights)
+        seq = {}
+        for channel in ("of", "ml", "ll"):
+            fb = _FwdBits(data[pos:])
+            probs, al = _fse_read_distribution(fb, _MAX_LOG[channel])
+            seq[channel] = (_fse_build_table(probs, al), al)
+            pos += fb.bytes_consumed()
+    except (IndexError, struct.error) as e:
+        # module convention: corrupt input is ALWAYS ValueError
+        raise ValueError(f"zstd: truncated dictionary: {e}") from e
     if pos + 12 > len(data):
         raise ValueError("zstd: truncated dictionary repeat offsets")
     reps = list(struct.unpack_from("<III", data, pos))
