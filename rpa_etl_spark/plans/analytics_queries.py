@@ -1484,31 +1484,41 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are not expressible as a deterministic declared query.) Plan: three
     tiny parquet writes + three explicit-file-list scans — Catalyst
     sees plain multi-file parquet scans, pushdown intact."""
+    import shutil
     import tempfile
 
     from rpa_etl_spark.operators import tablefmt as TF
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_")
-    TF.create_table(docs.where(F.col("doc_id") < 50), path)
-    TF.append(
-        docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)), path
-    )
-    TF.overwrite(
-        docs.where((F.col("doc_id") < 80) & (F.col("doc_id") % 3 != 0)), path
-    )
-    hist = {h["version"]: h["kind"] for h in TF.history(path)}
-    parts = []
-    for v in (0, 1, 2):
-        parts.append(
-            TF.snapshot_read(spark, path, version=v).agg(
-                F.lit(v).cast("int").alias("version"),
-                F.lit(hist[v]).alias("kind"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("doc_id").alias("sum_doc_id"),
-            )
+    try:
+        TF.create_table(docs.where(F.col("doc_id") < 50), path)
+        TF.append(
+            docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)), path
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        TF.overwrite(
+            docs.where((F.col("doc_id") < 80) & (F.col("doc_id") % 3 != 0)),
+            path,
+        )
+        hist = {h["version"]: h["kind"] for h in TF.history(path)}
+        # the per-version aggregates are BOUNDED BY CONSTRUCTION (one row
+        # per snapshot): collect them eagerly so the temp table can be
+        # removed here rather than leaking a directory per invocation
+        # (round-9 review) — the snapshot scans themselves still run
+        # distributed; only three aggregate rows reach the driver
+        rows = []
+        for v in (0, 1, 2):
+            agg = (
+                TF.snapshot_read(spark, path, version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("doc_id").alias("sum_doc_id"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, hist[v], agg["n_docs"], agg["sum_doc_id"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, kind string, n_docs bigint, sum_doc_id bigint"
+    )

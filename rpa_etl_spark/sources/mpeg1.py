@@ -591,68 +591,12 @@ def _decode_intra_picture(
     data: bytes, after_slice_start: int, slice_code: int, w: int, h: int,
     qmat: np.ndarray,
 ) -> np.ndarray:
-    """Decode one intra picture starting at its FIRST slice; follows
-    subsequent slice start codes until the picture's macroblocks are
-    exhausted."""
-    mbw, mbh = w // 16, h // 16
-    y = np.zeros((mbh * 16, mbw * 16))
-    cb = np.zeros((mbh * 8, mbw * 8))
-    cr = np.zeros((mbh * 8, mbw * 8))
-    total_mbs = mbw * mbh
-    done = 0
-    pos = after_slice_start
-    code = slice_code
-    while done < total_mbs:
-        r = _Reader(data, pos * 8)
-        qscale = r.bits(5)
-        while r.bit():  # extra_bit_slice / extra_information_slice
-            r.bits(8)
-        addr = (code - 1) * mbw - 1  # previous MB address
-        pred_y = pred_cb = pred_cr = 128
-        while done < total_mbs:
-            if _slice_ended(r, data):
-                break
-            inc = 0
-            while True:
-                got = r.vlc(_MB_INC_WALK, max_len=11)
-                if got == "esc":
-                    inc += 33
-                    continue
-                if got == "stuff":
-                    continue
-                inc += got
-                break
-            addr += inc
-            if inc != 1:
-                pred_y = pred_cb = pred_cr = 128  # skip resets predictors
-            # macroblock_type (I): '1' intra, '01' intra+quant
-            if r.bit():
-                pass
-            else:
-                if not r.bit():
-                    raise ValueError("mpeg1: bad I-picture macroblock type")
-                qscale = r.bits(5)
-            my, mx = (addr // mbw) * 16, (addr % mbw) * 16
-            for by in range(2):
-                for bx in range(2):
-                    blk, pred_y = _decode_intra_block(r, pred_y, qscale, True, qmat)
-                    y[my + 8 * by : my + 8 * by + 8,
-                      mx + 8 * bx : mx + 8 * bx + 8] = blk
-            blk, pred_cb = _decode_intra_block(r, pred_cb, qscale, False, qmat)
-            cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
-            blk, pred_cr = _decode_intra_block(r, pred_cr, qscale, False, qmat)
-            cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
-            done += 1
-        if done < total_mbs:  # next slice
-            ncode, npos = _next_start(data, (r.pos // 8))
-            if not (_SLICE_MIN <= ncode <= _SLICE_MAX):
-                raise ValueError("mpeg1: picture ended before all MBs decoded")
-            code, pos = ncode, npos
-    cb_full = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-    cr_full = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-    ycc = np.stack([y, cb_full, cr_full], axis=-1)
-    rgb = _ycbcr_to_rgb(ycc)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)[:h, :w]
+    """Decode one intra picture starting at its FIRST slice → RGB.
+    Thin wrapper over the shared plane walk (_decode_intra_planes) —
+    the round-9 review removed the duplicated slice loop so the
+    keyframe sampler and the full decoder cannot drift apart."""
+    planes = _decode_intra_planes(data, after_slice_start, slice_code, w, h, qmat)
+    return _planes_to_rgb(planes, h, w)
 
 
 # ---------------------------------------------------------------------------

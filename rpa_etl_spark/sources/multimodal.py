@@ -348,27 +348,9 @@ def synth_bmp_image(media_id: int, width: int = 16, height: int = 16) -> bytes:
 def attach_bmp_media(df: DataFrame, id_col: str = "doc_id",
                      width: int = 16, height: int = 16) -> DataFrame:
     """Media table with REAL image payloads: one synthetic BMP per row."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_bmp_image(m, width, height), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_bmp_image(int(m), width, height)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    # rebalance before the codec kernel (CPU-bound) — see tables.spread
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 BMP_FEATURES_SCHEMA = StructType(
@@ -520,27 +502,9 @@ def synth_wav_audio(media_id: int, n_samples: int = 256, rate: int = 8000) -> by
 def attach_wav_media(df: DataFrame, id_col: str = "doc_id",
                      n_samples: int = 256, rate: int = 8000) -> DataFrame:
     """Media table with REAL audio payloads: one synthetic WAV per row."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_wav_audio(m, n_samples, rate), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_wav_audio(int(m), n_samples, rate)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    # rebalance before the codec kernel (CPU-bound) — see tables.spread
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 WAV_FEATURES_SCHEMA = StructType(
@@ -743,27 +707,9 @@ def synth_avi_video(media_id: int, n_frames: int = 6, width: int = 8,
 def attach_avi_media(df: DataFrame, id_col: str = "doc_id",
                      n_frames: int = 6, width: int = 8, height: int = 8) -> DataFrame:
     """Media table with REAL video payloads: one synthetic AVI per row."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_avi_video(m, n_frames, width, height), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_avi_video(int(m), n_frames, width, height)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    # rebalance before the codec kernel (CPU-bound) — see tables.spread
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 def synth_mjpeg_video(media_id: int, n_frames: int = 6, width: int = 8,
@@ -784,26 +730,9 @@ def attach_mjpeg_media(df: DataFrame, id_col: str = "doc_id",
                        n_frames: int = 6, width: int = 8, height: int = 8) -> DataFrame:
     """Media table with REAL compressed-video payloads: one synthetic
     MJPEG-AVI per row (JPEG encode is CPU-bound → spread first)."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_mjpeg_video(m, n_frames, width, height), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_mjpeg_video(int(m), n_frames, width, height)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 AVI_FRAME_FEATURES_SCHEMA = StructType(
@@ -974,27 +903,9 @@ def synth_png_image(media_id: int, width: int = 16, height: int = 16) -> bytes:
 def attach_png_media(df: DataFrame, id_col: str = "doc_id",
                      width: int = 16, height: int = 16) -> DataFrame:
     """Media table with REAL compressed-image payloads (PNG per row)."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_png_image(m, width, height), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_png_image(int(m), width, height)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    # rebalance before the codec kernel (CPU-bound) — see tables.spread
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:
@@ -1058,26 +969,9 @@ def attach_mpeg1_media(df: DataFrame, id_col: str = "doc_id",
                        height: int = 16) -> DataFrame:
     """Media table with REAL MPEG-1 payloads: one synthetic elementary
     stream per row (DCT encode is CPU-bound → spread first)."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_mpeg1_video(m, n_frames, width, height), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_mpeg1_video(int(m), n_frames, width, height)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 def sample_mpeg1_iframes(media: DataFrame,
@@ -1201,26 +1095,9 @@ def synth_g711_audio(media_id: int, n_samples: int = 256, rate: int = 8000) -> b
 def attach_g711_media(df: DataFrame, id_col: str = "doc_id",
                       n_samples: int = 256) -> DataFrame:
     """Media table with REAL telephony-audio payloads (G.711-in-WAV)."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_g711_audio(m, n_samples), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_g711_audio(int(m), n_samples)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 def wav_format_tag(data: bytes) -> int:
@@ -1515,26 +1392,9 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id",
                      width: int = 16, height: int = 16) -> DataFrame:
     """Media table with REAL GIF payloads (LZW encode is CPU-bound →
     spread first)."""
-    id_field = F.col(id_col).alias("media_id")
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    return _attach_media(
+        df, lambda m: synth_gif_image(m, width, height), id_col
     )
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": [
-                        synth_gif_image(int(m), width, height)
-                        for m in pdf["media_id"]
-                    ],
-                }
-            )
-
-    from rpa_etl_spark.tables import spread
-
-    return spread(df.select(id_field)).mapInPandas(kernel, schema=schema)
 
 
 def decode_gif_features(media: DataFrame) -> DataFrame:
@@ -1608,8 +1468,9 @@ def synth_mpeg1_motion_video(media_id: int) -> bytes:
 
 def _attach_media(df: DataFrame, synth_fn, id_col: str = "doc_id") -> DataFrame:
     """Shared media-table builder: one synthetic payload per row via
-    ``synth_fn(media_id)`` (encode is CPU-bound → spread first). All the
-    attach_* wrappers delegate here (round-9 review dedup)."""
+    ``synth_fn(media_id)`` (encode is CPU-bound → spread first). Every
+    attach_*_media wrapper in this module delegates here (round-9
+    review dedup — previously nine copies of this scaffold)."""
     id_field = F.col(id_col).alias("media_id")
     schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]

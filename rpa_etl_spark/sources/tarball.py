@@ -132,7 +132,7 @@ def parse_tar(data: bytes) -> list[dict]:
 
         if _zstd.is_zstd(data):  # .tar.zst: whole-archive zstd frame(s)
             try:
-                data = _zstd.decompress(data)
+                data, _ = _zstd.decompress_with_info(data, tolerant=True)
             except ValueError:
                 return []
     out: list[dict] = []
@@ -389,9 +389,9 @@ def extract_tar_members_zst(archives) -> "DataFrame":  # noqa: F821
                 if not _zstd.is_zstd(raw):
                     continue
                 try:
-                    tar, info = _zstd.decompress_with_info(raw)
+                    tar, info = _zstd.decompress_with_info(raw, tolerant=True)
                 except ValueError:
-                    continue  # corrupt archive: degrade, don't fail
+                    continue  # nothing decodable at all: skip the archive
                 for m in parse_tar(tar):
                     mm = idre.search(m["name"])
                     ids.append(int(mm.group(1)) if mm else -1)

@@ -159,9 +159,11 @@ def parse_warc(data: bytes) -> list[dict]:
         if _zstd.is_zstd(data):
             # .warc.zst: per-record zstd frames (the seekable-WARC
             # convention, minus its optional dictionary — carried in a
-            # leading skippable frame, which the decoder skips)
+            # leading skippable frame, which the decoder skips). A
+            # transfer-cut tail frame degrades to the records that
+            # arrived intact, like the gzip-member path
             try:
-                chunks = _zstd.decompress(data)
+                chunks, _ = _zstd.decompress_with_info(data, tolerant=True)
             except ValueError:
                 return []
         else:
@@ -493,9 +495,9 @@ def extract_warc_text_zst(archives) -> "DataFrame":  # noqa: F821
                 if not _zstd.is_zstd(raw):
                     continue
                 try:
-                    plain, info = _zstd.decompress_with_info(raw)
+                    plain, info = _zstd.decompress_with_info(raw, tolerant=True)
                 except ValueError:
-                    continue  # corrupt archive: degrade, don't fail
+                    continue  # nothing decodable at all: skip the archive
                 for rec in parse_warc(plain):
                     if rec["type"] != "response":
                         continue

@@ -813,31 +813,54 @@ def decompress(data: bytes, dictionary: "Dictionary | bytes | None" = None) -> b
     return b"".join(out)
 
 
-def decompress_with_info(data: bytes) -> tuple[bytes, dict]:
+def decompress_with_info(
+    data: bytes, *, tolerant: bool = False
+) -> tuple[bytes, dict]:
     """Like ``decompress`` but also reports frame-level facts the corpus
     readers surface as columns: content-frame count, skippable-frame
     count, and whether EVERY content frame carried a (verified) XXH64
-    checksum — an integrity property worth knowing per archive."""
+    checksum — an integrity property worth knowing per archive.
+
+    ``tolerant``: a corrupt/truncated frame STOPS the walk and returns
+    the frames decoded before it (info["truncated"] = True) instead of
+    raising — the per-record recovery the seekable frame-per-record
+    .warc.zst layout exists to allow (a transfer-cut final frame must
+    not discard every intact record; same contract as the gzip-member
+    path). A corrupt FIRST frame still raises, so callers distinguish
+    not-zstd-at-all from partially-arrived."""
     out = []
     pos = 0
     n_frames = n_skip = 0
     all_ck = True
+    truncated = False
     while pos < len(data):
         (magic,) = struct.unpack_from("<I", data, pos) if pos + 4 <= len(
             data
         ) else (0,)
-        if (magic & 0xFFFFFFF0) == _SKIP_BASE:
+        is_skip = (magic & 0xFFFFFFF0) == _SKIP_BASE
+        is_content = magic == _MAGIC
+        frame_ck = (
+            is_content and pos + 5 <= len(data) and bool(data[pos + 4] & 0x04)
+        )
+        try:
+            content, pos = decode_frame(data, pos)
+        except ValueError:
+            if not tolerant or not out:
+                raise
+            truncated = True
+            break
+        if is_skip:
             n_skip += 1
-        elif magic == _MAGIC:
+        elif is_content:
             n_frames += 1
-            if pos + 5 > len(data) or not data[pos + 4] & 0x04:
+            if not frame_ck:
                 all_ck = False
-        content, pos = decode_frame(data, pos)
         out.append(content)
     return b"".join(out), {
         "n_frames": n_frames,
         "n_skippable": n_skip,
         "all_checksummed": all_ck and n_frames > 0,
+        "truncated": truncated,
     }
 
 
@@ -896,7 +919,6 @@ def compress(data: bytes, level: int = 3) -> bytes:
     raw-block, and RLE shapes all flow through the decoder."""
     try:
         import pyarrow as pa
-
-        return bytes(pa.Codec("zstd", compression_level=level).compress(data))
-    except Exception:
+    except ImportError:
         return compress_store(data)
+    return bytes(pa.Codec("zstd", compression_level=level).compress(data))

@@ -159,3 +159,27 @@ def test_spark_warc_extract_zst(spark):
         assert r["checksummed"] == (i % 6 % 3 == 0)
         assert r["http_status"] == 200
         assert f"texto {i} com <markup> & stuff" in r["extracted"]
+
+
+def test_warc_zst_truncated_tail_recovers_intact_records():
+    """Round-9 review: a transfer-cut .warc.zst keeps the records whose
+    frames arrived intact (the gzip-member parity the seekable layout
+    exists for) instead of dropping the whole archive."""
+    from rpa_etl_spark.sources import zstd as Z
+
+    plain = W.write_warc([("https://x/doc/1", b"<p>um</p>"),
+                          ("https://x/doc/2", b"<p>dois</p>")])
+    recs, at = [], 0
+    while True:
+        nxt = plain.find(b"WARC/", at + 1)
+        if nxt < 0:
+            break
+        recs.append(plain[at:nxt]); at = nxt
+    recs.append(plain[at:])
+    frames = [Z.compress_store(r, checksum=True) for r in recs]
+    blob = b"".join(frames)
+    cut = blob[: len(blob) - len(frames[-1]) + 3]  # cut the last record
+    out = W.parse_warc(cut)
+    assert [r["uri"] for r in out if r["type"] == "response"] == [
+        "https://x/doc/1",
+    ]

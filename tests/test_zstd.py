@@ -289,3 +289,23 @@ def test_cli_dictionary_conformance(tmp_path):
             ):
                 with pytest.raises(ValueError, match="dictionary"):
                     Z.decompress(frame)
+
+
+def test_tolerant_multiframe_partial_recovery():
+    """Round-9 review: the seekable frame-per-record layout must recover
+    intact records when the final frame is transfer-cut — tolerant mode
+    returns the decoded prefix with truncated=True; strict mode raises;
+    a corrupt FIRST frame raises even in tolerant mode."""
+    frames = [Z.compress_store(f"record {i} ".encode() * 10, checksum=True)
+              for i in range(4)]
+    blob = Z.skippable_frame(b"dict") + b"".join(frames)
+    whole, info = Z.decompress_with_info(blob, tolerant=True)
+    assert info["n_frames"] == 4 and not info["truncated"]
+    cut = blob[: len(blob) - len(frames[-1]) + 5]  # cut inside frame 4
+    part, info = Z.decompress_with_info(cut, tolerant=True)
+    assert info["truncated"] and info["n_frames"] == 3
+    assert part == b"".join(f"record {i} ".encode() * 10 for i in range(3))
+    with pytest.raises(ValueError):
+        Z.decompress_with_info(cut)  # strict mode still raises
+    with pytest.raises(ValueError):
+        Z.decompress_with_info(blob[:6], tolerant=True)  # first frame cut
