@@ -675,7 +675,8 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_avro_extract",
     oracle="""
     SELECT doc_id,
-           doc_id % 6 % 2 = 1 AS deflated,
+           CASE doc_id % 6 % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                ELSE 'snappy' END AS codec,
            trim(regexp_replace(substr(text, 1, 64),
                                '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
            CAST(length(trim(regexp_replace(substr(text, 1, 64),
@@ -690,12 +691,15 @@ def q_avro_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     read by a from-scratch spec implementation (sources/avro_src.py —
     zigzag-varint wire primitives with the spec's known-answer encodings
     test-pinned, schema-driven record decode incl. [null, X] unions,
-    per-block SYNC-MARKER verification, null + deflate codecs; Spark
-    itself needs the external spark-avro package for this format).
-    Fixture: docs 0-95 bucketed into six containers — odd buckets
-    deflate-coded, even null — each record (doc_id, nullable text); the
-    'deflated' column comes from the container's own metadata, never
-    sniffed bytes. Plan: scan → filter → ONE fixture-sized keyed shuffle
+    per-block SYNC-MARKER verification, null + deflate + SNAPPY codecs
+    — snappy through the from-scratch sources/snappy.py block decoder
+    with the spec's big-endian CRC32 verified per block (round 9; it is
+    the dominant Avro codec in real data lakes); Spark itself needs the
+    external spark-avro package for this format). Fixture: docs 0-95
+    bucketed into six containers, codec rotating null/deflate/snappy on
+    bucket % 3 — each record (doc_id, nullable text); the 'codec'
+    column comes from the container's own metadata, never sniffed
+    bytes. Plan: scan → filter → ONE fixture-sized keyed shuffle
     → applyInPandas(write) → mapInPandas(parse) — record fan-out inside
     the Arrow batch, no corpus-scale shuffle."""
     from rpa_etl_spark.sources import avro_src as AV

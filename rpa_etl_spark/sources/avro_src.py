@@ -10,8 +10,10 @@ zlib:
   little-endian IEEE doubles, 1-byte booleans, union branch indexes;
 - ``write_avro``: header (magic ``Obj\\x01`` + metadata map carrying the
   JSON schema and codec + 16-byte content-derived sync marker),
-  record blocks (count + byte length + payload + sync), codec ``null``
-  or ``deflate`` (raw -15 wbits per spec);
+  record blocks (count + byte length + payload + sync), codecs
+  ``null``, ``deflate`` (raw -15 wbits per spec), and ``snappy``
+  (block + BIG-endian CRC32 of the uncompressed payload, via the
+  from-scratch sources/snappy.py);
 - ``parse_avro``: header walk, per-block sync-marker VERIFICATION (a
   desynced or truncated block ends the walk — degrade, don't raise),
   and a schema-driven record decoder for the flat-record subset corpus
@@ -154,11 +156,12 @@ def write_avro(
     block_records: int = 64,
 ) -> bytes:
     """Avro object-container bytes for flat records under ``schema``.
-    ``codec``: 'null' or 'deflate' (raw zlib per spec). The 16-byte sync
-    marker is content-derived — deterministic, no uuid/wall-clock."""
+    ``codec``: 'null', 'deflate' (raw zlib per spec), or 'snappy'
+    (block + BE CRC32). The 16-byte sync marker is content-derived —
+    deterministic, no uuid/wall-clock."""
     import hashlib
 
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     fields = _check_schema(schema)
     schema_json = json.dumps(schema, separators=(",", ":"))
@@ -180,6 +183,14 @@ def write_avro(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            # spec: snappy block followed by the BIG-endian CRC32 of
+            # the UNCOMPRESSED block payload
+            from rpa_etl_spark.sources import snappy as _snappy
+
+            data = _snappy.compress(data) + zlib.crc32(data).to_bytes(
+                4, "big"
+            )
         out += zigzag_encode(len(block))
         out += zigzag_encode(len(data))
         out += data
@@ -221,7 +232,7 @@ def parse_avro(data: bytes) -> tuple[dict, str, list[dict]]:
     except (json.JSONDecodeError, UnicodeDecodeError) as e:
         raise ValueError(f"avro: undecodable schema metadata: {e}") from e
     codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     fields = _check_schema(schema)
     sync = data[pos : pos + 16]
@@ -243,6 +254,18 @@ def parse_avro(data: bytes) -> tuple[dict, str, list[dict]]:
                 payload = zlib.decompressobj(-15).decompress(payload)
             except zlib.error:
                 break
+        elif codec == "snappy":
+            from rpa_etl_spark.sources import snappy as _snappy
+
+            if len(payload) < 4:
+                break
+            body, want = payload[:-4], payload[-4:]
+            try:
+                payload = _snappy.decompress(body)
+            except ValueError:
+                break
+            if zlib.crc32(payload).to_bytes(4, "big") != want:
+                break  # CRC mismatch: drop the block, never emit wrong
         try:
             bp = 0
             block_out = []
@@ -274,7 +297,8 @@ _DOC_SCHEMA = {
 
 def synth_avro_archives(docs) -> "DataFrame":  # noqa: F821
     """One Avro container per ``bucket`` group holding (doc_id, text)
-    records — odd buckets deflate-coded, even null-coded."""
+    records — the codec rotates on bucket % 3 (null / deflate / snappy)
+    so all three block paths flow through the driver-checked query."""
     import re as _re
 
     import pandas as pd
@@ -303,7 +327,7 @@ def synth_avro_archives(docs) -> "DataFrame":  # noqa: F821
         ]
         content = write_avro(
             _DOC_SCHEMA, records,
-            codec="deflate" if bucket % 2 == 1 else "null",
+            codec=("null", "deflate", "snappy")[bucket % 3],
         )
         return pd.DataFrame(
             [
@@ -328,14 +352,13 @@ def extract_avro_records(archives) -> "DataFrame":  # noqa: F821
     batch — no shuffle)."""
     import pandas as pd
     from pyspark.sql.types import (
-        BooleanType, IntegerType, LongType, StringType, StructField,
-        StructType,
+        IntegerType, LongType, StringType, StructField, StructType,
     )
 
     schema = StructType(
         [
             StructField("doc_id", LongType()),
-            StructField("deflated", BooleanType()),
+            StructField("codec", StringType()),
             StructField("text", StringType()),
             StructField("n_chars", IntegerType()),
         ]
@@ -343,7 +366,7 @@ def extract_avro_records(archives) -> "DataFrame":  # noqa: F821
 
     def kernel(batches):
         for pdf in batches:
-            ids, dfl, texts, ns = [], [], [], []
+            ids, codecs, texts, ns = [], [], [], []
             for payload in pdf["content"]:
                 # codec comes from the container's own metadata — never
                 # sniffed from raw bytes (the zip-review lesson). A corrupt
@@ -354,16 +377,15 @@ def extract_avro_records(archives) -> "DataFrame":  # noqa: F821
                     _, codec, records = parse_avro(bytes(payload))
                 except ValueError:
                     continue
-                is_deflate = codec == "deflate"
                 for rec in records:
                     ids.append(rec["doc_id"])
-                    dfl.append(is_deflate)
+                    codecs.append(codec)
                     texts.append(rec["text"])
                     ns.append(len(rec["text"]) if rec["text"] is not None else 0)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "deflated": dfl,
+                    "codec": codecs,
                     "text": texts,
                     "n_chars": ns,
                 }

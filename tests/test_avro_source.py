@@ -69,7 +69,7 @@ def test_unsupported_schema_rejected():
         A.write_avro({"type": "record", "name": "x",
                       "fields": [{"name": "m", "type": "map"}]}, [])
     with pytest.raises(ValueError):
-        A.write_avro(SCHEMA, [], codec="snappy")
+        A.write_avro(SCHEMA, [], codec="lz4")
 
 
 def test_spark_avro_extract(spark):
@@ -78,7 +78,7 @@ def test_spark_avro_extract(spark):
         for r in A.extract_avro_records(
             A.synth_avro_archives(
                 spark.createDataFrame(
-                    [(i, i % 2, f"texto {i}  com   espaços") for i in range(6)],
+                    [(i, i % 3, f"texto {i}  com   espaços") for i in range(6)],
                     "doc_id long, bucket int, text string",
                 )
             )
@@ -88,7 +88,7 @@ def test_spark_avro_extract(spark):
     for i in range(6):
         r = rows[i]
         assert r["text"] == f"texto {i} com espaços"
-        assert r["deflated"] == (i % 2 == 1)
+        assert r["codec"] == ("null", "deflate", "snappy")[i % 3]
         assert r["n_chars"] == len(r["text"])
 
 
@@ -112,3 +112,25 @@ def test_corrupt_header_degrades(spark):
     )
     out = A.extract_avro_records(arch).collect()
     assert len(out) == 2  # corrupt containers skipped, good one intact
+
+
+def test_snappy_codec_roundtrip_and_crc():
+    """Avro snappy blocks: payload + BIG-endian CRC32 of the
+    UNCOMPRESSED data; a CRC mismatch drops the block (never emits
+    wrong records)."""
+    import zlib
+
+    data = A.write_avro(SCHEMA, RECS, codec="snappy", block_records=3)
+    _, codec, out = A.parse_avro(data)
+    assert codec == "snappy" and out == RECS
+    # flip a payload byte INSIDE the first snappy block: CRC must catch it
+    # (find the block payload start: header ends after sync marker)
+    bad = bytearray(data)
+    # corrupt near the end of the first block's compressed body
+    sync = data[-16:]
+    first_sync_end = data.find(sync, 4) + 16
+    bad[first_sync_end + 10] ^= 0x01
+    _, _, out2 = A.parse_avro(bytes(bad))
+    assert out2 == [] or out2 == RECS[: len(out2)]  # degraded, never wrong
+    for rec in out2:
+        assert rec in RECS
