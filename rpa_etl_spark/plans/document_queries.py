@@ -675,8 +675,8 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_avro_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 6 % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
-                ELSE 'snappy' END AS codec,
+           CASE doc_id % 6 % 4 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+                WHEN 2 THEN 'snappy' ELSE 'zstandard' END AS codec,
            trim(regexp_replace(substr(text, 1, 64),
                                '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
            CAST(length(trim(regexp_replace(substr(text, 1, 64),
@@ -696,8 +696,8 @@ def q_avro_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the spec's big-endian CRC32 verified per block (round 9; it is
     the dominant Avro codec in real data lakes); Spark itself needs the
     external spark-avro package for this format). Fixture: docs 0-95
-    bucketed into six containers, codec rotating null/deflate/snappy on
-    bucket % 3 — each record (doc_id, nullable text); the 'codec'
+    bucketed into six containers, codec rotating null/deflate/snappy/
+    zstandard on bucket % 4 — each record (doc_id, nullable text); the 'codec'
     column comes from the container's own metadata, never sniffed
     bytes. Plan: scan → filter → ONE fixture-sized keyed shuffle
     → applyInPandas(write) → mapInPandas(parse) — record fan-out inside

@@ -11,9 +11,10 @@ zlib:
 - ``write_avro``: header (magic ``Obj\\x01`` + metadata map carrying the
   JSON schema and codec + 16-byte content-derived sync marker),
   record blocks (count + byte length + payload + sync), codecs
-  ``null``, ``deflate`` (raw -15 wbits per spec), and ``snappy``
-  (block + BIG-endian CRC32 of the uncompressed payload, via the
-  from-scratch sources/snappy.py);
+  ``null``, ``deflate`` (raw -15 wbits per spec), ``snappy`` (block +
+  BIG-endian CRC32 of the uncompressed payload, via the from-scratch
+  sources/snappy.py), and ``zstandard`` (plain frames via the
+  from-scratch sources/zstd.py);
 - ``parse_avro``: header walk, per-block sync-marker VERIFICATION (a
   desynced or truncated block ends the walk — degrade, don't raise),
   and a schema-driven record decoder for the flat-record subset corpus
@@ -161,7 +162,7 @@ def write_avro(
     deterministic, no uuid/wall-clock."""
     import hashlib
 
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     fields = _check_schema(schema)
     schema_json = json.dumps(schema, separators=(",", ":"))
@@ -191,6 +192,12 @@ def write_avro(
             data = _snappy.compress(data) + zlib.crc32(data).to_bytes(
                 4, "big"
             )
+        elif codec == "zstandard":
+            # spec: plain zstd frame(s), no extra checksum (zstd's own
+            # optional XXH64 covers integrity)
+            from rpa_etl_spark.sources import zstd as _zstd
+
+            data = _zstd.compress(data, level=3)
         out += zigzag_encode(len(block))
         out += zigzag_encode(len(data))
         out += data
@@ -232,7 +239,7 @@ def parse_avro(data: bytes) -> tuple[dict, str, list[dict]]:
     except (json.JSONDecodeError, UnicodeDecodeError) as e:
         raise ValueError(f"avro: undecodable schema metadata: {e}") from e
     codec = meta.get("avro.codec", b"null").decode("utf-8", "replace")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     fields = _check_schema(schema)
     sync = data[pos : pos + 16]
@@ -266,6 +273,13 @@ def parse_avro(data: bytes) -> tuple[dict, str, list[dict]]:
                 break
             if zlib.crc32(payload).to_bytes(4, "big") != want:
                 break  # CRC mismatch: drop the block, never emit wrong
+        elif codec == "zstandard":
+            from rpa_etl_spark.sources import zstd as _zstd
+
+            try:
+                payload = _zstd.decompress(payload)
+            except ValueError:
+                break
         try:
             bp = 0
             block_out = []
@@ -297,8 +311,9 @@ _DOC_SCHEMA = {
 
 def synth_avro_archives(docs) -> "DataFrame":  # noqa: F821
     """One Avro container per ``bucket`` group holding (doc_id, text)
-    records — the codec rotates on bucket % 3 (null / deflate / snappy)
-    so all three block paths flow through the driver-checked query."""
+    records — the codec rotates on bucket % 4 (null / deflate / snappy
+    / zstandard) so every block path flows through the driver-checked
+    query."""
     import re as _re
 
     import pandas as pd
@@ -327,7 +342,7 @@ def synth_avro_archives(docs) -> "DataFrame":  # noqa: F821
         ]
         content = write_avro(
             _DOC_SCHEMA, records,
-            codec=("null", "deflate", "snappy")[bucket % 3],
+            codec=("null", "deflate", "snappy", "zstandard")[bucket % 4],
         )
         return pd.DataFrame(
             [

@@ -78,17 +78,17 @@ def test_spark_avro_extract(spark):
         for r in A.extract_avro_records(
             A.synth_avro_archives(
                 spark.createDataFrame(
-                    [(i, i % 3, f"texto {i}  com   espaços") for i in range(6)],
+                    [(i, i % 4, f"texto {i}  com   espaços") for i in range(8)],
                     "doc_id long, bucket int, text string",
                 )
             )
         ).collect()
     }
-    assert len(rows) == 6
-    for i in range(6):
+    assert len(rows) == 8
+    for i in range(8):
         r = rows[i]
         assert r["text"] == f"texto {i} com espaços"
-        assert r["codec"] == ("null", "deflate", "snappy")[i % 3]
+        assert r["codec"] == ("null", "deflate", "snappy", "zstandard")[i % 4]
         assert r["n_chars"] == len(r["text"])
 
 
@@ -112,6 +112,14 @@ def test_corrupt_header_degrades(spark):
     )
     out = A.extract_avro_records(arch).collect()
     assert len(out) == 2  # corrupt containers skipped, good one intact
+
+
+def test_zstandard_codec_roundtrip():
+    data = A.write_avro(SCHEMA, RECS, codec="zstandard", block_records=3)
+    _, codec, out = A.parse_avro(data)
+    assert codec == "zstandard" and out == RECS
+    _, _, cut = A.parse_avro(data[:-20])  # truncated final block degrades
+    assert cut == RECS[: len(cut)]
 
 
 def test_snappy_codec_roundtrip_and_crc():
