@@ -633,7 +633,8 @@ def q_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            'corpus/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
-           doc_id % 6 % 2 = 1 AS deflated,
+           CASE doc_id % 6 % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'deflate'
+                ELSE 'zstd' END AS method,
            trim(regexp_replace(substr(text, 1, 64),
                                '[ \t\n\r\f\v]+', ' ', 'g')) AS text,
            CAST(octet_length(encode(trim(regexp_replace(substr(text, 1, 64),
@@ -647,13 +648,16 @@ def q_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     container trio with tar and WARC): a from-scratch APPNOTE reader
     (sources/zipfile_src.py) that walks the CENTRAL DIRECTORY first (the
     authoritative index — self-extractor prefixes and appended garbage
-    don't confuse it), inflates method-8 members through raw zlib,
-    VERIFIES every CRC-32 (corrupt payloads are dropped, never returned
-    wrong), and degrades on truncation. Writer conformance is
-    cross-checked against the stdlib zipfile reader AND stdlib-written
-    archives parse back. Fixture: docs 0-95 bucketed into six archives —
-    odd buckets DEFLATE, even STORE, so both methods rotate — with the
-    same analytic member/text/byte-count oracle as q_tar_extract. Plan:
+    don't confuse it), inflates method-8 members through raw zlib and
+    method-93 ZSTANDARD members through the from-scratch sources/zstd.py
+    (round 9 — APPNOTE 4.4.5), VERIFIES every CRC-32 (corrupt payloads
+    are dropped, never returned wrong), and degrades on truncation.
+    Writer conformance is cross-checked against the stdlib zipfile
+    reader for the methods it knows AND stdlib-written archives parse
+    back. Fixture: docs 0-95 bucketed into six archives — the method
+    rotates STORE/DEFLATE/ZSTANDARD on bucket % 3, reported per member
+    from the central directory — with the same analytic
+    member/text/byte-count oracle as q_tar_extract. Plan:
     scan → filter → ONE fixture-sized keyed shuffle → applyInPandas
     (write) → mapInPandas(parse) — member fan-out inside the Arrow
     batch, no corpus-scale shuffle."""

@@ -78,7 +78,7 @@ PRIORITY_ORDER = [
     "q_ngram_novelty",
     "q_unigram_logprob",
     "q_url_dedup",
-    # == tier 1a (20): NEW or plan/kernel CHANGED in round 9 — no external
+    # == tier 1a (21): NEW or plan/kernel CHANGED in round 9 — no external
     #    verdict in their current form. zstd (RFC 8878) lands in
     #    sources/warc.py + tarball.py (one NEW query each + the two
     #    existing consumers); MPEG-1 P-frames land in sources/mpeg1.py
@@ -95,6 +95,7 @@ PRIORITY_ORDER = [
     "q_table_time_travel",  # NEW round 9 (snapshot-isolated table format)
     "q_warc_extract",
     "q_tar_extract",
+    "q_zip_extract",  # zipfile_src gains APPNOTE method 93 (Zstandard)
     "q_flagship",
     "q_avro_extract",
     "q_multimodal_meta",
@@ -107,8 +108,8 @@ PRIORITY_ORDER = [
     "q_multimodal_mpeg_iframes",
     "q_multimodal_g711",
     "q_multimodal_gif",
-    # == tier 2 (10): round-6-green fills up to the 50-query window —
-    #    oldest remaining cohort, taken in registry order; the other 32
+    # == tier 2 (9): round-6-green fills up to the 50-query window —
+    #    oldest remaining cohort, taken in registry order; the other 33
     #    r6 queries head the round-10 rotation.
     "q_agg_skew_salted",
     "q_ann_ivf",
@@ -119,8 +120,8 @@ PRIORITY_ORDER = [
     "q_audit_events",
     "q_case_routing",
     "q_decimal_math",
-    "q_dedup_embedding",
     # ---------------- below the sampled window ----------------
+    "q_dedup_embedding",
     "q_embedding_centroid",
     "q_funnel",
     # == last driver-green in ROUND 6 (30 remaining) ==
@@ -159,7 +160,6 @@ PRIORITY_ORDER = [
     "q_pdf_extract",
     "q_pdf_extract_encrypted",
     "q_pdf_extract_passworded",
-    "q_zip_extract",
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",

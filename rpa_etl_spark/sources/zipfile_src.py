@@ -36,24 +36,33 @@ _UTF8_FLAG = 0x800  # APPNOTE general-purpose bit 11: names are UTF-8
 
 
 def write_zip(
-    members: list[tuple[str, bytes]], *, deflate: bool = True
+    members: list[tuple[str, bytes]], *, deflate: bool = True,
+    method: int | None = None,
 ) -> bytes:
-    """[(name, content), ...] → ZIP bytes. ``deflate`` compresses every
-    member (method 8); False stores them (method 0). Flag bit 11 is set
-    so conformant readers decode names as UTF-8, not cp437."""
+    """[(name, content), ...] → ZIP bytes. ``method`` picks the APPNOTE
+    compression method explicitly (0 store, 8 deflate, 93 Zstandard);
+    legacy ``deflate`` maps True→8, False→0 when method is None. Flag
+    bit 11 is set so conformant readers decode names as UTF-8, not
+    cp437."""
+    if method is None:
+        method = 8 if deflate else 0
+    if method not in (0, 8, 93):
+        raise ValueError(f"zip: unsupported method {method}")
     out = bytearray()
     central = bytearray()
     recorded: list[tuple[bytes, int, int, int, int, int]] = []
     for name, content in members:
         nm = name.encode("utf-8")
         crc = zlib.crc32(content) & 0xFFFFFFFF
-        if deflate:
+        if method == 8:
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             data = co.compress(content) + co.flush()
-            method = 8
+        elif method == 93:  # APPNOTE 4.4.5: Zstandard
+            from rpa_etl_spark.sources import zstd as _zstd
+
+            data = _zstd.compress(content, level=3)
         else:
             data = content
-            method = 0
         recorded.append((nm, crc, len(data), len(content), method, len(out)))
         out += _LOCAL_SIG
         out += struct.pack(
@@ -125,6 +134,13 @@ def parse_zip(data: bytes) -> list[dict]:
                 content = zlib.decompressobj(-15).decompress(raw)
             except zlib.error:
                 continue
+        elif method == 93:  # APPNOTE 4.4.5: Zstandard member
+            from rpa_etl_spark.sources import zstd as _zstd
+
+            try:
+                content = _zstd.decompress(raw)
+            except ValueError:
+                continue
         else:
             continue  # unsupported method: skip, don't fail
         if len(content) != usize or (zlib.crc32(content) & 0xFFFFFFFF) != crc:
@@ -148,7 +164,8 @@ def parse_zip(data: bytes) -> list[dict]:
 
 def synth_zip_archives(docs) -> "DataFrame":  # noqa: F821
     """One ZIP per ``bucket`` group, member ``corpus/doc_{id}.txt`` per
-    document; odd buckets DEFLATE, even STORE — both methods rotate."""
+    document; the APPNOTE method rotates on bucket % 3 — STORE (0),
+    DEFLATE (8), ZSTANDARD (93, round 9 via sources/zstd.py)."""
     import re as _re
 
     import pandas as pd
@@ -175,7 +192,7 @@ def synth_zip_archives(docs) -> "DataFrame":  # noqa: F821
             )
             for doc_id, text in zip(pdf["doc_id"], pdf["text"])
         ]
-        content = write_zip(members, deflate=bucket % 2 == 1)
+        content = write_zip(members, method=(0, 8, 93)[bucket % 3])
         return pd.DataFrame(
             [
                 {
@@ -200,15 +217,14 @@ def extract_zip_members(archives) -> "DataFrame":  # noqa: F821
 
     import pandas as pd
     from pyspark.sql.types import (
-        BooleanType, IntegerType, LongType, StringType, StructField,
-        StructType,
+        IntegerType, LongType, StringType, StructField, StructType,
     )
 
     schema = StructType(
         [
             StructField("doc_id", LongType()),
             StructField("member", StringType()),
-            StructField("deflated", BooleanType()),
+            StructField("method", StringType()),
             StructField("text", StringType()),
             StructField("n_bytes", IntegerType()),
         ]
@@ -217,20 +233,22 @@ def extract_zip_members(archives) -> "DataFrame":  # noqa: F821
 
     def kernel(batches):
         for pdf in batches:
-            ids, names, dfl, texts, ns = [], [], [], [], []
+            ids, names, methods, texts, ns = [], [], [], [], []
+            mname = {0: "store", 8: "deflate", 93: "zstd"}
             for payload in pdf["content"]:
                 for m in parse_zip(bytes(payload)):
                     mm = idre.search(m["name"])
                     ids.append(int(mm.group(1)) if mm else -1)
                     names.append(m["name"])
-                    dfl.append(m["method"] == 8)  # per member, SFX-safe
+                    # per member from the central directory, SFX-safe
+                    methods.append(mname.get(m["method"], str(m["method"])))
                     texts.append(m["content"].decode("utf-8", "replace"))
                     ns.append(m["size"])
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "member": names,
-                    "deflated": dfl,
+                    "method": methods,
                     "text": texts,
                     "n_bytes": ns,
                 }

@@ -84,7 +84,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     ],
     "rpa_etl_spark/sources/warc.py": ["q_warc_extract", "q_warc_extract_zst"],
     "rpa_etl_spark/sources/tarball.py": ["q_tar_extract", "q_tar_extract_zst"],
-    "rpa_etl_spark/sources/zstd.py": ["q_warc_extract_zst", "q_tar_extract_zst", "q_avro_extract"],
+    "rpa_etl_spark/sources/zstd.py": ["q_warc_extract_zst", "q_tar_extract_zst", "q_avro_extract", "q_zip_extract"],
     "rpa_etl_spark/sources/zipfile_src.py": ["q_zip_extract"],
     "rpa_etl_spark/sources/avro_src.py": ["q_avro_extract"],
     "rpa_etl_spark/sources/snappy.py": ["q_avro_extract"],

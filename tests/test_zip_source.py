@@ -64,7 +64,7 @@ def test_spark_zip_extract(spark):
         for r in ZS.extract_zip_members(
             ZS.synth_zip_archives(
                 spark.createDataFrame(
-                    [(i, i % 2, f"texto {i}  com   espaços") for i in range(6)],
+                    [(i, i % 3, f"texto {i}  com   espaços") for i in range(6)],
                     "doc_id long, bucket int, text string",
                 )
             )
@@ -75,5 +75,21 @@ def test_spark_zip_extract(spark):
         r = rows[i]
         assert r["member"] == f"corpus/doc_{i}.txt"
         assert r["text"] == f"texto {i} com espaços"
-        assert r["deflated"] == (i % 2 == 1)
+        assert r["method"] == ("store", "deflate", "zstd")[i % 3]
         assert r["n_bytes"] == len(r["text"].encode("utf-8"))
+
+
+def test_zstandard_members_roundtrip_and_crc():
+    """APPNOTE method 93 (round 9): members compress as zstd frames; the
+    ZIP-level CRC-32 still verifies the UNCOMPRESSED bytes, so a corrupt
+    zstd payload is dropped, never returned wrong."""
+    members = [("a.txt", b"alpha " * 200), ("b.txt", b"beta")]
+    blob = ZS.write_zip(members, method=93)
+    out = ZS.parse_zip(blob)
+    assert [(m["name"], m["content"]) for m in out] == members
+    assert all(m["method"] == 93 for m in out)
+    bad = bytearray(blob)
+    body_at = blob.find(b"a.txt") + 5  # into the first member's zstd frame
+    bad[body_at + 6] ^= 0xFF
+    out2 = ZS.parse_zip(bytes(bad))
+    assert [m["name"] for m in out2] == ["b.txt"]  # corrupt member dropped
