@@ -54,111 +54,108 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1 (20): last driver-green in ROUND 5 — 3 rounds stale,
-    #    breaching the ~2-round policy (round-8 verdict's top ask). None
-    #    changed since r5; they HEAD the sample so every one gets a fresh
-    #    external verdict this round.
-    "q_scan_project",
-    "q_topk",
-    "q_rollup",
-    "q_set_ops",
-    "q_pivot",
-    "q_string_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_monetary_br",
-    "q_nfe_key_valid",
-    "q_lang_quality",
-    "q_session_window",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_scalar_subquery",
-    "q_ngram_novelty",
-    "q_unigram_logprob",
-    "q_url_dedup",
-    # == tier 1a (21): NEW or plan/kernel CHANGED in round 9 — no external
-    #    verdict in their current form. zstd (RFC 8878) lands in
-    #    sources/warc.py + tarball.py (one NEW query each + the two
-    #    existing consumers); MPEG-1 P-frames land in sources/mpeg1.py
-    #    (one NEW query + the I-frame consumer); the e2e binary→verdict
-    #    composition is NEW and touches pipeline.py (q_flagship is that
-    #    kernel's other consumer); multimodal.py's gif-truncation degrade
-    #    fix re-queues all ten of its consumers; avro_src.py's
-    #    corrupt-header degrade fix re-queues its one.
-    "q_warc_extract_zst",  # NEW round 9 (.warc.zst, from-scratch zstd)
-    "q_tar_extract_zst",  # NEW round 9 (.tar.zst)
-    "q_multimodal_mpeg_pframes",  # NEW round 9 (motion-compensated decode)
-    "q_multimodal_mpeg_bframes",  # NEW round 9 (bidirectional decode)
-    "q_pipeline_e2e",  # NEW round 9 (S1→P8→B5→V*→O2/O3 in one query)
-    "q_table_time_travel",  # NEW round 9 (snapshot-isolated table format)
-    "q_warc_extract",
-    "q_tar_extract",
-    "q_zip_extract",  # zipfile_src gains APPNOTE method 93 (Zstandard)
-    "q_flagship",
-    "q_avro_extract",
-    "q_multimodal_meta",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_multimodal_audio",
-    "q_multimodal_png",
-    "q_multimodal_resize",
-    "q_multimodal_mjpeg",
-    "q_multimodal_mpeg_iframes",
-    "q_multimodal_g711",
-    "q_multimodal_gif",
-    # == tier 2 (9): round-6-green fills up to the 50-query window —
-    #    oldest remaining cohort, taken in registry order; the other 33
-    #    r6 queries head the round-10 rotation.
-    "q_agg_skew_salted",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_approx_count_distinct",
-    "q_argmax",
-    "q_array_agg",
-    "q_audit_events",
-    "q_case_routing",
-    "q_decimal_math",
-    # ---------------- below the sampled window ----------------
-    "q_dedup_embedding",
-    "q_embedding_centroid",
-    "q_funnel",
-    # == last driver-green in ROUND 6 (30 remaining) ==
+    # == tier 1 (33): last driver-green in ROUND 6 — 3 rounds stale,
+    #    breaching the ~2-round policy (round-9 verdict's top ask, listed
+    #    there by name). None changed since r6; they HEAD the sample so
+    #    every one gets a fresh external verdict this round.
     "q_fuzzy_match",
-    "q_having_large_orders",
-    "q_histogram",
-    "q_hll_sketch_merge",
-    "q_lateral_topk",
-    "q_merge_upsert",
-    "q_outlier_zscore",
-    "q_payload_analytics",
-    "q_payload_erp",
-    "q_pii_redact",
-    "q_profile_stats",
-    "q_quantiles",
-    "q_recursive_cte",
-    "q_repetition_stats",
-    "q_retention_cohort",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_scd2_history",
-    "q_tfidf_terms",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
     "q_tpch_q21_shape",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_unpivot",
-    "q_window_ntile",
-    "q_window_range_frame",
     "q_window_rank",
     "q_window_running_sum",
+    "q_window_ntile",
+    "q_window_range_frame",
     "q_window_value_funcs",
-    # == last driver-green in ROUND 8 (fresh; verified last round) ==
+    "q_payload_erp",
+    "q_payload_analytics",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_recursive_cte",
+    "q_lateral_topk",
+    "q_profile_stats",
+    "q_quantiles",
+    "q_histogram",
+    "q_hll_sketch_merge",
+    "q_tfidf_terms",
+    "q_pii_redact",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_having_large_orders",
+    "q_outlier_zscore",
+    "q_unpivot",
+    "q_dedup_embedding",
+    "q_embedding_centroid",
+    "q_repetition_stats",
+    # == tier 1a (15): NEW or plan/kernel CHANGED in round 10 — no
+    #    external verdict in their current form. IVF-PQ + the brute-force
+    #    size guard land in operators/similarity.py (re-queues all its
+    #    consumers; q_dedup_embedding is already in tier 1); malformed
+    #    -ingest semantics land in sources/sinks.py; schema evolution in
+    #    operators/tablefmt.py; ADVICE fixes touch sources/zstd.py (two)
+    #    and sources/snappy.py (one), re-queueing the four container
+    #    consumers; streaming state TTL touches streaming/stateful_v2.py.
+    "q_ann_ivf_pq",  # NEW round 10 (product quantization + ADC)
+    "q_ingest_malformed",  # NEW round 10 (PERMISSIVE/quarantine ingest)
+    "q_table_schema_evolution",  # NEW round 10 (add-column/widen + time travel)
+    "q_sim_topk",  # similarity.py (size guard)
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_ann_ivf_trained",
+    "q_sink_roundtrip",  # sinks.py (malformed-ingest reader)
+    "q_table_time_travel",  # tablefmt.py (schema evolution)
+    "q_warc_extract_zst",  # zstd.py (tolerant-mode + Huffman-consumption fixes)
+    "q_tar_extract_zst",
+    "q_avro_extract",  # zstd.py + snappy.py (uvarint cap fix)
+    "q_zip_extract",
+    "q_user_totals_state",  # stateful_v2.py (TTL/timers)
+    "q_stream_session_ttl",  # NEW round 10 (event-time timer eviction)
+    # == tier 2 (2): round-7-green fills up to the 50-query window —
+    #    oldest remaining cohort, taken in registry order; the rest of
+    #    the r7 cohort heads the round-11 rotation.
+    "q_agg_group",
+    "q_array_funcs",
+    # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 7 (34 remaining) ==
+    "q_chunk_documents",
+    "q_contamination",
+    "q_corr_stats",
+    "q_daily_kpis",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_dedup_lines",
+    "q_domain_mix",
+    "q_embedding_quantize",
+    "q_entropy",
+    "q_event_sequence",
+    "q_explode_outer",
+    "q_join_asof",
+    "q_join_skew_salted",
+    "q_mode",
+    "q_normalize_docs",
+    "q_not_in_null_semantics",
+    "q_pack_sequences",
+    "q_parse_invoice",
+    "q_percentile_disc",
+    "q_quality_cascade",
+    "q_set_ops_all",
+    "q_text_stats",
+    "q_time_weighted_avg",
+    "q_trust_score",
+    "q_try_arith",
+    "q_url_parse",
+    "q_window_lead_lag",
+    "q_window_rank_ties",
+    "q_wordcount",
+    "q_zorder_code",
+    # == last driver-green in ROUND 8 ==
     "q_pdf_extract_hard",
     "q_pdf_extract",
-    "q_pdf_extract_encrypted",
     "q_pdf_extract_passworded",
     "q_bpe_train_distributed",
     "q_bpe_train",
@@ -167,7 +164,6 @@ PRIORITY_ORDER = [
     "q_bpe_tokenize_bytes",
     "q_pack_sequences_bpe",
     "q_domain_mix_bpe",
-    "q_ann_ivf_trained",
     "q_bm25",
     "q_cnpj_valid",
     "q_corpus_drift",
@@ -192,44 +188,51 @@ PRIORITY_ORDER = [
     "q_join_null_safe",
     "q_join_range",
     "q_join_semi",
-    # == last driver-green in ROUND 7 (38) ==
-    "q_agg_group",
-    "q_array_funcs",
-    "q_chunk_documents",
-    "q_contamination",
-    "q_corr_stats",
-    "q_daily_kpis",
-    "q_date_funcs",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_dedup_lines",
-    "q_domain_mix",
-    "q_embedding_quantize",
-    "q_entropy",
-    "q_event_sequence",
-    "q_explode_outer",
-    "q_join_asof",
-    "q_join_skew_salted",
-    "q_mode",
-    "q_normalize_docs",
-    "q_not_in_null_semantics",
-    "q_pack_sequences",
-    "q_parse_invoice",
-    "q_percentile_disc",
-    "q_quality_cascade",
-    "q_set_ops_all",
-    "q_sim_topk",
-    "q_sink_roundtrip",
-    "q_text_stats",
-    "q_time_weighted_avg",
-    "q_trust_score",
-    "q_try_arith",
-    "q_url_parse",
-    "q_user_totals_state",
-    "q_window_lead_lag",
-    "q_window_rank_ties",
-    "q_wordcount",
-    "q_zorder_code",
+    # == last driver-green in ROUND 9 (fresh; verified last round) ==
+    "q_scan_project",
+    "q_topk",
+    "q_rollup",
+    "q_set_ops",
+    "q_pivot",
+    "q_string_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_monetary_br",
+    "q_nfe_key_valid",
+    "q_lang_quality",
+    "q_session_window",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_scalar_subquery",
+    "q_ngram_novelty",
+    "q_unigram_logprob",
+    "q_url_dedup",
+    "q_multimodal_mpeg_pframes",
+    "q_multimodal_mpeg_bframes",
+    "q_pipeline_e2e",
+    "q_warc_extract",
+    "q_tar_extract",
+    "q_flagship",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+    "q_multimodal_png",
+    "q_multimodal_resize",
+    "q_multimodal_mjpeg",
+    "q_multimodal_mpeg_iframes",
+    "q_multimodal_g711",
+    "q_multimodal_gif",
+    "q_pdf_extract_encrypted",
+    "q_agg_skew_salted",
+    "q_approx_count_distinct",
+    "q_argmax",
+    "q_array_agg",
+    "q_audit_events",
+    "q_case_routing",
+    "q_decimal_math",
 ]
 
 
