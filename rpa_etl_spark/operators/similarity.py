@@ -66,16 +66,39 @@ def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# brute_force_topk is the EXACT oracle baseline — quadratic by nature.
+# Above this corpus size the caller must opt in with exact=True (the same
+# philosophy as the plan gate that rejects corpus-side broadcasts: scale
+# contracts are mechanical, not documentary).
+BRUTE_FORCE_MAX_ROWS = 200_000
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    max_rows: int = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector. The query side is broadcast;
     the corpus is scanned once; the only shuffle carries |Q|·k-bounded rows
-    into the per-query rank window."""
+    into the per-query rank window.
+
+    Cost is |Q|·|corpus| — correct as the exact baseline, wrong as a scale
+    path. Unless ``exact=True``, corpora above ``max_rows`` are refused
+    (the probe is a ``limit(max_rows+1).count()``, so the guard's own cost
+    is bounded regardless of corpus size); route large corpora through
+    :func:`ann_topk_lsh` / :func:`ivf_topk` / :func:`ivf_pq_topk`."""
+    if not exact:
+        probe = corpus.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"brute_force_topk: corpus exceeds {max_rows} rows; this "
+                "path is the quadratic exact baseline — pass exact=True to "
+                "force it, or use ann_topk_lsh/ivf_topk/ivf_pq_topk"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -433,4 +456,334 @@ def cosine_near_dup_pairs(
         .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= window))
         .select("id_a", "id_b", cosine_pd(F.col("v_a"), F.col("v_b")).alias("score"))
         .where(F.col("score") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized residual codes + asymmetric-distance scoring
+# ---------------------------------------------------------------------------
+# What makes ANN memory-feasible at 100 TB: after coarse (IVF) assignment,
+# each vector's RESIDUAL is split into m subspaces and each subvector is
+# quantized to one of ksub codebook entries — the corpus index carries
+# m small ints per vector instead of dim floats (64-dim float64 → 8 bytes
+# of codes is a 64x shrink). Queries stay exact: ADC (asymmetric distance
+# computation) builds one m x ksub lookup table of
+# ||query_residual_subvector - codebook_entry||² per (query, probed cell)
+# and scores every candidate in that cell with m table gathers instead of
+# a dim-dimensional distance evaluation. Reference: Jégou, Douze, Schmid,
+# "Product Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+
+def _l2_nearest_cells_kernel(cmat: "np.ndarray", top: int):
+    """pandas_udf: per vector, ids of the ``top`` nearest codebook rows by
+    squared L2 (the IVFADC coarse metric; :func:`_nearest_cells_kernel` is
+    the cosine twin). Stable argsort → ties break toward the lower cell id,
+    matching the oracle's ``ORDER BY d2 ASC, cell ASC``."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vec.to_numpy()).astype(np.float64)
+        d2 = ((v[:, None, :] - cmat[None]) ** 2).sum(axis=2)  # batch x cells
+        order = np.argsort(d2, axis=1, kind="stable")[:, :top].astype(np.int64)
+        return pd.Series(list(order))
+
+    return cells
+
+
+def pq_encode_kernel(cmat: "np.ndarray", codebooks: "np.ndarray"):
+    """pandas_udf: vector → ``[cell, code_0 … code_{m-1}]`` (one
+    array<long>; a struct return would cost a second Arrow column per
+    field for no information gain). ``cmat`` is the coarse codebook
+    (n_cells x dim), ``codebooks`` the residual PQ codebooks
+    (m x ksub x dsub); both ride in as closures — broadcast-equivalent,
+    a few KB. Ties break toward the lower index (np.argmin), matching
+    the oracle's ``ORDER BY d2 ASC, idx ASC``."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def enc(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vec.to_numpy()).astype(np.float64)  # batch x dim
+        d2c = ((v[:, None, :] - cmat[None]) ** 2).sum(axis=2)
+        cell = d2c.argmin(axis=1)
+        res = (v - cmat[cell]).reshape(len(v), m, dsub)
+        d2 = ((res[:, :, None, :] - codebooks[None]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2)  # batch x m
+        out = np.concatenate([cell[:, None], codes], axis=1).astype(np.int64)
+        return pd.Series(list(out))
+
+    return enc
+
+
+def pq_residual_kernel(cmat: "np.ndarray"):
+    """pandas_udf: vector → residual (vector − nearest coarse centroid),
+    the training-side twin of :func:`pq_encode_kernel`'s implicit
+    residual."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def res(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vec.to_numpy()).astype(np.float64)
+        d2c = ((v[:, None, :] - cmat[None]) ** 2).sum(axis=2)
+        return pd.Series(list(v - cmat[d2c.argmin(axis=1)]))
+
+    return res
+
+
+def adc_score_kernel(cmat: "np.ndarray", codebooks: "np.ndarray"):
+    """pandas_udf ``(q_vec, cell, codes) → approximate squared L2``.
+
+    The ADC shape, for real: within each Arrow batch, ONE m x ksub lookup
+    table is built per distinct (query, probed cell) —
+    LUT[j][t] = ||(q − cent_cell) subvector j − codebooks[j][t]||² — and
+    every candidate row in that group is scored with m gathers
+    (``LUT[j, code_j]`` summed over j). No candidate ever touches the
+    full-dimension vectors; per-batch kernel cost is
+    O(groups·m·ksub·dsub + rows·m) instead of O(rows·dim)."""
+    m, ksub, dsub = codebooks.shape
+    ar = np.arange(m)
+
+    @F.pandas_udf(DoubleType())
+    def adc(q_vec: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        n = len(q_vec)
+        if n == 0:
+            return pd.Series([], dtype=np.float64)
+        q = np.stack(q_vec.to_numpy()).astype(np.float64)
+        cl = cell.to_numpy().astype(np.int64)
+        cd = np.stack(codes.to_numpy()).astype(np.int64)  # n x m
+        groups: dict[tuple[bytes, int], list[int]] = {}
+        for i in range(n):
+            groups.setdefault((q[i].tobytes(), int(cl[i])), []).append(i)
+        out = np.empty(n, dtype=np.float64)
+        for (_, c), idx in groups.items():
+            qr = (q[idx[0]] - cmat[c]).reshape(m, 1, dsub)
+            lut = ((qr - codebooks) ** 2).sum(axis=2)  # m x ksub
+            sel = np.asarray(idx)
+            out[sel] = lut[ar[None, :], cd[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc
+
+
+def _deterministic_pq_codebooks(
+    corpus: DataFrame,
+    cmat: "np.ndarray",
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    skip: int = 0,
+) -> "np.ndarray":
+    """Deterministic PQ codebooks: the residuals of the corpus vectors
+    ranked ``skip`` … ``skip+ksub-1`` by id, sub-sliced. Exactly
+    SQL-re-derivable (the reason the declared oracle query uses this rule
+    — same contract as :func:`ivf_topk`'s first-n_cells default); pass
+    the trained variant for retrieval quality. ``skip`` exists so the
+    default composition skips the coarse seed vectors: a seed's residual
+    is identically zero, and ksub entries drawn from the first ids would
+    otherwise contain n_cells duplicate zero rows."""
+    dim = cmat.shape[1]
+    dsub = dim // m
+    rows = (
+        corpus.orderBy(id_col).limit(skip + ksub).select(vec_col).collect()
+    )[skip:]
+    if len(rows) < ksub:
+        raise ValueError(f"pq: corpus has fewer than skip+ksub={skip + ksub} vectors")
+    v = np.stack([np.asarray(r[0]) for r in rows]).astype(np.float64)
+    d2c = ((v[:, None, :] - cmat[None]) ** 2).sum(axis=2)
+    res = v - cmat[d2c.argmin(axis=1)]  # ksub x dim
+    # codebooks[j] = sub-residuals of entries 0..ksub-1 in subspace j
+    return res.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    oversample: int = 4,
+    coarse_codebook: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Distributed k-means PQ codebooks over coarse-quantizer RESIDUALS
+    (classic IVFADC training), returned as (m x ksub x dsub).
+
+    Same distributed shape as :func:`train_ivf_codebook`, with all m
+    subspaces trained in ONE aggregate per Lloyd round (not m jobs):
+    seeding takes ``oversample·ksub`` residuals by smallest
+    ``xxhash64(id)`` (deterministic, ingest-order-free) and reduces to
+    ksub seeds per subspace by farthest-point on the driver; each round
+    then encodes every vector (Arrow kernel, codebooks as closure),
+    explodes to (subspace, code, dim-within-subspace, value) — m·dsub =
+    dim rows per vector, the same explode volume a plain dim-keyed
+    k-means round carries — and takes (j, code, pos)-keyed count/sum with
+    map-side partial aggregation. Only the m·ksub·dsub aggregate rows
+    ever reach the driver per round. Empty codes keep their previous
+    entry. Means are NOT normalized (PQ is an L2 quantizer — the optimal
+    entry for a cell IS the mean).
+
+    Float caveat (same as train_ivf_codebook, and why the declared oracle
+    query pins DETERMINISTIC codebooks instead): per-code means accumulate
+    in parallel, so low bits can vary with partitioning; quality gates for
+    this path live in pytest (recall + quantization-error tests)."""
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    if coarse_codebook is None:
+        raise ValueError("pq training needs the coarse codebook (residuals)")
+    cmat = np.asarray(coarse_codebook, dtype=np.float64)
+    res_k = pq_residual_kernel(cmat)
+    seeds = (
+        corpus.select(
+            res_k(F.col(vec_col)).alias("r"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "r")
+        .limit(oversample * ksub)
+        .select("r")
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(f"pq: corpus has fewer than ksub={ksub} vectors")
+    pool = np.stack([np.asarray(r[0]) for r in seeds]).astype(np.float64)
+    pool = pool.reshape(len(pool), m, dsub)
+    cbs = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = pool[:, j, :]
+        chosen = [0]
+        mind2 = ((sub - sub[0]) ** 2).sum(axis=1)
+        while len(chosen) < ksub:
+            nxt = int(np.argmax(mind2))
+            chosen.append(nxt)
+            mind2 = np.minimum(mind2, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        cbs[j] = sub[chosen]
+    for _ in range(iters):
+        enc = pq_encode_kernel(cmat, cbs)
+        assigned = corpus.select(
+            F.slice(enc(F.col(vec_col)), 2, m).alias("codes"),
+            res_k(F.col(vec_col)).alias("res"),
+        )
+        agg = (
+            assigned.select(F.posexplode("codes").alias("j", "code"), "res")
+            .select(
+                "j",
+                "code",
+                F.posexplode(
+                    F.slice(F.col("res"), F.col("j") * dsub + 1, F.lit(dsub))
+                ).alias("pos", "val"),
+            )
+            .groupBy("j", "code", "pos")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+            .collect()
+        )
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for row in agg:
+            counts[row["j"], row["code"]] = row["n"]
+            sums[row["j"], row["code"], row["pos"]] = row["s"]
+        nonempty = counts > 0
+        cbs[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return cbs
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    coarse_codebook: "np.ndarray | None" = None,
+    pq_codebooks: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank: bool = True,
+) -> DataFrame:
+    """IVFADC approximate top-k (ascending squared-L2): coarse cells prune
+    the corpus exactly like :func:`ivf_topk`, then candidates are scored
+    against PQ CODES via the ADC lookup-table kernel — never against raw
+    vectors.
+
+    The scale story this composition buys over ivf_topk: the shuffled side
+    of the cell join carries (id, cell, m codes) per corpus row — the codes
+    ≪ raw-vectors property that makes a 100 TB index hold in cluster
+    memory. Defaults are the deterministic, SQL-re-derivable codebooks
+    (coarse = first n_cells by id; PQ = residuals of the first ksub by
+    id); pass ``train_ivf_codebook`` / :func:`train_pq_codebooks` outputs
+    for retrieval quality. ``rank=False`` returns the scored candidates
+    for callers that rank on a rounded distance (the oracle-stable form).
+    """
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    coarse_defaulted = coarse_codebook is None
+    if coarse_codebook is not None:
+        cmat = np.asarray(coarse_codebook, dtype=np.float64)
+    else:
+        cents = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+        if not cents:
+            spark = corpus.sparkSession
+            empty = "query_id long, neighbor_id long, cell long, adc_d2 double"
+            return spark.createDataFrame(
+                [], empty + (", rank int" if rank else "")
+            )
+        cmat = np.stack([np.asarray(r[0]) for r in cents]).astype(np.float64)
+    if cmat.shape[1] != dim:
+        raise ValueError(
+            f"ivf_pq_topk: codebook dim {cmat.shape[1]}, expected {dim}"
+        )
+    if pq_codebooks is not None:
+        cbs = np.asarray(pq_codebooks, dtype=np.float64)
+    else:
+        # when the coarse codebook is the first-n_cells default, those ids'
+        # residuals are identically zero — start the PQ entries after them
+        cbs = _deterministic_pq_codebooks(
+            corpus, cmat, m, ksub, id_col, vec_col,
+            skip=n_cells if coarse_defaulted else 0,
+        )
+
+    enc = pq_encode_kernel(cmat, cbs)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("cc")
+        )
+        .select(
+            "neighbor_id",
+            F.element_at("cc", 1).alias("cell"),
+            F.slice("cc", 2, m).alias("codes"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _l2_nearest_cells_kernel(cmat, n_probe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            adc_score_kernel(cmat, cbs)(
+                F.col("q_vec"), F.col("cell"), F.col("codes")
+            ).alias("adc_d2"),
+        )
+    )
+    if not rank:
+        return scored
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= k
     )

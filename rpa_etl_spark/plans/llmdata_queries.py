@@ -2216,3 +2216,177 @@ def q_multimodal_mpeg_bframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 96)
     return decode_mpeg1_motion_mbs(attach_mpeg1_bidi_media(docs))
+
+
+def _clustered_embedding_fixture(spark: SparkSession, sf_dir: str,
+                                 clusters: int = 8, dim: int = 64) -> DataFrame:
+    """Closed-form clustered fixture (the construction q_ann_ivf_trained
+    inlines, hardened): spike 10.0 at dim (vec_id % clusters) plus hash
+    jitter quantized to 1/2^31 — division by a power of two, so the
+    doubles are BIT-IDENTICAL in Spark and DuckDB. Synthetic uniform
+    embeddings carry no locality for ANN to exploit; this fixture does.
+
+    The vec_id·d and vec_id² jitter terms are load-bearing: with LINEAR
+    jitter, the difference of two vectors' jitter depends only on their id
+    DELTA, so residuals against a same-cluster centroid collide exactly
+    (ids 8..15 all sit +8 from their centroid) and PQ code-assignment
+    distances tie EXACTLY — which engines then break by ulp-level float
+    noise, non-reproducibly. The quadratic term makes every pairwise
+    difference depend on id SUM too; measured min gap between best and
+    second-best code distance is 6.8e-10 (vs ~1e-15 engine noise)."""
+    jitter = [
+        (
+            (
+                F.col("vec_id") * F.lit(2654435761)
+                + F.lit(d * 1013904223)
+                + F.col("vec_id") * F.lit(d * 1000003)
+                + F.col("vec_id") * F.col("vec_id") * F.lit(998244353)
+            )
+            % F.lit(2147483648)
+        ).cast("double")
+        / F.lit(2147483648.0)
+        for d in range(dim)
+    ]
+    vec = F.array(
+        *[
+            F.when(F.col("vec_id") % clusters == d, F.lit(10.0)).otherwise(F.lit(0.0))
+            + jitter[d]
+            for d in range(dim)
+        ]
+    )
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", vec.alias("embedding"))
+        .transform(spread)
+    )
+
+
+@query(
+    "q_ann_ivf_pq",
+    oracle="""
+    WITH fix AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(0, 64), d ->
+                   (CASE WHEN d = vec_id % 8 THEN 10.0 ELSE 0.0 END)
+                   + CAST((vec_id * 2654435761 + d * 1013904223
+                           + vec_id * d * 1000003
+                           + vec_id * vec_id * 998244353)
+                          % 2147483648 AS DOUBLE) / 2147483648.0) AS v
+        FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cell, v AS c_vec FROM fix WHERE vec_id < 8
+    ),
+    pairs AS MATERIALIZED (
+        SELECT f.vec_id, f.v, c.cell, c.c_vec,
+               list_transform(range(0, 64), d -> f.v[d+1] - c.c_vec[d+1]) AS res
+        FROM fix f CROSS JOIN cents c
+    ),
+    ranked AS MATERIALIZED (
+        SELECT vec_id, v, cell, c_vec, res,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_dot_product(res, res) ASC, cell ASC) AS rn
+        FROM pairs
+    ),
+    assign AS MATERIALIZED (SELECT vec_id, cell, res FROM ranked WHERE rn = 1),
+    cb AS MATERIALIZED (
+        SELECT j, a.vec_id AS t, array_slice(a.res, j*8+1, j*8+8) AS cvec
+        FROM assign a, UNNEST(generate_series(0, 7)) AS jj(j)
+        WHERE a.vec_id >= 8 AND a.vec_id < 24
+    ),
+    subres AS (
+        SELECT vec_id, cell, j, array_slice(res, j*8+1, j*8+8) AS r
+        FROM assign, UNNEST(generate_series(0, 7)) AS jj(j)
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, cell, j, code FROM (
+            SELECT s.vec_id, s.cell, s.j, b.t AS code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                       list_dot_product(
+                           list_transform(range(0, 8), d -> s.r[d+1] - b.cvec[d+1]),
+                           list_transform(range(0, 8), d -> s.r[d+1] - b.cvec[d+1])) ASC,
+                       b.t ASC) AS rn
+            FROM subres s JOIN cb b ON b.j = s.j
+        ) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, v AS q_vec, cell, c_vec
+        FROM ranked WHERE rn <= 2 AND vec_id < 50
+    ),
+    lut AS MATERIALIZED (
+        SELECT p.query_id, p.cell, b.j, b.t,
+               list_dot_product(
+                   list_transform(range(0, 8), d ->
+                       p.q_vec[b.j*8+d+1] - p.c_vec[b.j*8+d+1] - b.cvec[d+1]),
+                   list_transform(range(0, 8), d ->
+                       p.q_vec[b.j*8+d+1] - p.c_vec[b.j*8+d+1] - b.cvec[d+1])) AS d2
+        FROM probes p CROSS JOIN cb b
+    ),
+    scored AS (
+        SELECT p.query_id, n.vec_id AS neighbor_id, p.cell,
+               SUM(l.d2) AS adc_d2
+        FROM probes p
+        JOIN codes n ON n.cell = p.cell AND n.vec_id != p.query_id
+        JOIN lut l ON l.query_id = p.query_id AND l.cell = p.cell
+                  AND l.j = n.j AND l.t = n.code
+        GROUP BY 1, 2, 3
+    )
+    SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell,
+           ROUND(adc_d2, 6) AS adc_d2_r, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ROUND(adc_d2, 6) ASC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval under the external oracle (round-9 verdict ask #2
+    — the composition that makes 100 TB ANN memory-feasible: the index
+    carries m=8 small codes per vector instead of 64 doubles, and ADC
+    scores candidates from an m x ksub lookup table, never touching raw
+    corpus vectors; operators/similarity.py::ivf_pq_topk).
+
+    Fully oracle-checked on the clustered closed-form fixture: codebooks
+    are the DETERMINISTIC rule (coarse = first 8 vectors by id — one per
+    ground-truth cluster by construction; PQ = residuals of ids 8..23,
+    sub-sliced), so DuckDB re-derives coarse cells, residuals, all 8x16
+    codebook entries, every vector's 8 PQ codes, the per-(query, cell)
+    ADC lookup tables, candidate distances, and ranks from the same
+    parquet — a cell-assignment, encode, LUT, gather, or probe-routing
+    bug hash-mismatches. Ranks order by the ROUNDED distance in both
+    engines so near-tie float low bits can't flip cross-engine order.
+    The TRAINED path (train_pq_codebooks — distributed per-subspace
+    k-means over residuals, all m subspaces in one aggregate per Lloyd
+    round) is float-order-sensitive like train_ivf_codebook and is gated
+    in pytest instead (recall vs brute force + quantization-error-beats-
+    deterministic on the same fixture; tests/test_llmdata.py).
+
+    Scale shape: corpus side of the cell join carries (id, cell, codes)
+    only; query side is bounded and broadcast; probe volume is
+    |Q|·n_probe/n_cells of the corpus, scored at m gathers per candidate.
+    """
+    from rpa_etl_spark.operators import similarity as SIM_
+
+    fixture = _clustered_embedding_fixture(spark, sf_dir).persist()
+    scored = SIM_.ivf_pq_topk(
+        fixture,
+        fixture.where(F.col("vec_id") < 50),
+        dim=64,
+        k=10,
+        n_cells=8,
+        n_probe=2,
+        m=8,
+        ksub=16,
+        rank=False,
+    )
+    out = scored.withColumn("adc_d2_r", F.round("adc_d2", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2_r").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.select(
+            "query_id", "neighbor_id", "cell", "adc_d2_r",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 10)
+    )

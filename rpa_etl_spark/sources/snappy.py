@@ -46,7 +46,7 @@ def _uvarint(data: bytes, pos: int) -> tuple[int, int]:
 def decompress(data: bytes) -> bytes:
     """Snappy block → raw bytes; ValueError on any corruption."""
     n, pos = _uvarint(data, 0)
-    if n > (1 << 32):
+    if n >= (1 << 32):  # format caps the length uvarint at 2^32 - 1
         raise ValueError("snappy: implausible uncompressed length")
     out = bytearray()
     while pos < len(data):

@@ -303,6 +303,11 @@ def _huf_decode(
             raise ValueError("zstd: invalid Huffman code")
         br.read(nb)
         out.append(sym)
+    # exact-consumption check (mirrors the sequence decoder): a valid
+    # stream lands on exactly 0 bits after n_out symbols; anything else
+    # means the literals are wrong even though each peek "decoded"
+    if br.remaining != 0:
+        raise ValueError("zstd: Huffman literal stream not fully consumed")
     return out
 
 
@@ -845,7 +850,11 @@ def decompress_with_info(
         try:
             content, pos = decode_frame(data, pos)
         except ValueError:
-            if not tolerant or not out:
+            # gate on CONTENT frames decoded, not `out` truthiness: a
+            # leading skippable frame (the standard .warc.zst dictionary
+            # slot) appends b'' to out, which must not let a corrupt
+            # first content frame degrade silently to zero records
+            if not tolerant or n_frames == 0:
                 raise
             truncated = True
             break

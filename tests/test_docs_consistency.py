@@ -17,8 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_coverage_headline_query_count_matches_registry():
     src = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"\*\*Round 9:\*\* (\d+) declared queries", src)
-    assert m, "COVERAGE.md round-9 headline missing"
+    m = re.search(r"\*\*Round 10:\*\* (\d+) declared queries", src)
+    assert m, "COVERAGE.md round-10 headline missing"
     assert int(m.group(1)) == len(registry.QUERIES)
 
 

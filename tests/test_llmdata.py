@@ -452,3 +452,115 @@ def test_simhash60_arrow_matches_expression(spark, sf_dir):
     }
     diffs = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
     assert not diffs, f"{len(diffs)} mismatches, e.g. {next(iter(diffs.items()))}"
+
+
+def test_brute_force_topk_size_guard(spark):
+    """Round-9 verdict ask #3: the quadratic exact baseline must refuse
+    oversized corpora unless the caller opts in with exact=True — the
+    scale contract is mechanical, not a docstring."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="exact=True"):
+        SIM.brute_force_topk(df, df.limit(2), k=3, max_rows=10)
+    assert SIM.brute_force_topk(df, df.limit(2), k=3, max_rows=10, exact=True).count() == 6
+    # under the threshold the guard stays out of the way
+    assert SIM.brute_force_topk(df.limit(5), df.limit(2), k=2, max_rows=10).count() == 4
+
+
+def _pq_cluster_fixture(spark, seed=11, K=8, per=40, dim=64, rank=3):
+    """Clustered corpus whose within-cluster variation lives on a low-dim
+    manifold — the realistic embedding geometry (isotropic white residuals
+    are PQ's information-theoretic worst case and make recall numbers
+    meaningless). Returns (corpus DataFrame, V numpy matrix)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(K, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    V = np.empty((K * per, dim))
+    for k in range(K):
+        b, _ = np.linalg.qr(rng.normal(size=(dim, rank)))
+        for j in range(per):
+            v = centers[k] + 0.2 * (b @ rng.normal(size=rank)) + 0.002 * rng.normal(size=dim)
+            V[k * per + j] = v
+            rows.append((k * per + j, [float(x) for x in v]))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        V,
+    )
+
+
+def test_pq_trained_codebooks_recall_and_quantization_error(spark):
+    """train_pq_codebooks (distributed per-subspace Lloyd over residuals)
+    must (a) beat the deterministic sampled-residual codebooks on the
+    objective k-means optimizes — mean quantization error — and (b) carry
+    the full IVF-PQ retrieval to >=0.7 recall@5 vs exact L2 on clustered
+    low-rank data. (Recall parity between trained and sampled codebooks is
+    NOT asserted: sampled actual residuals already lie on the manifold, so
+    the recall gap is fixture-dependent; the error gap is not.)"""
+    import numpy as np
+
+    corpus, V = _pq_cluster_fixture(spark)
+    K, per, dim = 8, 40, 64
+    queries = corpus.where(F.col("vec_id") % per < 2)
+    coarse = SIM.train_ivf_codebook(corpus, dim=dim, n_cells=K, iters=3)
+    trained = SIM.train_pq_codebooks(
+        corpus, dim=dim, m=16, ksub=16, iters=3, coarse_codebook=coarse
+    )
+    det = SIM._deterministic_pq_codebooks(corpus, coarse, 16, 16, "vec_id", "embedding")
+
+    cmat = np.asarray(coarse)
+    d2c = ((V[:, None, :] - cmat[None]) ** 2).sum(2)
+    res = (V - cmat[d2c.argmin(1)]).reshape(len(V), 16, 4)
+
+    def qerr(cbs):
+        dd = ((res[:, :, None, :] - np.asarray(cbs)[None]) ** 2).sum(3)
+        return dd.min(2).sum(1).mean()
+
+    assert qerr(trained) < 0.8 * qerr(det), (qerr(trained), qerr(det))
+
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(2)
+    np.fill_diagonal(d2, np.inf)
+    qids = [r["vec_id"] for r in queries.select("vec_id").collect()]
+    truth = {(q, int(nb)) for q in qids for nb in np.argsort(d2[q])[:5]}
+    got = SIM.ivf_pq_topk(
+        corpus, queries, dim=dim, k=5, n_cells=K, n_probe=1, m=16, ksub=16,
+        coarse_codebook=coarse, pq_codebooks=trained,
+    ).collect()
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in got} & truth) / len(truth)
+    assert recall >= 0.7, f"ivf-pq recall {recall:.3f}"
+
+
+def test_adc_lut_scoring_equals_reconstruction_distance(spark):
+    """The ADC lookup-table kernel must equal the definitionally obvious
+    form — squared L2 between the raw query and the candidate's
+    reconstruction (centroid + concatenated codebook entries) — to float
+    round-off. This pins the LUT decomposition (grouping, gather indexing,
+    subspace slicing) against an independent formulation."""
+    import numpy as np
+
+    corpus, V = _pq_cluster_fixture(spark, seed=23, K=4, per=20)
+    queries = corpus.where(F.col("vec_id") % 20 < 2)
+    coarse = SIM.train_ivf_codebook(corpus, dim=64, n_cells=4, iters=2)
+    pq = SIM.train_pq_codebooks(
+        corpus, dim=64, m=8, ksub=8, iters=2, coarse_codebook=coarse
+    )
+    scored = SIM.ivf_pq_topk(
+        corpus, queries, dim=64, k=5, n_cells=4, n_probe=2,
+        coarse_codebook=coarse, pq_codebooks=pq, rank=False,
+    ).collect()
+    assert len(scored) > 50
+    cmat, cbs = np.asarray(coarse), np.asarray(pq)
+    d2c = ((V[:, None, :] - cmat[None]) ** 2).sum(2)
+    cell = d2c.argmin(1)
+    res = (V - cmat[cell]).reshape(len(V), 8, 8)
+    codes = ((res[:, :, None, :] - cbs[None]) ** 2).sum(3).argmin(2)
+    for r in scored:
+        q, nb = r["query_id"], r["neighbor_id"]
+        recon = cmat[r["cell"]] + cbs[np.arange(8), codes[nb]].reshape(-1)
+        want = ((V[q] - recon) ** 2).sum()
+        assert abs(want - r["adc_d2"]) < 1e-9, (q, nb, want, r["adc_d2"])
+        assert r["cell"] == cell[nb]

@@ -69,3 +69,21 @@ def test_overlapping_copy_rle_semantics():
     # offset < length: LZ77 RLE expansion
     d = b"ab" * 40000
     assert S.decompress(bytes(_ref().compress(d))) == d
+
+
+def test_uvarint_length_cap_is_exclusive():
+    """Round-10 advice: the format caps the declared uncompressed length
+    at 2^32 - 1, so exactly 2^32 is implausible too (the old guard was
+    ``n > 2^32``, off by one)."""
+    enc = bytearray()
+    n = 1 << 32
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            enc.append(b | 0x80)
+        else:
+            enc.append(b)
+            break
+    with pytest.raises(ValueError, match="implausible"):
+        S.decompress(bytes(enc))

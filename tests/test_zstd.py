@@ -309,3 +309,34 @@ def test_tolerant_multiframe_partial_recovery():
         Z.decompress_with_info(cut)  # strict mode still raises
     with pytest.raises(ValueError):
         Z.decompress_with_info(blob[:6], tolerant=True)  # first frame cut
+
+
+def test_tolerant_skippable_prefix_does_not_mask_corrupt_first_content():
+    """Round-10 advice: tolerant mode gated its 'something decoded' check
+    on ``out`` truthiness, but skippable frames append b'' to out — so a
+    leading skippable (the standard .warc.zst dictionary slot) let a
+    corrupt FIRST content frame degrade silently to zero records. The
+    gate now counts decoded CONTENT frames."""
+    good = Z.compress_store(b"payload " * 8, checksum=True)
+    blob = Z.skippable_frame(b"dict-slot") + good[:7]  # content frame cut
+    with pytest.raises(ValueError):
+        Z.decompress_with_info(blob, tolerant=True)
+    # intact-prefix recovery is unaffected by the leading skippable
+    blob2 = Z.skippable_frame(b"d") + good + good[:7]
+    part, info = Z.decompress_with_info(blob2, tolerant=True)
+    assert part == b"payload " * 8
+    assert info["truncated"] and info["n_frames"] == 1
+
+
+def test_huffman_literal_stream_exact_consumption():
+    """Round-10 advice: after n_out symbols the backward bitstream must
+    land on exactly 0 remaining bits (mirroring the sequence decoder's
+    check) — a stream with leftover bits decodes the right COUNT of
+    symbols but the wrong literals, and must raise rather than return."""
+    # weights [1] + implied last weight → two symbols, 1-bit codes each
+    table, tl = Z._huf_build_table([1])
+    assert tl == 1
+    ok = bytes([0b110])  # marker, then payload bits '10'
+    assert bytes(Z._huf_decode(table, tl, ok, 2)) == bytes([1, 0])
+    with pytest.raises(ValueError, match="not fully consumed"):
+        Z._huf_decode(table, tl, ok, 1)  # one payload bit left over
