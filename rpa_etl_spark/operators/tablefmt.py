@@ -21,7 +21,17 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
   conservative conflict rule — same default as Delta's);
 - snapshot isolation: readers resolve a version ONCE and read only that
   manifest's files — concurrent commits never tear a read;
-- time travel: any retained version is readable by number.
+- time travel: any retained version is readable by number;
+- schema evolution (round 10): each manifest carries a SCHEMA LIST and
+  every data file records which schema id it was written under
+  (Iceberg's design, reduced). Appends/overwrites may ADD columns and
+  WIDEN types (byte→short→int→long, float→double); anything else —
+  narrowing, renames, incompatible type changes — is rejected at commit
+  time. Reads group files by their write-time schema, scan each group
+  with exactly that schema, and align to the requested table schema
+  (missing columns null, narrower types cast up) — so every historical
+  snapshot stays readable after evolution, including reading an OLD
+  snapshot through the EVOLVED schema.
 
 Scale shape: the log holds one small JSON per commit and data files are
 ordinary parquet — reads are ``spark.read.parquet(<explicit files>)``,
@@ -29,6 +39,16 @@ so Catalyst sees a plain multi-file scan (pushdown/pruning intact). At
 100 TB the manifest lists grow with file count, not data size; real
 systems shard manifests, which this deliberately does not (documented
 boundary — the semantics, not the metadata layout, are the point).
+
+DEPLOYMENT BOUNDARY (stated, not implied): commit arbitration uses
+link(2) and file listing uses os.listdir, so driver and every committer
+must share ONE POSIX filesystem (single node, or NFS with POSIX link
+semantics). On an object store there is no atomic link and no cheap
+listing — real systems swap this layer for a conditional PUT or a
+catalog/lock service (exactly what Delta's LogStore abstraction is).
+The COMMIT layer runs on the driver; only data-file writes are
+distributed. That is the right split for the semantics this module
+exists to demonstrate, and the wrong one to lift unmodified onto S3.
 """
 
 from __future__ import annotations
@@ -44,6 +64,53 @@ _DATA = "data"
 
 class CommitConflict(RuntimeError):
     """Raised when an overwrite loses the optimistic-concurrency race."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Raised when a commit's schema cannot evolve the table's (narrowing,
+    incompatible type change) — the caller must cast explicitly."""
+
+
+# permitted widenings, by StructField.dataType.typeName()
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_ORDER = {"float": 0, "double": 1}
+
+
+def _wider(a: str, b: str) -> str | None:
+    """The wider of two type names if they sit on one widening chain,
+    else None."""
+    if a == b:
+        return a
+    for order in (_INT_ORDER, _FLOAT_ORDER):
+        if a in order and b in order:
+            return a if order[a] >= order[b] else b
+    return None
+
+
+def merge_schemas(table_schema, df_schema):
+    """Evolve ``table_schema`` by ``df_schema``: shared columns must match
+    or widen (either direction — a narrower incoming file is fine to
+    WRITE, it reads back cast up); new df columns append after the table
+    columns; table columns absent from the df are kept (they read as null
+    for the new files). Raises SchemaEvolutionError otherwise."""
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in df_schema.fields}
+    out = []
+    for f in table_schema.fields:
+        g = by_name.pop(f.name, None)
+        if g is None:
+            out.append(f)
+            continue
+        w = _wider(f.dataType.typeName(), g.dataType.typeName())
+        if w is None:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: cannot evolve "
+                f"{f.dataType.simpleString()} <-> {g.dataType.simpleString()}"
+            )
+        out.append(f if f.dataType.typeName() == w else g)
+    out.extend(f for f in df_schema.fields if f.name in by_name)
+    return StructType(out)
 
 
 def _log_dir(path: str) -> str:
@@ -104,12 +171,26 @@ def _write_data_files(df, path: str) -> list[str]:
     ]
 
 
-def _commit(path: str, kind: str, files: list[str], schema: str,
+def _schema_id(schemas: list[dict], schema_json: dict) -> int:
+    """Index of ``schema_json`` in the manifest's schema list, appending
+    it if new. Schemas are compared structurally (json equality)."""
+    for i, s in enumerate(schemas):
+        if s == schema_json:
+            return i
+    schemas.append(schema_json)
+    return len(schemas) - 1
+
+
+def _commit(path: str, kind: str, new_files: list[str], df_schema,
             base_version: int, *, strict_base: bool,
             max_retries: int = 50) -> int:
     """Publish a commit on top of the head, retrying on lost races.
     ``strict_base``: fail (CommitConflict) if the head moved past
-    ``base_version`` — the overwrite rule; appends re-merge instead."""
+    ``base_version`` — the overwrite rule; appends re-merge instead.
+    Schema evolution (merge + the new file's schema id) is recomputed
+    INSIDE the retry loop, against whatever head the retry lands on."""
+    from pyspark.sql.types import StructType
+
     attempt = 0
     while True:
         head = current_version(path)
@@ -118,15 +199,26 @@ def _commit(path: str, kind: str, files: list[str], schema: str,
                 f"table advanced to v{head} since v{base_version}; "
                 "re-read and retry the overwrite"
             )
-        if kind == "append" and head >= 0:
-            live = read_manifest(path, head)["files"] + files
+        if head >= 0:
+            prev = read_manifest(path, head)
+            schemas = list(prev["schemas"])
+            table_schema = StructType.fromJson(schemas[prev["schema_id"]])
+            merged = merge_schemas(table_schema, df_schema)
+            live = list(prev["files"]) if kind == "append" else []
         else:
-            live = files
+            schemas = []
+            merged = df_schema
+            live = []
+        df_sid = _schema_id(schemas, df_schema.jsonValue())
+        table_sid = _schema_id(schemas, merged.jsonValue())
+        live = live + [{"path": f, "schema_id": df_sid} for f in new_files]
         manifest = {
             "version": head + 1,
             "parent": head,
             "kind": kind,
-            "schema": schema,
+            "schema": merged.simpleString(),
+            "schemas": schemas,
+            "schema_id": table_sid,
             "files": live,
             "committed_at": time.time(),
         }
@@ -145,12 +237,15 @@ def create_table(df, path: str) -> int:
     if current_version(path) >= 0:
         raise FileExistsError(f"table already exists at {path}")
     files = _write_data_files(df, path)
+    sjson = df.schema.jsonValue()
     manifest = {
         "version": 0,
         "parent": -1,
         "kind": "create",
         "schema": df.schema.simpleString(),
-        "files": files,
+        "schemas": [sjson],
+        "schema_id": 0,
+        "files": [{"path": f, "schema_id": 0} for f in files],
         "committed_at": time.time(),
     }
     if not _publish(path, 0, manifest):
@@ -160,36 +255,89 @@ def create_table(df, path: str) -> int:
 
 def append(df, path: str) -> int:
     """Append rows — merges cleanly with concurrent appends (file sets
-    union; no conflict possible)."""
+    union; no conflict possible). The table schema evolves per
+    :func:`merge_schemas` (add columns / widen types; else
+    SchemaEvolutionError)."""
     files = _write_data_files(df, path)
-    return _commit(path, "append", files, df.schema.simpleString(),
+    return _commit(path, "append", files, df.schema,
                    base_version=current_version(path), strict_base=False)
 
 
 def overwrite(df, path: str, base_version: int | None = None) -> int:
     """Replace the table's contents atomically. Fails with
     CommitConflict if the head moved past ``base_version`` (optimistic
-    concurrency — the caller re-reads and retries)."""
+    concurrency — the caller re-reads and retries). Schema evolution as
+    in :func:`append` — history stays readable, so an overwrite may
+    still only widen, never narrow."""
     if base_version is None:
         base_version = current_version(path)
     files = _write_data_files(df, path)
-    return _commit(path, "overwrite", files, df.schema.simpleString(),
+    return _commit(path, "overwrite", files, df.schema,
                    base_version=base_version, strict_base=True)
 
 
-def snapshot_read(spark, path: str, version: int | None = None):
+def table_schema(path: str, version: int | None = None):
+    """The table's StructType at ``version`` (default: head)."""
+    from pyspark.sql.types import StructType
+
+    if version is None:
+        version = current_version(path)
+    m = read_manifest(path, version)
+    return StructType.fromJson(m["schemas"][m["schema_id"]])
+
+
+def snapshot_read(spark, path: str, version: int | None = None,
+                  schema_version: int | None = None):
     """Snapshot-isolated read: resolve the version ONCE, then scan
-    exactly that manifest's files (a plain parquet multi-file scan —
-    pushdown and pruning intact). ``version`` time-travels."""
+    exactly that manifest's files (plain parquet multi-file scans —
+    pushdown and pruning intact). ``version`` time-travels.
+
+    ``schema_version`` picks WHICH table schema the rows come back in
+    (default: the schema as of ``version``). Passing a later version's
+    schema reads an old snapshot THROUGH the evolved schema — added
+    columns come back null, widened columns cast up. Files are grouped
+    by their write-time schema id and each group is scanned with exactly
+    the schema it was written under, then aligned; a fixed requested
+    schema also means the read can't be torn by a concurrent evolution."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
     if version is None:
         version = current_version(path)
     if version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
     m = read_manifest(path, version)
-    files = [os.path.join(path, f) for f in m["files"]]
-    if not files:
+    if not m["files"]:
         raise ValueError(f"version {version} lists no files")
-    return spark.read.parquet(*files)
+    target = (
+        table_schema(path, schema_version)
+        if schema_version is not None
+        else StructType.fromJson(m["schemas"][m["schema_id"]])
+    )
+    by_sid: dict[int, list[str]] = {}
+    for entry in m["files"]:
+        by_sid.setdefault(entry["schema_id"], []).append(
+            os.path.join(path, entry["path"])
+        )
+    parts = []
+    for sid, files in sorted(by_sid.items()):
+        file_schema = StructType.fromJson(m["schemas"][sid])
+        part = spark.read.schema(file_schema).parquet(*files)
+        have = set(file_schema.fieldNames())
+        parts.append(
+            part.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def history(path: str) -> list[dict]:

@@ -64,6 +64,65 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> No
     w.save(path)
 
 
+def read_table_permissive(
+    spark,
+    path: str,
+    fmt: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """Malformed-tolerant ingest for the text formats (CSV/JSON): good
+    rows parse, malformed rows keep whatever fields DID parse, null the
+    rest, and carry the raw record in ``corrupt_col`` — reject bad inputs
+    without killing the batch (the reference's ingress-gate behavior,
+    api/dependencies.py:26-47, lifted from per-request HTTP 4xx to
+    per-row quarantine). Spark-native PERMISSIVE mode, so the tolerance
+    is evaluated inside the scan at any scale — no second pass, no
+    driver-side row loop.
+
+    ``schema`` is the DATA schema (required — inference would both cost
+    an extra full scan and mask malformedness by widening types); the
+    corrupt column is appended here. Malformed means: an unparseable
+    field, too few tokens, or too many tokens (CSV); unparseable or
+    schema-violating objects (JSON). Fields that parse in a malformed
+    row are RETAINED (partial results), matching Spark semantics."""
+    if fmt not in ("csv", "json"):
+        raise ValueError(
+            f"permissive ingest is for text formats, got {fmt!r}; "
+            "parquet/ORC carry their schema and fail per-file, not per-row"
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    # fresh StructType: StructType.add MUTATES the receiver, and callers
+    # reasonably reuse one schema object across reads
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    r = (
+        spark.read.format(fmt)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def quarantine_malformed(df, corrupt_col: str = "_corrupt_record"):
+    """Split a PERMISSIVE read into (good, quarantined): good rows drop
+    the corrupt column; quarantined rows keep it as the evidence record.
+    The input is cached first — Spark disallows queries that reference
+    ONLY the internal corrupt column of a raw CSV/JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and caching
+    also means the text is parsed once, not once per branch."""
+    df = df.cache()
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return good, bad
+
+
 def read_table(spark, path: str, fmt: str = "parquet", schema=None, **options):
     """Format-dispatched batch source. Pass an explicit ``schema`` for the
     text formats (CSV/JSON) — schema-on-file formats (parquet/ORC) carry

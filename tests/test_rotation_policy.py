@@ -55,7 +55,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_dedup_ngram_jaccard", "q_dedup_containment",
     ],
     "rpa_etl_spark/operators/maintenance.py": [],  # sink-side compaction; no declared query
-    "rpa_etl_spark/operators/tablefmt.py": ["q_table_time_travel"],
+    "rpa_etl_spark/operators/tablefmt.py": ["q_table_time_travel", "q_table_schema_evolution"],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
         "q_ann_ivf_pq", "q_dedup_embedding",
@@ -88,7 +88,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/sources/zipfile_src.py": ["q_zip_extract"],
     "rpa_etl_spark/sources/avro_src.py": ["q_avro_extract"],
     "rpa_etl_spark/sources/snappy.py": ["q_avro_extract"],
-    "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip"],
+    "rpa_etl_spark/sources/sinks.py": ["q_sink_roundtrip", "q_ingest_malformed"],
     "rpa_etl_spark/functions/exprs.py": ["q_parse_invoice"],
     "rpa_etl_spark/functions/parsing.py": ["q_parse_invoice"],
     "rpa_etl_spark/functions/parsing_arrow.py": ["q_parse_invoice"],

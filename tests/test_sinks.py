@@ -98,3 +98,55 @@ def test_orc_scan_pushdown(spark, sf_dir, tmp_path):
     schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     cols = {c.split(":")[0] for c in schema.split(",")}
     assert cols == {"o_orderkey", "o_totalprice"}, cols
+
+
+def test_permissive_ingest_quarantines_and_keeps_partial_fields(spark, tmp_path):
+    """Round-10: read_table_permissive + quarantine_malformed must keep
+    parseable fields of malformed rows, carry the raw record as evidence,
+    and never drop or duplicate rows (good + bad partitions the input)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from rpa_etl_spark.sources import sinks
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "1,en,4\n"
+        "7,de,xx22\n"      # unparseable long field
+        "11,fr\n"          # missing field
+        "22,pt,9,extra\n"  # extra field (n still parses)
+        "5,es,16\n"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    raw = sinks.read_table_permissive(spark, str(p), "csv", schema)
+    good, bad = sinks.quarantine_malformed(raw)
+    g = {r["doc_id"]: r for r in good.collect()}
+    b = {r["doc_id"]: r for r in bad.collect()}
+    assert set(g) == {1, 5} and set(b) == {7, 11, 22}
+    assert "_corrupt_record" not in good.columns
+    assert b[7]["lang"] == "de" and b[7]["n"] is None
+    assert b[7]["_corrupt_record"] == "7,de,xx22"
+    assert b[11]["n"] is None and b[11]["_corrupt_record"] == "11,fr"
+    assert b[22]["n"] == 9  # partial parse retained on the extra-field row
+    assert good.count() + bad.count() == 5
+
+    # JSON twin: schema-violating object quarantines, clean one parses
+    j = tmp_path / "json"
+    j.mkdir()
+    (j / "part.json").write_text(
+        '{"doc_id": 1, "lang": "en", "n": 4}\n'
+        '{"doc_id": "seven", "lang": "de", "n": [1]}\n'
+        "not json at all\n"
+    )
+    jraw = sinks.read_table_permissive(spark, str(j), "json", schema)
+    jgood, jbad = sinks.quarantine_malformed(jraw)
+    assert jgood.count() == 1 and jbad.count() == 2
+
+    with __import__("pytest").raises(ValueError, match="text formats"):
+        sinks.read_table_permissive(spark, str(p), "parquet", schema)

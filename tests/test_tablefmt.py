@@ -90,7 +90,8 @@ def test_manifest_atomicity_no_partial_state(spark, tmp_path):
     assert not [n for n in log if n.startswith(".tmp")]
     m = TF.read_manifest(p, TF.current_version(p))
     for f in m["files"]:
-        assert os.path.exists(os.path.join(p, f))
+        assert os.path.exists(os.path.join(p, f["path"]))
+        assert 0 <= f["schema_id"] < len(m["schemas"])
 
 
 def test_concurrent_creates_only_one_wins(spark, tmp_path):
@@ -116,3 +117,58 @@ def test_concurrent_creates_only_one_wins(spark, tmp_path):
     assert TF.snapshot_read(spark, p).count() == 7  # winner intact
     assert not [n for n in os.listdir(os.path.join(p, "_log"))
                 if n.startswith(".tmp")]
+
+
+def test_schema_evolution_add_column_and_widen(spark, tmp_path):
+    """Round-10 (verdict ask #5): appends may add columns and widen types;
+    every historical snapshot stays readable — in its own schema AND
+    through the evolved one (added columns null, widened types cast up)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df0 = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("k"), F.col("id").cast("float").alias("x")
+    )
+    TF.create_table(df0, p)
+    df1 = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        F.lit("new").alias("tag"),
+    )
+    TF.append(df1, p)
+    assert [(f.name, f.dataType.simpleString()) for f in TF.table_schema(p)] == [
+        ("k", "bigint"), ("x", "double"), ("tag", "string"),
+    ]
+    rows = {r["k"]: r for r in TF.snapshot_read(spark, p).collect()}
+    assert len(rows) == 8
+    assert rows[0]["tag"] is None and rows[5]["tag"] == "new"
+    assert abs(rows[3]["x"] - 3.0) < 1e-12  # float file read as double
+    # old snapshot, own schema
+    v0 = TF.snapshot_read(spark, p, 0)
+    assert [f.dataType.simpleString() for f in v0.schema.fields] == ["int", "float"]
+    assert v0.count() == 5
+    # pre-evolution snapshot THROUGH the evolved schema
+    v0e = TF.snapshot_read(spark, p, 0, schema_version=1)
+    assert [(f.name, f.dataType.simpleString()) for f in v0e.schema.fields] == [
+        ("k", "bigint"), ("x", "double"), ("tag", "string"),
+    ]
+    got = v0e.collect()
+    assert len(got) == 5 and all(r["tag"] is None for r in got)
+
+
+def test_schema_evolution_narrow_files_ok_incompatible_rejected(spark, tmp_path):
+    """A NARROWER incoming frame is fine to write (its files read back
+    cast up; the table schema never narrows); a cross-family type change
+    is rejected at commit time."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 3).select(F.col("id").alias("k")), p)
+    TF.append(spark.range(3, 5).select(F.col("id").cast("int").alias("k")), p)
+    assert TF.table_schema(p)["k"].dataType.simpleString() == "bigint"
+    assert sorted(r["k"] for r in TF.snapshot_read(spark, p).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+    with pytest.raises(TF.SchemaEvolutionError):
+        TF.append(spark.range(5, 6).select(F.col("id").cast("string").alias("k")), p)
+    assert TF.current_version(p) == 1  # the rejected commit left no trace
