@@ -120,3 +120,112 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# expiring sessions: event-time TIMERS + state TTL (round 10, Spark-4 API)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+
+class ExpiringUserSessions(StatefulProcessor):
+    """Gap-sessionization on the transformWithState surface, exercising
+    the two Spark-4 state-lifecycle features the v1 API lacks:
+
+    - **timers**: every batch re-registers one event-time timer at
+      ``last_event + gap`` (deleting the previous one — the handle owns a
+      timer SET per key, unlike v1's single timeout); the session row is
+      emitted from :meth:`handleExpiredTimer`, which also clears state;
+    - **state TTL**: the value state carries ``ttlDurationMs`` as a
+      belt-and-braces bound — if a key's timer is somehow lost (e.g. an
+      operator migration drops timer state), the store still reclaims the
+      entry after the TTL rather than leaking it forever.
+
+    Semantics twin of stateful.make_session_update (the v1 form, which
+    RUNS in this container and carries the wall-clock eviction test);
+    this processor is type-gated the same way as UserEventProfile —
+    the transformWithState runner needs google.protobuf (TWS_AVAILABLE).
+    """
+
+    def __init__(self, gap_ms: int = 5 * 60 * 1000):
+        self.gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        # TTL: 10x the gap — generous vs the timer path, pure leak guard
+        self._sess = handle.getValueState(
+            "sess", "start long, last long, n long, total double",
+            ttlDurationMs=10 * self.gap_ms,
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        (user_id,) = key
+        cur = list(self._sess.get()) if self._sess.exists() else None
+        events = []
+        for pdf in rows:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            events.extend(zip(ts_ms, (float(v) for v in pdf["value"])))
+        events.sort()
+        for t, v in events:
+            if cur is not None and t - cur[1] >= self.gap_ms:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.to_datetime(cur[0], unit="ms")],
+                        "session_end": [pd.to_datetime(cur[1], unit="ms")],
+                        "n_events": [cur[2]],
+                        "total_value": [cur[3]],
+                    }
+                )
+                cur = None
+            if cur is None:
+                cur = [t, t, 1, v]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+        self._sess.update(tuple(cur))
+        for old in self._handle.listTimers():
+            self._handle.deleteTimer(old)
+        self._handle.registerTimer(
+            max(cur[1] + self.gap_ms, timerValues.getCurrentWatermarkInMs() + 1)
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+        (user_id,) = key
+        if self._sess.exists():
+            start, last, n, total = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.to_datetime(start, unit="ms")],
+                    "session_end": [pd.to_datetime(last, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def expiring_user_sessions_tws(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """transformWithState form of stateful.expiring_user_sessions —
+    event-time timers drive eviction (timeMode='EventTime'). Requires
+    TWS_AVAILABLE (protobuf) + RocksDB state store."""
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            ExpiringUserSessions(gap_ms=gap_minutes * 60 * 1000),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

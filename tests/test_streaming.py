@@ -256,3 +256,96 @@ def test_rate_source_wallclock_trigger_crash_replay_exactly_once(spark, tmp_path
     assert len(interior) >= len(rows) - 2, (
         f"non-deterministic window counts: {counts}"
     )
+
+
+def test_expiring_sessions_event_time_eviction_across_restart(spark, tmp_path):
+    """Round-10 stretch (state TTL/timers): sessions are emitted ONLY when
+    the event-time watermark passes last_event + gap — never by
+    end-of-input — and the eviction survives a real wall-clock stop +
+    checkpoint restart. Phase 1 streams two sessions per user; only the
+    FIRST session's horizon is behind the final watermark, so exactly
+    those emit and the younger sessions stay in state across the stop.
+    Phase 2 restarts from the checkpoint with one watermark-advancing
+    sentinel event: the held sessions emit; the sentinel's own open
+    session does not. The union equals the batch session_window twin
+    (the q_stream_session_ttl shape) exactly."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.streaming import stateful as ST
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in (0, 1):
+        for n_ev, start_min in [(3, 0), (2, 10)]:
+            for i in range(n_ev):
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": (base + timedelta(minutes=start_min, seconds=30 * i + u))
+                        .isoformat(sep=" "),
+                        "user_id": u,
+                        "event_type": "click",
+                        "value": float(eid),
+                        "props": "{}",
+                    }
+                )
+                eid += 1
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    ckpt, out = str(tmp_path / "sess_ckpt"), str(tmp_path / "sess_out")
+
+    def run_once():
+        stream = SP.events_file_stream(spark, str(src))
+        q = (
+            ST.expiring_user_sessions(stream, gap_minutes=5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"], r["total_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    p1 = run_once()
+    # only the first session per user is past the watermark's gap horizon
+    assert {(r[0], r[3]) for r in p1} == {(0, 3), (1, 3)}
+    assert len(p1) == 2
+
+    sentinel = {
+        "event_id": 999,
+        "ts": (base + timedelta(minutes=60)).isoformat(sep=" "),
+        "user_id": 999,
+        "event_type": "click",
+        "value": 0.0,
+        "props": "{}",
+    }
+    (src / "f2.json").write_text(json.dumps(sentinel))
+    p2 = run_once()
+    assert not [r for r in p2 if r[0] == 999]  # sentinel session still open
+    batch = spark.read.schema(SP.EVENTS_STREAM_SCHEMA).json(str(src))
+    twin = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["total_value"])
+        for r in (
+            batch.where(F.col("user_id") != 999)
+            .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "total_value")
+            .collect()
+        )
+    }
+    assert p2 == twin and len(twin) == 4

@@ -146,3 +146,77 @@ def test_tws_user_profiles(spark, tmp_path):
         assert got[uid]["n_events"] == len(vals)
         assert abs(got[uid]["total_value"] - sum(vals)) < 1e-9
         assert got[uid]["n_types"] == len({["click", "view"][i % 2] for i in range(30) if i % 3 == uid})
+
+
+def test_tws_expiring_sessions_timer_logic(spark, tmp_path):
+    """The transformWithState expiring-session processor (timers + state
+    TTL). The runner needs protobuf (absent here), but the PROCESSOR LOGIC
+    runs anywhere: a fake handle drives handleInputRows/handleExpiredTimer
+    directly and pins in-batch gap splitting, timer re-registration at
+    last_event + gap, and eviction emitting exactly the held session."""
+    import pandas as pd
+
+    from rpa_etl_spark.streaming.stateful_v2 import (
+        TWS_AVAILABLE,
+        ExpiringUserSessions,
+    )
+
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValue()
+            self.timers = []
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert ttlDurationMs and ttlDurationMs > 0  # TTL surface is set
+            return self.state
+        def listTimers(self):
+            return list(self.timers)
+        def deleteTimer(self, t):
+            self.timers.remove(t)
+        def registerTimer(self, t):
+            self.timers.append(t)
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self.wm = wm
+        def getCurrentWatermarkInMs(self):
+            return self.wm
+
+    gap = 5 * 60 * 1000
+    proc = ExpiringUserSessions(gap_ms=gap)
+    h = FakeHandle()
+    proc.init(h)
+    t0 = 1_700_000_000_000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([t0, t0 + 30_000, t0 + 20 * 60 * 1000], unit="ms"),
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    # one batch containing an in-batch gap: the first session emits from
+    # handleInputRows; the younger one stays in state with a fresh timer
+    emitted = list(proc.handleInputRows((7,), iter([pdf]), FakeTimerValues(0)))
+    assert len(emitted) == 1
+    assert emitted[0]["n_events"][0] == 2 and emitted[0]["total_value"][0] == 3.0
+    assert h.state.v == (t0 + 20 * 60 * 1000, t0 + 20 * 60 * 1000, 1, 4.0)
+    assert h.timers == [t0 + 20 * 60 * 1000 + gap]
+    # timer fires → held session emits and state clears
+    out = list(proc.handleExpiredTimer((7,), FakeTimerValues(10**15), None))
+    assert len(out) == 1 and out[0]["n_events"][0] == 1
+    assert not h.state.exists()
+    assert list(proc.handleExpiredTimer((7,), FakeTimerValues(10**15), None)) == []
+    # the runtime execution twin needs the TWS runner (protobuf, absent
+    # here — same gate as test_tws_user_profiles); the processor logic
+    # above is the load-bearing check either way
+    assert isinstance(TWS_AVAILABLE, bool)
