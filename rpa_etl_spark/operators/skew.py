@@ -76,6 +76,7 @@ def salted_join(
     n_salts: int = 16,
     how: str = "inner",
     salt_cols: list[str] | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Replicate-and-salt equi-join for a skewed fact key: each fact row
     gets a deterministic salt in [0, n_salts); the dim side is replicated
@@ -90,15 +91,45 @@ def salted_join(
     would emit its unmatched rows once per salt — so they raise rather
     than silently corrupt.
 
-    Cost: dim shuffle volume ×n_salts; use when the dim is small-ish but
-    above the broadcast threshold and AQE's runtime skew split isn't
-    available (e.g. the skewed side feeds a co-partitioned downstream op).
+    Cost: dim shuffle volume ×n_salts. The round-10 scaling probe
+    measured that cost's growth directly (SCALE.md §10): with
+    ``hot_threshold=None`` the WHOLE dim replicates, so the extra shuffle
+    grows linearly with dim size and dominates once the base-plan
+    overhead stops hiding it (5x data → 2.6x time on a uniform key,
+    where plain ran 1.5x). Salting every key buys nothing for the cold
+    ones — skew is by definition concentrated.
+
+    ``hot_threshold``: selective salting (the production form, and what
+    AQE's runtime skew split approximates). One map-side-combined
+    aggregate over the fact finds keys with more than ``hot_threshold``
+    rows — a SMALL set by the definition of skew — which is broadcast to
+    split both sides: hot fact rows take the salted join against only
+    the hot slice of the dim; everything else takes the plain join; the
+    union is row-identical. Replication volume becomes |hot keys| x
+    n_salts instead of |dim| x n_salts. (At 100 TB the exact count pass
+    can be replaced by a sample or prior key statistics; the exact form
+    keeps this oracle-checkable.)
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(
             f"salted_join supports how='inner'/'left' only, got {how!r}: "
             "dim replication would duplicate unmatched dim rows per salt"
         )
+    if hot_threshold is not None:
+        hot = (
+            fact.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > hot_threshold)
+            .select(key)
+        )
+        fact_hot = fact.join(F.broadcast(hot), key, "left_semi")
+        fact_cold = fact.join(F.broadcast(hot), key, "left_anti")
+        dim_hot = dim.join(F.broadcast(hot), key, "left_semi")
+        hot_part = salted_join(
+            fact_hot, dim_hot, key, n_salts=n_salts, how=how, salt_cols=salt_cols
+        )
+        cold_part = fact_cold.join(dim, key, how)
+        return hot_part.unionByName(cold_part)
     salted_fact = with_salt(fact, n_salts, "_salt", salt_cols=salt_cols)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_dim = dim.select("*", salts)

@@ -916,34 +916,68 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_skew_salted",
     oracle="""
+    WITH skewed AS (
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber + k * 1000, l_quantity
+        FROM lineitem, UNNEST(generate_series(1, 19)) AS kk(k)
+        WHERE l_orderkey % 997 = 1
+    )
     SELECT o_orderpriority,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
                AS total_qty,
            COUNT(*) AS n_rows
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    FROM skewed JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
 )
 def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replicate-and-salt join (operators/skew.py::salted_join) declared as
-    a query so its row-identity to the plain join is oracle-checked: the
-    fact side gets a deterministic salt in [0, 8), the dim is replicated
-    once per salt, the join runs on (key, salt). The oracle is the PLAIN
-    join — identical output is the whole point. At 100 TB this is the
-    pre-planned alternative to AQE skew splitting when a hot orderkey
-    would pin one reducer (e.g. a single huge order or null-heavy key).
-    The salted aggregation twin (groupBy(key, salt) partial → merge) is
-    gated by tests/test_scale_patterns.py."""
+    """SELECTIVE replicate-and-salt join (operators/skew.py::salted_join
+    with ``hot_threshold`` — round-10 upgrade from the salt-everything
+    form after the scaling probe measured whole-dim replication growing
+    linearly with dim size, SCALE.md §10): the fact is lineitem with a
+    DELIBERATE hot-key blowup (every orderkey ≡ 1 mod 997 gets 19 extra
+    copies of each of its lines, ~20x row weight); keys above 50 rows
+    are detected by one map-side-combined count, broadcast, and take the
+    salted join against only the hot dim slice while the cold majority
+    takes the plain join. The oracle is the PLAIN join over the same
+    skewed fixture — the union being row-identical is the whole point
+    (a dropped/duplicated hot row or a key routed to both paths changes
+    the counts). At 100 TB this is the pre-planned alternative to AQE
+    skew splitting; replication volume is |hot keys| x n_salts, not
+    |dim| x n_salts. The salted aggregation twin (groupBy(key, salt)
+    partial → merge) and the hot/cold row-identity property are gated by
+    tests/test_scale_patterns.py."""
     from rpa_etl_spark.operators.skew import salted_join
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+    clones = (
+        li.where(F.col("l_orderkey") % 997 == 1)
+        .select(
+            "l_orderkey",
+            "l_quantity",
+            F.explode(F.sequence(F.lit(1), F.lit(19))).alias("k"),
+            "l_linenumber",
+        )
+        .select(
+            "l_orderkey",
+            (F.col("l_linenumber") + F.col("k") * 1000).alias("l_linenumber"),
+            "l_quantity",
+        )
+    )
+    skewed = li.unionByName(clones)
     orders = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     joined = salted_join(
-        li, orders, "l_orderkey", n_salts=8, salt_cols=["l_orderkey", "l_linenumber"]
+        skewed,
+        orders,
+        "l_orderkey",
+        n_salts=8,
+        salt_cols=["l_orderkey", "l_linenumber"],
+        hot_threshold=50,
     )
     return joined.groupBy("o_orderpriority").agg(
         money(F.sum(dec("l_quantity"))).alias("total_qty"),

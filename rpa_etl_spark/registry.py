@@ -114,13 +114,17 @@ PRIORITY_ORDER = [
     "q_zip_extract",
     "q_user_totals_state",  # stateful_v2.py (TTL/timers)
     "q_stream_session_ttl",  # NEW round 10 (event-time timer eviction)
-    # == tier 2 (2): round-7-green fills up to the 50-query window —
-    #    oldest remaining cohort, taken in registry order; the rest of
-    #    the r7 cohort heads the round-11 rotation.
+    # == tier 2 (2): skew.py gained selective (hot/cold) salting after
+    #    the probe decomposition (SCALE.md §10), re-queueing both its
+    #    consumers; q_join_skew_salted's plan also changed (skewed
+    #    fixture + hot_threshold). These take the two fill slots; the r7
+    #    cohort heads the round-11 rotation.
+    "q_join_skew_salted",
+    "q_agg_skew_salted",
+    # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 7 (36 remaining) ==
     "q_agg_group",
     "q_array_funcs",
-    # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 7 (34 remaining) ==
     "q_chunk_documents",
     "q_contamination",
     "q_corr_stats",
@@ -135,7 +139,6 @@ PRIORITY_ORDER = [
     "q_event_sequence",
     "q_explode_outer",
     "q_join_asof",
-    "q_join_skew_salted",
     "q_mode",
     "q_normalize_docs",
     "q_not_in_null_semantics",
@@ -226,7 +229,6 @@ PRIORITY_ORDER = [
     "q_multimodal_g711",
     "q_multimodal_gif",
     "q_pdf_extract_encrypted",
-    "q_agg_skew_salted",
     "q_approx_count_distinct",
     "q_argmax",
     "q_array_agg",

@@ -245,3 +245,46 @@ def test_ivf_sqrt_cells_recall_gate(spark):
     assert rec_b >= 0.85 and rec_b >= rec_s - 0.05, f"recall {rec_s} -> {rec_b}"
     ratio = cand_b / cand_s
     assert ratio <= 2.6, f"candidates/query grew {ratio:.2f}x at 4x data"
+
+
+def test_salted_join_hot_cold_matches_plain_join(spark, sf_dir):
+    """Selective salting (round 10): with hot_threshold set, hot keys take
+    the salted path, cold keys the plain path, and the union is
+    row-identical to the plain join — verified on a fixture where both
+    branches are provably non-empty."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    # blow up one customer to ~40x weight so exactly it crosses the bar
+    hot_key = orders.agg(F.min("o_custkey")).collect()[0][0]
+    clones = (
+        orders.where(F.col("o_custkey") == hot_key)
+        .select(
+            "o_custkey",
+            F.explode(F.sequence(F.lit(1), F.lit(39))).alias("k"),
+            "o_orderkey",
+        )
+        .select("o_custkey", (F.col("o_orderkey").cast("long") + F.col("k").cast("long") * 10**9).alias("o_orderkey"))
+    )
+    fact = orders.unionByName(clones)
+    per_key = fact.groupBy("o_custkey").count()
+    threshold = 35 * int(per_key.where(F.col("o_custkey") == hot_key).collect()[0]["count"]) // 40
+    assert per_key.where(F.col("count") > threshold).count() >= 1  # hot branch live
+    assert per_key.where(F.col("count") <= threshold).count() >= 1  # cold branch live
+
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").withColumnRenamed("c_custkey", "o_custkey")
+    plain = sorted(tuple(r) for r in fact.join(customer, "o_custkey").collect())
+    hotcold = sorted(
+        tuple(r)
+        for r in salted_join(
+            fact, customer, "o_custkey", n_salts=8, hot_threshold=threshold
+        ).collect()
+    )
+    assert plain == hotcold
+    # left-join identity too (unmatched fact rows null-extend exactly once)
+    fact2 = fact.withColumn("o_custkey", F.col("o_custkey").cast("long") + 10**12)  # no matches
+    left = salted_join(fact2.limit(100), customer, "o_custkey", n_salts=4,
+                       how="left", hot_threshold=10)
+    assert left.count() == 100 and left.where(F.col("c_mktsegment").isNull()).count() == 100

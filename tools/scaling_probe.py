@@ -120,7 +120,15 @@ def main() -> None:
     registry.load_all_plans()
     spark = get_spark("rpa-etl-scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if "--regen" in sys.argv or not os.path.exists(f"{DERIVED}/lineitem.parquet"):
+
+    # --derived DIR --ratio N: probe against an alternate large dataset
+    # (e.g. the tools/gen_sf.py sf1 output — REAL distributions, not
+    # key-shifted replication; SCALE.md §10d) instead of the 5x replica.
+    derived, data_ratio = DERIVED, float(COPIES)
+    if "--derived" in sys.argv:
+        derived = sys.argv[sys.argv.index("--derived") + 1]
+        data_ratio = float(sys.argv[sys.argv.index("--ratio") + 1])
+    elif "--regen" in sys.argv or not os.path.exists(f"{DERIVED}/lineitem.parquet"):
         print(f"generating {COPIES}x dataset under {DERIVED}")
         generate(spark)
 
@@ -128,10 +136,10 @@ def main() -> None:
     for q in PROBE_QUERIES:
         run_query(spark, q, BASE)  # warm-up pass at base scale
         t1 = run_query(spark, q, BASE)
-        run_query(spark, q, DERIVED)
-        t5 = run_query(spark, q, DERIVED)
+        run_query(spark, q, derived)
+        t5 = run_query(spark, q, derived)
         results[q] = (t1, t5, t5 / t1 if t1 > 0 else float("nan"))
-        print(f"{q:24s}  sf0.1 {t1:6.2f}s   {COPIES}x {t5:6.2f}s   ratio {t5/t1:5.2f}")
+        print(f"{q:24s}  sf0.1 {t1:6.2f}s   {data_ratio:g}x {t5:6.2f}s   ratio {t5/t1:5.2f}")
 
     ivf = ivf_sqrt_cells_probe(spark)
     comp = components_iteration_probe(spark)
@@ -141,7 +149,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "data_ratio": float(COPIES),
+                "data_ratio": data_ratio,
                 "median_time_ratio": round(med, 2),
                 "queries": {q: [round(a, 2), round(b, 2), round(r, 2)] for q, (a, b, r) in results.items()},
                 "ivf_sqrt_probe": ivf,
