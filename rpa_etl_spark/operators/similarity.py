@@ -741,6 +741,14 @@ def ivf_pq_topk(
         )
     if pq_codebooks is not None:
         cbs = np.asarray(pq_codebooks, dtype=np.float64)
+        # fail fast on shape drift: a codebook trained with a different m
+        # would otherwise truncate codes at F.slice and crash as an opaque
+        # numpy broadcast error inside an executor Arrow batch
+        if cbs.ndim != 3 or cbs.shape[0] != m or cbs.shape[2] != dim // m:
+            raise ValueError(
+                f"ivf_pq_topk: pq_codebooks shape {cbs.shape} incompatible "
+                f"with m={m}, dsub={dim // m} (expected (m, ksub, dsub))"
+            )
     else:
         # when the coarse codebook is the first-n_cells default, those ids'
         # residuals are identically zero — start the PQ entries after them

@@ -76,23 +76,30 @@ _INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
 _FLOAT_ORDER = {"float": 0, "double": 1}
 
 
-def _wider(a: str, b: str) -> str | None:
-    """The wider of two type names if they sit on one widening chain,
-    else None."""
+def _wider(a, b):
+    """The wider of two DataTypes if they are EQUAL or sit on one numeric
+    widening chain, else None. Full-type equality first: typeName alone
+    would call array<int> and array<string> (or two decimals of different
+    precision) the same, letting an incompatible change commit and read
+    back as silent nulls — parameterized types must match exactly."""
     if a == b:
         return a
+    an, bn = a.typeName(), b.typeName()
     for order in (_INT_ORDER, _FLOAT_ORDER):
-        if a in order and b in order:
-            return a if order[a] >= order[b] else b
+        if an in order and bn in order:
+            return a if order[an] >= order[bn] else b
     return None
 
 
 def merge_schemas(table_schema, df_schema):
     """Evolve ``table_schema`` by ``df_schema``: shared columns must match
-    or widen (either direction — a narrower incoming file is fine to
-    WRITE, it reads back cast up); new df columns append after the table
-    columns; table columns absent from the df are kept (they read as null
-    for the new files). Raises SchemaEvolutionError otherwise."""
+    exactly or widen along a numeric chain (either direction — a narrower
+    incoming file is fine to WRITE, it reads back cast up); new df columns
+    append after the table columns; table columns absent from the df are
+    kept (they read as null for the new files). Any other change —
+    narrowing, renames, cross-family or parameterized-type changes
+    (array/map/struct element types, decimal precision) — raises
+    SchemaEvolutionError before anything publishes."""
     from pyspark.sql.types import StructType
 
     by_name = {f.name: f for f in df_schema.fields}
@@ -102,15 +109,41 @@ def merge_schemas(table_schema, df_schema):
         if g is None:
             out.append(f)
             continue
-        w = _wider(f.dataType.typeName(), g.dataType.typeName())
+        w = _wider(f.dataType, g.dataType)
         if w is None:
             raise SchemaEvolutionError(
                 f"column {f.name!r}: cannot evolve "
                 f"{f.dataType.simpleString()} <-> {g.dataType.simpleString()}"
             )
-        out.append(f if f.dataType.typeName() == w else g)
+        out.append(f if f.dataType == w else g)
     out.extend(f for f in df_schema.fields if f.name in by_name)
     return StructType(out)
+
+
+def _upgrade_manifest(m: dict) -> dict:
+    """Read-side upgrade of a pre-schema-evolution (round-9) manifest:
+    file entries were plain path strings and the only schema record was
+    the table's simpleString. Reconstructs the v2 shape (one schema,
+    every file under it) so old persisted tables stay readable and
+    appendable; an unparseable legacy schema fails with a clear message
+    instead of a KeyError deep in a commit."""
+    if "schemas" in m:
+        return m
+    from pyspark.sql.types import StructType
+
+    try:
+        schema = StructType.fromDDL(m["schema"])
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            "legacy (pre-schema-evolution) manifest whose schema string "
+            f"{m.get('schema')!r} cannot be parsed — rewrite the table "
+            "via create_table/append to migrate"
+        ) from e
+    out = dict(m)
+    out["schemas"] = [schema.jsonValue()]
+    out["schema_id"] = 0
+    out["files"] = [{"path": f, "schema_id": 0} for f in m["files"]]
+    return out
 
 
 def _log_dir(path: str) -> str:
@@ -200,7 +233,7 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
                 "re-read and retry the overwrite"
             )
         if head >= 0:
-            prev = read_manifest(path, head)
+            prev = _upgrade_manifest(read_manifest(path, head))
             schemas = list(prev["schemas"])
             table_schema = StructType.fromJson(schemas[prev["schema_id"]])
             merged = merge_schemas(table_schema, df_schema)
@@ -282,7 +315,7 @@ def table_schema(path: str, version: int | None = None):
 
     if version is None:
         version = current_version(path)
-    m = read_manifest(path, version)
+    m = _upgrade_manifest(read_manifest(path, version))
     return StructType.fromJson(m["schemas"][m["schema_id"]])
 
 
@@ -306,7 +339,7 @@ def snapshot_read(spark, path: str, version: int | None = None,
         version = current_version(path)
     if version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    m = read_manifest(path, version)
+    m = _upgrade_manifest(read_manifest(path, version))
     if not m["files"]:
         raise ValueError(f"version {version} lists no files")
     target = (

@@ -65,7 +65,9 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"
 )
-SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+SESSION_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, totals array<double>"
+)
 
 
 def _session_row(user_id, start_ms, last_ms, n, total):
@@ -80,51 +82,79 @@ def _session_row(user_id, start_ms, last_ms, n, total):
     )
 
 
+def merge_session_intervals(items: list[list], gap_ms: int) -> list[list]:
+    """Merge [start, last, n, total] intervals whose gap is < ``gap_ms``
+    (the session_window convention: an event extends a session iff it is
+    STRICTLY closer than the gap). Sorting first makes the result
+    independent of arrival order — the property that makes late-but-
+    within-watermark events correct: a late event either back-extends an
+    existing session (session_start moves EARLIER), bridges two sessions
+    into one, or forms its own earlier session."""
+    items.sort(key=lambda s: (s[0], s[1]))
+    out: list[list] = []
+    for it in items:
+        if out and it[0] - out[-1][1] < gap_ms:
+            out[-1][1] = max(out[-1][1], it[1])
+            out[-1][2] += it[2]
+            out[-1][3] += it[3]
+        else:
+            out.append(list(it))
+    return out
+
+
 def make_session_update(gap_ms: int):
     """The applyInPandasWithState update function for gap-based sessions
     whose state is EVICTED BY EVENT-TIME TIMER: a session emits exactly
-    once — when the watermark passes its last event + gap — and its state
-    is removed at that moment. Rows inside a batch are sorted and split
-    on gaps, so out-of-order arrival within the watermark and multiple
-    sessions per batch are both correct; only the youngest (still-open)
-    session stays in state."""
+    once — when the watermark passes its last event + gap — and leaves
+    state at that moment.
+
+    State holds ALL of a user's not-yet-ripe sessions (a round-10 review
+    fix: the earlier single-open-session form emitted in-batch-gap
+    sessions IMMEDIATELY, before the watermark passed their horizon, and
+    never back-extended session_start — so a late-but-within-watermark
+    event could split or mis-start a session vs the batch twin). Nothing
+    emits until the watermark closes it: ripe means last + gap <= wm,
+    and Spark's watermark row filtering guarantees no surviving event
+    can still merge into a ripe session (it would need ts < last + gap
+    <= wm, i.e. be late-dropped)."""
 
     def update(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n, total = state.get
-            state.remove()
-            yield _session_row(user_id, start, last, n, total)
-            return
-        ts_all: list[int] = []
-        val_all: list[float] = []
-        for pdf in pdfs:
-            ts_all.extend(int(t) // 1_000_000 for t in pdf["ts"].astype("int64"))
-            val_all.extend(float(v) for v in pdf["value"])
-        order = sorted(range(len(ts_all)), key=ts_all.__getitem__)
-        cur = list(state.get) if state.exists else None  # [start, last, n, total]
-        for i in order:
-            t, v = ts_all[i], val_all[i]
-            if cur is not None and t - cur[1] >= gap_ms:
-                # gap inside the batch: the previous session is already
-                # closed by the data itself — emit and start fresh
-                yield _session_row(user_id, cur[0], cur[1], cur[2], cur[3])
-                cur = None
-            if cur is None:
-                cur = [t, t, 1, v]
+        wm = state.getCurrentWatermarkMs()
+        sessions: list[list] = []
+        if state.exists:
+            starts, lasts, ns, totals = state.get
+            sessions = [list(s) for s in zip(starts, lasts, ns, totals)]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_ms = pdf["ts"].astype("int64") // 1_000_000
+                for t, v in zip(ts_ms, pdf["value"]):
+                    sessions.append([int(t), int(t), 1, float(v)])
+            sessions = merge_session_intervals(sessions, gap_ms)
+        live: list[list] = []
+        for s in sessions:
+            if s[1] + gap_ms <= wm:
+                yield _session_row(user_id, s[0], s[1], s[2], s[3])
             else:
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += v
-        state.update(tuple(cur))
-        # evict when the WATERMARK (event time, not wall clock) passes the
-        # session's gap horizon; the guard keeps the registration legal if
-        # the horizon is already behind the watermark (emit next trigger)
-        state.setTimeoutTimestamp(
-            max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
+                live.append(s)
+        if live:
+            state.update(
+                (
+                    [s[0] for s in live],
+                    [s[1] for s in live],
+                    [s[2] for s in live],
+                    [s[3] for s in live],
+                )
+            )
+            # wake when the earliest live horizon passes; clamp > wm to
+            # keep the registration legal on already-behind horizons
+            state.setTimeoutTimestamp(
+                max(min(s[1] + gap_ms for s in live), wm + 1)
+            )
+        else:
+            state.remove()
 
     return update
 
@@ -133,8 +163,9 @@ def expiring_user_sessions(events: DataFrame, gap_minutes: int = 5) -> DataFrame
     """Streaming gap-sessionization with state TTL semantics: one row per
     CLOSED session (append mode), state evicted by event-time timeout the
     moment the watermark passes ``last_event + gap``. State volume is
-    |users with an open session| — bounded by construction, the property
-    processing-time timeouts (running_user_totals) only approximate.
+    |sessions not yet past the watermark| — bounded by the watermark
+    delay by construction, the property processing-time timeouts
+    (running_user_totals) only approximate.
 
     Batch twin: groupBy(user, session_window(ts, gap)) — the declared
     query q_stream_session_ttl; tests/test_streaming.py asserts the

@@ -136,19 +136,27 @@ class ExpiringUserSessions(StatefulProcessor):
     """Gap-sessionization on the transformWithState surface, exercising
     the two Spark-4 state-lifecycle features the v1 API lacks:
 
-    - **timers**: every batch re-registers one event-time timer at
-      ``last_event + gap`` (deleting the previous one — the handle owns a
-      timer SET per key, unlike v1's single timeout); the session row is
-      emitted from :meth:`handleExpiredTimer`, which also clears state;
-    - **state TTL**: the value state carries ``ttlDurationMs`` as a
-      belt-and-braces bound — if a key's timer is somehow lost (e.g. an
+    - **timers**: every batch re-registers one event-time timer at the
+      earliest live session's ``last_event + gap`` (deleting the previous
+      one — the handle owns a timer SET per key, unlike v1's single
+      timeout); ripe sessions are emitted from :meth:`handleExpiredTimer`,
+      which prunes state as it goes;
+    - **state TTL**: the session LIST state carries ``ttlDurationMs`` as
+      a belt-and-braces bound — if a key's timer is somehow lost (e.g. an
       operator migration drops timer state), the store still reclaims the
       entry after the TTL rather than leaking it forever.
 
     Semantics twin of stateful.make_session_update (the v1 form, which
-    RUNS in this container and carries the wall-clock eviction test);
-    this processor is type-gated the same way as UserEventProfile —
-    the transformWithState runner needs google.protobuf (TWS_AVAILABLE).
+    RUNS in this container and carries the wall-clock eviction test), and
+    it shares that module's interval-merge helper: state holds ALL
+    not-yet-ripe sessions and NOTHING emits before the watermark passes a
+    session's gap horizon (the round-10 review fix — premature in-batch
+    emission and missing session_start back-extension both diverged from
+    the batch twin under late-but-within-watermark events). This
+    processor is type-gated the same way as UserEventProfile — the
+    transformWithState runner needs google.protobuf (TWS_AVAILABLE) —
+    but its logic runs anywhere through a fake handle
+    (tests/test_udtf_stateful.py).
     """
 
     def __init__(self, gap_ms: int = 5 * 60 * 1000):
@@ -157,58 +165,52 @@ class ExpiringUserSessions(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         # TTL: 10x the gap — generous vs the timer path, pure leak guard
-        self._sess = handle.getValueState(
-            "sess", "start long, last long, n long, total double",
+        self._sessions = handle.getListState(
+            "sessions", "start long, last long, n long, total double",
             ttlDurationMs=10 * self.gap_ms,
         )
 
-    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-        (user_id,) = key
-        cur = list(self._sess.get()) if self._sess.exists() else None
-        events = []
-        for pdf in rows:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            events.extend(zip(ts_ms, (float(v) for v in pdf["value"])))
-        events.sort()
-        for t, v in events:
-            if cur is not None and t - cur[1] >= self.gap_ms:
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id],
-                        "session_start": [pd.to_datetime(cur[0], unit="ms")],
-                        "session_end": [pd.to_datetime(cur[1], unit="ms")],
-                        "n_events": [cur[2]],
-                        "total_value": [cur[3]],
-                    }
-                )
-                cur = None
-            if cur is None:
-                cur = [t, t, 1, v]
+    def _emit_ripe(self, user_id, sessions, wm):
+        from rpa_etl_spark.streaming.stateful import _session_row
+
+        live = []
+        for s in sessions:
+            if s[1] + self.gap_ms <= wm:
+                yield _session_row(user_id, s[0], s[1], s[2], s[3])
             else:
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += v
-        self._sess.update(tuple(cur))
-        for old in self._handle.listTimers():
-            self._handle.deleteTimer(old)
-        self._handle.registerTimer(
-            max(cur[1] + self.gap_ms, timerValues.getCurrentWatermarkInMs() + 1)
+                live.append(s)
+        if live:
+            self._sessions.put([tuple(s) for s in live])
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(
+                max(min(s[1] + self.gap_ms for s in live), wm + 1)
+            )
+        else:
+            self._sessions.clear()
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        from rpa_etl_spark.streaming.stateful import merge_session_intervals
+
+        (user_id,) = key
+        sessions = [list(s) for s in self._sessions.get()] if self._sessions.exists() else []
+        for pdf in rows:
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            for t, v in zip(ts_ms, pdf["value"]):
+                sessions.append([int(t), int(t), 1, float(v)])
+        sessions = merge_session_intervals(sessions, self.gap_ms)
+        yield from self._emit_ripe(
+            user_id, sessions, timerValues.getCurrentWatermarkInMs()
         )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
         (user_id,) = key
-        if self._sess.exists():
-            start, last, n, total = self._sess.get()
-            self._sess.clear()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.to_datetime(start, unit="ms")],
-                    "session_end": [pd.to_datetime(last, unit="ms")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
+        sessions = [list(s) for s in self._sessions.get()] if self._sessions.exists() else []
+        yield from self._emit_ripe(
+            user_id, sessions, timerValues.getCurrentWatermarkInMs()
+        )
 
     def close(self) -> None:
         pass

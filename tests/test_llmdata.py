@@ -564,3 +564,20 @@ def test_adc_lut_scoring_equals_reconstruction_distance(spark):
         want = ((V[q] - recon) ** 2).sum()
         assert abs(want - r["adc_d2"]) < 1e-9, (q, nb, want, r["adc_d2"])
         assert r["cell"] == cell[nb]
+
+
+def test_ivf_pq_rejects_mismatched_codebook_shape(spark):
+    """Round-10 review: a user-supplied PQ codebook whose m disagrees with
+    the call must fail fast with a clear ValueError, not surface as an
+    opaque numpy broadcast error inside an executor Arrow batch."""
+    import numpy as np
+    import pytest
+
+    rows = [(i, [float(i + d) for d in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    wrong = np.zeros((16, 8, 4))  # m=16, dsub=4 — incompatible with m=8
+    with pytest.raises(ValueError, match="pq_codebooks shape"):
+        SIM.ivf_pq_topk(
+            df, df.limit(2), dim=64, n_cells=4, m=8, ksub=8,
+            coarse_codebook=np.zeros((4, 64)), pq_codebooks=wrong,
+        )

@@ -259,16 +259,19 @@ def test_rate_source_wallclock_trigger_crash_replay_exactly_once(spark, tmp_path
 
 
 def test_expiring_sessions_event_time_eviction_across_restart(spark, tmp_path):
-    """Round-10 stretch (state TTL/timers): sessions are emitted ONLY when
-    the event-time watermark passes last_event + gap — never by
-    end-of-input — and the eviction survives a real wall-clock stop +
-    checkpoint restart. Phase 1 streams two sessions per user; only the
-    FIRST session's horizon is behind the final watermark, so exactly
-    those emit and the younger sessions stay in state across the stop.
+    """Round-10 stretch (state TTL/timers): sessions are emitted ONLY at
+    the first trigger AFTER the event-time watermark passes
+    last_event + gap — never by end-of-input, and never prematurely on
+    an in-batch gap (the round-10 review defect: the old form emitted
+    in-batch-gap sessions immediately; this phase-1 assertion would
+    catch that as 2 extra rows). Phase 1 streams two sessions per user
+    in one batch: the batch runs under watermark 0, so NOTHING emits
+    and all four sessions survive a real wall-clock stop in state.
     Phase 2 restarts from the checkpoint with one watermark-advancing
-    sentinel event: the held sessions emit; the sentinel's own open
-    session does not. The union equals the batch session_window twin
-    (the q_stream_session_ttl shape) exactly."""
+    sentinel event: the restored timers (now behind the restored
+    watermark) fire, all four held sessions emit, and the sentinel's
+    own open session does not. The result equals the batch
+    session_window twin (the q_stream_session_ttl shape) exactly."""
     from pyspark.sql import functions as F
 
     from rpa_etl_spark.streaming import stateful as ST
@@ -315,9 +318,9 @@ def test_expiring_sessions_event_time_eviction_across_restart(spark, tmp_path):
         }
 
     p1 = run_once()
-    # only the first session per user is past the watermark's gap horizon
-    assert {(r[0], r[3]) for r in p1} == {(0, 3), (1, 3)}
-    assert len(p1) == 2
+    # the only batch ran under watermark 0: nothing may emit — a
+    # premature in-batch-gap emission would appear here
+    assert p1 == set()
 
     sentinel = {
         "event_id": 999,

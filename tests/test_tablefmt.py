@@ -172,3 +172,54 @@ def test_schema_evolution_narrow_files_ok_incompatible_rejected(spark, tmp_path)
     with pytest.raises(TF.SchemaEvolutionError):
         TF.append(spark.range(5, 6).select(F.col("id").cast("string").alias("k")), p)
     assert TF.current_version(p) == 1  # the rejected commit left no trace
+
+
+def test_schema_evolution_rejects_parameterized_type_changes(spark, tmp_path):
+    """Round-10 review: typeName-only comparison would call array<int> and
+    array<string> (or two decimals of different precision) equal and let
+    the commit corrupt data into nulls on read — full-type equality must
+    reject them before publishing."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 3).select(F.array(F.col("id").cast("int")).alias("a")), p
+    )
+    with pytest.raises(TF.SchemaEvolutionError):
+        TF.append(
+            spark.range(3, 4).select(F.array(F.lit("x")).alias("a")), p
+        )
+    p2 = str(tmp_path / "t2")
+    TF.create_table(
+        spark.range(0, 3).select(F.col("id").cast("decimal(10,2)").alias("d")), p2
+    )
+    with pytest.raises(TF.SchemaEvolutionError):
+        TF.append(
+            spark.range(3, 4).select(F.col("id").cast("decimal(38,10)").alias("d")), p2
+        )
+    assert TF.current_version(p) == 0 and TF.current_version(p2) == 0
+
+
+def test_legacy_manifest_upgrade_on_read_and_append(spark, tmp_path):
+    """Round-10 review: tables committed by the pre-schema-evolution
+    format (string file entries, simpleString schema only) must stay
+    readable AND appendable — the manifest upgrades on read."""
+    import json
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 6).select("id"), p)
+    # rewrite the manifest into the round-9 legacy shape
+    m = TF.read_manifest(p, 0)
+    legacy = {
+        "version": 0, "parent": -1, "kind": "create",
+        "schema": "id BIGINT",
+        "files": [e["path"] for e in m["files"]],
+        "committed_at": m["committed_at"],
+    }
+    with open(os.path.join(p, "_log", "00000000.json"), "w") as f:
+        json.dump(legacy, f)
+    assert TF.snapshot_read(spark, p).count() == 6
+    assert TF.table_schema(p).fieldNames() == ["id"]
+    TF.append(spark.range(6, 9).select("id"), p)
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(9))

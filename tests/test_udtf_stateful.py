@@ -152,8 +152,10 @@ def test_tws_expiring_sessions_timer_logic(spark, tmp_path):
     """The transformWithState expiring-session processor (timers + state
     TTL). The runner needs protobuf (absent here), but the PROCESSOR LOGIC
     runs anywhere: a fake handle drives handleInputRows/handleExpiredTimer
-    directly and pins in-batch gap splitting, timer re-registration at
-    last_event + gap, and eviction emitting exactly the held session."""
+    directly and pins the round-10 review semantics — NOTHING emits before
+    the watermark passes a session's horizon (in-batch gaps included),
+    late events back-extend/bridge sessions, timers re-register at the
+    earliest live horizon, and eviction prunes exactly the ripe set."""
     import pandas as pd
 
     from rpa_etl_spark.streaming.stateful_v2 import (
@@ -161,23 +163,23 @@ def test_tws_expiring_sessions_timer_logic(spark, tmp_path):
         ExpiringUserSessions,
     )
 
-    class FakeValue:
+    class FakeList:
         def __init__(self):
-            self.v = None
+            self.v = []
         def exists(self):
-            return self.v is not None
+            return bool(self.v)
         def get(self):
-            return self.v
-        def update(self, v):
-            self.v = v
+            return iter(self.v)
+        def put(self, rows):
+            self.v = list(rows)
         def clear(self):
-            self.v = None
+            self.v = []
 
     class FakeHandle:
         def __init__(self):
-            self.state = FakeValue()
+            self.state = FakeList()
             self.timers = []
-        def getValueState(self, name, schema, ttlDurationMs=None):
+        def getListState(self, name, schema, ttlDurationMs=None):
             assert ttlDurationMs and ttlDurationMs > 0  # TTL surface is set
             return self.state
         def listTimers(self):
@@ -204,19 +206,101 @@ def test_tws_expiring_sessions_timer_logic(spark, tmp_path):
             "value": [1.0, 2.0, 4.0],
         }
     )
-    # one batch containing an in-batch gap: the first session emits from
-    # handleInputRows; the younger one stays in state with a fresh timer
+    # in-batch gap at watermark 0: NOTHING emits (neither session's
+    # horizon is past the watermark); both sessions live; ONE timer at
+    # the earliest horizon
     emitted = list(proc.handleInputRows((7,), iter([pdf]), FakeTimerValues(0)))
-    assert len(emitted) == 1
-    assert emitted[0]["n_events"][0] == 2 and emitted[0]["total_value"][0] == 3.0
-    assert h.state.v == (t0 + 20 * 60 * 1000, t0 + 20 * 60 * 1000, 1, 4.0)
+    assert emitted == []
+    assert h.state.v == [
+        (t0, t0 + 30_000, 2, 3.0),
+        (t0 + 20 * 60 * 1000, t0 + 20 * 60 * 1000, 1, 4.0),
+    ]
+    assert h.timers == [t0 + 30_000 + gap]
+    # a LATE (but above-watermark) event BEFORE the held sessions
+    # back-extends the first one — session_start moves earlier
+    late = pd.DataFrame(
+        {"ts": pd.to_datetime([t0 - 60_000], unit="ms"), "value": [8.0]}
+    )
+    assert list(proc.handleInputRows((7,), iter([late]), FakeTimerValues(0))) == []
+    assert h.state.v[0] == (t0 - 60_000, t0 + 30_000, 3, 11.0)
+    # watermark passes the first horizon only: timer fires, exactly the
+    # ripe session emits, the young one stays with a fresh timer
+    wm1 = t0 + 30_000 + gap
+    out = list(proc.handleExpiredTimer((7,), FakeTimerValues(wm1), None))
+    assert len(out) == 1
+    assert out[0]["n_events"][0] == 3 and out[0]["total_value"][0] == 11.0
+    assert out[0]["session_start"][0] == pd.to_datetime(t0 - 60_000, unit="ms")
+    assert h.state.v == [(t0 + 20 * 60 * 1000, t0 + 20 * 60 * 1000, 1, 4.0)]
     assert h.timers == [t0 + 20 * 60 * 1000 + gap]
-    # timer fires → held session emits and state clears
+    # far-future watermark: last session emits, state and timers clear
     out = list(proc.handleExpiredTimer((7,), FakeTimerValues(10**15), None))
     assert len(out) == 1 and out[0]["n_events"][0] == 1
-    assert not h.state.exists()
+    assert not h.state.exists() and h.timers == []
     assert list(proc.handleExpiredTimer((7,), FakeTimerValues(10**15), None)) == []
     # the runtime execution twin needs the TWS runner (protobuf, absent
     # here — same gate as test_tws_user_profiles); the processor logic
     # above is the load-bearing check either way
     assert isinstance(TWS_AVAILABLE, bool)
+
+
+def test_expiring_sessions_v1_late_event_bridges_sessions():
+    """Round-10 review fix, v1 form (make_session_update): a late-but-
+    within-watermark event must be able to BRIDGE two held sessions into
+    one and back-extend session_start; in-batch gaps must NOT emit before
+    the watermark passes their horizon."""
+    import pandas as pd
+
+    from rpa_etl_spark.streaming.stateful import make_session_update
+
+    class FakeGroupState:
+        def __init__(self):
+            self.v = None
+            self.timeout = None
+            self.wm = 0
+            self.hasTimedOut = False
+        @property
+        def exists(self):
+            return self.v is not None
+        @property
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+        def remove(self):
+            self.v = None
+        def getCurrentWatermarkMs(self):
+            return self.wm
+        def setTimeoutTimestamp(self, t):
+            assert t > self.wm
+            self.timeout = t
+
+    gap = 5 * 60 * 1000
+    update = make_session_update(gap)
+    st = FakeGroupState()
+    t0 = 1_700_000_000_000
+    b1 = pd.DataFrame(
+        {"ts": pd.to_datetime([t0, t0 + 6 * 60 * 1000], unit="ms"),
+         "value": [1.0, 2.0]}
+    )
+    # two sessions 6 min apart: nothing emits at wm=0 (the old form
+    # emitted the first one immediately — the review defect)
+    assert list(update((7,), iter([b1]), st)) == []
+    assert st.v == ([t0, t0 + 6 * 60 * 1000], [t0, t0 + 6 * 60 * 1000], [1, 1], [1.0, 2.0])
+    # late event BETWEEN them (above watermark) bridges both into ONE
+    st.wm = t0 + 60_000
+    b2 = pd.DataFrame(
+        {"ts": pd.to_datetime([t0 + 3 * 60 * 1000], unit="ms"), "value": [4.0]}
+    )
+    assert list(update((7,), iter([b2]), st)) == []
+    assert st.v == ([t0], [t0 + 6 * 60 * 1000], [3], [7.0])
+    assert st.timeout == t0 + 6 * 60 * 1000 + gap
+    # watermark passes the horizon: the single merged session emits whole
+    st.wm = st.timeout
+    st.hasTimedOut = True
+    out = list(update((7,), iter([]), st))
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"][0] == 3 and r["total_value"][0] == 7.0
+    assert r["session_start"][0] == pd.to_datetime(t0, unit="ms")
+    assert r["session_end"][0] == pd.to_datetime(t0 + 6 * 60 * 1000, unit="ms")
+    assert st.v is None

@@ -126,8 +126,15 @@ def main() -> None:
     # key-shifted replication; SCALE.md §10d) instead of the 5x replica.
     derived, data_ratio = DERIVED, float(COPIES)
     if "--derived" in sys.argv:
-        derived = sys.argv[sys.argv.index("--derived") + 1]
-        data_ratio = float(sys.argv[sys.argv.index("--ratio") + 1])
+        try:
+            derived = sys.argv[sys.argv.index("--derived") + 1]
+            data_ratio = float(sys.argv[sys.argv.index("--ratio") + 1])
+        except (ValueError, IndexError):
+            sys.exit("usage: scaling_probe.py --derived DIR --ratio N "
+                     "(both required together)")
+        if not os.path.exists(f"{derived}/lineitem.parquet"):
+            sys.exit(f"--derived {derived}: no lineitem.parquet there "
+                     "(generate with tools/gen_sf.py first)")
     elif "--regen" in sys.argv or not os.path.exists(f"{DERIVED}/lineitem.parquet"):
         print(f"generating {COPIES}x dataset under {DERIVED}")
         generate(spark)
