@@ -88,11 +88,15 @@ def brute_force_topk(
 
     Cost is |Q|·|corpus| — correct as the exact baseline, wrong as a scale
     path. Unless ``exact=True``, corpora above ``max_rows`` are refused
-    (the probe is a ``limit(max_rows+1).count()``, so the guard's own cost
-    is bounded regardless of corpus size); route large corpora through
+    (the probe is a column-pruned ``limit(max_rows+1).count()``, so the
+    guard's own OUTPUT is bounded regardless of corpus size — but it is an
+    eager job, so a corpus with expensive uncached upstream lineage pays
+    that lineage once for the probe and again at materialization; persist
+    first or pass ``exact=True`` to skip the probe). Streaming inputs skip
+    the guard (count is undefined pre-sink). Route large corpora through
     :func:`ann_topk_lsh` / :func:`ivf_topk` / :func:`ivf_pq_topk`."""
-    if not exact:
-        probe = corpus.limit(max_rows + 1).count()
+    if not exact and not corpus.isStreaming:
+        probe = corpus.select(id_col).limit(max_rows + 1).count()
         if probe > max_rows:
             raise ValueError(
                 f"brute_force_topk: corpus exceeds {max_rows} rows; this "
@@ -534,6 +538,31 @@ def pq_residual_kernel(cmat: "np.ndarray"):
     return res
 
 
+def pq_train_kernel(cmat: "np.ndarray", codebooks: "np.ndarray"):
+    """pandas_udf: vector → ``[code_0 … code_{m-1}, res_0 … res_{dim-1}]``
+    (one array<double>; codes are small ints, exactly representable).
+    The TRAINING-side kernel: codes and residual in ONE pass, so the
+    batch x n_cells x dim coarse-assignment distance matrix — the
+    round's most expensive per-row work — is computed once per Lloyd
+    round, not once each for an encode kernel and a residual kernel
+    (round-10 review fix)."""
+    m, ksub, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def enc(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vec.to_numpy()).astype(np.float64)
+        d2c = ((v[:, None, :] - cmat[None]) ** 2).sum(axis=2)
+        res = v - cmat[d2c.argmin(axis=1)]
+        rs = res.reshape(len(v), m, dsub)
+        codes = ((rs[:, :, None, :] - codebooks[None]) ** 2).sum(axis=3).argmin(axis=2)
+        out = np.concatenate([codes.astype(np.float64), res], axis=1)
+        return pd.Series(list(out))
+
+    return enc
+
+
 def adc_score_kernel(cmat: "np.ndarray", codebooks: "np.ndarray"):
     """pandas_udf ``(q_vec, cell, codes) → approximate squared L2``.
 
@@ -663,17 +692,18 @@ def train_pq_codebooks(
             chosen.append(nxt)
             mind2 = np.minimum(mind2, ((sub - sub[nxt]) ** 2).sum(axis=1))
         cbs[j] = sub[chosen]
+    dim_ = m * dsub
     for _ in range(iters):
-        enc = pq_encode_kernel(cmat, cbs)
-        assigned = corpus.select(
-            F.slice(enc(F.col(vec_col)), 2, m).alias("codes"),
-            res_k(F.col(vec_col)).alias("res"),
-        )
+        trk = pq_train_kernel(cmat, cbs)
+        assigned = corpus.select(trk(F.col(vec_col)).alias("cr"))
         agg = (
-            assigned.select(F.posexplode("codes").alias("j", "code"), "res")
+            assigned.select(
+                F.posexplode(F.slice("cr", 1, m)).alias("j", "codef"),
+                F.slice(F.col("cr"), m + 1, dim_).alias("res"),
+            )
             .select(
                 "j",
-                "code",
+                F.col("codef").cast("int").alias("code"),
                 F.posexplode(
                     F.slice(F.col("res"), F.col("j") * dsub + 1, F.lit(dsub))
                 ).alias("pos", "val"),
@@ -724,37 +754,59 @@ def ivf_pq_topk(
     if dim % m:
         raise ValueError(f"pq: dim {dim} not divisible by m={m}")
     coarse_defaulted = coarse_codebook is None
-    if coarse_codebook is not None:
-        cmat = np.asarray(coarse_codebook, dtype=np.float64)
-    else:
-        cents = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-        if not cents:
+    if coarse_defaulted and pq_codebooks is None:
+        # one TakeOrdered collect serves BOTH deterministic codebooks
+        # (review fix: previously two full ordered corpus scans); the PQ
+        # entries start after the coarse seeds, whose residuals are
+        # identically zero and would duplicate one codebook entry
+        head = corpus.orderBy(id_col).limit(n_cells + ksub).select(vec_col).collect()
+        if not head:
             spark = corpus.sparkSession
             empty = "query_id long, neighbor_id long, cell long, adc_d2 double"
             return spark.createDataFrame(
                 [], empty + (", rank int" if rank else "")
             )
-        cmat = np.stack([np.asarray(r[0]) for r in cents]).astype(np.float64)
+        if len(head) < n_cells + ksub:
+            raise ValueError(
+                f"ivf_pq_topk: corpus has fewer than n_cells+ksub="
+                f"{n_cells + ksub} vectors"
+            )
+        vs = np.stack([np.asarray(r[0]) for r in head]).astype(np.float64)
+        cmat = vs[:n_cells]
+        tail = vs[n_cells:]
+        d2c = ((tail[:, None, :] - cmat[None]) ** 2).sum(axis=2)
+        res = tail - cmat[d2c.argmin(axis=1)]
+        cbs = res.reshape(ksub, m, dim // m).transpose(1, 0, 2).copy()
+    else:
+        if coarse_codebook is not None:
+            cmat = np.asarray(coarse_codebook, dtype=np.float64)
+        else:
+            cents = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+            if not cents:
+                spark = corpus.sparkSession
+                empty = "query_id long, neighbor_id long, cell long, adc_d2 double"
+                return spark.createDataFrame(
+                    [], empty + (", rank int" if rank else "")
+                )
+            cmat = np.stack([np.asarray(r[0]) for r in cents]).astype(np.float64)
+        if pq_codebooks is not None:
+            cbs = np.asarray(pq_codebooks, dtype=np.float64)
+            # fail fast on shape drift: a codebook trained with a different
+            # m would otherwise truncate codes at F.slice and crash as an
+            # opaque numpy broadcast error inside an executor Arrow batch
+            if cbs.ndim != 3 or cbs.shape[0] != m or cbs.shape[2] != dim // m:
+                raise ValueError(
+                    f"ivf_pq_topk: pq_codebooks shape {cbs.shape} incompatible "
+                    f"with m={m}, dsub={dim // m} (expected (m, ksub, dsub))"
+                )
+        else:
+            cbs = _deterministic_pq_codebooks(
+                corpus, cmat, m, ksub, id_col, vec_col,
+                skip=n_cells if coarse_defaulted else 0,
+            )
     if cmat.shape[1] != dim:
         raise ValueError(
             f"ivf_pq_topk: codebook dim {cmat.shape[1]}, expected {dim}"
-        )
-    if pq_codebooks is not None:
-        cbs = np.asarray(pq_codebooks, dtype=np.float64)
-        # fail fast on shape drift: a codebook trained with a different m
-        # would otherwise truncate codes at F.slice and crash as an opaque
-        # numpy broadcast error inside an executor Arrow batch
-        if cbs.ndim != 3 or cbs.shape[0] != m or cbs.shape[2] != dim // m:
-            raise ValueError(
-                f"ivf_pq_topk: pq_codebooks shape {cbs.shape} incompatible "
-                f"with m={m}, dsub={dim // m} (expected (m, ksub, dsub))"
-            )
-    else:
-        # when the coarse codebook is the first-n_cells default, those ids'
-        # residuals are identically zero — start the PQ entries after them
-        cbs = _deterministic_pq_codebooks(
-            corpus, cmat, m, ksub, id_col, vec_col,
-            skip=n_cells if coarse_defaulted else 0,
         )
 
     enc = pq_encode_kernel(cmat, cbs)

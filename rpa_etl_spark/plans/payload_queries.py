@@ -324,8 +324,11 @@ def q_ingest_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n", LongType()),
         ]
     )
-    raw = sinks.read_table_permissive(spark, base, "csv", schema)
-    good, bad = sinks.quarantine_malformed(raw)
+    # headerless fixture (written via the text sink), so header="false"
+    # overrides the csv default; the cached parse stays alive behind the
+    # returned lazy union, like q_ann_ivf_trained's persisted fixture
+    raw = sinks.read_table_permissive(spark, base, "csv", schema, header="false")
+    good, bad, _parsed = sinks.quarantine_malformed(raw)
     return good.select(
         "doc_id",
         "lang",

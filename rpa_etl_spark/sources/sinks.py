@@ -82,11 +82,14 @@ def read_table_permissive(
     driver-side row loop.
 
     ``schema`` is the DATA schema (required — inference would both cost
-    an extra full scan and mask malformedness by widening types); the
-    corrupt column is appended here. Malformed means: an unparseable
-    field, too few tokens, or too many tokens (CSV); unparseable or
-    schema-violating objects (JSON). Fields that parse in a malformed
-    row are RETAINED (partial results), matching Spark semantics."""
+    an extra full scan and mask malformedness by widening types; a DDL
+    string is accepted, as in :func:`read_table`); the corrupt column is
+    appended here. CSV defaults to ``header=true`` to match
+    :func:`read_table`/:func:`write_table` — pass ``header="false"`` for
+    headerless files. Malformed means: an unparseable field, too few
+    tokens, or too many tokens (CSV); unparseable or schema-violating
+    objects (JSON). Fields that parse in a malformed row are RETAINED
+    (partial results), matching Spark semantics."""
     if fmt not in ("csv", "json"):
         raise ValueError(
             f"permissive ingest is for text formats, got {fmt!r}; "
@@ -94,6 +97,8 @@ def read_table_permissive(
         )
     from pyspark.sql.types import StringType, StructField, StructType
 
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
     if corrupt_col in schema.fieldNames():
         raise ValueError(f"schema already contains {corrupt_col!r}")
     # fresh StructType: StructType.add MUTATES the receiver, and callers
@@ -105,22 +110,28 @@ def read_table_permissive(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
     )
+    if fmt == "csv":
+        r = r.option("header", "true")  # caller options below may override
     for k, v in options.items():
         r = r.option(k, v)
     return r.load(path)
 
 
 def quarantine_malformed(df, corrupt_col: str = "_corrupt_record"):
-    """Split a PERMISSIVE read into (good, quarantined): good rows drop
-    the corrupt column; quarantined rows keep it as the evidence record.
-    The input is cached first — Spark disallows queries that reference
-    ONLY the internal corrupt column of a raw CSV/JSON scan
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and caching
-    also means the text is parsed once, not once per branch."""
+    """Split a PERMISSIVE read into (good, quarantined, parsed): good rows
+    drop the corrupt column; quarantined rows keep it as the evidence
+    record; ``parsed`` is the CACHED frame backing both — returned so the
+    caller owns its lifecycle (``parsed.unpersist()`` once both branches
+    are materialized; a long-lived session that never unpersists pins one
+    parsed copy per ingest in executor storage). The cache is load-bearing
+    twice over: Spark disallows queries that reference ONLY the internal
+    corrupt column of a raw CSV/JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and it means
+    the text is parsed once, not once per branch."""
     df = df.cache()
     good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull())
-    return good, bad
+    return good, bad, df
 
 
 def read_table(spark, path: str, fmt: str = "parquet", schema=None, **options):

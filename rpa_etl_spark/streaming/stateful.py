@@ -18,6 +18,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -159,7 +160,11 @@ def make_session_update(gap_ms: int):
     return update
 
 
-def expiring_user_sessions(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+def expiring_user_sessions(
+    events: DataFrame,
+    gap_minutes: int = 5,
+    lateness_minutes: int | None = None,
+) -> DataFrame:
     """Streaming gap-sessionization with state TTL semantics: one row per
     CLOSED session (append mode), state evicted by event-time timeout the
     moment the watermark passes ``last_event + gap``. State volume is
@@ -167,13 +172,26 @@ def expiring_user_sessions(events: DataFrame, gap_minutes: int = 5) -> DataFrame
     delay by construction, the property processing-time timeouts
     (running_user_totals) only approximate.
 
+    ``lateness_minutes`` is the allowed-lateness knob (watermark delay),
+    independent of the gap (review fix: they were coupled, so shrinking
+    the gap silently shrank lateness tolerance); default = the gap.
+    Events later than it are dropped by the watermark — the batch-twin
+    equality claim holds for data within that bound. Null event times
+    are filtered (they carry no position on the session axis — the
+    batch session_window drops them the same way) and null values count
+    as 0.0, matching SUM's null semantics while still counting the row.
+
     Batch twin: groupBy(user, session_window(ts, gap)) — the declared
     query q_stream_session_ttl; tests/test_streaming.py asserts the
     streaming output equals the twin on closed sessions and that an
     open session is NOT emitted until the watermark moves."""
+    delay = gap_minutes if lateness_minutes is None else lateness_minutes
     return (
-        events.select("user_id", "ts", "value")
-        .withWatermark("ts", f"{gap_minutes} minutes")
+        events.select(
+            "user_id", "ts", F.coalesce(F.col("value"), F.lit(0.0)).alias("value")
+        )
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", f"{delay} minutes")
         .groupBy("user_id")
         .applyInPandasWithState(
             make_session_update(gap_minutes * 60 * 1000),

@@ -141,10 +141,12 @@ class ExpiringUserSessions(StatefulProcessor):
       one — the handle owns a timer SET per key, unlike v1's single
       timeout); ripe sessions are emitted from :meth:`handleExpiredTimer`,
       which prunes state as it goes;
-    - **state TTL**: the session LIST state carries ``ttlDurationMs`` as
-      a belt-and-braces bound — if a key's timer is somehow lost (e.g. an
-      operator migration drops timer state), the store still reclaims the
-      entry after the TTL rather than leaking it forever.
+    - **state TTL**: the session LIST state optionally carries
+      ``ttlDurationMs`` (``state_ttl_ms``) as a hard leak bound — if a
+      key's timer is somehow lost (e.g. an operator migration drops timer
+      state), the store still reclaims the entry. TTL is PROCESSING-time,
+      so it is off by default: a stream paused longer than the TTL would
+      otherwise lose live sessions before their event-time timers fire.
 
     Semantics twin of stateful.make_session_update (the v1 form, which
     RUNS in this container and carries the wall-clock eviction test), and
@@ -159,15 +161,23 @@ class ExpiringUserSessions(StatefulProcessor):
     (tests/test_udtf_stateful.py).
     """
 
-    def __init__(self, gap_ms: int = 5 * 60 * 1000):
+    def __init__(self, gap_ms: int = 5 * 60 * 1000,
+                 state_ttl_ms: "int | None" = None):
         self.gap_ms = gap_ms
+        # TTL is PROCESSING-time: enabling it accepts that a stream
+        # paused/idle longer than the TTL loses its held sessions (the
+        # store reclaims them before the event-time timer can fire) in
+        # exchange for a hard bound on leaked state. Off by default —
+        # timers own the lifecycle; turn it on for leak-bounded
+        # deployments where that trade is wanted (review fix: a
+        # hardcoded TTL silently dropped sessions across long pauses).
+        self.state_ttl_ms = state_ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        # TTL: 10x the gap — generous vs the timer path, pure leak guard
         self._sessions = handle.getListState(
             "sessions", "start long, last long, n long, total double",
-            ttlDurationMs=10 * self.gap_ms,
+            ttlDurationMs=self.state_ttl_ms,
         )
 
     def _emit_ripe(self, user_id, sessions, wm):
@@ -216,16 +226,30 @@ class ExpiringUserSessions(StatefulProcessor):
         pass
 
 
-def expiring_user_sessions_tws(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+def expiring_user_sessions_tws(
+    events: DataFrame,
+    gap_minutes: int = 5,
+    lateness_minutes: "int | None" = None,
+    state_ttl_ms: "int | None" = None,
+) -> DataFrame:
     """transformWithState form of stateful.expiring_user_sessions —
-    event-time timers drive eviction (timeMode='EventTime'). Requires
-    TWS_AVAILABLE (protobuf) + RocksDB state store."""
+    event-time timers drive eviction (timeMode='EventTime'); same
+    lateness/null handling as the v1 form. Requires TWS_AVAILABLE
+    (protobuf) + RocksDB state store."""
+    from pyspark.sql import functions as F
+
+    delay = gap_minutes if lateness_minutes is None else lateness_minutes
     return (
-        events.select("user_id", "ts", "value")
-        .withWatermark("ts", f"{gap_minutes} minutes")
+        events.select(
+            "user_id", "ts", F.coalesce(F.col("value"), F.lit(0.0)).alias("value")
+        )
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", f"{delay} minutes")
         .groupBy("user_id")
         .transformWithStateInPandas(
-            ExpiringUserSessions(gap_ms=gap_minutes * 60 * 1000),
+            ExpiringUserSessions(
+                gap_ms=gap_minutes * 60 * 1000, state_ttl_ms=state_ttl_ms
+            ),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             outputMode="Append",
             timeMode="EventTime",

@@ -124,8 +124,8 @@ def test_permissive_ingest_quarantines_and_keeps_partial_fields(spark, tmp_path)
             StructField("n", LongType()),
         ]
     )
-    raw = sinks.read_table_permissive(spark, str(p), "csv", schema)
-    good, bad = sinks.quarantine_malformed(raw)
+    raw = sinks.read_table_permissive(spark, str(p), "csv", schema, header="false")
+    good, bad, parsed = sinks.quarantine_malformed(raw)
     g = {r["doc_id"]: r for r in good.collect()}
     b = {r["doc_id"]: r for r in bad.collect()}
     assert set(g) == {1, 5} and set(b) == {7, 11, 22}
@@ -136,7 +136,6 @@ def test_permissive_ingest_quarantines_and_keeps_partial_fields(spark, tmp_path)
     assert b[22]["n"] == 9  # partial parse retained on the extra-field row
     assert good.count() + bad.count() == 5
 
-    # JSON twin: schema-violating object quarantines, clean one parses
     j = tmp_path / "json"
     j.mkdir()
     (j / "part.json").write_text(
@@ -144,9 +143,26 @@ def test_permissive_ingest_quarantines_and_keeps_partial_fields(spark, tmp_path)
         '{"doc_id": "seven", "lang": "de", "n": [1]}\n'
         "not json at all\n"
     )
-    jraw = sinks.read_table_permissive(spark, str(j), "json", schema)
-    jgood, jbad = sinks.quarantine_malformed(jraw)
+    parsed.unpersist()
+
+    # JSON twin: schema-violating object quarantines, clean one parses;
+    # DDL-string schema accepted like read_table
+    jraw = sinks.read_table_permissive(
+        spark, str(j), "json", "doc_id long, lang string, n long"
+    )
+    jgood, jbad, jparsed = sinks.quarantine_malformed(jraw)
     assert jgood.count() == 1 and jbad.count() == 2
+    jparsed.unpersist()
+
+    # CSV with headers (the write_table default) round-trips: header rows
+    # are consumed, not quarantined as phantom corrupt records
+    hp = tmp_path / "csvh"
+    hp.mkdir()
+    (hp / "part.csv").write_text("doc_id,lang,n\n1,en,4\n7,de,xx22\n")
+    hraw = sinks.read_table_permissive(spark, str(hp), "csv", schema)
+    hgood, hbad, hparsed = sinks.quarantine_malformed(hraw)
+    assert hgood.count() == 1 and hbad.count() == 1
+    hparsed.unpersist()
 
     with __import__("pytest").raises(ValueError, match="text formats"):
         sinks.read_table_permissive(spark, str(p), "parquet", schema)

@@ -196,7 +196,9 @@ def test_tws_expiring_sessions_timer_logic(spark, tmp_path):
             return self.wm
 
     gap = 5 * 60 * 1000
-    proc = ExpiringUserSessions(gap_ms=gap)
+    # TTL passed explicitly (it is None by default — processing-time TTL
+    # can lose live sessions across long pauses, an operator opt-in)
+    proc = ExpiringUserSessions(gap_ms=gap, state_ttl_ms=10 * gap)
     h = FakeHandle()
     proc.init(h)
     t0 = 1_700_000_000_000
