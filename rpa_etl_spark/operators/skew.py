@@ -41,6 +41,10 @@ def with_salt(
     ``salt_cols`` (default all columns). Retry-safe by construction; for
     duplicate-heavy data pass a unique id column so identical payload
     rows still spread (see module docstring for the trade-off)."""
+    if col_name in df.columns:
+        # withColumn would silently REPLACE (and salted_join later drop)
+        # a user column of this name — make the collision loud
+        raise ValueError(f"input already has a {col_name!r} column")
     cols = salt_cols if salt_cols is not None else df.columns
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
@@ -58,7 +62,12 @@ def salted_sum_count(
     final. The hot key's rows spread across ``n_salts`` reducers in phase 1;
     phase 2 merges |keys|×|salts| tiny partials. Decimal-exact, so the
     result is bit-identical to the unsalted aggregation."""
-    salted = with_salt(df.select(*group_cols, value_col), n_salts, salt_cols=salt_cols)
+    # keep any salt_cols in the pre-salt projection — the documented
+    # duplicate-heavy escape hatch passes a unique-id column that is
+    # neither a group key nor the value (round-10 review fix: it
+    # previously crashed unresolved)
+    proj = list(dict.fromkeys([*group_cols, value_col, *(salt_cols or [])]))
+    salted = with_salt(df.select(*proj), n_salts, salt_cols=salt_cols)
     partial = salted.groupBy(*group_cols, "_salt").agg(
         F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_psum"),
         F.count(F.lit(1)).alias("_pcnt"),

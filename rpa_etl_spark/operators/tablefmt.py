@@ -214,6 +214,20 @@ def _schema_id(schemas: list[dict], schema_json: dict) -> int:
     return len(schemas) - 1
 
 
+def _discard_files(path: str, files: list[str]) -> None:
+    """Remove the uuid data subdirectory a FAILED commit wrote (all files
+    of one write share it). Losers of commit races and rejected schema
+    evolutions must not leak snapshot-sized orphan directories — the
+    write happens before arbitration by design (data first, then the
+    atomic manifest link), so the failure paths own the cleanup."""
+    import shutil
+
+    if files:
+        shutil.rmtree(
+            os.path.join(path, os.path.dirname(files[0])), ignore_errors=True
+        )
+
+
 def _commit(path: str, kind: str, new_files: list[str], df_schema,
             base_version: int, *, strict_base: bool,
             max_retries: int = 50) -> int:
@@ -282,6 +296,7 @@ def create_table(df, path: str) -> int:
         "committed_at": time.time(),
     }
     if not _publish(path, 0, manifest):
+        _discard_files(path, files)  # the winner's snapshot stays; ours goes
         raise FileExistsError(f"table already exists at {path}")
     return 0
 
@@ -292,8 +307,12 @@ def append(df, path: str) -> int:
     :func:`merge_schemas` (add columns / widen types; else
     SchemaEvolutionError)."""
     files = _write_data_files(df, path)
-    return _commit(path, "append", files, df.schema,
-                   base_version=current_version(path), strict_base=False)
+    try:
+        return _commit(path, "append", files, df.schema,
+                       base_version=current_version(path), strict_base=False)
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, files)
+        raise
 
 
 def overwrite(df, path: str, base_version: int | None = None) -> int:
@@ -305,8 +324,12 @@ def overwrite(df, path: str, base_version: int | None = None) -> int:
     if base_version is None:
         base_version = current_version(path)
     files = _write_data_files(df, path)
-    return _commit(path, "overwrite", files, df.schema,
-                   base_version=base_version, strict_base=True)
+    try:
+        return _commit(path, "overwrite", files, df.schema,
+                       base_version=base_version, strict_base=True)
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, files)
+        raise
 
 
 def table_schema(path: str, version: int | None = None):
@@ -339,6 +362,13 @@ def snapshot_read(spark, path: str, version: int | None = None,
         version = current_version(path)
     if version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
+    if schema_version is not None and schema_version < version:
+        # the contract is reading forward through an EVOLVED schema; an
+        # older schema would silently narrow/drop data (review fix)
+        raise ValueError(
+            f"schema_version {schema_version} predates snapshot {version}; "
+            "schemas only evolve forward — read through an equal-or-later one"
+        )
     m = _upgrade_manifest(read_manifest(path, version))
     if not m["files"]:
         raise ValueError(f"version {version} lists no files")

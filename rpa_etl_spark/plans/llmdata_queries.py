@@ -1988,6 +1988,13 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell"
         ),
     ).persist()
+    # materialize `assigned` now so the fixture cache can be RELEASED
+    # before returning (round-10 review: persists with no unpersist pile
+    # up across repeated invocations). The assigned cache itself stays —
+    # the returned lazy plan reads it three ways — but it is one narrow
+    # (id, vec, cell) table, not the fixture plus itself.
+    assigned.count()
+    fixture.unpersist()
     w = Window.partitionBy("cell")
     stats = assigned.select(
         "vec_id",
@@ -2364,29 +2371,44 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: corpus side of the cell join carries (id, cell, codes)
     only; query side is bounded and broadcast; probe volume is
     |Q|·n_probe/n_cells of the corpus, scored at m gathers per candidate.
+    Like q_sink_roundtrip/q_table_time_travel, CALLING this executes
+    eagerly (codebook collects + the ≤500-row bounded result) so the
+    fixture cache is released before returning.
     """
     from rpa_etl_spark.operators import similarity as SIM_
 
     fixture = _clustered_embedding_fixture(spark, sf_dir).persist()
-    scored = SIM_.ivf_pq_topk(
-        fixture,
-        fixture.where(F.col("vec_id") < 50),
-        dim=64,
-        k=10,
-        n_cells=8,
-        n_probe=2,
-        m=8,
-        ksub=16,
-        rank=False,
-    )
-    out = scored.withColumn("adc_d2_r", F.round("adc_d2", 6))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2_r").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        out.select(
-            "query_id", "neighbor_id", "cell", "adc_d2_r",
-            F.row_number().over(w).alias("rank"),
+    try:
+        scored = SIM_.ivf_pq_topk(
+            fixture,
+            fixture.where(F.col("vec_id") < 50),
+            dim=64,
+            k=10,
+            n_cells=8,
+            n_probe=2,
+            m=8,
+            ksub=16,
+            rank=False,
         )
-        .where(F.col("rank") <= 10)
+        out = scored.withColumn("adc_d2_r", F.round("adc_d2", 6))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_d2_r").asc(), F.col("neighbor_id").asc()
+        )
+        # the result is BOUNDED by construction (≤ 50 queries x top-10):
+        # collect it eagerly so the fixture cache is released here rather
+        # than pinned behind a lazy plan (round-10 review; same pattern as
+        # q_table_time_travel's bounded aggregates)
+        rows = (
+            out.select(
+                "query_id", "neighbor_id", "cell", "adc_d2_r",
+                F.row_number().over(w).alias("rank"),
+            )
+            .where(F.col("rank") <= 10)
+            .collect()
+        )
+    finally:
+        fixture.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, cell long, adc_d2_r double, rank int",
     )

@@ -288,3 +288,39 @@ def test_salted_join_hot_cold_matches_plain_join(spark, sf_dir):
     left = salted_join(fact2.limit(100), customer, "o_custkey", n_salts=4,
                        how="left", hot_threshold=10)
     assert left.count() == 100 and left.where(F.col("c_mktsegment").isNull()).count() == 100
+
+
+def test_salted_agg_salt_cols_outside_projection(spark, sf_dir):
+    """Round-10 review: the documented duplicate-heavy escape hatch —
+    passing a unique-id column as salt_cols — must work even when that
+    column is neither a group key nor the value (it previously crashed
+    unresolved), and still match the plain aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["total"], r["n_rows"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["total"], r["n_rows"])
+        for r in salted_sum_count(
+            li, ["l_returnflag"], "l_quantity", salt_cols=["l_orderkey", "l_linenumber"]
+        ).collect()
+    }
+    assert plain == salted
+
+    # and a pre-existing _salt column is a loud error, not silent loss
+    import pytest
+
+    from rpa_etl_spark.operators.skew import with_salt
+
+    with pytest.raises(ValueError, match="_salt"):
+        with_salt(li.withColumn("_salt", F.lit(1)))

@@ -223,3 +223,44 @@ def test_legacy_manifest_upgrade_on_read_and_append(spark, tmp_path):
     assert TF.table_schema(p).fieldNames() == ["id"]
     TF.append(spark.range(6, 9).select("id"), p)
     assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(9))
+
+
+def test_lost_commits_leave_no_orphan_data(spark, tmp_path):
+    """Round-10 review: a writer that loses the optimistic-concurrency
+    race (or fails schema evolution) wrote its data BEFORE arbitration —
+    the failure path must remove that uuid directory, not leak a
+    snapshot-sized orphan per lost race."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5), p)
+
+    def live_dirs():
+        return sorted(os.listdir(os.path.join(p, "data")))
+
+    referenced = live_dirs()
+    base = TF.current_version(p)
+    TF.append(spark.range(5, 8), p)  # head moves past `base`
+    referenced = live_dirs()
+    with pytest.raises(TF.CommitConflict):
+        TF.overwrite(spark.range(99, 100), p, base_version=base)
+    assert live_dirs() == referenced  # the loser's directory is gone
+    with pytest.raises(TF.SchemaEvolutionError):
+        TF.append(spark.range(0, 1).select(F.col("id").cast("string").alias("id")), p)
+    assert live_dirs() == referenced
+
+
+def test_snapshot_read_rejects_backward_schema_version(spark, tmp_path):
+    """Round-10 review: reading a snapshot through an OLDER schema would
+    silently narrow/drop columns — schemas only evolve forward."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 3).select(F.col("id").cast("int").alias("k")), p)
+    TF.append(spark.range(3, 5).select(F.col("id").alias("k"), F.lit("x").alias("tag")), p)
+    with pytest.raises(ValueError, match="schemas only evolve forward"):
+        TF.snapshot_read(spark, p, version=1, schema_version=0)
+    # forward stays fine
+    assert TF.snapshot_read(spark, p, version=0, schema_version=1).columns == ["k", "tag"]

@@ -39,9 +39,9 @@ BASE_SF = 0.1
 VOCAB = (
     "spark window merge table column vector stream value key group query "
     "the scan order sort hash line part batch filter customer small fast "
-    "slow agg join a row data"
-).split()  # 30 + 'spark' duplicates-free check below pads to 31
-VOCAB = VOCAB + ["index", "shuffle"]  # 31 words, matching the measured distinct count
+    "slow agg join a row data index shuffle"
+).split()
+assert len(set(VOCAB)) == len(VOCAB) == 31  # the measured distinct count
 
 LANGS = ["en", "fr", "es", "de", "zh"]
 LANG_P = [0.41, 0.15, 0.15, 0.14, 0.15]
