@@ -428,38 +428,70 @@ def ivf_topk(
     )
 
 
+def banded_id_pairs(
+    df: DataFrame,
+    id_col: str,
+    window: int,
+    payload: "list[tuple[str, str, str]]",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, id_b − id_a ≤ window) as an EQUI
+    hash join — the bounded-window blocking shared by the cosine and
+    Levenshtein near-dup paths (round-10 review: the identity previously
+    lived copy-pasted in two places). ``payload`` lists
+    (source_col, a_alias, b_alias) columns carried onto the pair rows.
+
+    The identity: with bucket(x) = floor(x / window) (cast-truncation —
+    ids must be non-negative), 0 < b − a ≤ window implies bucket(a) ∈
+    {bucket(b), bucket(b)−1}, so banding the left side once and exploding
+    the right into its own and previous bucket covers exactly the window
+    predicate. The window predicate alone would plan as a
+    BroadcastNestedLoopJoin — all-pairs, quadratic; this is one linear
+    shuffle with the same result set."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(s).alias(an) for s, an, _ in payload],
+        (F.col(id_col) / window).cast("long").alias("bucket"),
+    )
+    bkt = (F.col(id_col) / window).cast("long")
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(s).alias(bn) for s, _, bn in payload],
+        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("id_b") - F.col("id_a") <= window)
+        )
+        .drop("bucket")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     window: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_round: "int | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a bounded id window
-    (the oracle-checkable slice of the general LSH-bucketed variant).
+    (the oracle-checkable slice of the general LSH-bucketed variant);
+    blocking via :func:`banded_id_pairs`.
 
-    The window predicate alone would plan as a BroadcastNestedLoopJoin
-    (all-pairs — quadratic). Banding ids by ``window`` and exploding the
-    right side into (bucket, bucket−1) makes it an equi hash join: for
-    0 < b−a ≤ w, bucket(a) ∈ {bucket(b), bucket(b)−1}. Linear shuffle,
-    same result set.
-    """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        (F.col(id_col) / window).cast("long").alias("bucket"),
-    )
-    bkt = (F.col(id_col) / window).cast("long")
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
-    )
-    return (
-        a.join(b, "bucket")
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= window))
-        .select("id_a", "id_b", cosine_pd(F.col("v_a"), F.col("v_b")).alias("score"))
-        .where(F.col("score") >= threshold)
+    ``score_round``: apply the threshold to the score ROUNDED to this
+    many decimals (and emit the rounded score). Membership on a raw
+    float64 cosine is engine-association-sensitive at the threshold
+    boundary (numpy einsum vs a sequential fold agree only to ~1 ulp);
+    rounding first makes the kept-pair set decidable at a resolution both
+    engines reproduce — the declared oracle query passes 6."""
+    pairs = banded_id_pairs(df, id_col, window, [(vec_col, "v_a", "v_b")])
+    score = cosine_pd(F.col("v_a"), F.col("v_b"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return pairs.select("id_a", "id_b", score.alias("score")).where(
+        F.col("score") >= threshold
     )
 
 

@@ -498,16 +498,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS score_r
     FROM embeddings a JOIN embeddings b
       ON a.vec_id < b.vec_id AND b.vec_id - a.vec_id <= 50
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (bounded window, oracle form)."""
+    """Embedding-cosine near-duplicate pairs (bounded window, oracle form).
+    Membership thresholds on the ROUNDED score (round-10 review): a raw
+    float64 compare at exactly 0.8 is engine-association-sensitive to
+    ~1 ulp, so both engines decide keep/drop at round(6) resolution."""
     emb = load(spark, sf_dir, "embeddings")
-    out = SIM.cosine_near_dup_pairs(emb, threshold=0.8, window=50)
-    return out.select("id_a", "id_b", F.round("score", 6).alias("score_r"))
+    out = SIM.cosine_near_dup_pairs(emb, threshold=0.8, window=50, score_round=6)
+    return out.select("id_a", "id_b", F.col("score").alias("score_r"))
 
 
 @query(
@@ -531,12 +534,15 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training-data staple (stable across runs, clusters, engines; no
     RNG). md5 of the id -> bucket 0-99 -> split ranges; the WHERE also
     drops a 5% holdout band to exercise sampled-out rows. Narrow, scans
-    once, no shuffle; at 100 TB the filter is evaluated at the scan."""
+    once, no shuffle; at 100 TB the filter is evaluated at the scan.
+    The bucket expression is THE shared helper (curation_queries._bucket_col
+    — round-10 review: an inline copy here could silently desynchronize
+    the splits q_contamination/q_sample_stratified/q_corpus_drift are
+    documented to share byte-identically)."""
+    from rpa_etl_spark.plans.curation_queries import _bucket_col
+
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = _bucket_col()
     return (
         docs.select("doc_id", "lang", bucket.alias("bucket"))
         .where((F.col("bucket") < 90) | (F.col("bucket") >= 95))
@@ -605,21 +611,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .transform(spread)
     )
-    window = 20
-    a = cust.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("n_a"),
-        (F.col("c_custkey") / window).cast("long").alias("bucket"),
-    )
-    bkt = (F.col("c_custkey") / window).cast("long")
-    b = cust.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("n_b"),
-        F.explode(F.array(bkt, bkt - 1)).alias("bucket"),
-    )
     return (
-        a.join(b, "bucket")
-        .where((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= window))
+        # blocking via the shared banded-equi-join identity (round-10
+        # review: previously copy-pasted here from cosine_near_dup_pairs)
+        SIM.banded_id_pairs(cust, "c_custkey", 20, [("c_name", "n_a", "n_b")])
         # cheap necessary condition first: lev <= 2 implies the lengths
         # differ by at most 2, so the O(len^2) metric runs only on
         # length-compatible candidates (same output, oracle unchanged)
@@ -1031,29 +1026,42 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_centroid",
     oracle="""
     SELECT label, CAST(d - 1 AS INT) AS dim,
-           CAST(ROUND(CAST(SUM(CAST(embedding[d] AS DECIMAL(18,9))) AS DOUBLE)
+           CAST(ROUND(CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE)
+                                    AS DECIMAL(18,9))) AS DOUBLE)
                       / COUNT(*), 6) AS DOUBLE)               AS centroid,
            COUNT(*) AS n_vecs
     FROM embeddings CROSS JOIN generate_series(1, 64) AS t(d)
+    WHERE len(embedding) = 64
     GROUP BY label, d
     """,
 )
 def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding corpus, one row per (label,
     dimension). Mean of floats is order-dependent in double arithmetic, so
-    the distributed sum runs in EXACT decimal (float -> decimal(18,9) per
-    element, decimal partial aggregation), then one IEEE division +
-    round(6) — bit-identical on both engines regardless of row order.
+    the distributed sum runs in EXACT decimal per element, decimal partial
+    aggregation, then one IEEE division + round(6) — bit-identical on both
+    engines regardless of row order.
+
+    The float→decimal cast goes THROUGH DOUBLE on both sides (round-10
+    review, verified live): Spark always widens float to double before a
+    decimal cast (0.1f → 0.100000001), while DuckDB's direct float cast
+    uses the float's shortest decimal representation (0.1f → 0.100000000)
+    — 628/640 per-cell sums differed at sf0.01 under the old oracle, with
+    a worst-case divergence (1.8e-9) larger than the closest round(6) tie
+    margin (1.7e-9): a passing-by-luck hash. Both sides also pin the
+    64-dim contract explicitly (the oracle's generate_series(1,64) was a
+    silent assumption; Spark posexplodes whatever is there).
+
     Plan: posexplode -> (label, dim)-keyed partial-agg shuffle; shuffle
     volume is |labels| x 64 partials per mapper, not |vectors| x 64 —
     the map-side combine is what makes this scale. The centroid table
     (k x 64) is broadcast-sized downstream (IVF codebooks,
     cluster-assignment joins — operators/similarity.py)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(F.size("embedding") == 64)
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
     return ex.groupBy("label", "dim").agg(
         F.round(
-            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            F.sum(F.col("x").cast("double").cast("decimal(18,9)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("centroid"),

@@ -71,7 +71,12 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_payload_erp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 — ERP payload: rename/nest into supplier.tax_id/name + total
-    (test_payload_transform.py:51-84 shape), serialized with to_json."""
+    (test_payload_transform.py:51-84 shape), serialized with to_json.
+    A null contributing field yields a NULL erp_json on BOTH sides
+    (round-10 review: Spark's to_json silently OMITS null fields by
+    default while the oracle's string concatenation null-propagates —
+    latent with today's null-free parquet, armed the moment a null
+    appears)."""
     orders = load(spark, sf_dir, "orders")
     tax_id = F.lpad(((F.col("o_custkey") * 7919) % 100000000000000).cast("string"), 14, "0")
     erp = F.struct(
@@ -83,7 +88,12 @@ def q_payload_erp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.select(
         "o_orderkey",
-        F.to_json(erp).alias("erp_json"),
+        F.when(
+            F.col("o_custkey").isNull() | F.col("o_totalprice").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.to_json(erp))
+        .alias("erp_json"),
         F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_amount"),
     )
 

@@ -153,7 +153,17 @@ def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(F.lit(100.00) * F.sum(promo) / F.sum(rev), 4)
+            # mirror the oracle's float associations EXACTLY (round-10
+            # review): the 100 multiplier stays DECIMAL so the numerator
+            # is exact (a double literal added a rounding DuckDB never
+            # performs), then both exact decimals convert to double and
+            # one IEEE division happens — DuckDB types DECIMAL/DECIMAL
+            # as DOUBLE (verified), i.e. double(num)/double(den)
+            F.round(
+                (F.lit(100).cast("decimal(5,2)") * F.sum(promo)).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            )
             .cast("double")
             .alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
