@@ -1,0 +1,87 @@
+"""Fixed-point distributed PageRank (deterministic link analysis).
+
+Classic power iteration: rank(v) = (1-d)/N + d · Σ_{u→v} rank(u)/out(u),
+run for a fixed number of rounds over an edge DataFrame. Each round is
+one join (ranks ⋈ edges on src — both sides hash-partitioned on the
+same key, so AQE reuses the layout) plus one aggregation on dst; rounds
+are O(diameter-independent) fixed count, the same frontier-join shape as
+operators/components.py label propagation.
+
+**Fixed-point integer arithmetic, not float.** Ranks are BIGINTs scaled
+by 10^12; contributions are `rank DIV out_degree` and damping is
+`(85 · Σ) DIV 100`. Rationale, in order of importance at 100 TB:
+
+1. Determinism by construction: float rank sums are
+   association-order-dependent, and Spark's partial aggregation order
+   varies run-to-run and cluster-to-cluster. Integer addition is
+   associative-commutative EXACTLY, so the result is bit-identical on
+   any cluster, any partitioning, any engine — the DuckDB oracle
+   reproduces it with three unrolled CTE rounds.
+2. No drift: the mass lost to DIV truncation is bounded by 1e-12·out
+   per node per round and never amplifies (PageRank is a contraction).
+
+Overflow bound: per-node incoming mass < total mass = N·SCALE, so the
+damping multiply needs 85·N·SCALE < 2^63 → N < ~1.0e8 nodes at
+SCALE=1e12. For web-scale graphs (N ~ 1e9+) drop SCALE to 1e9 — the
+tradeoff knob is explicit, which is the point of fixed-point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Rank every node of ``edges`` (columns ``src``, ``dst``).
+
+    Nodes = src ∪ dst. Dangling nodes (no out-edges) keep only the
+    teleport term — their mass is dropped rather than redistributed,
+    matching the oracle's unrolled SQL exactly (and the common
+    large-graph simplification; redistributing dangling mass needs a
+    per-round global scalar, one extra tiny aggregate, omitted here).
+
+    Returns (node BIGINT, rank_fp BIGINT) where rank_fp is the fixed-
+    point rank scaled by 10^12.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # fresh attribute names per consumer: nodes/outdeg/the per-round join
+    # all descend from `edges`, and Spark's ambiguous-self-join detection
+    # (correctly) rejects reusing the same `dst` attribute across them
+    outdeg = edges.groupBy(F.col("src").alias("od_src")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    e = edges.selectExpr("src AS e_src", "dst AS e_dst")
+    base = F.lit(SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN).cast("long")
+
+    ranks = nodes.withColumn("rank_fp", F.lit(SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(outdeg, F.col("node") == F.col("od_src"), "inner")
+            .select(F.col("node"), F.expr("rank_fp DIV out_deg").alias("c"))
+            .join(e, F.col("node") == F.col("e_src"), "inner")
+            .select(F.col("e_dst").alias("node"), "c")
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(in_mass, 0L)) DIV {DAMP_DEN}"
+                    )
+                ).alias("rank_fp"),
+            )
+        )
+    return ranks

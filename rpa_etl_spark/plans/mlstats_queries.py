@@ -1,0 +1,327 @@
+"""Round-10 additions: statistical / sketch / graph operators a 100 TB
+training-data pipeline runs beside the curation set — each oracle-checked.
+
+- q_sample_reservoir: weighted reservoir sampling (Efraimidis-Spirakis)
+  with hash-derived priorities — retry-stable corpus subsampling.
+- q_linear_regression: distributed OLS via exact integer moment sums +
+  closed-form normal-equation solve (the aggregate-only regression shape
+  that needs ONE pass and collects nothing).
+- q_cusum_changepoint: CUSUM drift detection per entity as pure window
+  algebra (cumsum minus running-min identity — no recursion, no UDF).
+- q_pagerank: fixed-point integer PageRank, 3 unrolled power iterations,
+  bit-identical on any cluster/partitioning (operators/pagerank.py).
+- q_dedup_bloom: Bloom-filter membership — build a 64 Ki-bit filter over
+  the reference half of the corpus, embed it as a constant, probe every
+  row with zero joins (operators/bloom.py).
+
+Determinism notes: ln() is NOT bit-identical across Spark and DuckDB
+(measured ~1 ulp on 314/5000 fixture rows), so reservoir priorities are
+decided at round-12 resolution (measured bit-identical on every fixture
+row at sf0.01 and sf0.1); everything else here is integer arithmetic or
+fixed-order double expressions shared textually between both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.operators import bloom as B
+from rpa_etl_spark.operators import sampling as RS
+from rpa_etl_spark.operators.pagerank import pagerank
+from rpa_etl_spark.registry import query
+from rpa_etl_spark.tables import load
+
+_RES_K = 20
+_RES_KEY_SQL = RS.reservoir_key_sql("doc_id", "n_chars")
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, res_key, res_rank
+    FROM (
+        SELECT doc_id, lang, n_chars, res_key,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY res_key DESC, doc_id ASC) AS res_rank
+        FROM (
+            SELECT doc_id, lang, n_chars, {_RES_KEY_SQL} AS res_key
+            FROM documents WHERE n_chars > 0
+        )
+    ) WHERE res_rank <= {_RES_K}
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted reservoir sample, k=20, weight = n_chars
+    (longer documents proportionally likelier — the standard
+    size-weighted corpus subsample). Hash-derived priorities make the
+    sample a pure function of the data: stable across runs, engines,
+    task retries, and speculative execution — rand()-based sampling is
+    none of those on a real cluster. One hash shuffle on lang, then a
+    per-group top-k window; nothing collects. See operators/sampling.py
+    for the round-12 cross-engine key-parity analysis."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return RS.weighted_reservoir(docs, "doc_id", "n_chars", _RES_K, by=["lang"])
+
+
+# OLS moment sums as exact integers (cents): engine-neutral, one pass.
+# Per-row products fit int64 (qc ≤ 5e5, dc ≤ 1e4, yc ≤ 1e7 → max ~1e14);
+# sums are widened to DECIMAL(38,0) (Spark) / exact DECIMAL (DuckDB)
+# so they stay exact at any scale factor; the final cast of the SAME
+# exact integer to double is correctly rounded in both engines.
+_QC = "CAST(ROUND(CAST(l_quantity AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
+_DC = "CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
+_YC = "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)"
+
+_OLS_SUM_EXPRS = [
+    "CAST(COUNT(*) AS DOUBLE) AS m00",
+    f"CAST(SUM(CAST({_QC} AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS m01",
+    f"CAST(SUM(CAST({_DC} AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS m02",
+    f"CAST(SUM(CAST({_YC} AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS m0y",
+    f"CAST(SUM(CAST({_QC} * {_QC} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS m11",
+    f"CAST(SUM(CAST({_QC} * {_DC} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS m12",
+    f"CAST(SUM(CAST({_DC} * {_DC} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS m22",
+    f"CAST(SUM(CAST({_QC} * {_YC} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS m1y",
+    f"CAST(SUM(CAST({_DC} * {_YC} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS m2y",
+    f"CAST(SUM(CAST({_YC} * {_YC} AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS myy",
+]
+_OLS_SUMS_SQL = f"SELECT {', '.join(_OLS_SUM_EXPRS)} FROM lineitem"
+
+# Cramer's rule on the symmetric 3x3 normal matrix — SHARED TEXT between
+# Spark and DuckDB, so the double expression trees (and therefore every
+# IEEE rounding step) are identical.
+_OLS_DET = (
+    "(m00 * (m11 * m22 - m12 * m12)"
+    " - m01 * (m01 * m22 - m12 * m02)"
+    " + m02 * (m01 * m12 - m11 * m02))"
+)
+_OLS_B0 = (
+    "(m0y * (m11 * m22 - m12 * m12)"
+    " - m01 * (m1y * m22 - m12 * m2y)"
+    " + m02 * (m1y * m12 - m11 * m2y))"
+)
+_OLS_B1 = (
+    "(m00 * (m1y * m22 - m2y * m12)"
+    " - m0y * (m01 * m22 - m12 * m02)"
+    " + m02 * (m01 * m2y - m1y * m02))"
+)
+_OLS_B2 = (
+    "(m00 * (m11 * m2y - m12 * m1y)"
+    " - m01 * (m01 * m2y - m1y * m02)"
+    " + m0y * (m01 * m12 - m11 * m02))"
+)
+_OLS_SOLVE = [
+    f"CAST(m00 AS BIGINT) AS n_rows",
+    f"ROUND({_OLS_B0} / {_OLS_DET}, 6) AS b0",
+    f"ROUND({_OLS_B1} / {_OLS_DET}, 6) AS b1",
+    f"ROUND({_OLS_B2} / {_OLS_DET}, 6) AS b2",
+    # R^2 from the same moments: SSE = Syy - b0*Sy - b1*S1y - b2*S2y,
+    # SST = Syy - Sy^2/n (all raw, not centered — exact given the sums)
+    f"ROUND(1.0 - (myy - ({_OLS_B0} / {_OLS_DET}) * m0y"
+    f"            - ({_OLS_B1} / {_OLS_DET}) * m1y"
+    f"            - ({_OLS_B2} / {_OLS_DET}) * m2y)"
+    f"      / (myy - m0y * m0y / m00), 6) AS r2",
+]
+
+
+@query(
+    "q_linear_regression",
+    oracle=f"SELECT {', '.join(_OLS_SOLVE)} FROM ({_OLS_SUMS_SQL})",
+)
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS: l_extendedprice ~ l_quantity + l_discount, fit by
+    the normal equations. The entire regression is ONE aggregate pass
+    producing nine moment sums (map-side partial-aggregated, a single
+    1-row reduce) plus a closed-form 3x3 Cramer solve on the driver-free
+    result row — the textbook 'ML as aggregation' shape that runs on
+    100 TB in one shuffle-free-after-scan stage and moves 72 bytes.
+
+    Determinism: moments are exact integers (cents) widened to exact
+    DECIMAL(38,0); the solve is a double expression tree shared
+    TEXTUALLY with the oracle, so both engines execute the identical
+    IEEE rounding sequence. Coefficients round(6) on both sides."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.selectExpr(*_OLS_SUM_EXPRS).selectExpr(*_OLS_SOLVE)
+
+
+_CUSUM_TARGET_C = 5500  # target 50.00 + slack 5.00, in cents
+_CUSUM_H_C = 100_00  # alarm threshold 100.00 in cents
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(c - LEAST(CAST(0 AS HUGEINT), mn) AS BIGINT) AS cusum_cents,
+           (c - LEAST(CAST(0 AS HUGEINT), mn)) > {_CUSUM_H_C} AS alarm
+    FROM (
+        SELECT event_id, user_id,
+               c,
+               MIN(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS mn
+        FROM (
+            SELECT event_id, user_id, ts,
+                   SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+                       - {_CUSUM_TARGET_C})
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+            FROM events
+        )
+    )
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user over the event stream:
+    s_i = max(0, s_{i-1} + (x_i - target - slack)), alarm when s_i > h.
+    The recursion is eliminated by the prefix identity
+    s_i = C_i - min(0, min_{j<=i} C_j) with C the running sum of
+    deviations — two window functions over ONE shuffle on user_id, no
+    UDF, no iteration; at 100 TB each user's history evaluates in a
+    single sorted pass. Deviations are exact integer cents so the
+    running sums are associative-exact (float cumsums are not) and the
+    alarm threshold compares identically in both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    d = (
+        F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+        - _CUSUM_TARGET_C
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ev.select("event_id", "user_id", "ts", d.alias("d")).withColumn(
+        "c", F.sum("d").over(w)
+    )
+    staged = staged.withColumn("mn", F.min("c").over(w))
+    s = F.col("c") - F.least(F.lit(0).cast("long"), F.col("mn"))
+    return staged.select(
+        "event_id",
+        "user_id",
+        s.alias("cusum_cents"),
+        (s > _CUSUM_H_C).alias("alarm"),
+    )
+
+
+_PR_SUPP_OFFSET = 1_000_000
+_PR_ROUND_SQL = """
+    SELECT n.node,
+           CAST(150000000000 + (85 * COALESCE(i.m, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r // o.od) AS m
+        FROM {prev} p
+        JOIN outdeg o ON p.node = o.src
+        JOIN edges e ON e.src = p.node
+        GROUP BY e.dst
+    ) i ON n.node = i.node
+"""
+
+
+@query(
+    "q_pagerank",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS a, {_PR_SUPP_OFFSET} + l_suppkey AS b
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION SELECT b AS src, a AS dst FROM e0),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+    r1 AS ({_PR_ROUND_SQL.format(prev="r0")}),
+    r2 AS ({_PR_ROUND_SQL.format(prev="r1")}),
+    r3 AS ({_PR_ROUND_SQL.format(prev="r2")})
+    SELECT node, r AS rank_fp FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (edges = both
+    directions of distinct (o_custkey, l_suppkey) pairs; supplier node
+    ids offset by 1e6), 3 power iterations, d=0.85. Fixed-point int64
+    arithmetic makes the result bit-identical on any cluster and lets
+    the oracle reproduce it as three unrolled SQL rounds — see
+    operators/pagerank.py for the overflow bound and the dangling-mass
+    convention. Per round: one src-keyed join + one dst-keyed aggregate,
+    the label-propagation shuffle shape of operators/components.py."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.lit(_PR_SUPP_OFFSET) + F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("a AS src", "b AS dst").union(
+        pairs.selectExpr("b AS src", "a AS dst")
+    )
+    return pagerank(edges, iterations=3).select("node", F.col("rank_fp"))
+
+
+_BLOOM_M = 65536  # 64 Ki bits = 1024 words; ~19% fill at sf0.1 ref size
+_BLOOM_POS_SQL = B.positions_sql("d.text", _BLOOM_M)
+_REF_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "q_dedup_bloom",
+    oracle=f"""
+    WITH ref AS (
+        SELECT doc_id, text FROM documents WHERE ({_REF_BUCKET_SQL}) < 50
+    ),
+    refpos AS (
+        SELECT DISTINCT pos FROM (
+            SELECT unnest([{", ".join(B.positions_sql("d.text", _BLOOM_M))}]) AS pos
+            FROM ref d
+        )
+    ),
+    plist AS (SELECT list(pos) AS ps FROM refpos),
+    refkeys AS (SELECT DISTINCT md5(text) AS h FROM ref)
+    SELECT d.doc_id,
+           ({_REF_BUCKET_SQL}) < 50 AS is_ref,
+           ({" AND ".join(f"list_contains(ps, {p})" for p in _BLOOM_POS_SQL)})
+               AS bloom_hit,
+           (md5(d.text) IN (SELECT h FROM refkeys)) AS exact_hit
+    FROM documents d, plist
+    """,
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup: the reference half of the corpus
+    (md5 doc_id bucket < 50) builds a 64 Ki-bit / 5-hash filter; every
+    document probes it. `bloom_hit=false` is EXACT "definitely new"
+    (no false negatives); `exact_hit` is the ground-truth text match, so
+    the (bloom_hit AND NOT exact_hit) rows are the false positives at
+    the designed rate. Build: one tiny shuffle collapsing the corpus to
+    ≤1024 (word_idx, word) rows; probe: the filter embeds in the plan as
+    a constant array — zero joins, zero shuffles, whole-stage codegen
+    (operators/bloom.py). m_bits is the sizing knob: 64 Ki here matches
+    the fixture; a 100 TB reference set sizes m to n·k/ln2 and ships a
+    few GB of words via probe()'s broadcast-join form instead.
+
+    DELIBERATE eager step: building the filter collects ≤1024 bounded
+    rows at plan-construction time (the Bloom contract is exactly that
+    the corpus compresses to this, independent of its size)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    ref = docs.where(bucket < 50)
+    words = B.collect_words(B.build(ref, "text", _BLOOM_M), _BLOOM_M)
+    probed = B.probe_inline(docs, "text", words, _BLOOM_M)
+    ref_keys = ref.select(F.md5("text").alias("_h")).distinct()
+    return (
+        probed.join(ref_keys, F.md5(probed["text"]) == ref_keys["_h"], "left")
+        .select(
+            "doc_id",
+            (bucket < 50).alias("is_ref"),
+            "bloom_hit",
+            F.col("_h").isNotNull().alias("exact_hit"),
+        )
+    )

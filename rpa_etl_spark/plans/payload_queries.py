@@ -357,3 +357,48 @@ def q_ingest_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_corrupt_record").alias("corrupt"),
         )
     )
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS value_cents,
+           epoch_ms(MIN(ts)) AS first_ms,
+           epoch_ms(MAX(ts)) AS last_ms
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: events written as ORC (Spark's other
+    first-class columnar format — predicate pushdown, column pruning,
+    zlib/zstd striping, the warehouse-interop format HDFS/Hive shops
+    still standardize on), read back, and aggregated. A lossy writer —
+    timestamp shifting across the ORC epoch handling, double coercion,
+    dropped rows — cannot reproduce the oracle, which recomputes the
+    same aggregate from the original parquet. Money as integer cents;
+    timestamps compared as epoch millis (exact through both formats
+    under the session-UTC contract in tables._ensure_session_confs).
+
+    DELIBERATE eager step (same contract as q_sink_roundtrip): CALLING
+    this writes the ORC copy (overwrite mode, app-id + sf-keyed path)."""
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "orc_roundtrip",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    load(spark, sf_dir, "events").write.mode("overwrite").orc(base)
+    back = spark.read.orc(base)
+    cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+        F.unix_millis(F.min("ts")).alias("first_ms"),
+        F.unix_millis(F.max("ts")).alias("last_ms"),
+    )

@@ -1064,3 +1064,72 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c.c_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: customer and orders are written
+    `bucketBy(8, custkey) sortBy(custkey)` and re-joined — the layout
+    investment that deletes the shuffle from every subsequent join on
+    the key. The physical plan has ZERO Exchange operators: both scans
+    come out hash-distributed by bucket, the sort-merge join consumes
+    them in place, and the following per-custkey aggregation reuses the
+    same distribution (machine-checked by tests/test_plan_shapes.py).
+    At 100 TB this is THE difference between re-shuffling the fact table
+    per query and paying the layout cost once at ingest — the DataFrame
+    rendering of Hive/Iceberg bucketing.
+
+    DELIBERATE eager step (same contract as q_sink_roundtrip): CALLING
+    this writes both bucketed tables (overwrite mode, app-id + sf-keyed
+    names and paths — idempotent within a session, race-free across
+    concurrent sessions). The write itself shuffles by the bucket key —
+    the point is that NO LATER query pays that shuffle again."""
+    import os
+    import re
+
+    tag = re.sub(
+        r"[^0-9a-zA-Z]+",
+        "_",
+        f"{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}",
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "bucketed",
+        tag,
+    )
+    names = {}
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        name = f"bkt_{tbl}_{tag}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, tbl))
+                .format("parquet")
+                .saveAsTable(name)
+            )
+    cust = spark.table(names["customer"])
+    orders = spark.table(names["orders"])
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
+    return (
+        cust.hint("merge")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "inner")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )

@@ -141,6 +141,41 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_outer_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.click_id, c.user_id, c.click_ts,
+           v.purchase_id, v.purchase_ts, v.purchase_value,
+           v.purchase_id IS NOT NULL AS matched
+    FROM clicks c LEFT JOIN views v
+      ON c.user_id = v.user_id
+     AND v.purchase_ts >= c.click_ts
+     AND v.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+    """,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream LEFT OUTER interval
+    join (streaming/joins.py::join_clicks_to_purchases_outer): clicks
+    with no following view inside the horizon surface with NULL purchase
+    columns. In streaming mode those null rows are emitted by watermark
+    eviction (state held until watermark > click_ts + horizon, then
+    released — bounded state, eventually-complete result), which
+    tests/test_streaming.py::test_stream_stream_outer_join_emits_evicted_nulls
+    verifies against this same function on wall-clock watermarks."""
+    from rpa_etl_spark.streaming.joins import join_clicks_to_purchases_outer
+
+    ev = load(spark, sf_dir, "events")
+    return join_clicks_to_purchases_outer(ev, right_type="view")
+
+
+@query(
     "q_user_totals_state",
     oracle="""
     SELECT user_id,

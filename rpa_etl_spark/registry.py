@@ -54,10 +54,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1 (33): last driver-green in ROUND 6 — 3 rounds stale,
+    # == tier 1 (25): last driver-green in ROUND 6 — 3 rounds stale,
     #    breaching the ~2-round policy (round-9 verdict's top ask, listed
-    #    there by name). None changed since r6; they HEAD the sample so
-    #    every one gets a fresh external verdict this round.
+    #    there by name; originally all 33 headed the sample, but the
+    #    tier-0 additions below displaced the 8 now parked right under
+    #    the window). None changed since r6.
     "q_fuzzy_match",
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
@@ -82,15 +83,19 @@ PRIORITY_ORDER = [
     "q_tfidf_terms",
     "q_pii_redact",
     "q_sample_hash",
-    "q_sample_stratified",
-    "q_funnel",
-    "q_retention_cohort",
-    "q_having_large_orders",
-    "q_outlier_zscore",
-    "q_unpivot",
     "q_dedup_embedding",
-    "q_embedding_centroid",
-    "q_repetition_stats",
+    # == tier 0 (8): NEW in the round-10 continuation session — never had
+    #    any external verdict. Eight tier-1 (r6-stale, UNCHANGED) entries
+    #    moved below the window to make room (policy: changed/new precede
+    #    stale-unchanged); they head the round-11 rotation instead.
+    "q_sample_reservoir",
+    "q_linear_regression",
+    "q_cusum_changepoint",
+    "q_pagerank",
+    "q_dedup_bloom",
+    "q_join_bucketed",
+    "q_sink_orc_roundtrip",
+    "q_stream_outer_join",
     # == tier 1a (15): NEW or plan/kernel CHANGED in round 10 — no
     #    external verdict in their current form. IVF-PQ + the brute-force
     #    size guard land in operators/similarity.py (re-queues all its
@@ -122,6 +127,17 @@ PRIORITY_ORDER = [
     "q_join_skew_salted",
     "q_agg_skew_salted",
     # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 6 (8): displaced from tier 1 by the
+    #    tier-0 additions; unchanged since r6, they HEAD the round-11
+    #    rotation ==
+    "q_sample_stratified",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_having_large_orders",
+    "q_outlier_zscore",
+    "q_unpivot",
+    "q_embedding_centroid",
+    "q_repetition_stats",
     # == last driver-green in ROUND 7 (36 remaining) ==
     "q_agg_group",
     "q_array_funcs",
@@ -268,6 +284,7 @@ def load_all_plans() -> None:
         "rpa_etl_spark.plans.analytics_queries",
         "rpa_etl_spark.plans.payload_queries",
         "rpa_etl_spark.plans.tpch_shapes",
+        "rpa_etl_spark.plans.mlstats_queries",
     ):
         try:
             __import__(mod)

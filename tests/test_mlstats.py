@@ -1,0 +1,188 @@
+"""Unit tests for the round-10 statistical operators (sampling, bloom,
+pagerank, CUSUM, OLS) — semantics beyond what the oracle gate checks."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rpa_etl_spark.operators import bloom as B
+from rpa_etl_spark.operators import sampling as RS
+from rpa_etl_spark.operators.pagerank import SCALE, pagerank
+from rpa_etl_spark.tables import load
+
+
+# ---------------------------------------------------------------- sampling
+def test_reservoir_per_group_k_and_determinism(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = RS.weighted_reservoir(docs, "doc_id", "n_chars", 5, by=["lang"])
+    rows = out.collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in per_lang.items():
+        assert len(rs) <= 5
+        assert sorted(r.res_rank for r in rs) == list(range(1, len(rs) + 1))
+    # determinism under repartition: same sample regardless of layout
+    out2 = RS.weighted_reservoir(
+        docs.repartition(13), "doc_id", "n_chars", 5, by=["lang"]
+    )
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in out2.collect())
+
+
+def test_reservoir_global_topk_and_zero_weight(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = RS.weighted_reservoir(docs, "doc_id", "n_chars", 7, by=None)
+    rows = out.orderBy("res_rank").collect()
+    assert len(rows) == 7
+    assert [r.res_rank for r in rows] == list(range(1, 8))
+    # keys are DESC-sorted by rank
+    keys = [r.res_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    # zero/negative weights never sampled
+    zeroed = docs.withColumn("n_chars", F.lit(0))
+    assert RS.weighted_reservoir(zeroed, "doc_id", "n_chars", 7).count() == 0
+
+
+def test_reservoir_weight_bias(spark):
+    """Size-weighted sampling must overselect heavy rows: weight 100 vs 1
+    at a 50/50 population and k = 10% → the heavy class should dominate
+    the sample. Deterministic (hash priorities), so no flake margin."""
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = RS.weighted_reservoir(df, "id", "w", 100)
+    heavy = out.where(F.col("id") % 2 == 0).count()
+    assert heavy >= 90  # expected ~99 under p∝w; ≥90 is far beyond chance
+
+
+# ------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives_and_forms_agree(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    m = 4096
+    bitmap = B.build(ref, "text", m)
+    assert bitmap.count() <= m // 64
+    words = B.collect_words(bitmap, m)
+    inline = B.probe_inline(docs, "text", words, m)
+    # no false negatives: every ref text must hit
+    assert inline.where((F.col("doc_id") % 2 == 0) & ~F.col("bloom_hit")).count() == 0
+    # the pure-plan join probe agrees with the inline probe on every key
+    joined = B.probe(docs, "text", bitmap, m).select("doc_id", "bloom_hit")
+    a = {r.doc_id: r.bloom_hit for r in inline.select("doc_id", "bloom_hit").collect()}
+    b = {r.doc_id: r.bloom_hit for r in joined.collect()}
+    assert a == b
+
+
+def test_bloom_saturation_forces_false_positives(spark, sf_dir):
+    """At m=64 bits with hundreds of ref keys the filter saturates, so
+    non-ref rows MUST report bloom_hit (false positives) — false
+    positives are part of the contract, false negatives never are."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    words = B.collect_words(B.build(ref, "text", 64), 64)
+    out = B.probe_inline(docs, "text", words, 64)
+    fp = out.where((F.col("doc_id") % 2 == 1) & F.col("bloom_hit")).count()
+    assert fp > 0
+
+
+def test_bloom_m_validation():
+    with pytest.raises(ValueError):
+        B.positions(F.lit("x"), 1000)  # not a power of two
+    with pytest.raises(ValueError):
+        B.positions(F.lit("x"), 32)  # below one word
+
+
+# ---------------------------------------------------------------- pagerank
+def test_pagerank_hand_computed_chain(spark):
+    """1 iteration on a→b→c (plus teleport) — hand-checkable fixed-point:
+    r1(v) = 0.15·S + 0.85·Σ in-mass, in-mass(b) = S DIV 1 from a, etc."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.rank_fp for r in pagerank(edges, iterations=1).collect()}
+    base = 15 * SCALE // 100
+    assert out[1] == base  # no in-edges
+    assert out[2] == base + 85 * SCALE // 100
+    assert out[3] == base + 85 * SCALE // 100
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph: many leaves point at a hub; the hub must outrank every
+    leaf, and the ranking must be deterministic across partitionings."""
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(1, 20)], "src long, dst long"
+    )
+    out = {r.node: r.rank_fp for r in pagerank(edges, iterations=3).collect()}
+    hub = out.pop(99)
+    assert all(hub > v for v in out.values())
+    out2 = {
+        r.node: r.rank_fp
+        for r in pagerank(
+            spark.createDataFrame(
+                [(i, 99) for i in range(1, 20)], "src long, dst long"
+            ).repartition(7),
+            iterations=3,
+        ).collect()
+    }
+    assert out2[99] == hub
+
+
+def test_pagerank_mass_bounds(spark, sf_dir):
+    """Each rank ∈ [0.15·S, N·S]: the teleport floor always holds, and no
+    node can exceed the total circulating mass."""
+    ev = load(spark, sf_dir, "events")
+    edges = ev.selectExpr("user_id AS src", "event_id % 50 AS dst").distinct()
+    ranks = pagerank(edges, iterations=2)
+    n = ranks.count()
+    stats = ranks.agg(F.min("rank_fp"), F.max("rank_fp")).collect()[0]
+    assert stats[0] >= 15 * SCALE // 100
+    assert stats[1] <= n * SCALE
+
+
+# ------------------------------------------------------------------- cusum
+def test_cusum_matches_imperative_recursion(spark, sf_dir):
+    """The window identity s_i = C_i - min(0, min_j C_j) must equal the
+    textbook recursion s_i = max(0, s_{i-1} + d_i) exactly (integers)."""
+    from rpa_etl_spark.plans.mlstats_queries import (
+        _CUSUM_TARGET_C,
+        q_cusum_changepoint,
+    )
+
+    got = {
+        r.event_id: r.cusum_cents
+        for r in q_cusum_changepoint(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    state: dict[int, int] = {}
+    for r in rows:
+        d = round(r.value * 100) - _CUSUM_TARGET_C
+        s = max(0, state.get(r.user_id, 0) + d)
+        state[r.user_id] = s
+        assert got[r.event_id] == s, r.event_id
+
+
+# --------------------------------------------------------------------- ols
+def test_ols_matches_numpy_lstsq(spark, sf_dir):
+    from rpa_etl_spark.plans.mlstats_queries import q_linear_regression
+
+    row = q_linear_regression(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).collect()
+    X = np.array([[1.0, r.l_quantity, r.l_discount] for r in li])
+    y = np.array([r.l_extendedprice for r in li])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n_rows == len(li)
+    assert math.isclose(row.b0, beta[0], rel_tol=1e-6, abs_tol=1e-4)
+    assert math.isclose(row.b1, beta[1], rel_tol=1e-6, abs_tol=1e-4)
+    assert math.isclose(row.b2, beta[2], rel_tol=1e-6, abs_tol=1e-4)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert math.isclose(row.r2, 1 - ss_res / ss_tot, abs_tol=1e-5)

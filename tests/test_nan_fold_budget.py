@@ -30,6 +30,7 @@ ALLOWED_FOLD_ARMED = {
     "q_try_arith",        # try_* failure → NULL is the demonstrated result
     "q_window_lead_lag",  # first row per partition has no predecessor
     "q_join_full",        # FULL JOIN unmatched side
+    "q_stream_outer_join",  # watermark-evicted unmatched click → NULL purchase_value is the point (the `matched` boolean de-ambiguates)
     "q_monetary_br",      # unparseable money → NULL (guarded-parse output)
     "q_pivot",            # segment × priority holes
 }

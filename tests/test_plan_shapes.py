@@ -270,3 +270,53 @@ def test_window_value_funcs_share_one_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_window_value_funcs")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert len(re.findall(r"^\s*\*?\(?\d*\)?\s*Sort ", plan, re.M)) <= 1, plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    """q_join_bucketed's whole point: bucketed layout deletes the shuffle
+    from the join AND the following same-key aggregation. Any Exchange in
+    the executed plan means the bucket spec stopped lining up with the
+    join/group keys."""
+    plan = _plan(spark, sf_dir, "q_join_bucketed")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+
+def test_bloom_probe_is_constant_folded(spark, sf_dir):
+    """q_dedup_bloom's probe must embed the filter as a folded constant:
+    no join/shuffle on the probe side except the single broadcast used
+    for the exact-hit ground-truth column."""
+    plan = _plan(spark, sf_dir, "q_dedup_bloom")
+    assert plan.count("BroadcastHashJoin") == 1  # exact_hit only
+    assert "SortMergeJoin" not in plan
+    # the probe expression folded to literal masks (no CreateArray of
+    # 1024 lit children evaluated per row)
+    assert "element_at" not in plan.lower() or "createarray" not in plan.lower()
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must push the k-limit map-side (WindowGroupLimit
+    partial before the lang shuffle) — the difference between shuffling
+    k·groups rows and shuffling the whole corpus."""
+    plan = _plan(spark, sf_dir, "q_sample_reservoir")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_linear_regression_is_single_aggregate_pass(spark, sf_dir):
+    """OLS = one partial/final aggregate over the scan; the only exchange
+    is the 1-row SinglePartition reduce."""
+    plan = _plan(spark, sf_dir, "q_linear_regression")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" in plan
+    # column pruning: only the three regression columns leave the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount"}
+
+
+def test_cusum_is_single_user_shuffle(spark, sf_dir):
+    """Both CUSUM windows (cumsum + running min) share one user_id sort
+    and one exchange — the detector is a single sorted pass per entity."""
+    plan = _plan(spark, sf_dir, "q_cusum_changepoint")
+    assert plan.count("Exchange") == 1

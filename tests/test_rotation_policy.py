@@ -61,6 +61,10 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_ann_ivf_pq", "q_dedup_embedding",
     ],
     "rpa_etl_spark/operators/skew.py": ["q_join_skew_salted", "q_agg_skew_salted"],
+    "rpa_etl_spark/operators/sampling.py": ["q_sample_reservoir"],
+    "rpa_etl_spark/operators/bloom.py": ["q_dedup_bloom"],
+    "rpa_etl_spark/operators/pagerank.py": ["q_pagerank"],
+    "rpa_etl_spark/streaming/joins.py": ["q_stream_outer_join"],
     "rpa_etl_spark/operators/textstats.py": ["q_text_stats", "q_lang_quality"],
     "rpa_etl_spark/operators/textstats_arrow.py": ["q_lang_quality", "q_repetition_stats"],
     "rpa_etl_spark/operators/udtf_blocks.py": ["q_chunk_documents"],

@@ -8,6 +8,7 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from rpa_etl_spark.streaming import joins as SJ
 from rpa_etl_spark.streaming import pipeline as SP
 
 
@@ -170,6 +171,67 @@ def test_stream_stream_join_click_to_purchase(spark, events_dir):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_stream_outer_join_emits_evicted_nulls(spark, events_dir):
+    """LEFT OUTER stream-stream join semantics: matched rows equal the
+    batch join; unmatched clicks emit null rows ONLY once the watermark
+    passes click_ts + horizon (state eviction). With availableNow over a
+    bounded corpus the final watermark is max(ts) - delay, so the exact
+    evicted-null set is deterministic: unmatched clicks with
+    click_ts + 30min < max_ts - 10min."""
+    from pyspark.sql import functions as F
+
+    # dedicated fixture: user 1 alternates click/view (matched pairs);
+    # user 9 only ever clicks (true outer nulls); 2h span so early user-9
+    # clicks age out past watermark + horizon and MUST be evicted as nulls
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        ts = (base + timedelta(seconds=37 * i)).isoformat(sep=" ")
+        if i % 2 == 0:
+            rows.append(
+                {"event_id": i, "ts": ts, "user_id": 9, "event_type": "click",
+                 "value": float(i), "props": "{}"}
+            )
+        else:
+            rows.append(
+                {"event_id": i, "ts": ts, "user_id": 1,
+                 "event_type": "click" if i % 4 == 1 else "view",
+                 "value": float(i), "props": "{}"}
+            )
+    (events_dir / "fo1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    src = str(events_dir / "fo*.json")
+    stream = SP.events_file_stream(spark, src)
+    joined = SJ.join_clicks_to_purchases_outer(stream, right_type="view")
+    got = _run_stream(spark, joined, "cp_outer").collect()
+    got_matched = {(r["click_id"], r["purchase_id"]) for r in got if r["matched"]}
+    got_nulls = {r["click_id"] for r in got if not r["matched"]}
+
+    batch = spark.read.schema(SP.EVENTS_STREAM_SCHEMA).json(src)
+    brows = SJ.join_clicks_to_purchases_outer(batch, right_type="view").collect()
+    exp_matched = {(r["click_id"], r["purchase_id"]) for r in brows if r["matched"]}
+    # the global watermark is min over both input streams' (max ts - delay)
+    per_type = {
+        r["event_type"]: r["mx"]
+        for r in batch.groupBy("event_type").agg(F.max("ts").alias("mx")).collect()
+    }
+    final_wm = min(per_type["click"], per_type["view"]) - timedelta(minutes=10)
+    horizon_cutoff = final_wm - timedelta(minutes=30)
+    exp_nulls = {
+        r["click_id"]
+        for r in brows
+        if not r["matched"] and r["click_ts"] < horizon_cutoff
+    }
+
+    assert got_matched == exp_matched
+    assert len(exp_matched) > 0
+    # every evicted null is a true batch null, and all sufficiently-old
+    # unmatched clicks were evicted
+    batch_nulls = {r["click_id"] for r in brows if not r["matched"]}
+    assert got_nulls <= batch_nulls
+    assert exp_nulls <= got_nulls
+    assert len(exp_nulls) > 0
 
 
 def test_rate_source_wallclock_trigger_crash_replay_exactly_once(spark, tmp_path):

@@ -77,6 +77,19 @@ PROBE_QUERIES = [
     # is diameter-bound, not size-bound, which components_iteration_probe
     # below measures directly at both scales.
     "q_dedup_clusters",
+    # round-10 continuation: the new shuffle-bearing operators. Expected
+    # shapes — q_pagerank: 3 fixed join+agg rounds over edges, ~linear in
+    # edge count; q_sample_reservoir: one lang shuffle with map-side
+    # WindowGroupLimit, shuffled volume is ~k·groups·partitions so the
+    # ratio should read sub-linear; q_cusum_changepoint: one user_id
+    # sort-shuffle, linear; q_linear_regression: scan-bound single
+    # aggregate, linear; q_dedup_bloom: one tiny distinct+bit_or build
+    # aggregate plus a constant-folded narrow probe, linear.
+    "q_pagerank",
+    "q_sample_reservoir",
+    "q_cusum_changepoint",
+    "q_linear_regression",
+    "q_dedup_bloom",
 ]
 
 
