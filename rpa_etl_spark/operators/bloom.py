@@ -75,13 +75,11 @@ def positions_sql(key_expr: str, m_bits: int) -> list[str]:
 # PySpark's shiftleft/shiftright helpers only take Python-int shift
 # amounts, so column-valued bit selection goes through this literal
 # mask table instead — element_at + bitwiseAND, all inside codegen.
+# F.lit(list) builds ONE array literal node (vs CreateArray with 64 lit
+# children per use site — measured to matter for plan size/compile time
+# once probe_inline embeds a 1024-word filter five times).
 def _masks() -> Column:
-    return F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(64)
-        ]
-    )
+    return F.lit([(1 << i) if i < 63 else -(1 << 63) for i in range(64)])
 
 
 def _mask_at(pos: Column) -> Column:
@@ -165,7 +163,7 @@ def probe_inline(
     array ships to executors once inside the serialized plan — the Spark
     rendering of "broadcast the filter".
     """
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    arr = F.lit([int(w) for w in words])
     tests = [
         _bit_set(F.element_at(arr, (p / F.lit(64)).cast("int") + 1), p)
         for p in positions(F.col(key_col), m_bits)

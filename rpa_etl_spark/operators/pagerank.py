@@ -62,10 +62,18 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     e = edges.selectExpr("src AS e_src", "dst AS e_dst")
     base = F.lit(SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN).cast("long")
 
-    ranks = nodes.withColumn("rank_fp", F.lit(SCALE).cast("long"))
+    # out_deg joins onto the rank frame ONCE, outside the loop (dangling
+    # nodes carry null and simply contribute nothing via the inner edge
+    # join) — each iteration then costs one edges join + one dst-keyed
+    # aggregate + the node-frame refresh, not an extra degree join.
+    nodes_deg = nodes.join(
+        outdeg, F.col("node") == F.col("od_src"), "left"
+    ).select("node", "out_deg")
+
+    ranks = nodes_deg.withColumn("rank_fp", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
         contrib = (
-            ranks.join(outdeg, F.col("node") == F.col("od_src"), "inner")
+            ranks.where(F.col("out_deg").isNotNull())
             .select(F.col("node"), F.expr("rank_fp DIV out_deg").alias("c"))
             .join(e, F.col("node") == F.col("e_src"), "inner")
             .select(F.col("e_dst").alias("node"), "c")
@@ -73,9 +81,10 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes_deg.join(contrib, "node", "left")
             .select(
                 "node",
+                "out_deg",
                 (
                     base
                     + F.expr(
@@ -84,4 +93,4 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 ).alias("rank_fp"),
             )
         )
-    return ranks
+    return ranks.select("node", "rank_fp")
