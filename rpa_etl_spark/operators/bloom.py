@@ -88,10 +88,15 @@ def _mask_at(pos: Column) -> Column:
 
 
 def build(df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
-    """Bitmap DataFrame (word_idx BIGINT, word BIGINT) — ≤ m_bits/64 rows."""
+    """Bitmap DataFrame (word_idx BIGINT, word BIGINT) — ≤ m_bits/64 rows.
+
+    NULL keys are dropped (a NULL hashes to NULL positions, which would
+    surface as a NULL-group bitmap row and crash collect_words; a NULL
+    key is also not a meaningful set member)."""
     pos = F.explode(F.array(*positions(F.col(key_col), m_bits))).alias("pos")
     return (
-        df.select(pos)
+        df.where(F.col(key_col).isNotNull())
+        .select(pos)
         .distinct()
         .groupBy(F.expr("pos DIV 64").alias("word_idx"))
         .agg(F.bit_or(_mask_at(F.col("pos"))).alias("word"))
@@ -171,4 +176,12 @@ def probe_inline(
     hit = tests[0]
     for t in tests[1:]:
         hit = hit & t
-    return df.withColumn("bloom_hit", hit)
+    # explicit NULL-key guard: element_at(<literal array>, <runtime-NULL
+    # index>) mis-evaluates to the LAST element under whole-stage codegen
+    # (measured on Spark 4.1: a foldable-array child with a non-foldable
+    # null index), so the null must be decided before the bit tests —
+    # matching probe()'s left-join semantics (NULL key → NULL verdict)
+    return df.withColumn(
+        "bloom_hit",
+        F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean")).otherwise(hit),
+    )

@@ -20,10 +20,12 @@ by 10^12; contributions are `rank DIV out_degree` and damping is
 2. No drift: the mass lost to DIV truncation is bounded by 1e-12·out
    per node per round and never amplifies (PageRank is a contraction).
 
-Overflow bound: per-node incoming mass < total mass = N·SCALE, so the
-damping multiply needs 85·N·SCALE < 2^63 → N < ~1.0e8 nodes at
-SCALE=1e12. For web-scale graphs (N ~ 1e9+) drop SCALE to 1e9 — the
-tradeoff knob is explicit, which is the point of fixed-point.
+Overflow bound (worst case: ALL circulating mass funnels to one node):
+the damping multiply needs DAMP_NUM·N·SCALE < 2^63, i.e. N < 2^63/(85·
+SCALE) ≈ 1.1e8 nodes at SCALE=1e9 (the default — rank quantum 1e-9,
+far below any ranking-relevant difference). Under Spark 4's default
+ANSI mode an excess is a loud ArithmeticException, not a silent wrap;
+the knob is explicit, which is the point of fixed-point.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SCALE = 10**12
+SCALE = 10**9
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 
 
@@ -45,7 +47,8 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     per-round global scalar, one extra tiny aggregate, omitted here).
 
     Returns (node BIGINT, rank_fp BIGINT) where rank_fp is the fixed-
-    point rank scaled by 10^12.
+    point rank scaled by SCALE (initial rank 1.0 per node, the
+    ranks-sum-to-N convention).
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (

@@ -27,3 +27,24 @@ def money(col: Column) -> Column:
     Spark and DuckDB, so hash-compare is stable.
     """
     return F.round(col, 2).cast("double")
+
+
+def scratch_dir(spark, sf_dir: str, kind: str) -> str:
+    """Session-and-sf-keyed scratch path under the repo's spark-warehouse
+    for queries that must write (sink round-trips, bucketed layouts).
+
+    Keyed by the Spark application id — two concurrent sessions must not
+    race each other's overwrite-mode writes against a lazy read-back —
+    AND by the scale factor, since the returned DataFrames read lazily
+    and a later call at another sf must not overwrite this one's files.
+    Within one session repeated calls rewrite identical data: idempotent.
+    """
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        kind,
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )

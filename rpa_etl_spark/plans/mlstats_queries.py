@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from rpa_etl_spark.operators import bloom as B
 from rpa_etl_spark.operators import sampling as RS
 from rpa_etl_spark.operators.pagerank import pagerank
+from rpa_etl_spark.plans.curation_queries import _BUCKET_SQL, _bucket_col
 from rpa_etl_spark.registry import query
 from rpa_etl_spark.tables import load
 
@@ -205,13 +206,20 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PR_SUPP_OFFSET = 1_000_000
-_PR_ROUND_SQL = """
+from rpa_etl_spark.operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE as _PR_SCALE
+
+# supplier ids offset into their own node range: must exceed any custkey
+# (150k per unit sf ⇒ safe to sf ~6e3) while N·offset stays irrelevant to
+# the rank arithmetic (node ids never enter it)
+_PR_SUPP_OFFSET = 10**9
+_PR_BASE = _PR_SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+_PR_ROUND_SQL = f"""
     SELECT n.node,
-           CAST(150000000000 + (85 * COALESCE(i.m, 0)) // 100 AS BIGINT) AS r
+           CAST({_PR_BASE} + ({DAMP_NUM} * COALESCE(i.m, 0)) // {DAMP_DEN}
+                AS BIGINT) AS r
     FROM nodes n LEFT JOIN (
         SELECT e.dst AS node, SUM(p.r // o.od) AS m
-        FROM {prev} p
+        FROM {{prev}} p
         JOIN outdeg o ON p.node = o.src
         JOIN edges e ON e.src = p.node
         GROUP BY e.dst
@@ -230,7 +238,7 @@ _PR_ROUND_SQL = """
               UNION SELECT b AS src, a AS dst FROM e0),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
-    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes),
     r1 AS ({_PR_ROUND_SQL.format(prev="r0")}),
     r2 AS ({_PR_ROUND_SQL.format(prev="r1")}),
     r3 AS ({_PR_ROUND_SQL.format(prev="r2")})
@@ -240,7 +248,7 @@ _PR_ROUND_SQL = """
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph (edges = both
     directions of distinct (o_custkey, l_suppkey) pairs; supplier node
-    ids offset by 1e6), 3 power iterations, d=0.85. Fixed-point int64
+    ids offset by 1e9), 3 power iterations, d=0.85. Fixed-point int64
     arithmetic makes the result bit-identical on any cluster and lets
     the oracle reproduce it as three unrolled SQL rounds — see
     operators/pagerank.py for the overflow bound and the dangling-mass
@@ -264,30 +272,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M = 65536  # 64 Ki bits = 1024 words; ~19% fill at sf0.1 ref size
 _BLOOM_POS_SQL = B.positions_sql("d.text", _BLOOM_M)
-_REF_BUCKET_SQL = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
-)
 
 
 @query(
     "q_dedup_bloom",
+    # the ref split reuses THE shared md5-bucket pair (curation_queries
+    # _BUCKET_SQL / _bucket_col — the round-10 review's q_sample_hash
+    # lesson: an inline copy can silently desynchronize the splits).
+    # NULL-text hygiene: ref drops NULL texts on both sides (build() does
+    # the same), and exact_hit coalesces to FALSE so a NULL probe text
+    # reads false in both engines instead of NULL-vs-false divergence.
     oracle=f"""
     WITH ref AS (
-        SELECT doc_id, text FROM documents WHERE ({_REF_BUCKET_SQL}) < 50
+        SELECT doc_id, text FROM documents
+        WHERE ({_BUCKET_SQL}) < 50 AND text IS NOT NULL
     ),
     refpos AS (
         SELECT DISTINCT pos FROM (
-            SELECT unnest([{", ".join(B.positions_sql("d.text", _BLOOM_M))}]) AS pos
+            SELECT unnest([{", ".join(_BLOOM_POS_SQL)}]) AS pos
             FROM ref d
         )
     ),
-    plist AS (SELECT list(pos) AS ps FROM refpos),
+    plist AS (SELECT COALESCE(list(pos), []) AS ps FROM refpos),
     refkeys AS (SELECT DISTINCT md5(text) AS h FROM ref)
     SELECT d.doc_id,
-           ({_REF_BUCKET_SQL}) < 50 AS is_ref,
+           ({_BUCKET_SQL}) < 50 AS is_ref,
            ({" AND ".join(f"list_contains(ps, {p})" for p in _BLOOM_POS_SQL)})
                AS bloom_hit,
-           (md5(d.text) IN (SELECT h FROM refkeys)) AS exact_hit
+           COALESCE(md5(d.text) IN (SELECT h FROM refkeys), FALSE) AS exact_hit
     FROM documents d, plist
     """,
 )
@@ -308,11 +320,8 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows at plan-construction time (the Bloom contract is exactly that
     the corpus compresses to this, independent of its size)."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
-    ref = docs.where(bucket < 50)
+    bucket = _bucket_col()
+    ref = docs.where((bucket < 50) & F.col("text").isNotNull())
     words = B.collect_words(B.build(ref, "text", _BLOOM_M), _BLOOM_M)
     probed = B.probe_inline(docs, "text", words, _BLOOM_M)
     ref_keys = ref.select(F.md5("text").alias("_h")).distinct()

@@ -197,19 +197,9 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rpa_etl_spark.sources import sinks
 
-    # scratch keyed by scale factor (the returned DataFrame reads lazily, so
-    # a later call at another sf must not overwrite this one's files) AND by
-    # the Spark application id: two concurrent sessions (parallel test/bench
-    # runs) must not race each other's overwrite-mode writes against a lazy
-    # read-back. Within one session repeated calls rewrite identical data —
-    # idempotent.
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "sink_roundtrip",
-        spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-    )
+    from rpa_etl_spark.plans.common import scratch_dir
+
+    base = scratch_dir(spark, sf_dir, "sink_roundtrip")
     cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
     agg = (
         load(spark, sf_dir, "orders")
@@ -384,15 +374,9 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DELIBERATE eager step (same contract as q_sink_roundtrip): CALLING
     this writes the ORC copy (overwrite mode, app-id + sf-keyed path)."""
-    import os
+    from rpa_etl_spark.plans.common import scratch_dir
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "orc_roundtrip",
-        spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-    )
+    base = scratch_dir(spark, sf_dir, "orc_roundtrip")
     load(spark, sf_dir, "events").write.mode("overwrite").orc(base)
     back = spark.read.orc(base)
     cents = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast("long")

@@ -1096,16 +1096,14 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import re
 
+    from rpa_etl_spark.plans.common import scratch_dir
+
+    base = scratch_dir(spark, sf_dir, "bucketed")
+    # saveAsTable identifiers are keyed by the same (app, sf) pair
     tag = re.sub(
         r"[^0-9a-zA-Z]+",
         "_",
         f"{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}",
-    )
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "bucketed",
-        tag,
     )
     names = {}
     for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):

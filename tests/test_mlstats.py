@@ -88,6 +88,19 @@ def test_bloom_saturation_forces_false_positives(spark, sf_dir):
     assert fp > 0
 
 
+def test_bloom_build_drops_null_keys(spark):
+    """A NULL key must not poison the bitmap (md5(NULL) → NULL positions
+    → NULL-group row → collect_words TypeError before the fix); non-null
+    keys still register and NULL probe rows read NULL (unknown), not a
+    crash."""
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    m = 256
+    words = B.collect_words(B.build(df, "k", m), m)
+    out = {r.k: r.bloom_hit for r in B.probe_inline(df, "k", words, m).collect()}
+    assert out["a"] is True and out["b"] is True
+    assert out[None] is None
+
+
 def test_bloom_m_validation():
     with pytest.raises(ValueError):
         B.positions(F.lit("x"), 1000)  # not a power of two
