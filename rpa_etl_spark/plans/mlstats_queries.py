@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from rpa_etl_spark.operators import bloom as B
 from rpa_etl_spark.operators import sampling as RS
+from rpa_etl_spark.operators import sketches as SK
 from rpa_etl_spark.operators.pagerank import pagerank
 from rpa_etl_spark.plans.curation_queries import _BUCKET_SQL, _bucket_col
 from rpa_etl_spark.registry import query
@@ -333,4 +334,64 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_hit",
             F.col("_h").isNotNull().alias("exact_hit"),
         )
+    )
+
+
+_CMS_W = 256
+_CMS_BUCKETS_SQL = SK.buckets_sql("user_id", _CMS_W)
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+    WITH coords AS (
+        SELECT unnest([0, 1, 2, 3]) AS row_idx,
+               unnest([{", ".join(_CMS_BUCKETS_SQL)}]) AS bucket
+        FROM events
+    ),
+    cells AS (
+        SELECT row_idx, bucket, COUNT(*) AS cnt FROM coords GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probe AS (
+        SELECT user_id,
+               unnest([0, 1, 2, 3]) AS row_idx,
+               unnest([{", ".join(_CMS_BUCKETS_SQL)}]) AS bucket
+        FROM keys
+    ),
+    est AS (
+        SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_count
+        FROM probe p LEFT JOIN cells c USING (row_idx, bucket)
+        GROUP BY p.user_id
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1)
+    SELECT e.user_id,
+           CAST(x.true_count AS BIGINT) AS true_count,
+           CAST(e.cms_count AS BIGINT) AS cms_count,
+           e.cms_count >= x.true_count AS no_undercount
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over the event stream's
+    user key (operators/sketches.py): d=4 hash rows x w=256 buckets —
+    1024 counters TOTAL, independent of key cardinality, mergeable by
+    cell-wise addition (per-partition sketches partial-aggregate
+    map-side like any count). Output compares every key's CMS estimate
+    against its exact count: estimates can only overcount (collisions),
+    never undercount — `no_undercount` is the structural guarantee, and
+    the exact twin is what a 100 TB deployment could NOT afford to keep
+    per-key (that is the point of the sketch). The DuckDB oracle
+    re-derives every cell and every MIN-estimate from the same md5
+    hash slices, so collisions match bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    sketch = SK.cms_build(ev, "user_id", _CMS_W)
+    keys = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    est = SK.cms_estimate(keys, "user_id", sketch, _CMS_W)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "true_count",
+        F.col("cms_count"),
+        (F.col("cms_count") >= F.col("true_count")).alias("no_undercount"),
     )

@@ -54,7 +54,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1 (25): last driver-green in ROUND 6 — 3 rounds stale,
+    # == tier 1 (24): last driver-green in ROUND 6 — 3 rounds stale,
     #    breaching the ~2-round policy (round-9 verdict's top ask, listed
     #    there by name; originally all 33 headed the sample, but the
     #    tier-0 additions below displaced the 8 now parked right under
@@ -78,17 +78,17 @@ PRIORITY_ORDER = [
     "q_lateral_topk",
     "q_profile_stats",
     "q_quantiles",
-    "q_histogram",
     "q_hll_sketch_merge",
     "q_tfidf_terms",
     "q_pii_redact",
     "q_sample_hash",
     "q_dedup_embedding",
-    # == tier 0 (8): NEW in the round-10 continuation session — never had
-    #    any external verdict. Eight tier-1 (r6-stale, UNCHANGED) entries
+    # == tier 0 (9): NEW in the round-10 continuation session — never had
+    #    any external verdict. Nine tier-1 (r6-stale, UNCHANGED) entries
     #    moved below the window to make room (policy: changed/new precede
     #    stale-unchanged); they head the round-11 rotation instead.
     "q_sample_reservoir",
+    "q_heavy_hitters_cms",
     "q_linear_regression",
     "q_cusum_changepoint",
     "q_pagerank",
@@ -127,9 +127,10 @@ PRIORITY_ORDER = [
     "q_join_skew_salted",
     "q_agg_skew_salted",
     # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 6 (8): displaced from tier 1 by the
+    # == last driver-green in ROUND 6 (9): displaced from tier 1 by the
     #    tier-0 additions; unchanged since r6, they HEAD the round-11
     #    rotation ==
+    "q_histogram",
     "q_sample_stratified",
     "q_funnel",
     "q_retention_cohort",

@@ -108,6 +108,43 @@ def test_bloom_m_validation():
         B.positions(F.lit("x"), 32)  # below one word
 
 
+# ---------------------------------------------------------------- sketches
+def test_cms_never_undercounts_and_saturates_to_overcount(spark, sf_dir):
+    """Structural guarantee: estimate >= true count for EVERY key, at any
+    width. At w=2 the sketch is saturated with collisions, so estimates
+    must strictly overcount at least one key (proving the estimate is
+    min-of-cells, not an exact count in disguise)."""
+    from rpa_etl_spark.operators import sketches as SK
+
+    ev = load(spark, sf_dir, "events")
+    exact = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = ev.select("user_id").distinct()
+    for w in (2, 4096):
+        sk = SK.cms_build(ev, "user_id", w)
+        assert sk.count() <= SK.N_ROWS * w
+        est = {r.user_id: r.cms_count for r in SK.cms_estimate(keys, "user_id", sk, w).collect()}
+        assert all(est[k] >= exact[k] for k in exact)
+        if w == 2:
+            assert any(est[k] > exact[k] for k in exact)
+
+
+def test_cms_merge_equals_sketch_of_union(spark, sf_dir):
+    """Mergeability: sketch(A) + sketch(B) must equal sketch(A ∪ B)
+    cell-for-cell — the property that lets per-partition/per-day
+    sketches combine without touching raw data."""
+    from rpa_etl_spark.operators import sketches as SK
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    w = 256
+    merged = SK.cms_merge(SK.cms_build(a, "user_id", w), SK.cms_build(b, "user_id", w))
+    whole = SK.cms_build(ev, "user_id", w)
+    ms = {(r.row_idx, r.bucket): r.cnt for r in merged.collect()}
+    ws = {(r.row_idx, r.bucket): r.cnt for r in whole.collect()}
+    assert ms == ws
+
+
 # ---------------------------------------------------------------- pagerank
 def test_pagerank_hand_computed_chain(spark):
     """1 iteration on a→b→c (plus teleport) — hand-checkable fixed-point:
