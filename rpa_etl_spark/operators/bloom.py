@@ -40,35 +40,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rpa_etl_spark.operators import hashing as H
+
 N_HASHES = 5
-_SLICE = 6  # hex chars per hash slice (24 bits each; md5 has 32 chars)
 
 
 def _check_m(m_bits: int) -> None:
-    if m_bits & (m_bits - 1) or not 64 <= m_bits <= 1 << 24:
-        raise ValueError("m_bits must be a power of two in [64, 2^24]")
+    H.check_modulus(m_bits, lo=64)
 
 
 def positions(key_col: Column, m_bits: int) -> list[Column]:
-    """k deterministic bit positions in [0, m_bits) for a key."""
+    """k deterministic bit positions in [0, m_bits) for a key (the
+    shared md5-slice kernel, operators/hashing.py)."""
     _check_m(m_bits)
-    h = F.md5(key_col.cast("string"))
-    return [
-        (
-            F.conv(F.substring(h, 1 + i * _SLICE, _SLICE), 16, 10).cast("long")
-            % m_bits
-        )
-        for i in range(N_HASHES)
-    ]
+    return H.md5_slices(key_col, N_HASHES, m_bits)
 
 
 def positions_sql(key_expr: str, m_bits: int) -> list[str]:
     """DuckDB mirror of :func:`positions` (same slices, same modulus)."""
-    return [
-        f"(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), "
-        f"{1 + i * _SLICE}, {_SLICE})) AS BIGINT) % {m_bits})"
-        for i in range(N_HASHES)
-    ]
+    return H.md5_slices_sql(key_expr, N_HASHES, m_bits)
 
 
 # 1 << i for i in 0..63 as signed int64 literals (bit 63 is the sign bit).

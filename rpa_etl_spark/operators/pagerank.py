@@ -8,7 +8,7 @@ are O(diameter-independent) fixed count, the same frontier-join shape as
 operators/components.py label propagation.
 
 **Fixed-point integer arithmetic, not float.** Ranks are BIGINTs scaled
-by 10^12; contributions are `rank DIV out_degree` and damping is
+by SCALE (10^9); contributions are `rank DIV out_degree` and damping is
 `(85 · Σ) DIV 100`. Rationale, in order of importance at 100 TB:
 
 1. Determinism by construction: float rank sums are
@@ -17,8 +17,9 @@ by 10^12; contributions are `rank DIV out_degree` and damping is
    associative-commutative EXACTLY, so the result is bit-identical on
    any cluster, any partitioning, any engine — the DuckDB oracle
    reproduces it with three unrolled CTE rounds.
-2. No drift: the mass lost to DIV truncation is bounded by 1e-12·out
-   per node per round and never amplifies (PageRank is a contraction).
+2. No drift: the mass lost to DIV truncation is bounded by 1/SCALE·out
+   (1e-9·out) per node per round and never amplifies (PageRank is a
+   contraction).
 
 Overflow bound (worst case: ALL circulating mass funnels to one node):
 the damping multiply needs DAMP_NUM·N·SCALE < 2^63, i.e. N < 2^63/(85·

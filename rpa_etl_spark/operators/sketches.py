@@ -24,37 +24,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rpa_etl_spark.operators import hashing as H
+
 N_ROWS = 4
-_SLICE = 6  # hex chars per hash slice; 4 rows use 24 of md5's 32 chars
-
-
-def _check_w(w_buckets: int) -> None:
-    if w_buckets & (w_buckets - 1) or not 2 <= w_buckets <= 1 << 24:
-        raise ValueError("w_buckets must be a power of two in [2, 2^24]")
 
 
 def buckets(key_col: Column, w_buckets: int) -> list[Column]:
-    """The d bucket indices in [0, w_buckets) for a key (row i uses md5
-    hex chars [1+6i, 6+6i); power-of-two w divides the 24-bit slice
-    range evenly, so buckets are uniform)."""
-    _check_w(w_buckets)
-    h = F.md5(key_col.cast("string"))
-    return [
-        (
-            F.conv(F.substring(h, 1 + i * _SLICE, _SLICE), 16, 10).cast("long")
-            % w_buckets
-        )
-        for i in range(N_ROWS)
-    ]
+    """The d bucket indices in [0, w_buckets) for a key (the shared
+    md5-slice kernel, operators/hashing.py: row i covers hex chars
+    1+6i .. 6+6i inclusive)."""
+    H.check_modulus(w_buckets)
+    return H.md5_slices(key_col, N_ROWS, w_buckets)
 
 
 def buckets_sql(key_expr: str, w_buckets: int) -> list[str]:
     """DuckDB mirror of :func:`buckets`."""
-    return [
-        f"(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), "
-        f"{1 + i * _SLICE}, {_SLICE})) AS BIGINT) % {w_buckets})"
-        for i in range(N_ROWS)
-    ]
+    return H.md5_slices_sql(key_expr, N_ROWS, w_buckets)
 
 
 def cms_build(df: DataFrame, key_col: str, w_buckets: int) -> DataFrame:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from rpa_etl_spark.operators import bloom as B
 from rpa_etl_spark.operators import sampling as RS
 from rpa_etl_spark.operators import sketches as SK
+from rpa_etl_spark.operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE as _PR_SCALE
 from rpa_etl_spark.operators.pagerank import pagerank
 from rpa_etl_spark.plans.curation_queries import _BUCKET_SQL, _bucket_col
 from rpa_etl_spark.registry import query
@@ -207,8 +208,6 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from rpa_etl_spark.operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE as _PR_SCALE
-
 # supplier ids offset into their own node range: must exceed any custkey
 # (150k per unit sf ⇒ safe to sf ~6e3) while N·offset stays irrelevant to
 # the rank arithmetic (node ids never enter it)
@@ -345,7 +344,7 @@ _CMS_BUCKETS_SQL = SK.buckets_sql("user_id", _CMS_W)
     "q_heavy_hitters_cms",
     oracle=f"""
     WITH coords AS (
-        SELECT unnest([0, 1, 2, 3]) AS row_idx,
+        SELECT unnest([{", ".join(str(i) for i in range(SK.N_ROWS))}]) AS row_idx,
                unnest([{", ".join(_CMS_BUCKETS_SQL)}]) AS bucket
         FROM events
     ),
@@ -355,7 +354,7 @@ _CMS_BUCKETS_SQL = SK.buckets_sql("user_id", _CMS_W)
     keys AS (SELECT DISTINCT user_id FROM events),
     probe AS (
         SELECT user_id,
-               unnest([0, 1, 2, 3]) AS row_idx,
+               unnest([{", ".join(str(i) for i in range(SK.N_ROWS))}]) AS row_idx,
                unnest([{", ".join(_CMS_BUCKETS_SQL)}]) AS bucket
         FROM keys
     ),

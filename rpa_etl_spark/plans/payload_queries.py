@@ -300,13 +300,9 @@ def q_ingest_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rpa_etl_spark.sources import sinks
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "ingest_malformed",
-        spark.sparkContext.applicationId,
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-    )
+    from rpa_etl_spark.plans.common import scratch_dir
+
+    base = scratch_dir(spark, sf_dir, "ingest_malformed")
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     did, lang = F.col("doc_id"), F.col("lang")
     n0 = (did * 3 + 1).cast("string")

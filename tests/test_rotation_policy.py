@@ -66,6 +66,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/pagerank.py": ["q_pagerank"],
     "rpa_etl_spark/streaming/joins.py": ["q_stream_outer_join"],
     "rpa_etl_spark/operators/sketches.py": ["q_heavy_hitters_cms"],
+    "rpa_etl_spark/operators/hashing.py": ["q_dedup_bloom", "q_heavy_hitters_cms"],
     "rpa_etl_spark/operators/textstats.py": ["q_text_stats", "q_lang_quality"],
     "rpa_etl_spark/operators/textstats_arrow.py": ["q_lang_quality", "q_repetition_stats"],
     "rpa_etl_spark/operators/udtf_blocks.py": ["q_chunk_documents"],
