@@ -879,3 +879,65 @@ def ivf_pq_topk(
     return scored.select("*", F.row_number().over(w).alias("rank")).where(
         F.col("rank") <= k
     )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    num_planes: int = 4,
+    num_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_round: "int | None" = 6,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS over the whole corpus via LSH
+    blocking — the scale path whose oracle-checkable bounded-window
+    slice is :func:`cosine_near_dup_pairs` (SemDeDup-style semantic
+    dedup, blocked by sign-bit hyperplane buckets instead of trained
+    clusters).
+
+    Candidates are generated ONLY by the (table, bucket) equi-join —
+    never all pairs: expected pair volume is Σ_t Σ_b (n_b choose 2),
+    i.e. corpus² / 2^num_planes per table under uniform buckets. The
+    recall knob is num_tables (P[miss] decays exponentially); the
+    candidate-volume knob is num_planes. With the defaults (4 planes ×
+    12 tables) a cosine-0.8 pair (θ ≈ 37°) collides per table with
+    p ≈ 0.795⁴ ≈ 0.40, so P[missed by all 12] ≈ 0.6¹² ≈ 0.2% —
+    tests/test_mlstats.py gates measured recall vs the exact all-pairs
+    ground truth.
+
+    Pairs are formed on ids only (vectors joined back afterwards), so
+    the bucket self-join shuffles num_tables small rows per vector, not
+    num_tables copies of the vector. Threshold membership is decided on
+    the ROUNDED score (same convention and rationale as
+    cosine_near_dup_pairs — raw float64 cosine at the boundary is
+    engine-association-sensitive to ~1 ulp)."""
+    kernel = lsh_signatures_kernel(dim, num_planes, num_tables)
+    bk = df.select(
+        F.col(id_col).alias("pid"),
+        F.posexplode(kernel(F.col(vec_col))).alias("t", "bucket"),
+    )
+    a = bk.selectExpr("pid AS id_a", "t AS t_a", "bucket AS b_a")
+    b = bk.selectExpr("pid AS id_b", "t AS t_b", "bucket AS b_b")
+    cand = (
+        a.join(
+            b,
+            (F.col("t_a") == F.col("t_b"))
+            & (F.col("b_a") == F.col("b_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # collided in ≥1 table
+    )
+    va = df.selectExpr(f"{id_col} AS id_a", f"{vec_col} AS v_a")
+    vb = df.selectExpr(f"{id_col} AS id_b", f"{vec_col} AS v_b")
+    score = cosine_pd(F.col("v_a"), F.col("v_b"))
+    if score_round is not None:
+        score = F.round(score, score_round)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )

@@ -54,11 +54,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1 (24): last driver-green in ROUND 6 — 3 rounds stale,
+    # == tier 1 (22): last driver-green in ROUND 6 — 3 rounds stale,
     #    breaching the ~2-round policy (round-9 verdict's top ask, listed
     #    there by name; originally all 33 headed the sample, but the
     #    tier-0 additions below displaced the 8 now parked right under
-    #    the window). None changed since r6.
+    #    the window). Unchanged since r6 except q_dedup_embedding, whose
+    #    threshold moved to the fixture's real similarity tail this
+    #    session (it was already window-bound as a similarity.py consumer).
     "q_fuzzy_match",
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
@@ -78,17 +80,18 @@ PRIORITY_ORDER = [
     "q_lateral_topk",
     "q_profile_stats",
     "q_quantiles",
-    "q_hll_sketch_merge",
-    "q_tfidf_terms",
     "q_pii_redact",
     "q_sample_hash",
     "q_dedup_embedding",
-    # == tier 0 (9): NEW in the round-10 continuation session — never had
-    #    any external verdict. Nine tier-1 (r6-stale, UNCHANGED) entries
+    # == tier 0 (11): NEW or CHANGED in the round-10 continuation session — never had
+    #    any external verdict (q_join_anti: plan changed). Eleven tier-1
+    #    (r6-stale, UNCHANGED) entries
     #    moved below the window to make room (policy: changed/new precede
     #    stale-unchanged); they head the round-11 rotation instead.
     "q_sample_reservoir",
     "q_heavy_hitters_cms",
+    "q_dedup_embedding_lsh",
+    "q_join_anti",  # re-queued: anti side filtered to be non-vacuous
     "q_linear_regression",
     "q_cusum_changepoint",
     "q_pagerank",
@@ -127,9 +130,11 @@ PRIORITY_ORDER = [
     "q_join_skew_salted",
     "q_agg_skew_salted",
     # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 6 (9): displaced from tier 1 by the
+    # == last driver-green in ROUND 6 (11): displaced from tier 1 by the
     #    tier-0 additions; unchanged since r6, they HEAD the round-11
     #    rotation ==
+    "q_hll_sketch_merge",
+    "q_tfidf_terms",
     "q_histogram",
     "q_sample_stratified",
     "q_funnel",
@@ -201,7 +206,6 @@ PRIORITY_ORDER = [
     "q_gap_fill",
     "q_grouping_sets",
     "q_hash",
-    "q_join_anti",
     "q_join_full",
     "q_join_inner_broadcast",
     "q_join_left",

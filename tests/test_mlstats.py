@@ -145,6 +145,43 @@ def test_cms_merge_equals_sketch_of_union(spark, sf_dir):
     assert ms == ws
 
 
+# ------------------------------------------------------------ lsh dedup
+def test_lsh_near_dup_pairs_recall_and_soundness(spark, sf_dir):
+    """q_dedup_embedding_lsh's blocking contract: found pairs are a
+    SUBSET of the exact all-pairs truth (scoring is exact on candidates;
+    blocking can only miss), and measured recall ≥ 0.85 at the query's
+    (4 planes × 16 tables, τ=0.35) operating point — the fixture's weak
+    similarity tail is the HARD regime for hyperplane LSH, see the query
+    docstring."""
+    from rpa_etl_spark.operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    e2 = emb.selectExpr("vec_id AS id_b", "embedding AS v_b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in (
+            emb.selectExpr("vec_id AS id_a", "embedding AS v_a")
+            .crossJoin(e2)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(SIM.cosine_pd(F.col("v_a"), F.col("v_b")), 6).alias("s"),
+            )
+            .where(F.col("s") >= 0.35)
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in SIM.lsh_near_dup_pairs(
+            emb, dim=64, threshold=0.35, num_planes=4, num_tables=16
+        ).collect()
+    }
+    assert got <= truth, "LSH-blocked pairs must never invent a pair"
+    assert len(truth) > 100
+    assert len(got & truth) / len(truth) >= 0.85
+
+
 # ---------------------------------------------------------------- pagerank
 def test_pagerank_hand_computed_chain(spark):
     """1 iteration on a→b→c (plus teleport) — hand-checkable fixed-point:
