@@ -139,7 +139,9 @@ def _spark_to_pandas(spark_df) -> tuple[list[str], "pd.DataFrame"]:
     return cols, pdf
 
 
-def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> None:
+def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
+    """Asserts parity and returns the (shared) row count so callers can
+    gate on non-vacuity without re-executing the query."""
     s_cols, s_pdf = _spark_to_pandas(spark_df)
     d_cols, d_pdf = run_oracle(oracle, sf_dir)
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
@@ -160,3 +162,4 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> None:
     assert not mismatches, (
         f"{len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
     )
+    return len(s_pdf)
