@@ -522,7 +522,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embedding_lsh",
     # the hyperplane CTEs are the proven q_ann_lsh splitmix re-derivation,
-    # re-ranged to this query's (num_tables=12, num_planes=4) family; the
+    # re-ranged to this query's (num_tables=16, num_planes=4) family; the
     # pair form replaces the query-side join with a bucket SELF-join.
     oracle="""
     WITH plane_seed AS (

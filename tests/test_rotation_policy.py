@@ -58,6 +58,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/tablefmt.py": ["q_table_time_travel", "q_table_schema_evolution"],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
+        "q_dedup_embedding_lsh",
         "q_ann_ivf_pq", "q_dedup_embedding",
     ],
     "rpa_etl_spark/operators/skew.py": ["q_join_skew_salted", "q_agg_skew_salted"],
