@@ -51,11 +51,19 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     point rank scaled by SCALE (initial rank 1.0 per node, the
     ranks-sum-to-N convention).
     """
-    edges = edges.select("src", "dst").distinct()
+    # lineage cut (the components.py pattern): edges feed nodes, degrees,
+    # AND every iteration's join — without the checkpoint the physical
+    # plan re-derives the edge subtree per consumer (measured: 40
+    # FileScans / 59 Exchanges for 3 iterations over a 2-table edge
+    # derivation, zero reuse) and the plan doubles per iteration at
+    # higher iteration counts. localCheckpoint materializes the edge
+    # partitions once on the executors — distributed, nothing collects.
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # fresh attribute names per consumer: nodes/outdeg/the per-round join
     # all descend from `edges`, and Spark's ambiguous-self-join detection
