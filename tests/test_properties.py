@@ -241,3 +241,68 @@ def test_lang_quality_arrow_parity_on_random_text(spark, texts):
             for r in lang_quality_expr(df).collect()}
     diffs = {k: (got[k], want[k], texts[k]) for k in got if got[k] != want[k]}
     assert not diffs, f"{len(diffs)} diverging rows, e.g. {next(iter(diffs.items()))}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=40, unique=True))
+def test_bloom_no_false_negatives_on_random_keys(spark, keys):
+    """Bloom structural invariant on arbitrary unicode keys: every built
+    key probes positive (false negatives are impossible by construction),
+    at a deliberately tiny m to maximize collision pressure."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators import bloom as B
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    m = 64
+    words = B.collect_words(B.build(df, "k", m), m)
+    misses = (
+        B.probe_inline(df, "k", words, m)
+        .where(F.col("k").isNotNull() & ~F.col("bloom_hit"))
+        .count()
+    )
+    assert misses == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=120),
+    st.sampled_from([2, 8, 64]),
+)
+def test_cms_estimate_bounds_on_random_streams(spark, stream, w):
+    """CMS invariants on random streams at several widths: estimate is
+    never below the true count, and never above the stream length (a
+    cell only counts coordinate hits)."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in stream], "k long")
+    sk = SK.cms_build(df, "k", w)
+    keys = df.distinct()
+    est = {r.k: r.cms_count for r in SK.cms_estimate(keys, "k", sk, w).collect()}
+    exact: dict[int, int] = {}
+    for k in stream:
+        exact[k] = exact.get(k, 0) + 1
+    for k, n in exact.items():
+        assert n <= est[k] <= len(stream), (k, n, est[k])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10**6), min_size=2, max_size=60, unique=True))
+def test_reservoir_key_monotone_in_weight(spark, ids):
+    """Efraimidis-Spirakis priority is monotone in the weight for a FIXED
+    id: ln(u)/w with u<1 fixed rises toward 0 as w grows, so the same
+    row with a heavier weight can only rank higher. Verified as a batch:
+    key(id, w=1000) >= key(id, w=1) for every id."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators import sampling as RS
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    both = df.select(
+        RS.reservoir_key(F.col("id"), F.lit(1)).alias("k_light"),
+        RS.reservoir_key(F.col("id"), F.lit(1000)).alias("k_heavy"),
+    )
+    bad = both.where(F.col("k_heavy") < F.col("k_light")).count()
+    assert bad == 0
