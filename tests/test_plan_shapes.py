@@ -320,3 +320,14 @@ def test_cusum_is_single_user_shuffle(spark, sf_dir):
     and one exchange — the detector is a single sorted pass per entity."""
     plan = _plan(spark, sf_dir, "q_cusum_changepoint")
     assert plan.count("Exchange") == 1
+
+
+def test_pagerank_lineage_cut_bounds_plan(spark, sf_dir):
+    """The localCheckpoint in operators/pagerank.py must keep the
+    3-iteration plan bounded: without it the edge subtree re-derives per
+    consumer (measured 40 FileScans / 59 Exchanges); with it the edge
+    data enters as checkpointed RDDs (zero file re-scans) and the
+    exchange count stays in the per-iteration-constant regime."""
+    plan = _plan(spark, sf_dir, "q_pagerank")
+    assert "FileScan" not in plan
+    assert plan.count("Exchange") <= 20, plan.count("Exchange")
