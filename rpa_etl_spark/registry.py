@@ -54,7 +54,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1 (22): last driver-green in ROUND 6 — 3 rounds stale,
+    # == tier 1 (18): last driver-green in ROUND 6 — 3 rounds stale,
     #    breaching the ~2-round policy (round-9 verdict's top ask, listed
     #    there by name; originally all 33 headed the sample, but the
     #    tier-0 additions below displaced the 8 now parked right under
@@ -77,17 +77,19 @@ PRIORITY_ORDER = [
     "q_merge_upsert",
     "q_scd2_history",
     "q_recursive_cte",
-    "q_lateral_topk",
-    "q_profile_stats",
-    "q_quantiles",
-    "q_pii_redact",
     "q_sample_hash",
     "q_dedup_embedding",
-    # == tier 0 (11): NEW or CHANGED in the round-10 continuation session — never had
-    #    any external verdict (q_join_anti: plan changed). Eleven tier-1
+    # == tier 0 (15): NEW or CHANGED in the round-10 continuation session — never had
+    #    any external verdict (q_join_anti: plan changed; the four PDF
+    #    queries: minipdf gained UTF-16BE BOM-prefixed text-string
+    #    writing, a hypothesis-found round-trip corner). Fifteen tier-1
     #    (r6-stale, UNCHANGED) entries
     #    moved below the window to make room (policy: changed/new precede
     #    stale-unchanged); they head the round-11 rotation instead.
+    "q_pdf_extract",  # re-queued: minipdf.py BOM text-string writer fix
+    "q_pdf_extract_hard",
+    "q_pdf_extract_passworded",
+    "q_pdf_extract_encrypted",
     "q_sample_reservoir",
     "q_heavy_hitters_cms",
     "q_dedup_embedding_lsh",
@@ -130,9 +132,13 @@ PRIORITY_ORDER = [
     "q_join_skew_salted",
     "q_agg_skew_salted",
     # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 6 (11): displaced from tier 1 by the
+    # == last driver-green in ROUND 6 (15): displaced from tier 1 by the
     #    tier-0 additions; unchanged since r6, they HEAD the round-11
     #    rotation ==
+    "q_lateral_topk",
+    "q_profile_stats",
+    "q_quantiles",
+    "q_pii_redact",
     "q_hll_sketch_merge",
     "q_tfidf_terms",
     "q_histogram",
@@ -179,9 +185,6 @@ PRIORITY_ORDER = [
     "q_wordcount",
     "q_zorder_code",
     # == last driver-green in ROUND 8 ==
-    "q_pdf_extract_hard",
-    "q_pdf_extract",
-    "q_pdf_extract_passworded",
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",
@@ -249,7 +252,6 @@ PRIORITY_ORDER = [
     "q_multimodal_mpeg_iframes",
     "q_multimodal_g711",
     "q_multimodal_gif",
-    "q_pdf_extract_encrypted",
     "q_approx_count_distinct",
     "q_argmax",
     "q_array_agg",

@@ -1739,6 +1739,22 @@ def extract_text(content: bytes, password: bytes | str = b"") -> tuple[str, int]
     return "\n".join(texts), max(pages, 1)
 
 
+def _show_simple(ln: str, esc) -> str:
+    """One Tj show for a simple (Latin-1) font line. A line whose first
+    two chars are U+00FE U+00FF cannot be written as Latin-1 literal
+    bytes: 0xFE 0xFF IS the UTF-16BE byte-order mark, so a conforming
+    reader (including our extractor, §7.9.2.2) must decode the rest of
+    the string as UTF-16 — the Latin-1 reading of such bytes is simply
+    not representable. Per the spec's text-string rules the line is
+    emitted as an explicit UTF-16BE hex string (BOM + UTF-16BE code
+    units), which round-trips exactly. Found by hypothesis: pages=[['þÿ']]
+    extracted as ''."""
+    if ln.startswith("\xfe\xff"):
+        raw = b"\xfe\xff" + ln.encode("utf-16-be")
+        return f"<{raw.hex().upper()}> Tj"
+    return f"({esc(ln)}) Tj"
+
+
 def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     """Minimal spec-conformant PDF WRITER (catalog → pages → one content
     stream per page, each line shown with ``Tj``/``T*``; streams
@@ -1787,7 +1803,7 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
                 f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>"
             ).encode()
         )
-        shows = " T* ".join(f"({esc(ln)}) Tj" for ln in lines)
+        shows = " T* ".join(_show_simple(ln, esc) for ln in lines)
         stream = f"BT /F1 12 Tf 72 720 Td {shows} ET".encode("latin-1")
         if compress:
             data = zlib.compress(stream)
@@ -2051,7 +2067,7 @@ def write_pdf_hard(
         if not cid_font:
             if encoding_diffs:
                 ln = remap_diffs(ln)
-            return f"({esc(ln)}) Tj"
+            return _show_simple(ln, esc)
         hexcodes = "".join(f"{char2code[ch]:04X}" for ch in ln)
         return f"<{hexcodes}> Tj"
 
