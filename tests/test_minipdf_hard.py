@@ -216,7 +216,7 @@ try:
         max_size=60,
     ).map(lambda s: s.replace("\n", " ").replace("\r", " "))
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25, deadline=None, derandomize=True)
     @given(
         pages=st.lists(
             st.lists(_line, min_size=1, max_size=4), min_size=1, max_size=3

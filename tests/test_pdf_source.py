@@ -239,7 +239,7 @@ if True:
     )
     _page = st.lists(_line, min_size=1, max_size=6)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60, deadline=None, derandomize=True)
     @given(pages=st.lists(_page, min_size=1, max_size=4), compress=st.booleans())
     def test_write_pdf_extract_text_roundtrip_property(pages, compress):
         pdf = minipdf.write_pdf(pages, compress=compress)
