@@ -2066,6 +2066,19 @@ def write_pdf_hard(
     def show_line(ln: str) -> str:
         if not cid_font:
             if encoding_diffs:
+                if ln.startswith("\xfe\xff"):
+                    # a BOM-prefixed line under a /Differences encoding is
+                    # unencodable: the reader decodes shown bytes through
+                    # the Differences table, so the UTF-16BE escape hatch
+                    # _show_simple uses for plain simple fonts is not
+                    # available. Refuse loudly rather than emit bytes that
+                    # cannot round-trip (same philosophy as the broadcast
+                    # plan gates: impossible contracts fail mechanically).
+                    raise ValueError(
+                        "encoding_diffs cannot encode a line starting with "
+                        "U+00FE U+00FF (UTF-16 BOM); use cid_font for such "
+                        "content"
+                    )
                 ln = remap_diffs(ln)
             return _show_simple(ln, esc)
         hexcodes = "".join(f"{char2code[ch]:04X}" for ch in ln)
