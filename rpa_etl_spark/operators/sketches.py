@@ -77,8 +77,11 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 def cms_estimate(
     keys: DataFrame, key_col: str, sketch: DataFrame, w_buckets: int
 ) -> DataFrame:
-    """Append ``cms_count`` = min over the key's d cells (0 when a cell
-    is absent — an empty cell means no key hashed there).
+    """Return a ``(key_col, cms_count)`` frame — one row per distinct
+    probe key, ``cms_count`` = min over the key's d cells (0 when a cell
+    is absent — an empty cell means no key hashed there). Other columns
+    of ``keys`` are NOT carried through; join the result back on
+    ``key_col`` if the caller needs them alongside the estimate.
 
     The sketch side is ≤ d·w rows, so the optimizer broadcasts it; the
     probe is one explode + one broadcast join + one per-key MIN — never

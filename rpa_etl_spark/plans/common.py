@@ -30,14 +30,20 @@ def money(col: Column) -> Column:
 
 
 def scratch_dir(spark, sf_dir: str, kind: str) -> str:
-    """Session-and-sf-keyed scratch path under the repo's spark-warehouse
-    for queries that must write (sink round-trips, bucketed layouts).
+    """STABLE (kind, sf)-keyed scratch path under the repo's
+    spark-warehouse for queries that must write (sink round-trips,
+    bucketed layouts).
 
-    Keyed by the Spark application id — two concurrent sessions must not
-    race each other's overwrite-mode writes against a lazy read-back —
-    AND by the scale factor, since the returned DataFrames read lazily
-    and a later call at another sf must not overwrite this one's files.
-    Within one session repeated calls rewrite identical data: idempotent.
+    Keyed by the scale factor because the returned DataFrames read
+    lazily and a later call at another sf must not overwrite this one's
+    files. Deliberately NOT keyed by the application id (it was through
+    round 10): every writer targeting these paths uses overwrite mode on
+    deterministic data, so cross-session reuse rewrites identical bytes
+    in place and nothing accumulates across runs. The trade-off is that
+    two CONCURRENT sessions at the same sf would race the overwrite —
+    out of scope for this single-tenant sandbox, same class of
+    documented limitation as tablefmt's single-POSIX-filesystem commit
+    arbiter (operators/tablefmt.py).
     """
     import os
 
@@ -45,6 +51,5 @@ def scratch_dir(spark, sf_dir: str, kind: str) -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "spark-warehouse",
         kind,
-        spark.sparkContext.applicationId,
         os.path.basename(os.path.normpath(sf_dir)) or "sf",
     )

@@ -28,8 +28,9 @@ from rpa_etl_spark.tables import load
         SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
     )
     SELECT c.event_id, c.user_id,
-           p.event_id AS purchase_id_asof,
-           p.value    AS purchase_value_asof
+           COALESCE(p.event_id, -1) AS purchase_id_asof,
+           COALESCE(p.value, -1.0) AS purchase_value_asof,
+           p.event_id IS NOT NULL  AS matched
     FROM clicks c
     ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND p.ts <= c.ts
@@ -38,7 +39,13 @@ from rpa_etl_spark.tables import load
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the user's most recent prior purchase.
     Cross-checked against DuckDB's native ASOF JOIN — validates both the
-    union+window implementation and its tie/NULL semantics."""
+    union+window implementation and its tie/NULL semantics. The no-match
+    case surfaces as an explicit `matched=false` plus -1 sentinels
+    (round-10 verdict #2: a NULL in a numeric column fetches as float NaN
+    on both engines, arming the compare's NaN→NULL fold; the sentinel
+    keeps the projection NaN-free so nothing rides on fold behavior —
+    event ids are non-negative and purchase values positive, so -1 cannot
+    collide with a real match)."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = (
@@ -54,7 +61,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, key="user_id", time="ts",
         right_values=["purchase_id", "purchase_value"],
     )
-    return out.select("event_id", "user_id", "purchase_id_asof", "purchase_value_asof")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("purchase_id_asof", F.lit(-1).cast("long")).alias("purchase_id_asof"),
+        F.coalesce("purchase_value_asof", F.lit(-1.0)).alias("purchase_value_asof"),
+        F.col("purchase_id_asof").isNotNull().alias("matched"),
+    )
 
 
 @query(

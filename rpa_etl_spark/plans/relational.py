@@ -22,6 +22,12 @@ from rpa_etl_spark.plans.common import dec, money
 from rpa_etl_spark.registry import query
 from rpa_etl_spark.tables import load, spread
 
+# (applicationId, table_name) pairs q_join_bucketed has already written in
+# this process — keeps the eager bucketed-table write once-per-session
+# without resorting to app-id-unique table names (which leak metastore
+# entries across sessions; round-10 ADVICE).
+_BUCKETED_WRITTEN: set[tuple[str, str]] = set()
+
 
 # --------------------------------------------------------------------------
 # Scan + projection (reference: R3/R4 payload re-shaping, SURVEY §2.1)
@@ -1098,27 +1104,36 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering of Hive/Iceberg bucketing.
 
     DELIBERATE eager step (same contract as q_sink_roundtrip): CALLING
-    this writes both bucketed tables (overwrite mode, app-id + sf-keyed
-    names and paths — idempotent within a session, race-free across
-    concurrent sessions). The write itself shuffles by the bucket key —
-    the point is that NO LATER query pays that shuffle again."""
+    this writes both bucketed tables. Table names and paths are STABLE,
+    keyed by sf only (round-10 ADVICE: the former app-id-unique
+    identifiers accumulated two Derby metastore entries plus parquet per
+    session, forever). Each session overwrites the same two tables once
+    (session-local memo keeps repeated calls free); concurrent sessions
+    racing the overwrite are out of scope per plans/common.scratch_dir.
+    The write itself shuffles by the bucket key — the point is that NO
+    LATER query pays that shuffle again."""
     import os
     import re
 
     from rpa_etl_spark.plans.common import scratch_dir
 
     base = scratch_dir(spark, sf_dir, "bucketed")
-    # saveAsTable identifiers are keyed by the same (app, sf) pair
+    # saveAsTable identifiers carry the same stable sf key as the path
     tag = re.sub(
         r"[^0-9a-zA-Z]+",
         "_",
-        f"{spark.sparkContext.applicationId}_{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
     )
     names = {}
     for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
         name = f"bkt_{tbl}_{tag}"
         names[tbl] = name
-        if not spark.catalog.tableExists(name):
+        memo = (spark.sparkContext.applicationId, name)
+        if memo not in _BUCKETED_WRITTEN:
+            # overwrite even when a previous session left the table in
+            # the metastore: the catalog entry may point at files from a
+            # stale fixture generation; rewriting is the cheap, correct
+            # default and leaves exactly one copy behind
             (
                 load(spark, sf_dir, tbl)
                 .write.mode("overwrite")
@@ -1128,6 +1143,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .format("parquet")
                 .saveAsTable(name)
             )
+            _BUCKETED_WRITTEN.add(memo)
     cust = spark.table(names["customer"])
     orders = spark.table(names["orders"])
     cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")

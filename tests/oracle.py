@@ -67,18 +67,21 @@ def _cell_class_and_repr(v: Any) -> tuple[str, str]:
         f = float(v)
         if math.isnan(f):
             if _NAN_IS_NULL:
-                global nan_folds
+                global nan_folds, unexpected_nan_folds
                 nan_folds += 1
-                if nan_folds == 1:
-                    import warnings
+                if not _fold_expected:
+                    unexpected_nan_folds += 1
+                    if unexpected_nan_folds == 1:
+                        import warnings
 
-                    warnings.warn(
-                        "oracle compare folded a float NaN to NULL; if this "
-                        "query emits GENUINE NaNs (not fetched NULLs) the "
-                        "fold could mask a NULL-vs-NaN divergence the driver "
-                        "might score differently (see tests.oracle.nan_folds)",
-                        stacklevel=2,
-                    )
+                        warnings.warn(
+                            "oracle compare folded a float NaN to NULL in a "
+                            "query NOT in FOLD_ARMED_OK; if this query emits "
+                            "GENUINE NaNs (not fetched NULLs) the fold could "
+                            "mask a NULL-vs-NaN divergence the driver might "
+                            "score differently (see tests.oracle.nan_folds)",
+                            stacklevel=2,
+                        )
                 return ("null", "∅")
             return ("float", "NaN")
         return ("float", f.hex())
@@ -107,6 +110,31 @@ _NAN_IS_NULL = True
 # how many NaN cells have been folded to NULL this process — visible so a
 # test session can tell "no NaNs anywhere" from "NaNs silently folded"
 nan_folds = 0
+
+# folds that happened while comparing a query NOT pinned in FOLD_ARMED_OK —
+# these (and only these) raise the once-per-process UserWarning above
+unexpected_nan_folds = 0
+
+# The pinned set of queries whose output columns may legitimately carry a
+# fetched-NULL-as-NaN (the demonstrated semantic is NULL: try-arith
+# failure, window edge, full-join unmatched side, unparseable money, pivot
+# hole, watermark-evicted outer-join row). tests/test_nan_fold_budget.py
+# asserts the fold-armed set equals EXACTLY this list; the compare warns
+# only when a fold happens outside it. Queries where NULL was incidental
+# are de-armed with sentinels instead (q_decimal_math r6,
+# q_dedup_incremental r6, q_join_asof r11).
+FOLD_ARMED_OK = {
+    "q_try_arith",
+    "q_window_lead_lag",
+    "q_join_full",
+    "q_stream_outer_join",
+    "q_monetary_br",
+    "q_pivot",
+}
+
+# set for the duration of an assert_matches_oracle(name=...) call on a
+# FOLD_ARMED_OK query — folds inside it are expected, not warned
+_fold_expected = False
 
 
 def _column_class(cells: list[tuple[str, str]]) -> str:
@@ -139,9 +167,21 @@ def _spark_to_pandas(spark_df) -> tuple[list[str], "pd.DataFrame"]:
     return cols, pdf
 
 
-def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
+def assert_matches_oracle(
+    spark_df, oracle: str, sf_dir: str, name: str | None = None
+) -> int:
     """Asserts parity and returns the (shared) row count so callers can
-    gate on non-vacuity without re-executing the query."""
+    gate on non-vacuity without re-executing the query. Pass the declared
+    query ``name`` so folds inside FOLD_ARMED_OK queries stay silent."""
+    global _fold_expected
+    _fold_expected = name in FOLD_ARMED_OK
+    try:
+        return _assert_matches_oracle(spark_df, oracle, sf_dir)
+    finally:
+        _fold_expected = False
+
+
+def _assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
     s_cols, s_pdf = _spark_to_pandas(spark_df)
     d_cols, d_pdf = run_oracle(oracle, sf_dir)
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"

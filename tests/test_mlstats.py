@@ -3,6 +3,7 @@ pagerank, CUSUM, OLS) — semantics beyond what the oracle gate checks."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import numpy as np
@@ -248,7 +249,14 @@ def test_cusum_matches_imperative_recursion(spark, sf_dir):
     )
     state: dict[int, int] = {}
     for r in rows:
-        d = round(r.value * 100) - _CUSUM_TARGET_C
+        # Decimal half-up, matching Spark ROUND / DuckDB decimal cast —
+        # Python round() is banker's rounding and diverges on half-cents.
+        cents = int(
+            decimal.Decimal(str(r.value)).scaleb(2).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        d = cents - _CUSUM_TARGET_C
         s = max(0, state.get(r.user_id, 0) + d)
         state[r.user_id] = s
         assert got[r.event_id] == s, r.event_id

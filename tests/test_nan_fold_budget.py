@@ -5,11 +5,12 @@ the compare folds back to NULL (tests/oracle.py::_NAN_IS_NULL). That fold
 is safe — the driver faces the identical post-fetch ambiguity — but every
 column relying on it is one canonicalizer change away from a red, so the
 set is BUDGETED: this test pins exactly which queries may carry fold-armed
-columns. The six below keep NULL deliberately because NULL is the
-demonstrated semantic (ASOF no-match, try-arith failure, window edge,
-full-join unmatched, unparseable money, pivot hole). Queries where NULL
-was incidental were de-armed instead (q_decimal_math round 6 →
-boolean+sentinel; q_dedup_incremental round 6 → -1 sentinel).
+columns. The entries below keep NULL deliberately because NULL is the
+demonstrated semantic (try-arith failure, window edge, full-join
+unmatched, unparseable money, pivot hole). Queries where NULL was
+incidental were de-armed instead (q_decimal_math round 6 →
+boolean+sentinel; q_dedup_incremental round 6 → -1 sentinel;
+q_join_asof round 11 → matched boolean + -1 sentinels).
 
 A new query appearing here unintentionally should be fixed like those two,
 not added to the allowlist.
@@ -25,15 +26,10 @@ import pytest
 
 from rpa_etl_spark import registry
 
-ALLOWED_FOLD_ARMED = {
-    "q_join_asof",        # no purchase after the view → NULL is the point
-    "q_try_arith",        # try_* failure → NULL is the demonstrated result
-    "q_window_lead_lag",  # first row per partition has no predecessor
-    "q_join_full",        # FULL JOIN unmatched side
-    "q_stream_outer_join",  # watermark-evicted unmatched click → NULL purchase_value is the point (the `matched` boolean de-ambiguates)
-    "q_monetary_br",      # unparseable money → NULL (guarded-parse output)
-    "q_pivot",            # segment × priority holes
-}
+# Single source of truth lives in tests/oracle.py (the compare consults it
+# to decide whether a fold warrants the once-per-process warning); this
+# test pins the measured fold-armed set to exactly that list.
+from tests.oracle import FOLD_ARMED_OK as ALLOWED_FOLD_ARMED
 
 SF = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 

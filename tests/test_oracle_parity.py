@@ -28,7 +28,7 @@ VACUOUS_OK: set[str] = set()
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
-    n = assert_matches_oracle(df, registry.ORACLES[name], sf_dir)
+    n = assert_matches_oracle(df, registry.ORACLES[name], sf_dir, name=name)
     if name not in VACUOUS_OK:
         assert n > 0, (
             f"{name} returned 0 rows — vacuous oracle comparison "

@@ -64,4 +64,5 @@ def test_order_independent_at_prime_partitions(adversarial_spark, sf_dir, name):
         registry.QUERIES[name](adversarial_spark, sf_dir),
         registry.ORACLES[name],
         sf_dir,
+        name=name,
     )

@@ -60,7 +60,7 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             if name in oracles:
-                assert_matches_oracle(df, oracles[name], sf_dir)
+                assert_matches_oracle(df, oracles[name], sf_dir, name=name)
                 verdict = "pass"
             else:
                 n = df.count()
