@@ -26,7 +26,11 @@ the damping multiply needs DAMP_NUM·N·SCALE < 2^63, i.e. N < 2^63/(85·
 SCALE) ≈ 1.1e8 nodes at SCALE=1e9 (the default — rank quantum 1e-9,
 far below any ranking-relevant difference). Under Spark 4's default
 ANSI mode an excess is a loud ArithmeticException, not a silent wrap;
-the knob is explicit, which is the point of fixed-point.
+the knob is explicit, which is the point of fixed-point. The bound is
+unchanged by dangling-mass redistribution: the damped operand becomes
+in_mass + D DIV N with D = Σ dangling rank, and (in_mass + D DIV N) is
+still ≤ the total circulating mass N·SCALE (redistribution only moves
+mass that the drop-convention would have deleted).
 """
 
 from __future__ import annotations
@@ -38,14 +42,24 @@ SCALE = 10**9
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
 
 
-def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    redistribute_dangling: bool = False,
+) -> DataFrame:
     """Rank every node of ``edges`` (columns ``src``, ``dst``).
 
-    Nodes = src ∪ dst. Dangling nodes (no out-edges) keep only the
-    teleport term — their mass is dropped rather than redistributed,
-    matching the oracle's unrolled SQL exactly (and the common
-    large-graph simplification; redistributing dangling mass needs a
-    per-round global scalar, one extra tiny aggregate, omitted here).
+    Nodes = src ∪ dst. Dangling nodes (no out-edges) are handled per the
+    ``redistribute_dangling`` knob:
+
+    - ``False`` (default): their mass is dropped — the common large-graph
+      simplification; each round is one join + one aggregate.
+    - ``True``: the canonical formulation — each round additionally sums
+      the dangling nodes' rank into one global scalar D and every node's
+      damped term becomes ``in_mass + D DIV N``. The scalar is ONE extra
+      tiny aggregate per round (a 1-row frame, broadcast back via
+      cross-join — nothing collects to the driver, and the integer DIV
+      keeps the result bit-identical across engines/partitionings).
 
     Returns (node BIGINT, rank_fp BIGINT) where rank_fp is the fixed-
     point rank scaled by SCALE (initial rank 1.0 per node, the
@@ -82,8 +96,15 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         outdeg, F.col("node") == F.col("od_src"), "left"
     ).select("node", "out_deg")
 
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
     ranks = nodes_deg.withColumn("rank_fp", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
+        if redistribute_dangling:
+            # the rank frame feeds TWO consumers this round (contrib AND
+            # the dangling scalar) — cut the lineage so the physical plan
+            # shares one materialization instead of doubling per round
+            ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             ranks.where(F.col("out_deg").isNotNull())
             .select(F.col("node"), F.expr("rank_fp DIV out_deg").alias("c"))
@@ -92,17 +113,46 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            nodes_deg.join(contrib, "node", "left")
-            .select(
-                "node",
-                "out_deg",
-                (
-                    base
-                    + F.expr(
-                        f"({DAMP_NUM} * coalesce(in_mass, 0L)) DIV {DAMP_DEN}"
+        if redistribute_dangling:
+            # D DIV N as a 1-row broadcast: exact integer arithmetic, so
+            # the oracle reproduces it with one scalar CTE per round
+            dang = (
+                ranks.where(F.col("out_deg").isNull())
+                .agg(
+                    F.coalesce(F.sum("rank_fp"), F.lit(0).cast("long")).alias(
+                        "dang_fp"
                     )
-                ).alias("rank_fp"),
+                )
+                .crossJoin(n_nodes)
+                .select(F.expr("dang_fp DIV n_nodes").alias("dang_share"))
             )
-        )
+            ranks = (
+                nodes_deg.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    "out_deg",
+                    (
+                        base
+                        + F.expr(
+                            f"({DAMP_NUM} * (coalesce(in_mass, 0L) + dang_share))"
+                            f" DIV {DAMP_DEN}"
+                        )
+                    ).alias("rank_fp"),
+                )
+            )
+        else:
+            ranks = (
+                nodes_deg.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "out_deg",
+                    (
+                        base
+                        + F.expr(
+                            f"({DAMP_NUM} * coalesce(in_mass, 0L)) DIV {DAMP_DEN}"
+                        )
+                    ).alias("rank_fp"),
+                )
+            )
     return ranks.select("node", "rank_fp")

@@ -18,6 +18,8 @@ the same ratio holds per-executor on a cluster. The JVM fold (`dot`,
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -258,13 +260,21 @@ def _nearest_cells_kernel(cmat: "np.ndarray", top: int):
 def train_ivf_codebook(
     corpus: DataFrame,
     dim: int,
-    n_cells: int = 32,
+    n_cells: "int | None" = 32,
     iters: int = 4,
     oversample: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "np.ndarray":
     """Deterministic distributed k-means codebook for :func:`ivf_topk`.
+
+    ``n_cells=None`` auto-sizes to ``isqrt(N)`` from one cheap count —
+    the production default measured in SCALE.md §10b: √N cells keep the
+    Lloyd assignment work N·√N (vs N·const growing quadratic candidate
+    volume) and hold recall with candidates/query growing ~√(data ratio)
+    at fixed n_probe. Pass an explicit int only when the cell count is
+    semantically pinned (q_ann_ivf_trained fixes 8 because the oracle's
+    ground truth has 8 clusters).
 
     Seeding (k-means|| shape, RNG-free): OVERSAMPLE ``oversample *
     n_cells`` corpus vectors by smallest ``xxhash64(id)`` — deterministic
@@ -289,6 +299,8 @@ def train_ivf_codebook(
     with partitioning; on clustered data assignments are stable but
     bit-exact reproducibility across cluster layouts is not guaranteed.
     """
+    if n_cells is None:
+        n_cells = max(1, math.isqrt(corpus.count()))
     seeds = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h", "v")
@@ -348,19 +360,30 @@ def ivf_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_cells: int = 32,
+    n_cells: "int | None" = 32,
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: "np.ndarray | None" = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into ``n_cells``
     Voronoi cells around fixed centroids, probe only the ``n_probe`` cells
     nearest each query, score exactly within the probed cells.
 
+    ``broadcast_queries=True`` (default) hints the exploded query side
+    into a broadcast hash join — right for the retrieval norm of few
+    queries against a big corpus. Pass False when the query side is
+    corpus-sized (e.g. all-pairs self-retrieval): a corpus-sized
+    broadcast is the inverse of the small-side rule, and the cell-keyed
+    SHUFFLED hash join is the correct 100 TB shape (the q_ann_ivf_trained
+    round-7 lesson, now a knob instead of an inlined variant).
+
     The default centroid "codebook" is deterministic — the first
     ``n_cells`` corpus vectors by id — chosen because the declared oracle
-    query (q_ann_ivf) re-derives exactly those cells in SQL. Pass
+    query (q_ann_ivf) re-derives exactly those cells in SQL.
+    ``n_cells=None`` auto-sizes to ``isqrt(N)`` (one cheap count; the
+    SCALE.md §10b production sizing). Pass
     ``codebook=train_ivf_codebook(...)`` for the k-means-refined variant
     (same query path; training is the offline batch job at scale). Either
     way the codebook is tiny and rides into the cell-assignment kernel as
@@ -377,6 +400,10 @@ def ivf_topk(
     if codebook is not None:
         cmat = np.asarray(codebook, dtype=np.float64)
     else:
+        if n_cells is None:
+            # production default, same contract as train_ivf_codebook:
+            # √N cells from one cheap count (SCALE.md §10b)
+            n_cells = max(1, math.isqrt(corpus.count()))
         cents = (
             corpus.orderBy(id_col)
             .limit(n_cells)
@@ -412,7 +439,7 @@ def ivf_topk(
         F.explode(_nearest_cells_kernel(cmat, n_probe)(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q) if broadcast_queries else q, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

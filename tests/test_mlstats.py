@@ -216,6 +216,57 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert out2[99] == hub
 
 
+def test_pagerank_dangling_hand_computed(spark):
+    """1 iteration on a→b with an extra isolated dangling node c: D = 2·S
+    (b and c are dangling), share = 2S DIV 3, and every node's damped
+    operand gains that share — hand-checked fixed-point."""
+    edges = spark.createDataFrame([(1, 2), (3, 3)], "src long, dst long")
+    # self-loop on 3 makes it non-dangling; drop it to model isolation
+    edges = edges.where(F.col("src") != 3).union(
+        spark.createDataFrame([(2, 3)], "src long, dst long")
+    )
+    # graph: 1→2→3; dangling = {3}; N = 3
+    out = {
+        r.node: r.rank_fp
+        for r in pagerank(edges, iterations=1, redistribute_dangling=True).collect()
+    }
+    base = 15 * SCALE // 100
+    share = SCALE // 3  # D = S (node 3), N = 3
+    assert out[1] == base + 85 * share // 100
+    assert out[2] == base + 85 * (SCALE + share) // 100
+    assert out[3] == base + 85 * (SCALE + share) // 100
+
+
+def test_pagerank_dangling_conserves_mass(spark, sf_dir):
+    """With redistribution, total mass stays N·S up to DIV truncation
+    (≤ 1 quantum per node per round per DIV site); without it, a
+    dangling-heavy directed graph leaks mass every round."""
+    ev = load(spark, sf_dir, "events")
+    edges = ev.selectExpr("user_id AS src", "event_id % 50 AS dst").distinct()
+    n = (
+        edges.selectExpr("src AS node")
+        .union(edges.selectExpr("dst AS node"))
+        .distinct()
+        .count()
+    )
+    kept = (
+        pagerank(edges, iterations=3, redistribute_dangling=True)
+        .agg(F.sum("rank_fp"))
+        .collect()[0][0]
+    )
+    total = n * SCALE
+    # truncation loss per round ≤ Σ(out_deg−1) + 2N−1 quanta (contrib,
+    # damp and share DIV sites) — vanishing vs total mass N·SCALE; the
+    # relative bound is what conservation means in fixed point
+    assert total * (1 - 1e-6) <= kept <= total
+    dropped = (
+        pagerank(edges, iterations=3, redistribute_dangling=False)
+        .agg(F.sum("rank_fp"))
+        .collect()[0][0]
+    )
+    assert dropped < kept  # the drop convention measurably leaks
+
+
 def test_pagerank_mass_bounds(spark, sf_dir):
     """Each rank ∈ [0.15·S, N·S]: the teleport floor always holds, and no
     node can exceed the total circulating mass."""

@@ -64,7 +64,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/skew.py": ["q_join_skew_salted", "q_agg_skew_salted"],
     "rpa_etl_spark/operators/sampling.py": ["q_sample_reservoir"],
     "rpa_etl_spark/operators/bloom.py": ["q_dedup_bloom"],
-    "rpa_etl_spark/operators/pagerank.py": ["q_pagerank"],
+    "rpa_etl_spark/operators/pagerank.py": ["q_pagerank", "q_pagerank_dangling"],
     "rpa_etl_spark/streaming/joins.py": ["q_stream_outer_join"],
     "rpa_etl_spark/operators/sketches.py": ["q_heavy_hitters_cms"],
     "rpa_etl_spark/operators/hashing.py": ["q_dedup_bloom", "q_heavy_hitters_cms"],

@@ -211,7 +211,12 @@ def test_ivf_sqrt_cells_recall_gate(spark):
         ]
         corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         queries = corpus.where(F.col("vec_id") % per == 0)
-        cb = SIM.train_ivf_codebook(corpus, DIM, n_cells=n_cells, iters=3)
+        # n_cells=None → the AUTO-SIZED production path (round-10 verdict
+        # #4): the trainer must derive √N cells itself from its own count
+        cb = SIM.train_ivf_codebook(corpus, DIM, n_cells=None, iters=3)
+        assert cb.shape[0] == n_cells, (
+            f"auto-sizing picked {cb.shape[0]} cells, expected isqrt({n})={n_cells}"
+        )
         truth = {
             (r["query_id"], r["neighbor_id"])
             for r in SIM.brute_force_topk(corpus, queries, k=10).collect()

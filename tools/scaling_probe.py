@@ -162,6 +162,7 @@ def main() -> None:
         print(f"{q:24s}  sf0.1 {t1:6.2f}s   {data_ratio:g}x {t5:6.2f}s   ratio {t5/t1:5.2f}")
 
     ivf = ivf_sqrt_cells_probe(spark)
+    ivf_auto = ivf_train_auto_probe(spark, BASE, derived, data_ratio)
     comp = components_iteration_probe(spark)
 
     ratios = sorted(r for _, _, r in results.values())
@@ -173,6 +174,7 @@ def main() -> None:
                 "median_time_ratio": round(med, 2),
                 "queries": {q: [round(a, 2), round(b, 2), round(r, 2)] for q, (a, b, r) in results.items()},
                 "ivf_sqrt_probe": ivf,
+                "ivf_train_auto_probe": ivf_auto,
                 "components_probe": comp,
             },
             separators=(",", ":"),
@@ -228,6 +230,48 @@ def components_iteration_probe(spark) -> dict:
     return out
 
 
+def ivf_train_auto_probe(spark, base: str, derived: str, data_ratio: float) -> dict:
+    """Round-10 verdict #4: measure the IVF TRAINING LOOP under the
+    auto-sized (n_cells=None → √N) production path, on the same data pair
+    as the main probe table. Context: the declared q_ann_ivf_trained row
+    reads ~6.5x at 10x data because its oracle pins n_cells=8 (the ground
+    truth cluster count), making retrieval candidate volume quadratic in
+    the corpus. This probe runs the SAME work shape — clustered fixture →
+    train (2 Lloyd rounds) → assign → whole-corpus top-1 retrieve at
+    n_probe=1 — but auto-sized, where assignment+retrieval work is
+    ~N·√N, so the 10x wall ratio should land near √10·overheads, not 6.5."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators import similarity as SIM
+    from rpa_etl_spark.plans.llmdata_queries import _clustered_embedding_fixture
+
+    out = {}
+    for tag, sf_dir in (("base", base), ("derived", derived)):
+        best = None
+        for _ in range(2):  # best-of-2, like run_query
+            fixture = _clustered_embedding_fixture(spark, sf_dir).persist()
+            n = fixture.count()  # materialize cache before the clock
+            t0 = time.time()
+            cb = SIM.train_ivf_codebook(fixture, 64, n_cells=None, iters=2)
+            SIM.ivf_topk(
+                fixture, fixture, 64, k=1, n_probe=1, codebook=cb,
+                broadcast_queries=False,  # query side IS the corpus here
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            fixture.unpersist()
+            best = dt if best is None else min(best, dt)
+        out[tag] = {"n": n, "n_cells": cb.shape[0], "sec": round(best, 2)}
+    ratio = out["derived"]["sec"] / out["base"]["sec"]
+    out["ratio"] = round(ratio, 2)
+    print(
+        f"ivf_train_auto_probe base N={out['base']['n']} cells="
+        f"{out['base']['n_cells']} {out['base']['sec']}s | {data_ratio:g}x "
+        f"N={out['derived']['n']} cells={out['derived']['n_cells']} "
+        f"{out['derived']['sec']}s | ratio {ratio:.2f}"
+    )
+    return out
+
+
 def ivf_sqrt_cells_probe(spark) -> dict:
     """Round-8 verdict ask #3: measure `ivf_topk` under its PRODUCTION
     sizing — n_cells ~ √N — at two corpus scales and test the scaling
@@ -271,7 +315,11 @@ def ivf_sqrt_cells_probe(spark) -> dict:
         ).repartition(32)
         corpus.cache().count()
         queries = corpus.where(F.col("vec_id") % per == 0)  # one per cluster
-        cb = SIM.train_ivf_codebook(corpus, DIM, n_cells=n_cells, iters=4)
+        # n_cells=None → the auto-sized production path (round-10 verdict
+        # #4); on this geometry auto = isqrt(N) = the constructed cluster
+        # count, asserted so the probe notices a sizing regression
+        cb = SIM.train_ivf_codebook(corpus, DIM, n_cells=None, iters=4)
+        assert cb.shape[0] == n_cells, (cb.shape, n_cells)
         truth = {
             (r["query_id"], r["neighbor_id"])
             for r in SIM.brute_force_topk(corpus, queries, k=K_TOP).collect()
