@@ -54,87 +54,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # == tier 1 (18): last driver-green in ROUND 6 — 3 rounds stale,
-    #    breaching the ~2-round policy (round-9 verdict's top ask, listed
-    #    there by name; originally all 33 headed the sample, but the
-    #    tier-0 additions below displaced the 8 now parked right under
-    #    the window). Unchanged since r6 except q_dedup_embedding, whose
-    #    threshold moved to the fixture's real similarity tail this
-    #    session (it was already window-bound as a similarity.py consumer).
-    "q_fuzzy_match",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
-    "q_tpch_q10_shape",
-    "q_tpch_q14_shape",
-    "q_tpch_q21_shape",
-    "q_window_rank",
-    "q_window_running_sum",
-    "q_window_ntile",
-    "q_window_range_frame",
-    "q_window_value_funcs",
-    "q_payload_erp",
-    "q_payload_analytics",
-    "q_merge_upsert",
-    "q_scd2_history",
-    "q_recursive_cte",
-    "q_sample_hash",
-    "q_dedup_embedding",
-    # == tier 0 (15): NEW or CHANGED in the round-10 continuation session — never had
-    #    any external verdict (q_join_anti: plan changed; the four PDF
-    #    queries: minipdf gained UTF-16BE BOM-prefixed text-string
-    #    writing, a hypothesis-found round-trip corner). Fifteen tier-1
-    #    (r6-stale, UNCHANGED) entries
-    #    moved below the window to make room (policy: changed/new precede
-    #    stale-unchanged); they head the round-11 rotation instead.
-    "q_pdf_extract",  # re-queued: minipdf.py BOM text-string writer fix
-    "q_pdf_extract_hard",
-    "q_pdf_extract_passworded",
-    "q_pdf_extract_encrypted",
-    "q_sample_reservoir",
-    "q_heavy_hitters_cms",
-    "q_dedup_embedding_lsh",
-    "q_join_anti",  # re-queued: anti side filtered to be non-vacuous
-    "q_linear_regression",
-    "q_cusum_changepoint",
-    "q_pagerank",
-    "q_dedup_bloom",
-    "q_join_bucketed",
-    "q_sink_orc_roundtrip",
-    "q_stream_outer_join",
-    # == tier 1a (15): NEW or plan/kernel CHANGED in round 10 — no
-    #    external verdict in their current form. IVF-PQ + the brute-force
-    #    size guard land in operators/similarity.py (re-queues all its
-    #    consumers; q_dedup_embedding is already in tier 1); malformed
-    #    -ingest semantics land in sources/sinks.py; schema evolution in
-    #    operators/tablefmt.py; ADVICE fixes touch sources/zstd.py (two)
-    #    and sources/snappy.py (one), re-queueing the four container
-    #    consumers; streaming state TTL touches streaming/stateful_v2.py.
-    "q_ann_ivf_pq",  # NEW round 10 (product quantization + ADC)
-    "q_ingest_malformed",  # NEW round 10 (PERMISSIVE/quarantine ingest)
-    "q_table_schema_evolution",  # NEW round 10 (add-column/widen + time travel)
-    "q_sim_topk",  # similarity.py (size guard)
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_ivf_trained",
-    "q_sink_roundtrip",  # sinks.py (malformed-ingest reader)
-    "q_table_time_travel",  # tablefmt.py (schema evolution)
-    "q_warc_extract_zst",  # zstd.py (tolerant-mode + Huffman-consumption fixes)
-    "q_tar_extract_zst",
-    "q_avro_extract",  # zstd.py + snappy.py (uvarint cap fix)
-    "q_zip_extract",
-    "q_user_totals_state",  # stateful_v2.py (TTL/timers)
-    "q_stream_session_ttl",  # NEW round 10 (event-time timer eviction)
-    # == tier 2 (2): skew.py gained selective (hot/cold) salting after
-    #    the probe decomposition (SCALE.md §10), re-queueing both its
-    #    consumers; q_join_skew_salted's plan also changed (skewed
-    #    fixture + hot_threshold). These take the two fill slots; the r7
-    #    cohort heads the round-11 rotation.
-    "q_join_skew_salted",
-    "q_agg_skew_salted",
-    # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 6 (15): displaced from tier 1 by the
-    #    tier-0 additions; unchanged since r6, they HEAD the round-11
-    #    rotation ==
+    # ======================= ROUND-11 WINDOW (50) =======================
+    # == tier A (16): the r6/r7-stale head — round-10 verdict #1's named
+    #    cohort. 15 queries whose last driver-green verdict is ROUND 6
+    #    (4 rounds stale), plus q_join_asof (r7-stale AND plan-changed
+    #    this round: NaN-fold retired via matched boolean + -1 sentinels,
+    #    verdict #2). All 15 r6 entries are UNCHANGED since their verdict
+    #    and pass the local 170-query replica — this is rotation lag, not
+    #    drift; the window head clears it.
     "q_lateral_topk",
     "q_profile_stats",
     "q_quantiles",
@@ -150,7 +77,38 @@ PRIORITY_ORDER = [
     "q_unpivot",
     "q_embedding_centroid",
     "q_repetition_stats",
-    # == last driver-green in ROUND 7 (36 remaining) ==
+    "q_join_asof",  # r7-stale + NaN-free projection (changed)
+    # == tier B (16): NEW or plan/kernel CHANGED in round 11 — no
+    #    external verdict in their current form. pagerank.py gained
+    #    dangling-mass redistribution (verdict #3; q_pagerank_dangling is
+    #    NEW, q_pagerank re-queues as its consumer); similarity.py gained
+    #    sqrt-N auto-sizing + the broadcast_queries knob (verdict #4 —
+    #    re-queues all seven consumers); tablefmt.py derives file lists
+    #    from committed output (verdict #6 — two consumers); relational's
+    #    q_join_bucketed moved to stable table names and plans/common's
+    #    scratch_dir to stable paths (ADVICE — the three scratch-writing
+    #    sink queries re-queue prudently, though only paths moved);
+    #    sketches.py's cms_estimate docstring contract fix re-queues
+    #    q_heavy_hitters_cms by the file-granular kernel rule.
+    "q_pagerank_dangling",  # NEW round 11
+    "q_pagerank",
+    "q_sim_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_ann_ivf_trained",
+    "q_ann_ivf_pq",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_heavy_hitters_cms",
+    "q_table_time_travel",
+    "q_table_schema_evolution",
+    "q_join_bucketed",
+    "q_sink_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_ingest_malformed",
+    # == tier C (18): ROUND-7-stale fill — first 18 of the 32 remaining
+    #    r7 queries (alphabetical; all unchanged since their verdict).
+    #    The other 14 sit directly below the window and head round 12.
     "q_agg_group",
     "q_array_funcs",
     "q_chunk_documents",
@@ -166,10 +124,11 @@ PRIORITY_ORDER = [
     "q_entropy",
     "q_event_sequence",
     "q_explode_outer",
-    "q_join_asof",
     "q_mode",
     "q_normalize_docs",
     "q_not_in_null_semantics",
+    # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 7 (14 remaining): head round 12 ==
     "q_pack_sequences",
     "q_parse_invoice",
     "q_percentile_disc",
@@ -184,7 +143,7 @@ PRIORITY_ORDER = [
     "q_window_rank_ties",
     "q_wordcount",
     "q_zorder_code",
-    # == last driver-green in ROUND 8 ==
+    # == last driver-green in ROUND 8 (30) ==
     "q_bpe_train_distributed",
     "q_bpe_train",
     "q_bpe_tokenize",
@@ -215,7 +174,7 @@ PRIORITY_ORDER = [
     "q_join_null_safe",
     "q_join_range",
     "q_join_semi",
-    # == last driver-green in ROUND 9 (fresh; verified last round) ==
+    # == last driver-green in ROUND 9 (42) ==
     "q_scan_project",
     "q_topk",
     "q_rollup",
@@ -258,6 +217,43 @@ PRIORITY_ORDER = [
     "q_audit_events",
     "q_case_routing",
     "q_decimal_math",
+    # == last driver-green in ROUND 10 (34 not re-queued above; the
+    #    freshest cohort sits at the bottom by design) ==
+    "q_fuzzy_match",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q10_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q21_shape",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_window_value_funcs",
+    "q_payload_erp",
+    "q_payload_analytics",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_recursive_cte",
+    "q_sample_hash",
+    "q_pdf_extract",
+    "q_pdf_extract_hard",
+    "q_pdf_extract_passworded",
+    "q_pdf_extract_encrypted",
+    "q_sample_reservoir",
+    "q_join_anti",
+    "q_linear_regression",
+    "q_cusum_changepoint",
+    "q_dedup_bloom",
+    "q_stream_outer_join",
+    "q_warc_extract_zst",
+    "q_tar_extract_zst",
+    "q_avro_extract",
+    "q_zip_extract",
+    "q_user_totals_state",
+    "q_stream_session_ttl",
+    "q_join_skew_salted",
+    "q_agg_skew_salted",
 ]
 
 

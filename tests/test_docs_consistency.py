@@ -17,8 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_coverage_headline_query_count_matches_registry():
     src = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"\*\*Round 10:\*\* (\d+) declared queries", src)
-    assert m, "COVERAGE.md round-10 headline missing"
+    m = re.search(r"\*\*Round 11:\*\* (\d+) declared queries", src)
+    assert m, "COVERAGE.md round-11 headline missing"
     assert int(m.group(1)) == len(registry.QUERIES)
 
 
@@ -31,7 +31,7 @@ def test_registry_tier_comments_match_list_structure():
     # count entries above the below-window marker
     names_above = re.findall(r'^    "(q_\w+)",', src[:below], re.M)
     assert len(names_above) == 50, f"window holds {len(names_above)}"
-    for m in re.finditer(r"tier (1a?|2) \((\d+)\)", src):
+    for m in re.finditer(r"tier ([A-C]) \((\d+)\)", src):
         tier, n = m.group(1), int(m.group(2))
         # slice the list between this tier comment and the next tier
         # marker (or the below-window marker)
