@@ -71,13 +71,16 @@ def test_no_query_plans_quadratic_joins(spark, sf_dir):
     been rewritten into an equi-join (banding/bucketing/LSH). A BNLJ that
     appears here would be quadratic at 100 TB.
 
-    Two deliberate exceptions where BNLJ IS the right plan — the nested
+    Three deliberate exceptions where BNLJ IS the right plan — the nested
     side is a tiny bounded broadcast and the corpus side streams through
     without a shuffle (cost linear in the corpus):
     - q_join_range: 5-row interval-band table (theta-join demo)
     - q_sim_topk: 50-vector exact brute-force baseline
+    - q_pagerank_dangling: the per-round dangling-mass scalar (a 1-row
+      aggregate cross-joined onto every node — the distributed rendering
+      of a broadcast variable; operators/pagerank.py)
     """
-    allowed_bnlj = {"q_join_range", "q_sim_topk"}
+    allowed_bnlj = {"q_join_range", "q_sim_topk", "q_pagerank_dangling"}
     offenders = {}
     for name in sorted(registry.QUERIES):
         if name in allowed_bnlj:
