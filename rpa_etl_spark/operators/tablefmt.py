@@ -22,6 +22,11 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
 - snapshot isolation: readers resolve a version ONCE and read only that
   manifest's files — concurrent commits never tear a read;
 - time travel: any retained version is readable by number;
+- row-level DELETE (round 11): copy-on-write at file granularity —
+  :func:`delete_where` rewrites only the files containing matching rows
+  and carries every untouched file's manifest entry forward verbatim;
+  SQL DELETE semantics (NULL predicate keeps the row), overwrite-class
+  conflict rule, history stays time-travelable across the delete;
 - schema evolution (round 10): each manifest carries a SCHEMA LIST and
   every data file records which schema id it was written under
   (Iceberg's design, reduced). Appends/overwrites may ADD columns and
@@ -251,12 +256,18 @@ def _discard_files(path: str, files: list[str]) -> None:
 
 def _commit(path: str, kind: str, new_files: list[str], df_schema,
             base_version: int, *, strict_base: bool,
+            carry_files: "list[dict] | None" = None,
             max_retries: int = 50) -> int:
     """Publish a commit on top of the head, retrying on lost races.
     ``strict_base``: fail (CommitConflict) if the head moved past
     ``base_version`` — the overwrite rule; appends re-merge instead.
-    Schema evolution (merge + the new file's schema id) is recomputed
-    INSIDE the retry loop, against whatever head the retry lands on."""
+    ``carry_files``: explicit surviving file entries to carry into the
+    new manifest (the copy-on-write DELETE path — untouched files keep
+    their original entries, schema ids included); only meaningful with
+    ``strict_base=True``, which guarantees the list was computed against
+    the head being replaced. Schema evolution (merge + the new file's
+    schema id) is recomputed INSIDE the retry loop, against whatever
+    head the retry lands on."""
     from pyspark.sql.types import StructType
 
     attempt = 0
@@ -272,7 +283,12 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
             schemas = list(prev["schemas"])
             table_schema = StructType.fromJson(schemas[prev["schema_id"]])
             merged = merge_schemas(table_schema, df_schema)
-            live = list(prev["files"]) if kind == "append" else []
+            if carry_files is not None:
+                live = list(carry_files)
+            elif kind == "append":
+                live = list(prev["files"])
+            else:
+                live = []
         else:
             schemas = []
             merged = df_schema
@@ -350,6 +366,105 @@ def overwrite(df, path: str, base_version: int | None = None) -> int:
                        base_version=base_version, strict_base=True)
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, files)
+        raise
+
+
+def delete_where(spark, path: str, predicate: str,
+                 base_version: "int | None" = None) -> int:
+    """Row-level DELETE as copy-on-write at FILE granularity — the
+    reduced essence of Delta/Iceberg COW deletes: files containing no
+    matching row carry their manifest entries into the new version
+    UNTOUCHED (no rewrite, no data movement); only files with at least
+    one match are rewritten without their matching rows. SQL DELETE
+    semantics: a row is removed iff ``predicate`` evaluates TRUE — a
+    NULL predicate keeps the row. The predicate is evaluated against the
+    TABLE schema (rows from pre-evolution files see added columns as
+    null, widened types cast up — exactly what snapshot_read returns),
+    and rewritten files are stamped with the current table schema id.
+
+    Concurrency: strict on ``base_version`` like :func:`overwrite` (a
+    concurrent append could add rows the predicate should have removed;
+    losing the race raises CommitConflict — re-read and retry). Returns
+    the new version; a predicate matching nothing returns the current
+    version WITHOUT committing (no empty commits in the log).
+
+    Scale shape: one pushdown-eligible scan finds the affected files
+    (collecting only distinct file names — metadata-sized, like the
+    manifest itself); the rewrite reads ONLY those files. History stays
+    intact: older snapshots still list the pre-delete files, so time
+    travel across the delete works and nothing may vacuum data files
+    that any retained version references."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _upgrade_manifest(read_manifest(path, base_version))
+    target = StructType.fromJson(m["schemas"][m["schema_id"]])
+    pred = F.expr(predicate)
+
+    # per write-time-schema groups, aligned to the table schema (the
+    # snapshot_read contract) plus the physical file each row came from
+    by_sid: dict[int, list[dict]] = {}
+    for entry in m["files"]:
+        by_sid.setdefault(entry["schema_id"], []).append(entry)
+    aligned_parts = []
+    for sid, entries in sorted(by_sid.items()):
+        file_schema = StructType.fromJson(m["schemas"][sid])
+        have = set(file_schema.fieldNames())
+        part = spark.read.schema(file_schema).parquet(
+            *[os.path.join(path, e["path"]) for e in entries]
+        )
+        aligned_parts.append(
+            part.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ],
+                F.input_file_name().alias("__file"),
+            )
+        )
+    aligned = aligned_parts[0]
+    for p in aligned_parts[1:]:
+        aligned = aligned.unionByName(p)
+
+    # affected = files with >= 1 TRUE-predicate row; bounded by file count
+    from urllib.parse import unquote, urlparse
+
+    affected_uris = [
+        r["__file"]
+        for r in aligned.where(pred).select("__file").distinct().collect()
+    ]
+    if not affected_uris:
+        return base_version
+    affected_paths = {
+        os.path.realpath(unquote(urlparse(u).path)) for u in affected_uris
+    }
+    survivors_entries = [
+        e for e in m["files"]
+        if os.path.realpath(os.path.join(path, e["path"])) not in affected_paths
+    ]
+
+    # rewrite ONLY the affected files, keeping rows where the predicate
+    # is not TRUE (NULL keeps — SQL DELETE semantics)
+    kept = (
+        aligned.where(F.col("__file").isin(affected_uris))
+        .where(~F.coalesce(pred, F.lit(False)))
+        .drop("__file")
+    )
+    new_files = _write_data_files(kept, path) if kept.limit(1).count() else []
+    try:
+        return _commit(
+            path, "delete", new_files, target,
+            base_version=base_version, strict_base=True,
+            carry_files=survivors_entries,
+        )
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, new_files)
         raise
 
 

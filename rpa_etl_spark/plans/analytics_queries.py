@@ -1466,6 +1466,10 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT CAST(2 AS INT), 'overwrite', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
     FROM documents WHERE doc_id < 80 AND doc_id % 3 <> 0
+    UNION ALL
+    SELECT CAST(3 AS INT), 'delete', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents
+    WHERE doc_id < 80 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
     """,
 )
 def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,17 +1477,21 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stretch #8): a snapshot-isolated commit-log table format over plain
     parquet (operators/tablefmt.py — full-manifest log, link(2)-atomic
     commit arbitration, optimistic concurrency, time travel). The query
-    runs a real three-commit lifecycle — create (docs < 50), append
-    (50..79), then an atomic OVERWRITE deleting every doc_id % 3 == 0 —
-    and reads ALL THREE snapshots back BY VERSION through
+    runs a real four-commit lifecycle — create (docs < 50), append
+    (50..79), an atomic OVERWRITE dropping every doc_id % 3 == 0, then
+    (round 11) a row-level copy-on-write DELETE of doc_id % 5 == 0 —
+    and reads ALL FOUR snapshots back BY VERSION through
     ``snapshot_read``; the oracle states each snapshot's row count and
     id sum from the source table. A torn commit, a non-isolated read, a
-    lost append, or wrong time-travel resolution changes a version's
-    aggregate and hash-mismatches. (Concurrent-writer serialization is
-    gated separately in tests/test_tablefmt.py — multi-process races
-    are not expressible as a deterministic declared query.) Plan: three
-    tiny parquet writes + three explicit-file-list scans — Catalyst
-    sees plain multi-file parquet scans, pushdown intact."""
+    lost append, wrong time-travel resolution, or a DELETE that touches
+    the wrong rows/files changes a version's aggregate and
+    hash-mismatches. (Concurrent-writer serialization and the
+    file-granular COW property are gated in tests/test_tablefmt.py —
+    multi-process races are not expressible as a deterministic declared
+    query.) Plan: four tiny parquet writes + four explicit-file-list
+    scans — Catalyst sees plain multi-file parquet scans, pushdown
+    intact; the delete's affected-file scan is itself
+    pushdown-eligible."""
     import shutil
     import tempfile
 
@@ -1500,14 +1508,15 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where((F.col("doc_id") < 80) & (F.col("doc_id") % 3 != 0)),
             path,
         )
+        TF.delete_where(spark, path, "doc_id % 5 = 0")
         hist = {h["version"]: h["kind"] for h in TF.history(path)}
         # the per-version aggregates are BOUNDED BY CONSTRUCTION (one row
         # per snapshot): collect them eagerly so the temp table can be
         # removed here rather than leaking a directory per invocation
         # (round-9 review) — the snapshot scans themselves still run
-        # distributed; only three aggregate rows reach the driver
+        # distributed; only four aggregate rows reach the driver
         rows = []
-        for v in (0, 1, 2):
+        for v in (0, 1, 2, 3):
             agg = (
                 TF.snapshot_read(spark, path, version=v)
                 .agg(

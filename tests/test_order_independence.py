@@ -47,6 +47,10 @@ ORDER_SENSITIVE = [
     "q_dedup_minhash",
     "q_lang_quality",
     "q_corpus_drift",
+    # round-11: the dangling-mass scalar rides a cross-shuffle global
+    # aggregate each round — fixed-point DIV must make it
+    # partitioning-invariant by construction
+    "q_pagerank_dangling",
 ]
 
 

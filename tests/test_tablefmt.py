@@ -264,3 +264,113 @@ def test_snapshot_read_rejects_backward_schema_version(spark, tmp_path):
         TF.snapshot_read(spark, p, version=1, schema_version=0)
     # forward stays fine
     assert TF.snapshot_read(spark, p, version=0, schema_version=1).columns == ["k", "tag"]
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Round-11: row-level DELETE rewrites ONLY files containing matches;
+    every untouched file's manifest entry carries forward VERBATIM (the
+    file-granular copy-on-write evidence), history gains a 'delete'
+    commit, and the pre-delete snapshot still time-travels."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 10).repartition(1), p)   # file A: 0..9
+    TF.append(spark.range(100, 110).repartition(1), p)      # file B: 100..109
+    m1 = TF.read_manifest(p, 1)
+    file_b = [e for e in m1["files"]
+              if 100 in {r["id"] for r in spark.read.parquet(
+                  os.path.join(p, e["path"])).collect()}]
+    v2 = TF.delete_where(spark, p, "id % 3 = 0 AND id < 50")
+    assert v2 == 2
+    assert [h["kind"] for h in TF.history(p)] == ["create", "append", "delete"]
+    got = sorted(r["id"] for r in TF.snapshot_read(spark, p).collect())
+    assert got == [1, 2, 4, 5, 7, 8] + list(range(100, 110))
+    # COW: file B (no matches) carried forward verbatim
+    m2 = TF.read_manifest(p, 2)
+    assert file_b and file_b[0] in m2["files"]
+    # time travel across the delete: v1 still shows the deleted rows
+    assert TF.snapshot_read(spark, p, 1).count() == 20
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are KEPT
+    (only TRUE deletes)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    TF.create_table(df, p)
+    TF.delete_where(spark, p, "v > 15")  # NULL > 15 is NULL -> keep k=2
+    got = sorted(r["k"] for r in TF.snapshot_read(spark, p).collect())
+    assert got == [1, 2]
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    """A predicate matching nothing must NOT append an empty commit."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5), p)
+    assert TF.delete_where(spark, p, "id > 999") == 0
+    assert TF.current_version(p) == 0
+
+
+def test_delete_where_all_rows_in_file_drops_file(spark, tmp_path):
+    """Deleting every row of a file removes it from the manifest without
+    writing an empty replacement."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 4).repartition(1), p)
+    TF.append(spark.range(100, 104).repartition(1), p)
+    v = TF.delete_where(spark, p, "id < 50")
+    m = TF.read_manifest(p, v)
+    assert len(m["files"]) == 1  # only the 100..103 file survives
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
+        100, 101, 102, 103,
+    ]
+
+
+def test_delete_where_conflict_detected(spark, tmp_path):
+    """DELETE carries the overwrite-class conflict rule: a concurrent
+    commit past base_version raises, and the loser leaks no data dir."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5), p)
+    base = TF.current_version(p)
+    TF.append(spark.range(5, 8), p)
+    dirs_before = sorted(os.listdir(os.path.join(p, "data")))
+    with pytest.raises(TF.CommitConflict):
+        TF.delete_where(spark, p, "id = 0", base_version=base)
+    assert sorted(os.listdir(os.path.join(p, "data"))) == dirs_before
+    # re-read and retry succeeds
+    TF.delete_where(spark, p, "id = 0")
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
+        1, 2, 3, 4, 5, 6, 7,
+    ]
+
+
+def test_delete_where_across_schema_evolution(spark, tmp_path):
+    """The predicate evaluates against the TABLE schema: rows from
+    pre-evolution files see the added column as NULL (kept unless TRUE),
+    and rewritten files are stamped with the current table schema id so
+    subsequent reads need no extra schema group."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 6).select(F.col("id").cast("int").alias("k")), p
+    )
+    TF.append(
+        spark.range(6, 10).select(F.col("id").alias("k"), F.lit("x").alias("tag")), p
+    )
+    # tag = 'x' matches only new-file rows; old-file rows have NULL tag
+    TF.delete_where(spark, p, "tag = 'x' AND k % 2 = 0")
+    got = sorted(r["k"] for r in TF.snapshot_read(spark, p).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 7, 9]
+    # predicate on the widened/evolved view also reaches old-file rows
+    TF.delete_where(spark, p, "k < 2")
+    got = sorted(r["k"] for r in TF.snapshot_read(spark, p).collect())
+    assert got == [2, 3, 4, 5, 7, 9]
+    m = TF.read_manifest(p, TF.current_version(p))
+    for e in m["files"]:
+        assert 0 <= e["schema_id"] < len(m["schemas"])
