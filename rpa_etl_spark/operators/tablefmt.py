@@ -540,11 +540,15 @@ def snapshot_read(spark, path: str, version: int | None = None,
 
 
 def history(path: str) -> list[dict]:
-    """[{version, parent, kind, n_files}, ...] oldest first."""
+    """[{version, parent, kind, n_files}, ...] oldest first. Versions
+    removed by :func:`vacuum` are skipped (their manifests are gone)."""
     head = current_version(path)
     out = []
     for v in range(head + 1):
-        m = read_manifest(path, v)
+        try:
+            m = read_manifest(path, v)
+        except FileNotFoundError:
+            continue  # vacuumed version
         out.append(
             {
                 "version": v,
@@ -553,4 +557,66 @@ def history(path: str) -> list[dict]:
                 "n_files": len(m["files"]),
             }
         )
+    return out
+
+
+def vacuum(path: str, keep_last: int = 2) -> dict:
+    """Retention GC — the Delta VACUUM essence, reduced: drop manifests
+    older than the newest ``keep_last`` versions and delete the data
+    files referenced ONLY by dropped versions. After a vacuum the head
+    and its ``keep_last - 1`` predecessors still time-travel; older
+    versions raise FileNotFoundError (the documented retention trade).
+
+    Safety rules:
+    - a data file is deleted iff a DROPPED manifest references it and NO
+      retained manifest does — overwrite/delete commits keep history
+      sharing files, and shared files must survive;
+    - files the log knows nothing about are NEVER touched: an in-flight
+      writer stages its uuid directory before publishing, and a vacuum
+      racing it must not eat the unpublished data (this is why the GC
+      is reference-driven, not orphan-listing-driven);
+    - version numbering is preserved (no renumbering) — the log may
+      have leading gaps afterwards, which history()/read paths skip.
+
+    Returns {"dropped_versions", "deleted_files", "deleted_dirs"}.
+    """
+    head = current_version(path)
+    out = {"dropped_versions": [], "deleted_files": 0, "deleted_dirs": 0}
+    if head < 0:
+        return out
+    cutoff = head - max(1, keep_last) + 1  # retain versions >= cutoff
+    if cutoff <= 0:
+        return out
+    retained: set[str] = set()
+    for v in range(cutoff, head + 1):
+        try:
+            m = _upgrade_manifest(read_manifest(path, v))
+        except FileNotFoundError:
+            continue
+        retained.update(e["path"] for e in m["files"])
+    touched_dirs: set[str] = set()
+    for v in range(cutoff):
+        try:
+            m = _upgrade_manifest(read_manifest(path, v))
+        except FileNotFoundError:
+            continue  # vacuumed by an earlier pass
+        for e in m["files"]:
+            if e["path"] in retained:
+                continue
+            try:
+                os.unlink(os.path.join(path, e["path"]))
+                out["deleted_files"] += 1
+            except FileNotFoundError:
+                pass  # shared with another dropped version, already gone
+            touched_dirs.add(os.path.dirname(e["path"]))
+        os.unlink(_manifest_path(path, v))
+        out["dropped_versions"].append(v)
+    for d in sorted(touched_dirs):
+        full = os.path.join(path, d)
+        try:
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+                out["deleted_dirs"] += 1
+        except OSError:
+            pass  # non-empty or racing writer; leave it
     return out

@@ -374,3 +374,74 @@ def test_delete_where_across_schema_evolution(spark, tmp_path):
     m = TF.read_manifest(p, TF.current_version(p))
     for e in m["files"]:
         assert 0 <= e["schema_id"] < len(m["schemas"])
+
+
+def test_vacuum_retention_and_shared_file_safety(spark, tmp_path):
+    """Round-11: vacuum(keep_last=1) drops old manifests and deletes
+    exactly the files no retained version references. An append chain
+    SHARES files across versions — the shared files must survive even
+    though their first referencing version was dropped — while an
+    overwrite's replaced files must actually leave the disk."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5).repartition(1), p)      # v0: file A
+    TF.append(spark.range(5, 8).repartition(1), p)            # v1: A + B
+    TF.overwrite(spark.range(100, 103).repartition(1), p)     # v2: C only
+    a_files = [e["path"] for e in TF.read_manifest(p, 0)["files"]]
+    out = TF.vacuum(p, keep_last=1)
+    assert out["dropped_versions"] == [0, 1]
+    assert out["deleted_files"] >= 2  # A and B are unreferenced by v2
+    for f in a_files:
+        assert not os.path.exists(os.path.join(p, f))
+    # head still reads; vacuumed versions raise; history skips gaps
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
+        100, 101, 102,
+    ]
+    with pytest.raises(FileNotFoundError):
+        TF.snapshot_read(spark, p, 0)
+    assert [h["version"] for h in TF.history(p)] == [2]
+    assert TF.current_version(p) == 2
+    # idempotent second pass
+    again = TF.vacuum(p, keep_last=1)
+    assert again["dropped_versions"] == [] and again["deleted_files"] == 0
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, tmp_path):
+    """keep_last=1 after an append chain: v0's files are also v1's files,
+    so dropping v0's manifest must NOT delete them."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5).repartition(1), p)
+    TF.append(spark.range(5, 8).repartition(1), p)
+    v0_files = [e["path"] for e in TF.read_manifest(p, 0)["files"]]
+    out = TF.vacuum(p, keep_last=1)
+    assert out["dropped_versions"] == [0]
+    assert out["deleted_files"] == 0  # everything v0 had is in v1 too
+    for f in v0_files:
+        assert os.path.exists(os.path.join(p, f))
+    assert TF.snapshot_read(spark, p).count() == 8
+
+
+def test_vacuum_never_touches_unreferenced_inflight_dirs(spark, tmp_path):
+    """An in-flight writer's staged uuid directory (published to no
+    manifest yet) must survive vacuum — GC is reference-driven."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 3), p)
+    TF.overwrite(spark.range(10, 13), p)
+    inflight = TF._write_data_files(spark.range(900, 903), p)  # unpublished
+    TF.vacuum(p, keep_last=1)
+    for f in inflight:
+        assert os.path.exists(os.path.join(p, f))
+
+
+def test_vacuum_within_retention_is_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 3), p)
+    TF.append(spark.range(3, 5), p)
+    out = TF.vacuum(p, keep_last=5)
+    assert out == {"dropped_versions": [], "deleted_files": 0, "deleted_dirs": 0}
+    assert TF.snapshot_read(spark, p, 0).count() == 3

@@ -90,6 +90,12 @@ PROBE_QUERIES = [
     "q_cusum_changepoint",
     "q_linear_regression",
     "q_dedup_bloom",
+    # round 11: the dangling-mass variant adds one global scalar
+    # aggregate + 1-row broadcast per round on top of q_pagerank's
+    # shape — expected ~q_pagerank's ratio with a small additive
+    # constant (the scalar aggregate is corpus-size-linear map-side,
+    # 1 row shuffled).
+    "q_pagerank_dangling",
 ]
 
 
