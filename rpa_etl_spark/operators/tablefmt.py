@@ -27,6 +27,13 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
   and carries every untouched file's manifest entry forward verbatim;
   SQL DELETE semantics (NULL predicate keeps the row), overwrite-class
   conflict rule, history stays time-travelable across the delete;
+- MERGE / upsert (round 11): :func:`merge_into` — whole-row UPDATE for
+  matched ``on`` keys, INSERT for unmatched, same file-granular COW and
+  conflict rule as DELETE; the source may evolve the schema like append;
+- VACUUM (round 11): :func:`vacuum` — retention GC that drops old
+  manifests and deletes only the data files no retained version
+  references (reference-driven, so in-flight unpublished writes and
+  shared history files are untouchable);
 - schema evolution (round 10): each manifest carries a SCHEMA LIST and
   every data file records which schema id it was written under
   (Iceberg's design, reduced). Appends/overwrites may ADD columns and
@@ -404,50 +411,16 @@ def delete_where(spark, path: str, predicate: str,
     m = _upgrade_manifest(read_manifest(path, base_version))
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
     pred = F.expr(predicate)
-
-    # per write-time-schema groups, aligned to the table schema (the
-    # snapshot_read contract) plus the physical file each row came from
-    by_sid: dict[int, list[dict]] = {}
-    for entry in m["files"]:
-        by_sid.setdefault(entry["schema_id"], []).append(entry)
-    aligned_parts = []
-    for sid, entries in sorted(by_sid.items()):
-        file_schema = StructType.fromJson(m["schemas"][sid])
-        have = set(file_schema.fieldNames())
-        part = spark.read.schema(file_schema).parquet(
-            *[os.path.join(path, e["path"]) for e in entries]
-        )
-        aligned_parts.append(
-            part.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target.fields
-                ],
-                F.input_file_name().alias("__file"),
-            )
-        )
-    aligned = aligned_parts[0]
-    for p in aligned_parts[1:]:
-        aligned = aligned.unionByName(p)
+    aligned = _aligned_with_file(spark, path, m, target)
 
     # affected = files with >= 1 TRUE-predicate row; bounded by file count
-    from urllib.parse import unquote, urlparse
-
     affected_uris = [
         r["__file"]
         for r in aligned.where(pred).select("__file").distinct().collect()
     ]
     if not affected_uris:
         return base_version
-    affected_paths = {
-        os.path.realpath(unquote(urlparse(u).path)) for u in affected_uris
-    }
-    survivors_entries = [
-        e for e in m["files"]
-        if os.path.realpath(os.path.join(path, e["path"])) not in affected_paths
-    ]
+    survivors_entries = _entries_not_in(path, m, affected_uris)
 
     # rewrite ONLY the affected files, keeping rows where the predicate
     # is not TRUE (NULL keeps — SQL DELETE semantics)
@@ -460,6 +433,154 @@ def delete_where(spark, path: str, predicate: str,
     try:
         return _commit(
             path, "delete", new_files, target,
+            base_version=base_version, strict_base=True,
+            carry_files=survivors_entries,
+        )
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, new_files)
+        raise
+
+
+def _aligned_with_file(spark, path: str, m: dict, target):
+    """The snapshot's rows aligned to ``target`` (the snapshot_read
+    contract: per write-time-schema groups, missing columns null,
+    narrower types cast up) plus a ``__file`` column naming the physical
+    file each row came from — the shared scan under the copy-on-write
+    DELETE/MERGE paths."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    by_sid: dict[int, list[dict]] = {}
+    for entry in m["files"]:
+        by_sid.setdefault(entry["schema_id"], []).append(entry)
+    parts = []
+    for sid, entries in sorted(by_sid.items()):
+        file_schema = StructType.fromJson(m["schemas"][sid])
+        have = set(file_schema.fieldNames())
+        part = spark.read.schema(file_schema).parquet(
+            *[os.path.join(path, e["path"]) for e in entries]
+        )
+        parts.append(
+            part.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ],
+                F.input_file_name().alias("__file"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _entries_not_in(path: str, m: dict, affected_uris: list[str]) -> list[dict]:
+    """Manifest entries of ``m`` whose physical file is NOT among the
+    ``affected_uris`` (input_file_name URIs) — the carry-forward set of
+    a copy-on-write commit."""
+    from urllib.parse import unquote, urlparse
+
+    affected_paths = {
+        os.path.realpath(unquote(urlparse(u).path)) for u in affected_uris
+    }
+    return [
+        e for e in m["files"]
+        if os.path.realpath(os.path.join(path, e["path"])) not in affected_paths
+    ]
+
+
+def merge_into(spark, path: str, source, on: "list[str]",
+               base_version: "int | None" = None) -> int:
+    """COW MERGE (upsert), the Delta ``MERGE … UPDATE SET * / INSERT *``
+    essence reduced to whole-row semantics: a source row whose ``on`` key
+    exists in the table REPLACES that row; an unmatched source row
+    INSERTS. File granularity copy-on-write, like :func:`delete_where`:
+    files containing no matched key carry their manifest entries forward
+    verbatim; only files with at least one match rewrite (their
+    unmatched rows + nothing else — the replacements and inserts land in
+    the new files alongside them).
+
+    Contract guards (raise ValueError before anything writes):
+    - ``source`` must be key-unique on ``on`` — duplicate source keys
+      make the update ambiguous (Delta throws the same way);
+    - ``source`` must carry EVERY current table column (same or
+      widenable type) — whole-row replacement with a partial row would
+      silently null the missing columns. Extra source columns EVOLVE the
+      table schema exactly as append does (add/widen; else
+      SchemaEvolutionError).
+
+    Concurrency: strict on ``base_version`` (overwrite-class); NULL keys
+    never match (SQL join semantics), so NULL-keyed source rows insert.
+
+    Scale shape: one key-join scan finds the affected files (collects
+    only distinct file names); the rewrite reads only those files; the
+    matched/unmatched split is one hash join keyed on ``on`` — the same
+    shuffle a SQL MERGE pays."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _upgrade_manifest(read_manifest(path, base_version))
+    table = StructType.fromJson(m["schemas"][m["schema_id"]])
+
+    missing = [f.name for f in table.fields if f.name not in source.columns]
+    if missing:
+        raise ValueError(
+            f"merge_into source lacks table columns {missing} — whole-row "
+            "replacement requires every current column (select them "
+            "explicitly, or use delete_where+append for partial shapes)"
+        )
+    dup = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into source has duplicate keys on {on} — the update "
+            "target row would be ambiguous; de-duplicate the source first"
+        )
+
+    # the post-merge table schema (source may add/widen); the aligned
+    # scan and every rewritten row are cast to it so the new files are
+    # uniform under one schema id
+    merged = merge_schemas(table, source.schema)
+    aligned = _aligned_with_file(spark, path, m, merged)
+    src = source.select(
+        *[F.col(f.name).cast(f.dataType) for f in merged.fields
+          if f.name in source.columns],
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in merged.fields
+          if f.name not in source.columns],
+    ).select(*[f.name for f in merged.fields])
+    keys = src.select(*on).distinct()
+
+    affected_uris = [
+        r["__file"]
+        for r in aligned.join(keys, on, "left_semi")
+        .select("__file").distinct().collect()
+    ]
+    if not affected_uris and not src.limit(1).count():
+        return base_version  # empty source, nothing matched: no commit
+    survivors_entries = _entries_not_in(path, m, affected_uris)
+    # unmatched rows of the affected files + every source row (matched =
+    # replacement, unmatched = insert) — one anti join, one union
+    kept = (
+        aligned.where(F.col("__file").isin(affected_uris))
+        .drop("__file")
+        .join(keys, on, "left_anti")
+        if affected_uris
+        else None
+    )
+    new_data = src if kept is None else kept.unionByName(src)
+    new_files = _write_data_files(new_data, path)
+    try:
+        return _commit(
+            path, "merge", new_files, merged,
             base_version=base_version, strict_base=True,
             carry_files=survivors_entries,
         )

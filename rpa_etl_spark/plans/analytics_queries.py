@@ -1470,6 +1470,11 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(3 AS INT), 'delete', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
     FROM documents
     WHERE doc_id < 80 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT CAST(4 AS INT), 'merge', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents
+    WHERE (doc_id < 80 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0)
+       OR doc_id < 20
     """,
 )
 def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1477,20 +1482,23 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stretch #8): a snapshot-isolated commit-log table format over plain
     parquet (operators/tablefmt.py — full-manifest log, link(2)-atomic
     commit arbitration, optimistic concurrency, time travel). The query
-    runs a real four-commit lifecycle — create (docs < 50), append
+    runs a real five-commit lifecycle — create (docs < 50), append
     (50..79), an atomic OVERWRITE dropping every doc_id % 3 == 0, then
-    (round 11) a row-level copy-on-write DELETE of doc_id % 5 == 0 —
-    and reads ALL FOUR snapshots back BY VERSION through
-    ``snapshot_read``; the oracle states each snapshot's row count and
-    id sum from the source table. A torn commit, a non-isolated read, a
-    lost append, wrong time-travel resolution, or a DELETE that touches
-    the wrong rows/files changes a version's aggregate and
-    hash-mismatches. (Concurrent-writer serialization and the
-    file-granular COW property are gated in tests/test_tablefmt.py —
-    multi-process races are not expressible as a deterministic declared
-    query.) Plan: four tiny parquet writes + four explicit-file-list
-    scans — Catalyst sees plain multi-file parquet scans, pushdown
-    intact; the delete's affected-file scan is itself
+    (round 11) a row-level copy-on-write DELETE of doc_id % 5 == 0 and
+    a MERGE upserting doc_id < 20 (matched ids whole-row replace;
+    delete-removed ids under 20 re-INSERT, which is what makes the
+    merge observable on a single-column table) — and reads ALL FIVE
+    snapshots back BY VERSION through ``snapshot_read``; the oracle
+    states each snapshot's row count and id sum from the source table.
+    A torn commit, a non-isolated read, a lost append, wrong
+    time-travel resolution, or a DELETE/MERGE that touches the wrong
+    rows/files changes a version's aggregate and hash-mismatches.
+    (Concurrent-writer serialization and the file-granular COW property
+    are gated in tests/test_tablefmt.py — multi-process races are not
+    expressible as a deterministic declared query.) Plan: five tiny
+    parquet writes + five explicit-file-list scans — Catalyst sees
+    plain multi-file parquet scans, pushdown intact; the delete's
+    affected-file scan and the merge's key semi-join are themselves
     pushdown-eligible."""
     import shutil
     import tempfile
@@ -1509,14 +1517,18 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
         )
         TF.delete_where(spark, path, "doc_id % 5 = 0")
+        TF.merge_into(
+            spark, path, docs.where(F.col("doc_id") < 20).select("doc_id"),
+            on=["doc_id"],
+        )
         hist = {h["version"]: h["kind"] for h in TF.history(path)}
         # the per-version aggregates are BOUNDED BY CONSTRUCTION (one row
         # per snapshot): collect them eagerly so the temp table can be
         # removed here rather than leaking a directory per invocation
         # (round-9 review) — the snapshot scans themselves still run
-        # distributed; only four aggregate rows reach the driver
+        # distributed; only five aggregate rows reach the driver
         rows = []
-        for v in (0, 1, 2, 3):
+        for v in (0, 1, 2, 3, 4):
             agg = (
                 TF.snapshot_read(spark, path, version=v)
                 .agg(
