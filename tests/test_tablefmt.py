@@ -533,3 +533,86 @@ def test_merge_into_conflict_and_empty_source(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v long")
     assert TF.merge_into(spark, p, empty, on=["k"]) == TF.current_version(p)
     assert [h["kind"] for h in TF.history(p)] == ["create", "append"]
+
+
+# ---------------------------------------------------------------- model test
+def test_random_commit_sequences_match_model(spark, tmp_path):
+    """MODEL-BASED gate over the whole write surface (round 11): apply a
+    random sequence of append / overwrite / delete_where / merge_into /
+    vacuum commits and check after EVERY step that snapshot_read equals
+    a plain dict model of key→value — plus, at the end, that every
+    pre-vacuum retained version still time-travels to its recorded
+    model state. Catches cross-operator interactions the single-op
+    tests cannot (e.g. a delete after a merge after an evolution)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("overwrite"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("delete"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+        ),
+        min_size=3,
+        max_size=7,
+    )
+    counter = [0]
+
+    @settings(max_examples=4, deadline=None, derandomize=True)
+    @given(ops)
+    def run(seq):
+        counter[0] += 1
+        p = str(tmp_path / f"m{counter[0]}")
+        model = {0: 0, 1: 10}  # k -> v
+        TF.create_table(
+            spark.createDataFrame(sorted(model.items()), "k long, v long"), p
+        )
+        snapshots = {TF.current_version(p): dict(model)}
+        vacuumed_below = 0
+        for kind, a, b in seq:
+            if kind == "append":
+                # append key space (1000+) never collides with the seed
+                # keys, overwrite keys (<=903) or merge keys (<=93); a
+                # REPEATED append duplicates rows, but with identical
+                # (k, v) content, so the dict view stays deterministic
+                rows = [(1000 + a * 10 + i, 1000 + a * 10 + i) for i in range(b)]
+                TF.append(spark.createDataFrame(rows, "k long, v long"), p)
+                for k, v in rows:
+                    model[k] = v
+            elif kind == "overwrite":
+                rows = [(a * 100 + i, i) for i in range(b)]
+                TF.overwrite(spark.createDataFrame(rows, "k long, v long"), p)
+                model = dict(rows)
+            elif kind == "delete":
+                TF.delete_where(spark, p, f"k % 5 = {a % 5}")
+                model = {k: v for k, v in model.items() if k % 5 != a % 5}
+            elif kind == "merge":
+                rows = [(a * 10 + i, 7000 + i) for i in range(b)]
+                TF.merge_into(
+                    spark, p, spark.createDataFrame(rows, "k long, v long"),
+                    on=["k"],
+                )
+                for k, v in rows:
+                    model[k] = v
+            else:  # vacuum keep_last=2
+                out = TF.vacuum(p, keep_last=2)
+                if out["dropped_versions"]:
+                    vacuumed_below = max(out["dropped_versions"]) + 1
+            got = {
+                r["k"]: r["v"] for r in TF.snapshot_read(spark, p).collect()
+            }
+            assert got == model, (kind, a, b)
+            snapshots[TF.current_version(p)] = dict(model)
+        # retained history still time-travels to its recorded state
+        for v, expect in snapshots.items():
+            if v < vacuumed_below:
+                continue
+            got = {
+                r["k"]: r["v"]
+                for r in TF.snapshot_read(spark, p, version=v).collect()
+            }
+            assert got == expect, f"version {v} drifted"
+
+    run()
