@@ -395,12 +395,18 @@ def delete_where(spark, path: str, predicate: str,
     the new version; a predicate matching nothing returns the current
     version WITHOUT committing (no empty commits in the log).
 
-    Scale shape: one pushdown-eligible scan finds the affected files
-    (collecting only distinct file names — metadata-sized, like the
-    manifest itself); the rewrite reads ONLY those files. History stays
-    intact: older snapshots still list the pre-delete files, so time
-    travel across the delete works and nothing may vacuum data files
-    that any retained version references."""
+    Scale shape: the affected-file discovery scan has the predicate
+    BELOW the file-name projection, so pushable predicates reach the
+    parquet scan as PushedFilters and column pruning reads only the
+    predicate's columns (input_file_name() is nondeterministic — a
+    filter placed ABOVE a projection containing it cannot push down,
+    which is why discovery is not expressed over the __file-carrying
+    frame); only distinct file names collect — metadata-sized, like the
+    manifest itself. The rewrite then reads EXACTLY the affected files
+    by explicit list. History stays intact: older snapshots still list
+    the pre-delete files, so time travel across the delete works and
+    nothing may vacuum data files that any retained version
+    references."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -411,24 +417,34 @@ def delete_where(spark, path: str, predicate: str,
     m = _upgrade_manifest(read_manifest(path, base_version))
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
     pred = F.expr(predicate)
-    aligned = _aligned_with_file(spark, path, m, target)
 
     # affected = files with >= 1 TRUE-predicate row; bounded by file count
-    affected_uris = [
-        r["__file"]
-        for r in aligned.where(pred).select("__file").distinct().collect()
-    ]
+    affected_uris: list[str] = []
+    for _sid, group in _aligned_schema_groups(spark, path, m, target):
+        affected_uris += [
+            r["__file"]
+            for r in group.where(pred)
+            .select(F.input_file_name().alias("__file"))
+            .distinct()
+            .collect()
+        ]
     if not affected_uris:
         return base_version
     survivors_entries = _entries_not_in(path, m, affected_uris)
+    survivor_set = {id(e) for e in survivors_entries}
 
-    # rewrite ONLY the affected files, keeping rows where the predicate
-    # is not TRUE (NULL keeps — SQL DELETE semantics)
-    kept = (
-        aligned.where(F.col("__file").isin(affected_uris))
-        .where(~F.coalesce(pred, F.lit(False)))
-        .drop("__file")
-    )
+    # rewrite ONLY the affected files (explicit per-group lists), keeping
+    # rows where the predicate is not TRUE (NULL keeps — SQL DELETE
+    # semantics)
+    kept_parts = []
+    for _sid, group in _aligned_schema_groups(
+        spark, path, m, target,
+        only_entries=[e for e in m["files"] if id(e) not in survivor_set],
+    ):
+        kept_parts.append(group.where(~F.coalesce(pred, F.lit(False))))
+    kept = kept_parts[0]
+    for part in kept_parts[1:]:
+        kept = kept.unionByName(part)
     new_files = _write_data_files(kept, path) if kept.limit(1).count() else []
     try:
         return _commit(
@@ -441,36 +457,48 @@ def delete_where(spark, path: str, predicate: str,
         raise
 
 
-def _aligned_with_file(spark, path: str, m: dict, target):
-    """The snapshot's rows aligned to ``target`` (the snapshot_read
-    contract: per write-time-schema groups, missing columns null,
-    narrower types cast up) plus a ``__file`` column naming the physical
-    file each row came from — the shared scan under the copy-on-write
-    DELETE/MERGE paths."""
+def _aligned_schema_groups(spark, path: str, m: dict, target,
+                           only_entries: "list[dict] | None" = None):
+    """Yield ``(schema_id, frame)`` per write-time-schema group of
+    manifest ``m``, each frame aligned to ``target`` (the snapshot_read
+    contract: missing columns null, narrower types cast up) WITHOUT any
+    file-name column — so a predicate applied directly on a frame can
+    still push into the parquet scan. ``only_entries`` restricts the
+    scan to an explicit entry subset (the COW rewrite path)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     by_sid: dict[int, list[dict]] = {}
-    for entry in m["files"]:
+    for entry in (m["files"] if only_entries is None else only_entries):
         by_sid.setdefault(entry["schema_id"], []).append(entry)
-    parts = []
     for sid, entries in sorted(by_sid.items()):
         file_schema = StructType.fromJson(m["schemas"][sid])
         have = set(file_schema.fieldNames())
         part = spark.read.schema(file_schema).parquet(
             *[os.path.join(path, e["path"]) for e in entries]
         )
-        parts.append(
-            part.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target.fields
-                ],
-                F.input_file_name().alias("__file"),
-            )
+        yield sid, part.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
         )
+
+
+def _aligned_with_file(spark, path: str, m: dict, target):
+    """The snapshot's rows aligned to ``target`` plus a ``__file`` column
+    naming the physical file each row came from — the MERGE discovery
+    scan (whose filter is a key JOIN, not a pushable predicate, so the
+    nondeterministic input_file_name() in the projection costs nothing;
+    the DELETE path deliberately avoids this frame — see delete_where)."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        g.select("*", F.input_file_name().alias("__file"))
+        for _sid, g in _aligned_schema_groups(spark, path, m, target)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

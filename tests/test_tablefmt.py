@@ -616,3 +616,36 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             assert got == expect, f"version {v} drifted"
 
     run()
+
+
+def test_delete_discovery_scan_pushes_predicate(spark, tmp_path):
+    """Plan gate for delete_where's scale claim: the affected-file
+    discovery evaluates the predicate BELOW the (nondeterministic)
+    input_file_name projection, so a pushable predicate lands in the
+    parquet scan's PushedFilters and pruning reads only its columns.
+    Expressing discovery over the __file-carrying frame instead would
+    silently read + decode every column of every row (measured:
+    DataFilters=[] — the round-11 restructure exists because of that)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_chars"),
+        F.lit("x").alias("payload"),
+    )
+    TF.create_table(docs, p)
+    m = TF._upgrade_manifest(TF.read_manifest(p, 0))
+    groups = list(TF._aligned_schema_groups(spark, p, m, TF.table_schema(p)))
+    assert len(groups) == 1
+    q = (
+        groups[0][1].where(F.expr("n_chars < 50"))
+        .select(F.input_file_name().alias("__file")).distinct()
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "LessThan(n_chars,50)" in scan, scan
+    # pruning: the discovery reads only the predicate column
+    import re
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", scan).group(1)
+    assert {c.split(":")[0] for c in schema.split(",")} == {"n_chars"}, schema
