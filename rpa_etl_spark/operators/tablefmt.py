@@ -596,15 +596,26 @@ def merge_into(spark, path: str, source, on: "list[str]",
         return base_version  # empty source, nothing matched: no commit
     survivors_entries = _entries_not_in(path, m, affected_uris)
     # unmatched rows of the affected files + every source row (matched =
-    # replacement, unmatched = insert) — one anti join, one union
-    kept = (
-        aligned.where(F.col("__file").isin(affected_uris))
-        .drop("__file")
-        .join(keys, on, "left_anti")
-        if affected_uris
-        else None
-    )
-    new_data = src if kept is None else kept.unionByName(src)
+    # replacement, unmatched = insert) — one anti join, one union. The
+    # rewrite reads EXACTLY the affected files by explicit list (the
+    # same delete_where structure — never the full snapshot behind a
+    # runtime isin filter).
+    new_data = src
+    if affected_uris:
+        survivor_set = {id(e) for e in survivors_entries}
+        kept_parts = [
+            g.join(keys, on, "left_anti")
+            for _sid, g in _aligned_schema_groups(
+                spark, path, m, merged,
+                only_entries=[
+                    e for e in m["files"] if id(e) not in survivor_set
+                ],
+            )
+        ]
+        kept = kept_parts[0]
+        for part in kept_parts[1:]:
+            kept = kept.unionByName(part)
+        new_data = kept.unionByName(src)
     new_files = _write_data_files(new_data, path)
     try:
         return _commit(
