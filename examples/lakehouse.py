@@ -5,7 +5,7 @@ What a user coming from the reference pipeline gets beyond the one-shot
 CSV/JSON sinks (main.py:27-30): a versioned, snapshot-isolated table over
 plain parquet with the full write surface — create → append (with schema
 evolution) → row-level copy-on-write DELETE → MERGE/upsert → time travel →
-VACUUM retention GC. Everything here is `operators/tablefmt.py`; the data
+OPTIMIZE compaction → VACUUM retention GC. Everything here is `operators/tablefmt.py`; the data
 files stay ordinary parquet, so any Spark reader (and Catalyst pushdown)
 works on a snapshot's file list.
 
@@ -83,6 +83,13 @@ def main() -> None:
         "| v0 through the v1 schema has columns:",
         TF.snapshot_read(spark, table, version=0, schema_version=1).columns,
     )
+
+    # v4 — OPTIMIZE: compact the COW fragments, clustering by doc_id
+    n_before = len(TF.read_manifest(table, TF.current_version(table))["files"])
+    TF.optimize(spark, table, target_bytes=4 * 1024 * 1024, sort_col="doc_id")
+    n_after = len(TF.read_manifest(table, TF.current_version(table))["files"])
+    print(f"optimize: {n_before} files -> {n_after}")
+    show(spark, table, "optimize")
 
     # VACUUM: keep the last 2 versions; reclaim files only they reference
     out = TF.vacuum(table, keep_last=2)

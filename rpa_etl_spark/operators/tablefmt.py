@@ -34,6 +34,10 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
   manifests and deletes only the data files no retained version
   references (reference-driven, so in-flight unpublished writes and
   shared history files are untouchable);
+- OPTIMIZE (round 11): :func:`optimize` — small-file compaction as a
+  snapshot-isolated commit (rows exactly preserved, optional
+  single-column range clustering); pairs with vacuum to reclaim the
+  fragmented layout once retention passes;
 - schema evolution (round 10): each manifest carries a SCHEMA LIST and
   every data file records which schema id it was written under
   (Iceberg's design, reduced). Appends/overwrites may ADD columns and
@@ -622,6 +626,66 @@ def merge_into(spark, path: str, source, on: "list[str]",
             path, "merge", new_files, merged,
             base_version=base_version, strict_base=True,
             carry_files=survivors_entries,
+        )
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, new_files)
+        raise
+
+
+def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
+             sort_col: "str | None" = None,
+             base_version: "int | None" = None) -> int:
+    """OPTIMIZE — small-file compaction as a table-format commit: rewrite
+    the snapshot into ~``target_bytes``-sized files (kind ``optimize``),
+    rows EXACTLY preserved. Small files are the canonical 100 TB scan
+    killer (a task + footer + seek per file); streaming appends and COW
+    deletes/merges accumulate them, and this is the reclaim step — the
+    commit-log rendering of ``operators/maintenance.compact_parquet``
+    (same sizing rule) with snapshot isolation on top: readers of older
+    versions keep their file lists, and :func:`vacuum` reclaims the
+    pre-optimize files once retention passes.
+
+    ``sort_col`` additionally restores single-column clustering via a
+    range repartition (use ``operators/zorder.py`` for multi-column
+    interleaving before handing the frame to :func:`overwrite` when
+    real Z-ordering is wanted). Without it the rewrite is a pure
+    coalesce — no shuffle, each output task concatenates input files.
+
+    Concurrency: strict on ``base_version`` — compacting over a lost
+    race would silently drop the concurrent commit's rows. A no-op
+    (already ≤ the target file count) returns the current version
+    without committing."""
+    import math
+
+    from pyspark.sql.types import StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = _upgrade_manifest(read_manifest(path, base_version))
+    target = StructType.fromJson(m["schemas"][m["schema_id"]])
+    total = sum(
+        os.path.getsize(os.path.join(path, e["path"])) for e in m["files"]
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    if len(m["files"]) <= n_out and sort_col is None:
+        return base_version  # already compact: no empty commit
+    parts = [g for _sid, g in _aligned_schema_groups(spark, path, m, target)]
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    df = (
+        df.repartitionByRange(n_out, sort_col)
+        if sort_col is not None
+        else df.coalesce(n_out)
+    )
+    new_files = _write_data_files(df, path)
+    try:
+        return _commit(
+            path, "optimize", new_files, target,
+            base_version=base_version, strict_base=True,
+            carry_files=[],
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)

@@ -649,3 +649,71 @@ def test_delete_discovery_scan_pushes_predicate(spark, tmp_path):
     import re
     schema = re.search(r"ReadSchema: struct<([^>]*)>", scan).group(1)
     assert {c.split(":")[0] for c in schema.split(",")} == {"n_chars"}, schema
+
+
+def test_optimize_compacts_files_preserving_rows(spark, tmp_path):
+    """OPTIMIZE rewrites many small files into few, rows bit-identical;
+    history records the commit; the pre-optimize snapshot still reads;
+    vacuum afterwards reclaims the small files."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 50).repartition(10), p)
+    for lo in (50, 100, 150):
+        TF.append(spark.range(lo, lo + 50).repartition(10), p)
+    before = TF.read_manifest(p, TF.current_version(p))
+    assert len(before["files"]) >= 30  # genuinely fragmented
+    v = TF.optimize(spark, p)
+    after = TF.read_manifest(p, v)
+    assert len(after["files"]) < len(before["files"])
+    assert [h["kind"] for h in TF.history(p)][-1] == "optimize"
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(200))
+    # snapshot isolation across the compaction
+    assert TF.snapshot_read(spark, p, v - 1).count() == 200
+    # retention GC reclaims the fragmented layout
+    out = TF.vacuum(p, keep_last=1)
+    assert out["deleted_files"] >= 30
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(200))
+
+
+def test_optimize_noop_when_already_compact_and_conflict_rule(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 10).coalesce(1), p)
+    assert TF.optimize(spark, p) == 0  # one small file: nothing to do
+    assert TF.current_version(p) == 0
+    # fragment the table so an optimize against the stale base WOULD
+    # commit (a no-op optimize never commits, hence never conflicts) —
+    # then the strict rule must refuse compacting over the lost race
+    TF.overwrite(spark.range(0, 20).repartition(6), p)
+    base = TF.current_version(p)
+    TF.append(spark.range(20, 30).repartition(4), p)
+    with pytest.raises(TF.CommitConflict):
+        TF.optimize(spark, p, base_version=base)
+    # head optimize still works and keeps every row
+    TF.optimize(spark, p)
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(30))
+
+
+def test_optimize_sort_col_clusters_ranges(spark, tmp_path):
+    """With sort_col the rewrite range-partitions: each output file holds
+    a disjoint id range (the single-column clustering that makes later
+    range predicates skip whole files via parquet min/max)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 1000).repartition(8), p)
+    v = TF.optimize(spark, p, target_bytes=4 * 1024, sort_col="id")
+    m = TF.read_manifest(p, v)
+    assert len(m["files"]) > 1
+    spans = []
+    for e in m["files"]:
+        import os
+        stats = (
+            spark.read.parquet(os.path.join(p, e["path"]))
+            .agg(F.min("id"), F.max("id")).collect()[0]
+        )
+        spans.append((stats[0], stats[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {spans}"
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(1000))
