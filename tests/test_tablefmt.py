@@ -554,6 +554,7 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             st.tuples(st.just("delete"), st.integers(0, 4), st.just(0)),
             st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+            st.tuples(st.just("optimize"), st.just(0), st.just(0)),
         ),
         min_size=3,
         max_size=7,
@@ -596,10 +597,12 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
                 )
                 for k, v in rows:
                     model[k] = v
-            else:  # vacuum keep_last=2
+            elif kind == "vacuum":  # keep_last=2
                 out = TF.vacuum(p, keep_last=2)
                 if out["dropped_versions"]:
                     vacuumed_below = max(out["dropped_versions"]) + 1
+            else:  # optimize: rows must be exactly preserved
+                TF.optimize(spark, p, target_bytes=1 << 20)
             got = {
                 r["k"]: r["v"] for r in TF.snapshot_read(spark, p).collect()
             }
