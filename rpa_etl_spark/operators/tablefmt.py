@@ -265,9 +265,33 @@ def _discard_files(path: str, files: list[str]) -> None:
         )
 
 
+class _TxnAlreadyApplied(Exception):
+    """Internal: the (app, batch) transaction is already in the log —
+    the commit must be skipped and its staged files discarded."""
+
+    def __init__(self, version: int):
+        self.version = version
+
+
+def _last_txn_batch(path: str, head: int, app: str) -> "int | None":
+    """Most recent batch id committed for ``app``, scanning manifests
+    newest-first (skipping vacuumed gaps). Driver-side over small JSONs —
+    the same metadata walk history() does."""
+    for v in range(head, -1, -1):
+        try:
+            m = read_manifest(path, v)
+        except FileNotFoundError:
+            continue
+        t = m.get("txn")
+        if t and t.get("app") == app:
+            return int(t["batch"])
+    return None
+
+
 def _commit(path: str, kind: str, new_files: list[str], df_schema,
             base_version: int, *, strict_base: bool,
             carry_files: "list[dict] | None" = None,
+            txn: "dict | None" = None,
             max_retries: int = 50) -> int:
     """Publish a commit on top of the head, retrying on lost races.
     ``strict_base``: fail (CommitConflict) if the head moved past
@@ -276,9 +300,13 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
     new manifest (the copy-on-write DELETE path — untouched files keep
     their original entries, schema ids included); only meaningful with
     ``strict_base=True``, which guarantees the list was computed against
-    the head being replaced. Schema evolution (merge + the new file's
-    schema id) is recomputed INSIDE the retry loop, against whatever
-    head the retry lands on."""
+    the head being replaced. ``txn``: an ``{"app", "batch"}`` idempotence
+    record stamped into the manifest; the duplicate check runs INSIDE
+    the retry loop (like schema evolution) so a lost race against a
+    replay of the SAME transaction resolves to a skip, never a double
+    apply. Schema evolution (merge + the new file's schema id) is
+    recomputed INSIDE the retry loop, against whatever head the retry
+    lands on."""
     from pyspark.sql.types import StructType
 
     attempt = 0
@@ -289,6 +317,10 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
                 f"table advanced to v{head} since v{base_version}; "
                 "re-read and retry the overwrite"
             )
+        if txn is not None and head >= 0:
+            last = _last_txn_batch(path, head, txn["app"])
+            if last is not None and int(txn["batch"]) <= last:
+                raise _TxnAlreadyApplied(head)
         if head >= 0:
             prev = _upgrade_manifest(read_manifest(path, head))
             schemas = list(prev["schemas"])
@@ -317,6 +349,8 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
             "files": live,
             "committed_at": time.time(),
         }
+        if txn is not None:
+            manifest["txn"] = {"app": txn["app"], "batch": int(txn["batch"])}
         if _publish(path, head + 1, manifest):
             return head + 1
         attempt += 1
@@ -349,18 +383,57 @@ def create_table(df, path: str) -> int:
     return 0
 
 
-def append(df, path: str) -> int:
+def append(df, path: str, txn: "dict | None" = None) -> int:
     """Append rows — merges cleanly with concurrent appends (file sets
     union; no conflict possible). The table schema evolves per
     :func:`merge_schemas` (add columns / widen types; else
-    SchemaEvolutionError)."""
+    SchemaEvolutionError).
+
+    ``txn={"app": str, "batch": int}`` makes the append IDEMPOTENT — the
+    Delta txn essence, for exactly-once streaming sinks: the manifest
+    records (app, batch); a replay whose batch id is ≤ the app's last
+    recorded batch is SKIPPED (current version returned, staged files
+    discarded), and the duplicate check re-runs inside the commit retry
+    loop so even two racing replays of the same batch apply once. Batch
+    ids must be monotonically increasing per app (Structured Streaming's
+    foreachBatch batchId contract). Replay protection extends as far as
+    retained manifests — :func:`vacuum` dropping a txn-carrying manifest
+    shortens the window to the retention horizon (the same property as
+    Delta's transaction retention)."""
+    if txn is not None:
+        # cheap pre-check before paying the data write (the in-loop
+        # check remains authoritative under races)
+        head = current_version(path)
+        if head >= 0:
+            last = _last_txn_batch(path, head, txn["app"])
+            if last is not None and int(txn["batch"]) <= last:
+                return head
     files = _write_data_files(df, path)
     try:
         return _commit(path, "append", files, df.schema,
-                       base_version=current_version(path), strict_base=False)
+                       base_version=current_version(path),
+                       strict_base=False, txn=txn)
+    except _TxnAlreadyApplied as skip:
+        _discard_files(path, files)
+        return skip.version
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, files)
         raise
+
+
+def streaming_append_sink(path: str, app: str):
+    """foreachBatch writer with exactly-once semantics into the table
+    format: ``stream.writeStream.foreachBatch(streaming_append_sink(p,
+    "my-app")).start()``. Structured Streaming replays a micro-batch
+    after a mid-batch failure (at-least-once delivery); the txn record
+    turns the replay into a no-op, so the TABLE sees each batch exactly
+    once — the commit-log rendering of the partition-overwrite
+    idempotent sink in streaming/pipeline.py."""
+
+    def write(batch_df, batch_id: int) -> None:
+        append(batch_df, path, txn={"app": app, "batch": int(batch_id)})
+
+    return write
 
 
 def overwrite(df, path: str, base_version: int | None = None) -> int:

@@ -720,3 +720,90 @@ def test_optimize_sort_col_clusters_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, f"overlapping file ranges {spans}"
     assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(1000))
+
+
+def test_txn_append_is_idempotent(spark, tmp_path):
+    """Round-11 exactly-once appends: a replayed (app, batch) is a no-op
+    — no new version, no new rows, no orphan data directory — while
+    higher batches and other apps commit normally."""
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5), p)
+    v1 = TF.append(spark.range(5, 10), p, txn={"app": "job-a", "batch": 0})
+    assert v1 == 1
+    dirs = sorted(os.listdir(os.path.join(p, "data")))
+    # replay of batch 0 and a stale batch both skip
+    assert TF.append(spark.range(5, 10), p, txn={"app": "job-a", "batch": 0}) == 1
+    assert TF.current_version(p) == 1
+    assert TF.snapshot_read(spark, p).count() == 10
+    assert sorted(os.listdir(os.path.join(p, "data"))) == dirs  # no orphans
+    # the next batch applies; an independent app's batch 0 applies too
+    assert TF.append(spark.range(10, 12), p, txn={"app": "job-a", "batch": 1}) == 2
+    assert TF.append(spark.range(12, 13), p, txn={"app": "job-b", "batch": 0}) == 3
+    assert TF.snapshot_read(spark, p).count() == 13
+    # txn records are stamped into the manifests
+    assert TF.read_manifest(p, 2)["txn"] == {"app": "job-a", "batch": 1}
+
+
+def test_txn_append_replay_race_applies_once(spark, tmp_path):
+    """The duplicate check re-runs inside the commit retry loop: a replay
+    whose pre-check passed but whose publish lost the race to the
+    ORIGINAL must skip, not double-apply. Simulated by staging the
+    replay's files first (pre-check passes at head=v0), committing the
+    original, then driving the replay's commit path."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 3), p)
+    txn = {"app": "job-a", "batch": 7}
+    # replay writes its data having passed the pre-check at v0
+    staged = TF._write_data_files(spark.range(3, 6), p)
+    # original commits the same txn first
+    TF.append(spark.range(3, 6), p, txn=txn)
+    assert TF.current_version(p) == 1
+    # the replay's commit must now resolve to a skip inside the loop
+    with pytest.raises(TF._TxnAlreadyApplied):
+        TF._commit(p, "append", staged, spark.range(0, 1).schema,
+                   base_version=0, strict_base=False, txn=txn)
+    TF._discard_files(p, staged)
+    assert TF.current_version(p) == 1
+    assert TF.snapshot_read(spark, p).count() == 6
+
+
+def test_streaming_append_sink_exactly_once(spark, tmp_path):
+    """A real streaming query writes into the table through
+    streaming_append_sink; replaying batch 0's sink call afterwards (the
+    at-least-once recovery pattern) leaves the table unchanged."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 12:00:{i:02d}", "user_id": i % 3,
+         "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(20)
+    ]
+    src = tmp_path / "txn_stream_src"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    table = str(tmp_path / "txn_table")
+    TF.create_table(
+        spark.createDataFrame([], schema), table
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    sink = TF.streaming_append_sink(table, app="events-ingest")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "txn_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = TF.snapshot_read(spark, table).count()
+    assert n == 20
+    # replay batch 0 by hand — recovery redelivers, the table must not move
+    replay = spark.read.schema(schema).json(str(src / "f1.json"))
+    sink(replay, 0)
+    assert TF.snapshot_read(spark, table).count() == 20
+    assert TF.snapshot_read(spark, table).agg(F.sum("value")).collect()[0][0] == float(sum(range(20)))
