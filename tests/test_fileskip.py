@@ -1,0 +1,154 @@
+"""Per-file stats + manifest-level file skipping (operators/fileskip.py).
+
+Round-11 verdict #1. The predicate compiler/evaluator is pure Python —
+most cases run without Spark; the footer-stats collection and the
+end-to-end pruning gates live in test_tablefmt.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rpa_etl_spark.operators import fileskip as FS
+
+
+def _e(stats, rows=100):
+    return {"path": "x.parquet", "rows": rows, "stats": stats}
+
+
+ID_0_49 = _e({"id": {"nulls": 0, "min": 0, "max": 49}})
+ID_50_99 = _e({"id": {"nulls": 0, "min": 50, "max": 99}})
+
+
+@pytest.mark.parametrize(
+    "pred,keep_first,keep_second",
+    [
+        ("id < 10", True, False),
+        ("id <= 49", True, False),
+        ("id > 49", False, True),
+        ("id >= 50", False, True),
+        ("id = 75", False, True),
+        ("id == 75", False, True),
+        ("10 > id", True, False),  # literal-first mirrors
+        ("75 = id", False, True),
+        ("id != 0", True, True),
+        ("id BETWEEN 40 AND 60", True, True),
+        ("id BETWEEN 60 AND 70", False, True),
+        ("id IN (5, 150)", True, False),
+        ("id IN (150)", False, False),
+        ("id < 10 OR id > 90", True, True),
+        ("id < 10 AND id > 90", False, False),
+        ("id >= 10 AND id < 20", True, False),
+    ],
+)
+def test_interval_pruning_comparisons(pred, keep_first, keep_second):
+    c = FS.compile_predicate(pred)
+    assert c is not None, pred
+    assert FS.can_match(c, ID_0_49) is keep_first, pred
+    assert FS.can_match(c, ID_50_99) is keep_second, pred
+
+
+def test_equality_on_constant_file_and_not_equal():
+    const = _e({"id": {"nulls": 0, "min": 7, "max": 7}})
+    assert FS.can_match(FS.compile_predicate("id != 7"), const) is False
+    assert FS.can_match(FS.compile_predicate("id <> 7"), const) is False
+    assert FS.can_match(FS.compile_predicate("id = 7"), const) is True
+
+
+def test_null_predicates_use_null_counts():
+    some_null = _e({"v": {"nulls": 3, "min": 1, "max": 9}}, rows=10)
+    no_null = _e({"v": {"nulls": 0, "min": 1, "max": 9}}, rows=10)
+    all_null = _e({"v": {"nulls": 10}}, rows=10)
+    isnull = FS.compile_predicate("v IS NULL")
+    notnull = FS.compile_predicate("v IS NOT NULL")
+    assert FS.can_match(isnull, some_null) is True
+    assert FS.can_match(isnull, no_null) is False
+    assert FS.can_match(isnull, all_null) is True
+    assert FS.can_match(notnull, all_null) is False
+    assert FS.can_match(notnull, some_null) is True
+    # comparisons can never be TRUE on an all-null column (SQL 3VL)
+    assert FS.can_match(FS.compile_predicate("v = 5"), all_null) is False
+    assert FS.can_match(FS.compile_predicate("v < 5"), all_null) is False
+
+
+def test_strings_and_quoted_literals():
+    e = _e({"lang": {"nulls": 0, "min": "de", "max": "it"}})
+    assert FS.can_match(FS.compile_predicate("lang = 'en'"), e) is True
+    assert FS.can_match(FS.compile_predicate("lang = 'pt'"), e) is False
+    assert FS.can_match(FS.compile_predicate("lang IN ('pt', 'ru')"), e) is False
+    assert FS.can_match(FS.compile_predicate("lang >= 'iu'"), e) is False
+    # '' escape inside string literal
+    c = FS.compile_predicate("lang = 'it''s'")
+    assert c == ("cmp", "lang", "=", "it's")
+
+
+def test_date_keyword_literal_orders_as_iso_string():
+    e = _e({"d": {"nulls": 0, "min": "2020-01-01", "max": "2020-06-30"}})
+    assert FS.can_match(FS.compile_predicate("d >= DATE '2020-07-01'"), e) is False
+    assert FS.can_match(FS.compile_predicate("d >= '2020-06-01'"), e) is True
+
+
+def test_unknowns_keep_the_file():
+    e = ID_0_49
+    # unsupported constructs compile to None -> no pruning at all
+    for pred in (
+        "abs(id) < 10",          # function call
+        "id + 1 < 10",           # arithmetic
+        "id < other_col",        # column-to-column
+        "id ->> 'k' = 1",        # untokenizable operator
+    ):
+        assert FS.compile_predicate(pred) is None, pred
+        assert FS.prune_entries([e], pred) == [e]
+    # NOT is conservatively unknown (kept), never a wrong skip
+    c = FS.compile_predicate("NOT id < 10")
+    assert FS.can_match(c, ID_50_99) is True
+    # missing column stats keep the file
+    c = FS.compile_predicate("nope < 0")
+    assert FS.can_match(c, e) is True
+    # type-mismatched literal keeps the file
+    c = FS.compile_predicate("id = 'abc'")
+    assert FS.can_match(c, e) is True
+    # entry without stats at all (legacy manifests) keeps the file
+    assert FS.can_match(FS.compile_predicate("id < 0"), {"path": "y"}) is True
+
+
+def test_prune_entries_is_exact_filter():
+    pred = "id >= 10 AND id < 20"
+    kept = FS.prune_entries([ID_0_49, ID_50_99], pred)
+    assert kept == [ID_0_49]
+    assert FS.prune_entries([ID_0_49, ID_50_99], None) == [ID_0_49, ID_50_99]
+
+
+def test_collect_file_stats_from_footer(spark, tmp_path):
+    """Footer-only stats: scalar columns bounded, all-null column keeps
+    nulls without bounds, unsupported types (decimal/timestamp/array)
+    simply absent — never an error."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "f.parquet")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("double").alias("v"),
+        F.concat(F.lit("k"), F.format_string("%03d", F.col("id"))).alias("s"),
+        F.lit(None).cast("string").alias("nul"),
+        F.col("id").cast("decimal(10,2)").alias("dec"),
+        F.array(F.col("id")).alias("arr"),
+        F.to_date(F.lit("2021-03-04")).alias("d"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    import glob
+
+    f = glob.glob(p + "/part-*.parquet")[0]
+    rec = FS.collect_file_stats(f)
+    assert rec["rows"] == 100
+    st = rec["stats"]
+    assert st["id"] == {"nulls": 0, "min": 0, "max": 99}
+    assert st["v"] == {"nulls": 0, "min": 0.0, "max": 9.0}
+    assert st["s"] == {"nulls": 0, "min": "k000", "max": "k099"}
+    assert st["nul"] == {"nulls": 100}
+    assert st["d"] == {"nulls": 0, "min": "2021-03-04", "max": "2021-03-04"}
+    assert "arr" not in st  # nested leaf paths are skipped
+    # stats must round-trip JSON exactly (they live in manifests)
+    import json
+
+    assert json.loads(json.dumps(rec)) == rec

@@ -392,8 +392,12 @@ def test_vacuum_retention_and_shared_file_safety(spark, tmp_path):
     out = TF.vacuum(p, keep_last=1)
     assert out["dropped_versions"] == [0, 1]
     assert out["deleted_files"] >= 2  # A and B are unreferenced by v2
+    # fully-reclaimed uuid dirs are removed, committer markers
+    # (_SUCCESS, .crc) notwithstanding (round-11 ADVICE #2)
+    assert out["deleted_dirs"] >= 2
     for f in a_files:
         assert not os.path.exists(os.path.join(p, f))
+        assert not os.path.isdir(os.path.dirname(os.path.join(p, f)))
     # head still reads; vacuumed versions raise; history skips gaps
     assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
         100, 101, 102,
@@ -434,8 +438,8 @@ def test_vacuum_never_touches_unreferenced_inflight_dirs(spark, tmp_path):
     TF.overwrite(spark.range(10, 13), p)
     inflight = TF._write_data_files(spark.range(900, 903), p)  # unpublished
     TF.vacuum(p, keep_last=1)
-    for f in inflight:
-        assert os.path.exists(os.path.join(p, f))
+    for e in inflight:
+        assert os.path.exists(os.path.join(p, e["path"]))
 
 
 def test_vacuum_within_retention_is_noop(spark, tmp_path):
@@ -552,6 +556,7 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("overwrite"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("delete"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("delete_all"), st.just(0), st.just(0)),
             st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
             st.tuples(st.just("optimize"), st.just(0), st.just(0)),
@@ -589,6 +594,12 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             elif kind == "delete":
                 TF.delete_where(spark, p, f"k % 5 = {a % 5}")
                 model = {k: v for k, v in model.items() if k % 5 != a % 5}
+            elif kind == "delete_all":
+                # a delete matching EVERY row commits a valid EMPTY
+                # snapshot (round-11 ADVICE #1); later ops must keep
+                # working on top of it
+                TF.delete_where(spark, p, "k >= 0")
+                model = {}
             elif kind == "merge":
                 rows = [(a * 10 + i, 7000 + i) for i in range(b)]
                 TF.merge_into(
@@ -807,3 +818,372 @@ def test_streaming_append_sink_exactly_once(spark, tmp_path):
     sink(replay, 0)
     assert TF.snapshot_read(spark, table).count() == 20
     assert TF.snapshot_read(spark, table).agg(F.sum("value")).collect()[0][0] == float(sum(range(20)))
+
+
+# ---------------------------------------------------------------------------
+# round 12: delete-all validity, O(1) txn map, stats pruning, change feed,
+# z-order optimize, concurrent-writer races, arbiter selection
+# ---------------------------------------------------------------------------
+
+
+def test_delete_all_commits_valid_empty_snapshot(spark, tmp_path):
+    """Round-11 ADVICE #1: a delete matching EVERY row commits files=[]
+    and the table stays fully usable — empty read in the table schema,
+    merge/optimize on top, append resumes, time travel across it."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")), p
+    )
+    v = TF.delete_where(spark, p, "id >= 0")
+    assert v == 1
+    empty = TF.snapshot_read(spark, p)
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<id:bigint,v:bigint>"
+    assert TF.read_manifest(p, 1)["files"] == []
+    # consumers of the aligned-groups scan survive zero groups
+    assert TF.optimize(spark, p) == 1  # noop, no empty commit
+    v2 = TF.merge_into(
+        spark, p,
+        spark.range(3, 6).select("id", (F.col("id") * 7).alias("v")),
+        on=["id"],
+    )
+    assert v2 == 2
+    assert sorted(r["v"] for r in TF.snapshot_read(spark, p).collect()) == [
+        21, 28, 35,
+    ]
+    # a second delete-all on an already-empty head is a no-commit noop
+    TF.delete_where(spark, p, "id >= 0")
+    assert TF.delete_where(spark, p, "id >= 0") == TF.current_version(p)
+    # history still time-travels around the empty snapshots
+    assert TF.snapshot_read(spark, p, 0).count() == 10
+
+
+def test_txn_watermarks_carried_in_head_manifest(spark, tmp_path):
+    """Round-11 ADVICE #3: every manifest carries the {app: last_batch}
+    map, so the idempotence check is ONE head read — and survives
+    vacuum dropping the txn-carrying manifests."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 2), p)
+    TF.append(spark.range(2, 4), p, txn={"app": "a", "batch": 0})
+    TF.append(spark.range(4, 6), p, txn={"app": "b", "batch": 5})
+    TF.append(spark.range(6, 8), p)  # txn-less commits carry the map too
+    head = TF.read_manifest(p, TF.current_version(p))
+    assert head["txns"] == {"a": 0, "b": 5}
+    # O(1) lookup path agrees with the map
+    assert TF._last_txn_batch(p, TF.current_version(p), "a") == 0
+    assert TF._last_txn_batch(p, TF.current_version(p), "nope") is None
+    # vacuum drops the txn-carrying manifests; protection must survive
+    TF.vacuum(p, keep_last=1)
+    assert TF.append(spark.range(99, 100), p, txn={"app": "b", "batch": 5}) \
+        == TF.current_version(p)
+    assert TF.snapshot_read(spark, p).count() == 8
+
+
+def test_legacy_manifest_without_txns_reconstructs_then_upgrades(spark, tmp_path):
+    """A pre-round-12 log (manifests without a txns map) still enforces
+    idempotence via the one-time reconstruction walk, and the next
+    commit persists the map."""
+    import json
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 2), p)
+    TF.append(spark.range(2, 4), p, txn={"app": "a", "batch": 3})
+    # strip the txns maps, simulating a legacy log
+    for v in (0, 1):
+        mp = TF._manifest_path(p, v)
+        m = json.load(open(mp))
+        m.pop("txns", None)
+        os.unlink(mp)
+        json.dump(m, open(mp, "w"))
+    assert TF._last_txn_batch(p, 1, "a") == 3  # reconstruction walk
+    # a replay of batch 3 skips; a new batch lands and persists the map
+    assert TF.append(spark.range(9, 10), p, txn={"app": "a", "batch": 3}) == 1
+    v = TF.append(spark.range(4, 6), p, txn={"app": "a", "batch": 4})
+    assert TF.read_manifest(p, v)["txns"] == {"a": 4}
+
+
+def test_snapshot_read_where_prunes_files_and_stays_exact(spark, tmp_path):
+    """Round-11 verdict #1 gate: a selective predicate over a clustered
+    table OPENS fewer files than the snapshot holds (df.inputFiles() —
+    the files actually in the Spark scan), and returns exactly the rows
+    a full-scan filter returns."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 13).cast("double").alias("v")
+    )
+    TF.create_table(df.repartitionByRange(8, "id"), p)
+    total = len(TF.read_manifest(p, 0)["files"])
+    assert total == 8
+    pruned = TF.snapshot_read(spark, p, where="id >= 100 AND id < 200")
+    scanned = len(pruned.inputFiles())
+    assert scanned < total, "pruned scan must open fewer files"
+    assert scanned >= 1
+    kept, tot = TF.pruned_file_counts(p, 0, "id >= 100 AND id < 200")
+    assert (kept, tot) == (scanned, total)
+    full = TF.snapshot_read(spark, p).where("id >= 100 AND id < 200")
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # an unprunable predicate falls back to the full file list, same rows
+    fallback = TF.snapshot_read(spark, p, where="id % 100 = 7")
+    assert len(fallback.inputFiles()) == total
+    assert fallback.count() == 10
+    # all-pruned range: zero files, empty result, schema intact
+    none = TF.snapshot_read(spark, p, where="id > 5000")
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+
+
+def test_delete_and_merge_discovery_skip_nonoverlapping_files(spark, tmp_path):
+    """COW discovery pruning: a selective delete/merge on a clustered
+    table carries non-overlapping files forward VERBATIM (same manifest
+    entries, no rewrite) without ever opening them."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 800).select("id", (F.col("id") * 3).alias("v"))
+    TF.create_table(df.repartitionByRange(8, "id"), p)
+    m0 = TF.read_manifest(p, 0)
+    before = {e["path"] for e in m0["files"]}
+    # stats prove only ~1 file overlaps [0, 100)
+    assert len(TF._upgrade_manifest(m0)["files"]) == 8
+    TF.delete_where(spark, p, "id < 100")
+    m1 = TF.read_manifest(p, 1)
+    carried = {e["path"] for e in m1["files"]} & before
+    assert len(carried) >= 6, "non-overlapping files must carry forward"
+    assert TF.snapshot_read(spark, p).count() == 700
+    # single-key merge prunes by source key bounds
+    src = spark.range(150, 160).select("id", F.lit(-1).cast("long").alias("v"))
+    TF.merge_into(spark, p, src, on=["id"])
+    m2 = TF.read_manifest(p, 2)
+    carried2 = {e["path"] for e in m2["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried2) >= 6
+    got = TF.snapshot_read(spark, p).where("id >= 150 AND id < 160")
+    assert sorted(r["v"] for r in got.collect()) == [-1] * 10
+
+
+def test_read_changes_over_lifecycle(spark, tmp_path):
+    """Change feed: create/append/overwrite emit their new files' rows;
+    delete and optimize emit nothing; merge emits exactly its INSERTS
+    from the sidecar; rows come back aligned to the range-end schema
+    with _commit_version/_change_kind stamps."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 10).select("id"), p)              # v0
+    TF.append(spark.range(10, 15).select("id"), p)                   # v1
+    TF.delete_where(spark, p, "id % 2 = 0")                          # v2
+    src = spark.range(3, 7).select(
+        "id", F.concat(F.lit("s"), F.col("id")).alias("tag")
+    )
+    TF.merge_into(spark, p, src, on=["id"])                          # v3 evolves
+    TF.optimize(spark, p, target_bytes=1 << 30, sort_col="id")       # v4
+    ch = TF.read_changes(spark, p, 0)
+    assert set(ch.columns) == {"id", "tag", "_commit_version", "_change_kind"}
+    per = {
+        (r["_commit_version"]): r["n"]
+        for r in ch.groupBy("_commit_version").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # v3 merge: matched odd ids 3,5 update (not in feed); 4,6 were
+    # deleted at v2 so they INSERT
+    assert per == {0: 10, 1: 5, 3: 2}
+    inserts = sorted(
+        r["id"] for r in ch.where("_commit_version = 3").collect()
+    )
+    assert inserts == [4, 6]
+    assert ch.where("_change_kind != 'insert'").count() == 0
+    # bounded range + incremental watermark consumption
+    assert TF.read_changes(spark, p, 1, 1).count() == 5
+    assert TF.read_changes(spark, p, 4).count() == 0
+    # an overwrite emits its whole new snapshot as additions
+    TF.overwrite(spark.range(100, 103).select("id"), p)              # v5
+    assert TF.read_changes(spark, p, 5).count() == 3
+
+
+def test_read_changes_errors(spark, tmp_path):
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 4), p)
+    TF.merge_into(spark, p, spark.range(2, 6), on=["id"], change_feed=False)
+    with pytest.raises(ValueError, match="change feed"):
+        TF.read_changes(spark, p, 0)
+    with pytest.raises(ValueError, match="bad change range"):
+        TF.read_changes(spark, p, 1, 9)
+    TF.append(spark.range(10, 12), p)
+    TF.append(spark.range(12, 14), p)
+    TF.vacuum(p, keep_last=1)
+    with pytest.raises(FileNotFoundError):  # retention horizon, like Delta
+        TF.read_changes(spark, p, 0)
+    assert TF.read_changes(spark, p, 3, 3).count() == 2
+
+
+def test_change_feed_exactly_once_table_to_table(spark, tmp_path):
+    """The incremental pipeline round-trip (round-11 verdict #4): stream
+    micro-batches into table A via streaming_append_sink, consume A's
+    change feed version-by-version into table B with per-version txns,
+    then CRASH/RESTART the consumer (full replay from version 0) — B
+    must not double-apply anything."""
+    from pyspark.sql import functions as F
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    TF.create_table(spark.range(0, 0).select("id"), a)
+    sink = TF.streaming_append_sink(a, app="ingest")
+    for batch in range(3):
+        sink(spark.range(batch * 10, batch * 10 + 10).select("id"), batch)
+    sink(spark.range(10, 20).select("id"), 1)  # mid-stream replay: no-op
+    head_a = TF.current_version(a)
+
+    def consume(from_v):  # the downstream stage, idempotent per version
+        for v in range(from_v, head_a + 1):
+            rows = TF.read_changes(spark, a, v, v).drop(
+                "_commit_version", "_change_kind"
+            )
+            if v == 0:
+                TF.create_table(rows, b)
+            else:
+                TF.append(rows, b, txn={"app": "cdc", "batch": v})
+
+    consume(0)
+    assert TF.snapshot_read(spark, b).count() == 30
+    consume(1)  # crash/restart: full replay — txns make it a no-op
+    assert TF.snapshot_read(spark, b).count() == 30
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, b).collect()) == \
+        sorted(r["id"] for r in TF.snapshot_read(spark, a).collect())
+
+
+def test_optimize_cluster_by_shrinks_both_ranges_and_skips(spark, tmp_path):
+    """Round-11 verdict #5: optimize(cluster_by=[a, b]) Morton-clusters
+    the rewrite, so per-file min/max ranges shrink on BOTH columns
+    (bounds from manifest stats, no extra pass) and stats pruning skips
+    files for predicates on either column."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    # deterministic scatter over a 2-D box: neither column is sorted
+    df = spark.range(0, 4096).select(
+        ((F.col("id") * 2654435761) % 4096).alias("x"),
+        ((F.col("id") * 40503) % 4096).alias("y"),
+    )
+    TF.create_table(df.repartition(8), p)
+    m0 = TF._upgrade_manifest(TF.read_manifest(p, 0))
+    # random layout: every file spans ~the full range of both columns
+    full_x = max(e["stats"]["x"]["max"] for e in m0["files"])
+
+    v = TF.optimize(spark, p, target_bytes=12_000, cluster_by=["x", "y"])
+    assert v == 1
+    m1 = TF._upgrade_manifest(TF.read_manifest(p, 1))
+    n = len(m1["files"])
+    assert n >= 4, "clustering should keep several files at this size"
+
+    def spans(m, c):
+        return [
+            (e["stats"][c]["max"] - e["stats"][c]["min"]) / (full_x + 1)
+            for e in m["files"]
+        ]
+
+    for c in ("x", "y"):
+        before = sum(spans(m0, c)) / len(m0["files"])
+        after = sum(spans(m1, c)) / n
+        assert before > 0.9, f"{c}: precondition — unclustered files span all"
+        assert after < 0.75 * before, f"{c}: mean per-file span must shrink"
+    # the payoff: a box predicate opens fewer files than the snapshot
+    kept, total = TF.pruned_file_counts(
+        p, 1, "x < 1024 AND y < 1024"
+    )
+    assert kept < total
+    # rows exactly preserved
+    assert TF.snapshot_read(spark, p, 1).count() == 4096
+    got = TF.snapshot_read(spark, p, 1, where="x < 1024 AND y < 1024")
+    assert got.count() == spark.createDataFrame(
+        df.collect()
+    ).where("x < 1024 AND y < 1024").count()
+
+
+@pytest.mark.parametrize("arbiter", ["link", "conditional"])
+def test_concurrent_writer_race_serializes(spark, tmp_path, arbiter):
+    """Round-11 verdict #6/#8: N threads append concurrently through the
+    commit arbiter — every version has exactly one winner, losers retry
+    internally to success, and the final table equals the serialized op
+    set. Runs under BOTH arbiters (POSIX link and the object-store-shaped
+    conditional write)."""
+    TF.set_commit_arbiter(arbiter)
+    try:
+        p = str(tmp_path / f"race_{arbiter}")
+        TF.create_table(spark.range(0, 1), p)
+        n_writers, n_commits = 6, 3
+        barrier = threading.Barrier(n_writers)
+        errors = []
+
+        def worker(w):
+            try:
+                barrier.wait(30)
+                for j in range(n_commits):
+                    lo = 1000 * (w + 1) + 10 * j
+                    TF.append(spark.range(lo, lo + 2), p)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,))
+            for w in range(n_writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        assert not errors, errors
+        total = n_writers * n_commits
+        assert TF.current_version(p) == total
+        hist = TF.history(p)
+        assert [h["version"] for h in hist] == list(range(total + 1))
+        assert all(h["parent"] == h["version"] - 1 for h in hist)
+        assert TF.snapshot_read(spark, p).count() == 1 + total * 2
+    finally:
+        TF.set_commit_arbiter("link")
+
+
+@pytest.mark.parametrize("arbiter", ["link", "conditional"])
+def test_concurrent_strict_writers_one_winner(spark, tmp_path, arbiter):
+    """Two strict (overwrite-class) writers racing from the SAME base:
+    exactly one commits, the other raises CommitConflict — and its
+    retry on the new head then succeeds."""
+    TF.set_commit_arbiter(arbiter)
+    try:
+        p = str(tmp_path / f"strict_{arbiter}")
+        TF.create_table(spark.range(0, 20), p)
+        base = TF.current_version(p)
+        barrier = threading.Barrier(2)
+        results = [None, None]
+
+        def worker(i):
+            barrier.wait(30)
+            try:
+                TF.delete_where(
+                    spark, p, f"id % 2 = {i}", base_version=base
+                )
+                results[i] = "ok"
+            except TF.CommitConflict:
+                results[i] = "conflict"
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(300)
+        assert sorted(results) == ["conflict", "ok"], results
+        loser = results.index("conflict")
+        TF.delete_where(spark, p, f"id % 2 = {loser}")  # retry on new head
+        assert TF.snapshot_read(spark, p).count() == 0
+    finally:
+        TF.set_commit_arbiter("link")
+
+
+def test_set_commit_arbiter_validates():
+    with pytest.raises(ValueError, match="unknown arbiter"):
+        TF.set_commit_arbiter("s3")
