@@ -1643,3 +1643,149 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version int, read_through string, schema_str string, "
         "n_docs bigint, sum_doc_id bigint, sum_score bigint, n_lang bigint",
     )
+
+
+@query(
+    "q_table_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(4 AS INT) AS files_total,
+           TRUE AS pruned
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def q_table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-LEVEL FILE SKIPPING under the external oracle (round-11
+    verdict #1): the table format records per-file min/max/null-count
+    statistics in every manifest entry (operators/fileskip.py, footer
+    -derived at write time), and ``snapshot_read(where=...)`` prunes
+    non-overlapping files BEFORE building the Spark scan. The query
+    writes the documents table range-clustered into 4 files
+    (repartitionByRange on doc_id — each file owns a quarter of the id
+    space), runs a selective predicate through the pruned read, and
+    emits the aggregates PLUS the skipping evidence: ``files_total``
+    from the manifest and ``pruned`` = the Spark scan actually opened
+    fewer files than the snapshot holds (df.inputFiles() — the physical
+    file list Catalyst was handed, not a claim). Wrong stats, a wrong
+    interval evaluation (a file skipped that held matching rows), or
+    pruning that never fires changes an aggregate or the flag and
+    hash-mismatches. The exact open-file count is additionally gated in
+    tests/test_tablefmt.py (pruned_file_counts == len(inputFiles())).
+
+    Scale shape: skipping is driver-side arithmetic over the manifest —
+    at 100 TB a selective scan on a clustered column opens the
+    overlapping handful of files instead of handing Catalyst the whole
+    snapshot's file list; parquet row-group pruning then works WITHIN
+    the survivors. This is the stats layer zorder.py presupposes
+    (bounds "from table stats")."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_prune_")
+    try:
+        TF.create_table(docs.repartitionByRange(4, "doc_id"), path)
+        pred = "doc_id < 10"
+        pruned = TF.snapshot_read(spark, path, where=pred)
+        files_scanned = len(pruned.inputFiles())
+        files_total = len(TF.read_manifest(path, 0)["files"])
+        agg = pruned.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_n_chars"),
+        ).collect()[0]
+        row = (
+            agg["n_docs"], agg["sum_n_chars"], files_total,
+            bool(files_scanned < files_total),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_docs bigint, sum_n_chars bigint, files_total int, pruned boolean",
+    )
+
+
+@query(
+    "q_table_changes",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, 'create' AS kind,
+           COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT CAST(1 AS INT), 'append', COUNT(*),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE doc_id >= 50 AND doc_id < 80
+    UNION ALL
+    SELECT CAST(2 AS INT), 'delete', COUNT(*),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE FALSE
+    UNION ALL
+    SELECT CAST(3 AS INT), 'merge', COUNT(*),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE doc_id < 20 AND doc_id % 5 = 0
+    """,
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED (incremental) READ under the external oracle
+    (round-11 verdict #4): ``read_changes`` serves every row ADDED in a
+    version range — create/append new files straight from the commit
+    log's ``added`` record, merge INSERTS from the change sidecar
+    ``merge_into`` writes — the Delta CDF essence, and the read side
+    pairing the exactly-once ``streaming_append_sink``. The query runs
+    a four-commit lifecycle on the documents table (create docs<50,
+    append 50..79, COW-delete doc_id%5=0, merge docs<20) and emits ONE
+    row per version with the feed's row count and id sum for exactly
+    that version: the create/append feeds are their committed rows, the
+    DELETE feeds nothing (additions-only, stated), and the merge feeds
+    precisely the ids the delete removed from under 20 (0,5,10,15 —
+    matched ids whole-row update and must NOT appear). A feed that
+    leaks updates, misses inserts, reads the wrong files, or
+    mis-stamps versions changes a row and hash-mismatches. The
+    exactly-once table-to-table replay loop is gated in
+    tests/test_tablefmt.py (not SQL-expressible).
+
+    Scale shape: each version's feed is one explicit-file-list scan
+    over only that commit's NEW files — incremental cost proportional
+    to change volume, never table size; the per-version aggregates are
+    bounded (one row each) and collected eagerly so the temp table is
+    removed (the q_table_time_travel pattern)."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_cdf_")
+    try:
+        TF.create_table(docs.where(F.col("doc_id") < 50), path)
+        TF.append(
+            docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)), path
+        )
+        TF.delete_where(spark, path, "doc_id % 5 = 0")
+        TF.merge_into(
+            spark, path, docs.where(F.col("doc_id") < 20), on=["doc_id"]
+        )
+        hist = {h["version"]: h["kind"] for h in TF.history(path)}
+        rows = []
+        for v in (0, 1, 2, 3):
+            agg = (
+                TF.read_changes(spark, path, v, v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    # coalesce: an EMPTY version's sum is 0, not NULL, so
+                    # the tiny-sf fixture (where the append range is
+                    # empty) stays NULL/NaN-fold-free cross-engine
+                    F.coalesce(F.sum("doc_id"), F.lit(0)).alias("sum_doc_id"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, hist[v], agg["n_rows"], agg["sum_doc_id"]))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, kind string, n_rows bigint, sum_doc_id bigint"
+    )

@@ -54,81 +54,23 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # ======================= ROUND-11 WINDOW (50) =======================
-    # == tier A (16): the r6/r7-stale head — round-10 verdict #1's named
-    #    cohort. 15 queries whose last driver-green verdict is ROUND 6
-    #    (4 rounds stale), plus q_join_asof (r7-stale AND plan-changed
-    #    this round: NaN-fold retired via matched boolean + -1 sentinels,
-    #    verdict #2). All 15 r6 entries are UNCHANGED since their verdict
-    #    and pass the local 170-query replica — this is rotation lag, not
-    #    drift; the window head clears it.
-    "q_lateral_topk",
-    "q_profile_stats",
-    "q_quantiles",
-    "q_pii_redact",
-    "q_hll_sketch_merge",
-    "q_tfidf_terms",
-    "q_histogram",
-    "q_sample_stratified",
-    "q_funnel",
-    "q_retention_cohort",
-    "q_having_large_orders",
-    "q_outlier_zscore",
-    "q_unpivot",
-    "q_embedding_centroid",
-    "q_repetition_stats",
-    "q_join_asof",  # r7-stale + NaN-free projection (changed)
-    # == tier B (16): NEW or plan/kernel CHANGED in round 11 — no
-    #    external verdict in their current form. pagerank.py gained
-    #    dangling-mass redistribution (verdict #3; q_pagerank_dangling is
-    #    NEW, q_pagerank re-queues as its consumer); similarity.py gained
-    #    sqrt-N auto-sizing + the broadcast_queries knob (verdict #4 —
-    #    re-queues all seven consumers); tablefmt.py derives file lists
-    #    from committed output (verdict #6 — two consumers); relational's
-    #    q_join_bucketed moved to stable table names and plans/common's
-    #    scratch_dir to stable paths (ADVICE — the three scratch-writing
-    #    sink queries re-queue prudently, though only paths moved);
-    #    sketches.py's cms_estimate docstring contract fix re-queues
-    #    q_heavy_hitters_cms by the file-granular kernel rule.
-    "q_pagerank_dangling",  # NEW round 11
-    "q_pagerank",
-    "q_sim_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_ivf_trained",
-    "q_ann_ivf_pq",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_heavy_hitters_cms",
+    # ======================= ROUND-12 WINDOW (50) =======================
+    # == tier A (5): NEW queries + tablefmt/zorder kernel consumers.
+    #    tablefmt.py changed substantially this round (per-file stats +
+    #    file skipping, change feed, cluster_by z-order, O(1) txn map,
+    #    valid empty snapshots, pluggable arbiter) — its two NEW queries
+    #    and both existing consumers head the window; q_zorder_code is
+    #    both the zorder.py consumer (now wired into optimize) and
+    #    r7-stale.
+    "q_table_pruned_scan",
+    "q_table_changes",
     "q_table_time_travel",
     "q_table_schema_evolution",
-    "q_join_bucketed",
-    "q_sink_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_ingest_malformed",
-    # == tier C (18): ROUND-7-stale fill — first 18 of the 32 remaining
-    #    r7 queries (alphabetical; all unchanged since their verdict).
-    #    The other 14 sit directly below the window and head round 12.
-    "q_agg_group",
-    "q_array_funcs",
-    "q_chunk_documents",
-    "q_contamination",
-    "q_corr_stats",
-    "q_daily_kpis",
-    "q_date_funcs",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_dedup_lines",
-    "q_domain_mix",
-    "q_embedding_quantize",
-    "q_entropy",
-    "q_event_sequence",
-    "q_explode_outer",
-    "q_mode",
-    "q_normalize_docs",
-    "q_not_in_null_semantics",
-    # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 7 (14 remaining): head round 12 ==
+    "q_zorder_code",
+    # == tier B (13): the remaining ROUND-7-stale verdicts (5 rounds
+    #    old) — round-11 verdict #2's named cohort, alphabetical; all
+    #    unchanged since their verdict (local replica green), so this is
+    #    rotation lag, not drift.
     "q_pack_sequences",
     "q_parse_invoice",
     "q_percentile_disc",
@@ -142,16 +84,14 @@ PRIORITY_ORDER = [
     "q_window_lead_lag",
     "q_window_rank_ties",
     "q_wordcount",
-    "q_zorder_code",
-    # == last driver-green in ROUND 8 (30) ==
-    "q_bpe_train_distributed",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_bpe_train_bytes",
-    "q_bpe_tokenize_bytes",
-    "q_pack_sequences_bpe",
-    "q_domain_mix_bpe",
+    # == tier C (30): every ROUND-8-stale verdict (4 rounds old) —
+    #    the rest of verdict #2's cohort, alphabetical, unchanged.
     "q_bm25",
+    "q_bpe_tokenize",
+    "q_bpe_tokenize_bytes",
+    "q_bpe_train",
+    "q_bpe_train_bytes",
+    "q_bpe_train_distributed",
     "q_cnpj_valid",
     "q_corpus_drift",
     "q_count_distinct",
@@ -163,6 +103,7 @@ PRIORITY_ORDER = [
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_distinct",
+    "q_domain_mix_bpe",
     "q_embedding_project",
     "q_filter_predicates",
     "q_gap_fill",
@@ -174,9 +115,12 @@ PRIORITY_ORDER = [
     "q_join_null_safe",
     "q_join_range",
     "q_join_semi",
-    # == last driver-green in ROUND 9 (42) ==
+    "q_pack_sequences_bpe",
+    # == tier D (2): oldest ROUND-9 fill to complete the 50.
     "q_scan_project",
     "q_topk",
+    # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 9 (40 remaining) ==
     "q_rollup",
     "q_set_ops",
     "q_pivot",
@@ -217,8 +161,7 @@ PRIORITY_ORDER = [
     "q_audit_events",
     "q_case_routing",
     "q_decimal_math",
-    # == last driver-green in ROUND 10 (34 not re-queued above; the
-    #    freshest cohort sits at the bottom by design) ==
+    # == last driver-green in ROUND 10 (34) ==
     "q_fuzzy_match",
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
@@ -254,6 +197,56 @@ PRIORITY_ORDER = [
     "q_stream_session_ttl",
     "q_join_skew_salted",
     "q_agg_skew_salted",
+    # == last driver-green in ROUND 11 (48 not re-queued above; the
+    #    freshest cohort sits at the bottom by design) ==
+    "q_lateral_topk",
+    "q_profile_stats",
+    "q_quantiles",
+    "q_pii_redact",
+    "q_hll_sketch_merge",
+    "q_tfidf_terms",
+    "q_histogram",
+    "q_sample_stratified",
+    "q_funnel",
+    "q_retention_cohort",
+    "q_having_large_orders",
+    "q_outlier_zscore",
+    "q_unpivot",
+    "q_embedding_centroid",
+    "q_repetition_stats",
+    "q_join_asof",
+    "q_pagerank_dangling",
+    "q_pagerank",
+    "q_sim_topk",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_ann_ivf_trained",
+    "q_ann_ivf_pq",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_heavy_hitters_cms",
+    "q_join_bucketed",
+    "q_sink_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_ingest_malformed",
+    "q_agg_group",
+    "q_array_funcs",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_corr_stats",
+    "q_daily_kpis",
+    "q_date_funcs",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_dedup_lines",
+    "q_domain_mix",
+    "q_embedding_quantize",
+    "q_entropy",
+    "q_event_sequence",
+    "q_explode_outer",
+    "q_mode",
+    "q_normalize_docs",
+    "q_not_in_null_semantics",
 ]
 
 

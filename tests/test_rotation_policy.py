@@ -55,7 +55,13 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
         "q_dedup_ngram_jaccard", "q_dedup_containment",
     ],
     "rpa_etl_spark/operators/maintenance.py": [],  # sink-side compaction; no declared query
-    "rpa_etl_spark/operators/tablefmt.py": ["q_table_time_travel", "q_table_schema_evolution"],
+    "rpa_etl_spark/operators/tablefmt.py": [
+        "q_table_time_travel", "q_table_schema_evolution",
+        "q_table_pruned_scan", "q_table_changes",
+    ],
+    "rpa_etl_spark/operators/fileskip.py": [
+        "q_table_pruned_scan", "q_table_changes",
+    ],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
         "q_dedup_embedding_lsh",
