@@ -955,8 +955,11 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
 
     if sort_col is not None and cluster_by is not None:
         raise ValueError("pass sort_col OR cluster_by, not both")
-    if cluster_by is not None and len(cluster_by) != 2:
-        raise ValueError("cluster_by takes exactly two numeric columns")
+    if cluster_by is not None and len(cluster_by) < 2:
+        raise ValueError(
+            "cluster_by takes two or more numeric columns "
+            "(use sort_col for single-column clustering)"
+        )
     if base_version is None:
         base_version = current_version(path)
     if base_version < 0:
@@ -977,9 +980,8 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
         df = df.unionByName(p_)
     if cluster_by is not None:
         bounds = _cluster_bounds(m, cluster_by, df)
-        code = zorder.morton2(
-            F.col(cluster_by[0]), bounds[0][0], bounds[0][1],
-            F.col(cluster_by[1]), bounds[1][0], bounds[1][1],
+        code = zorder.morton(
+            [(F.col(c), lo, hi) for c, (lo, hi) in zip(cluster_by, bounds)]
         )
         df = (
             df.withColumn("_z", code)

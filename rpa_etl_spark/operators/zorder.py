@@ -60,6 +60,34 @@ def morton2(
     return code
 
 
+def morton(
+    dims: list[tuple[Column, float, float]],
+    bits: int | None = None,
+) -> Column:
+    """N-dimensional Morton code (round 12): interleave the scaled bits
+    of every ``(column, lo, hi)`` dimension — dimension j owns bit
+    positions ``i*n + j``. ``bits`` defaults to the most each dimension
+    can carry in a 63-bit signed long (16 for 2-3 dims, 15 at 4, ...).
+    morton2 is the fixed two-dimensional special case (kept for the
+    oracle-checked q_zorder_code, whose SQL twin states the 2-D layout).
+    Pure shift/or expression tree — ``bits * n`` static iterations, no
+    Python at runtime."""
+    n = len(dims)
+    if n < 2:
+        raise ValueError("morton needs at least two dimensions")
+    if bits is None:
+        bits = min(_BITS, 63 // n)
+    scaled = [
+        _scale_to_bits(col, F.lit(lo), F.lit(hi), bits) for col, lo, hi in dims
+    ]
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return code
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

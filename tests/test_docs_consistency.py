@@ -16,10 +16,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_coverage_headline_query_count_matches_registry():
+    """The NEWEST round note (first in the file) must state the actual
+    registry size — checked against the first match so each round's
+    rebuild can't leave a stale headline."""
     src = open(os.path.join(REPO, "COVERAGE.md")).read()
-    m = re.search(r"\*\*Round 11:\*\* (\d+) declared queries", src)
-    assert m, "COVERAGE.md round-11 headline missing"
-    assert int(m.group(1)) == len(registry.QUERIES)
+    m = re.search(r"\*\*Round (\d+):\*\* (\d+) declared queries", src)
+    assert m, "COVERAGE.md round headline missing"
+    assert int(m.group(2)) == len(registry.QUERIES), (
+        f"COVERAGE.md round-{m.group(1)} headline says {m.group(2)} "
+        f"queries; registry has {len(registry.QUERIES)}"
+    )
 
 
 def test_registry_tier_comments_match_list_structure():

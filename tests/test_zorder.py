@@ -121,3 +121,66 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     spans = [r["user_id"][1] - r["user_id"][0] for r in rngs]
     full = max(r["user_id"][1] for r in rngs) - min(r["user_id"][0] for r in rngs)
     assert min(spans) < full, "sorted compaction produced no clustering"
+
+
+def test_morton_n_generalizes_morton2(spark):
+    """The N-dim morton (round 12) with the same two dims and bit width
+    must equal morton2 bit-for-bit; a 3-dim code stays a bounded long
+    and orders distinct tiles distinctly."""
+    from rpa_etl_spark.operators.zorder import morton
+
+    df = spark.range(0, 512).select(
+        ((F.col("id") * 37) % 100).alias("a"),
+        ((F.col("id") * 61) % 97).alias("b"),
+        ((F.col("id") * 17) % 89).alias("c"),
+    )
+    two = df.select(
+        morton2(F.col("a"), 0, 99, F.col("b"), 0, 96).alias("m2"),
+        morton([(F.col("a"), 0, 99), (F.col("b"), 0, 96)]).alias("mn"),
+    )
+    assert two.where("m2 != mn").count() == 0
+    three = df.select(
+        "a", "b", "c",
+        morton(
+            [(F.col("a"), 0, 99), (F.col("b"), 0, 96), (F.col("c"), 0, 88)]
+        ).alias("m3"),
+    )
+    lo, hi, n, n_tiles = three.agg(
+        F.min("m3"), F.max("m3"), F.count_distinct("m3"),
+        F.count_distinct("a", "b", "c"),
+    ).collect()[0]
+    assert 0 <= lo <= hi < (1 << 63)
+    # 21 bits/dim over <=100 values: the scaling is injective, so
+    # distinct (a,b,c) tiles get distinct codes exactly
+    assert n == n_tiles
+
+
+def test_optimize_cluster_by_three_columns(spark, tmp_path):
+    """optimize(cluster_by=[a, b, c]) — the N-dim path end-to-end: rows
+    preserved, per-file spans shrink on ALL THREE columns."""
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 4096).select(
+        ((F.col("id") * 2654435761) % 1024).alias("a"),
+        ((F.col("id") * 40503) % 1024).alias("b"),
+        ((F.col("id") * 2246822519) % 1024).alias("c"),
+    )
+    TF.create_table(df.repartition(8), p)
+    # enough output files for the curve to cut EVERY dimension: the top
+    # Morton bits alternate dims, so k files only split ~log2(k) of them
+    TF.optimize(spark, p, target_bytes=2_500, cluster_by=["a", "b", "c"])
+    m0 = TF._upgrade_manifest(TF.read_manifest(p, 0))
+    m1 = TF._upgrade_manifest(TF.read_manifest(p, 1))
+    assert len(m1["files"]) >= 12
+    assert TF.snapshot_read(spark, p).count() == 4096
+    for col in ("a", "b", "c"):
+        before = sum(
+            e["stats"][col]["max"] - e["stats"][col]["min"]
+            for e in m0["files"]
+        ) / len(m0["files"])
+        after = sum(
+            e["stats"][col]["max"] - e["stats"][col]["min"]
+            for e in m1["files"]
+        ) / len(m1["files"])
+        assert after < 0.8 * before, (col, before, after)
