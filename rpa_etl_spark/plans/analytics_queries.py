@@ -1789,3 +1789,86 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, kind string, n_rows bigint, sum_doc_id bigint"
     )
+
+
+@query(
+    "q_table_zorder_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           TRUE AS spans_shrank,
+           TRUE AS pruned
+    FROM documents WHERE doc_id < 25 AND n_chars < 300
+    """,
+)
+def q_table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY under the external oracle (round-11
+    verdict #5 end-to-end): the documents table is created hash-
+    SCATTERED (every file spans the full range of both columns — no
+    accidental clustering), then ``optimize(cluster_by=[doc_id,
+    n_chars])`` rewrites it along the 2-D Morton curve with bounds from
+    the MANIFEST STATS (no extra data pass), and a 2-D box predicate
+    runs through the pruned ``snapshot_read``. Emitted evidence:
+    ``spans_shrank`` — the mean per-file min/max span (from the new
+    manifest's stats) shrank on BOTH columns vs the scattered layout —
+    and ``pruned`` — the box scan actually opened fewer files than the
+    snapshot holds (df.inputFiles()). The aggregates prove the rewrite
+    row-preserving AND the skip sound (a wrongly-skipped file would
+    drop rows and hash-mismatch). The Morton interleave itself is
+    bit-for-bit oracle-checked in q_zorder_code; exact span ratios and
+    the 3-column path are gated in tests/test_zorder.py.
+
+    Scale shape: one range shuffle + local sort at layout time buys
+    every subsequent selective scan file-level skipping on EITHER
+    column — the standard lakehouse OPTIMIZE…ZORDER trade. Pruning is
+    driver-side arithmetic over the manifest; the curve keeps per-file
+    ranges narrow in ALL clustered dimensions simultaneously, which a
+    single-column sort cannot (SCALE.md §10g)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_z_")
+    try:
+        TF.create_table(docs.repartition(8), path)
+        m0 = TF.read_manifest(path, 0)
+        total_bytes = sum(
+            _os.path.getsize(_os.path.join(path, e["path"]))
+            for e in m0["files"]
+        )
+        # ~12 clustered output files: enough curve segments to cut both
+        # dimensions at any fixture scale
+        TF.optimize(
+            spark, path, target_bytes=max(1, total_bytes // 12),
+            cluster_by=["doc_id", "n_chars"],
+        )
+        m1 = TF.read_manifest(path, 1)
+
+        def mean_span(m, col):
+            spans = [
+                e["stats"][col]["max"] - e["stats"][col]["min"]
+                for e in m["files"]
+            ]
+            return sum(spans) / len(spans)
+
+        spans_shrank = all(
+            mean_span(m1, c) < mean_span(m0, c) for c in ("doc_id", "n_chars")
+        )
+        pred = "doc_id < 25 AND n_chars < 300"
+        scan = TF.snapshot_read(spark, path, where=pred)
+        pruned = len(scan.inputFiles()) < len(m1["files"])
+        agg = scan.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        ).collect()[0]
+        row = (agg["n_docs"], agg["sum_doc_id"], spans_shrank, pruned)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_docs bigint, sum_doc_id bigint, spans_shrank boolean, "
+        "pruned boolean",
+    )

@@ -152,3 +152,48 @@ def test_collect_file_stats_from_footer(spark, tmp_path):
     import json
 
     assert json.loads(json.dumps(rec)) == rec
+
+
+def test_pruned_read_equals_full_read_predicate_matrix(spark, tmp_path):
+    """Soundness sweep: over one clustered table with nulls and three
+    stat types, EVERY predicate in a grammar-covering matrix must give
+    the pruned read exactly the full-scan-filter rows (a wrong skip
+    would drop rows; over-keeping is invisible here and allowed)."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 600).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 != 0, (F.col("id") % 50).cast("double"))
+        .alias("v"),  # ~14% nulls
+        F.concat(F.lit("s"), F.format_string("%03d", F.col("id") % 40))
+        .alias("s"),
+    )
+    TF.create_table(df.repartitionByRange(6, "id"), p)
+    predicates = [
+        "id < 100", "id <= 99", "id > 550", "id >= 550", "id = 300",
+        "id != 300", "id <> 0", "250 > id", "599 = id",
+        "id BETWEEN 90 AND 110", "id BETWEEN 700 AND 800",
+        "id IN (5, 305, 9999)", "id IN (9999)",
+        "v IS NULL", "v IS NOT NULL", "v < 10", "v >= 49.0", "v = 25.0",
+        "s = 's005'", "s >= 's039'", "s < 's001'", "s IN ('s000', 'zz')",
+        "id < 50 AND v IS NULL", "id < 50 OR id > 580",
+        "id < 100 AND v < 5 AND s < 's010'",
+        "(id < 100 OR id > 500) AND v IS NOT NULL",
+        "NOT id < 100",              # conservative unknown
+        "id % 7 = 0",                # unparseable: falls back, still exact
+        "v + 1 < 10",
+        "id < 0", "id >= 600",       # all-pruned
+    ]
+    for pred in predicates:
+        got = sorted(
+            (r["id"],)
+            for r in TF.snapshot_read(spark, p, where=pred).collect()
+        )
+        want = sorted(
+            (r["id"],)
+            for r in TF.snapshot_read(spark, p).where(pred).collect()
+        )
+        assert got == want, pred

@@ -57,10 +57,10 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/maintenance.py": [],  # sink-side compaction; no declared query
     "rpa_etl_spark/operators/tablefmt.py": [
         "q_table_time_travel", "q_table_schema_evolution",
-        "q_table_pruned_scan", "q_table_changes",
+        "q_table_pruned_scan", "q_table_changes", "q_table_zorder_scan",
     ],
     "rpa_etl_spark/operators/fileskip.py": [
-        "q_table_pruned_scan", "q_table_changes",
+        "q_table_pruned_scan", "q_table_zorder_scan",
     ],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
@@ -77,7 +77,7 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/textstats.py": ["q_text_stats", "q_lang_quality"],
     "rpa_etl_spark/operators/textstats_arrow.py": ["q_lang_quality", "q_repetition_stats"],
     "rpa_etl_spark/operators/udtf_blocks.py": ["q_chunk_documents"],
-    "rpa_etl_spark/operators/zorder.py": ["q_zorder_code"],
+    "rpa_etl_spark/operators/zorder.py": ["q_zorder_code", "q_table_zorder_scan"],
     "rpa_etl_spark/sources/jpeg.py": ["q_multimodal_decode", "q_multimodal_mjpeg"],
     "rpa_etl_spark/sources/minipdf.py": [
         "q_pdf_extract", "q_pdf_extract_hard", "q_pdf_extract_encrypted",
