@@ -1187,3 +1187,141 @@ def test_concurrent_strict_writers_one_winner(spark, tmp_path, arbiter):
 def test_set_commit_arbiter_validates():
     with pytest.raises(ValueError, match="unknown arbiter"):
         TF.set_commit_arbiter("s3")
+
+
+def test_row_count_is_metadata_only_and_exact(spark, tmp_path):
+    """row_count answers count(*) from the manifest alone (zero Spark
+    jobs); every commit kind preserves the invariant."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 40).select("id", (F.col("id") % 3).alias("g")), p
+    )
+    TF.append(spark.range(40, 55).select("id", (F.col("id") % 3).alias("g")), p)
+    TF.delete_where(spark, p, "id % 4 = 0")
+    TF.merge_into(
+        spark, p,
+        spark.range(50, 70).select("id", F.lit(9).cast("long").alias("g")),
+        on=["id"],
+    )
+    TF.optimize(spark, p, target_bytes=1 << 30, sort_col="id")
+    for v in range(TF.current_version(p) + 1):
+        assert TF.row_count(p, v) == TF.snapshot_read(spark, p, v).count(), v
+    # delete-all: empty snapshot counts zero
+    TF.delete_where(spark, p, "id >= 0")
+    assert TF.row_count(p) == 0
+    # legacy entries without counts refuse loudly instead of lying
+    import json as _json
+    import os as _os
+
+    head = TF.current_version(p)
+    TF.append(spark.range(0, 3).select("id", F.lit(0).cast("long").alias("g")), p)
+    mp = TF._manifest_path(p, head + 1)
+    m = _json.load(open(mp))
+    for e in m["files"]:
+        e.pop("rows", None)
+    _os.unlink(mp)
+    _json.dump(m, open(mp, "w"))
+    with pytest.raises(ValueError, match="legacy entries"):
+        TF.row_count(p)
+
+
+def test_conditional_arbiter_stale_claim_janitor(spark, tmp_path):
+    """The conditional arbiter's documented crash window: a claim left
+    by a dead committer blocks the version (writers conflict after
+    bounded retries); clear_stale_claims removes exactly the wreckage
+    and never a claim whose manifest published."""
+    import os
+
+    TF.set_commit_arbiter("conditional")
+    try:
+        p = str(tmp_path / "t")
+        TF.create_table(spark.range(0, 4), p)
+        TF.append(spark.range(4, 6), p)
+        head = TF.current_version(p)
+        # simulate the crash: claim head+1, never publish
+        open(TF._claim_path(p, head + 1), "x").close()
+        with pytest.raises(TF.CommitConflict):
+            TF.append(spark.range(6, 8), p)
+        assert TF.clear_stale_claims(p) == 1
+        # published versions' claims are NOT wreckage — untouched
+        assert os.path.exists(TF._claim_path(p, head))
+        v = TF.append(spark.range(6, 8), p)
+        assert v == head + 1
+        assert TF.snapshot_read(spark, p).count() == 8
+    finally:
+        TF.set_commit_arbiter("link")
+
+
+def test_sync_changes_exactly_once_no_external_checkpoint(spark, tmp_path):
+    """sync_changes: the destination's OWN txn map is the watermark —
+    kill/re-run anywhere, nothing double-applies, empty versions advance
+    the watermark, later source commits flow incrementally, and schema
+    evolution rides through."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TF.create_table(spark.range(0, 10).select("id"), src)
+    TF.append(spark.range(10, 15).select("id"), src)
+    TF.delete_where(spark, src, "id % 2 = 0")  # empty feed version
+    applied = TF.sync_changes(spark, src, dst, app="cdc")
+    assert applied == 3
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, dst).collect()) \
+        == list(range(15))  # additions-only: the delete does not propagate
+    # re-run: watermark in dst's head manifest, zero work
+    assert TF.sync_changes(spark, src, dst, app="cdc") == 0
+    # new source commits (one evolving the schema) flow incrementally
+    TF.merge_into(
+        spark, src,
+        spark.range(3, 6).select("id", F.lit("x").alias("tag")), on=["id"],
+    )
+    TF.append(spark.range(20, 22).select(
+        "id", F.lit("y").alias("tag")), src)
+    assert TF.sync_changes(spark, src, dst, app="cdc") == 2
+    got = TF.snapshot_read(spark, dst)
+    # merge matched 3,5 (updates, not fed); 4 was deleted so it re-inserts
+    assert got.where("tag = 'x'").count() == 1
+    assert got.where("tag = 'y'").count() == 2
+    assert got.count() == 18
+    # crash simulation: wipe ONLY the destination's last manifest (the
+    # watermark rolls back one version) — replay applies exactly that
+    # version again without touching the earlier ones
+    import os
+
+    head = TF.current_version(dst)
+    os.unlink(TF._manifest_path(dst, head))
+    assert TF.sync_changes(spark, src, dst, app="cdc") == 1
+    assert TF.snapshot_read(spark, dst).count() == 18
+
+
+def test_merge_multi_key_pruning_and_null_key_source(spark, tmp_path):
+    """Multi-key merges prune by the AND of per-key source bounds; an
+    all-NULL-key source matches nothing and inserts its rows."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        (F.col("id") % 20).alias("a"), (F.col("id") / 20).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    TF.create_table(df.repartitionByRange(8, "a", "b"), p)
+    m0 = TF.read_manifest(p, 0)
+    src = spark.createDataFrame([(3, 2, -1), (3, 4, -1)], "a long, b long, v long")
+    TF.merge_into(spark, p, src, on=["a", "b"])
+    m1 = TF.read_manifest(p, 1)
+    carried = {e["path"] for e in m1["files"]} & {e["path"] for e in m0["files"]}
+    assert len(carried) >= 6  # bounds (a in [3,3], b in [2,4]) skip most files
+    got = TF.snapshot_read(spark, p)
+    assert got.where("v = -1").count() == 2
+    assert got.count() == 400
+    # all-NULL source keys: no match possible — pure insert, no rewrite
+    src2 = spark.createDataFrame(
+        [(None, None, 777)], "a long, b long, v long"
+    )
+    TF.merge_into(spark, p, src2, on=["a", "b"])
+    m2 = TF.read_manifest(p, 2)
+    assert {e["path"] for e in m1["files"]} <= {e["path"] for e in m2["files"]}
+    assert TF.snapshot_read(spark, p).where("v = 777").count() == 1
+    assert TF.snapshot_read(spark, p).count() == 401
