@@ -84,12 +84,38 @@ def main() -> None:
         TF.snapshot_read(spark, table, version=0, schema_version=1).columns,
     )
 
-    # v4 — OPTIMIZE: compact the COW fragments, clustering by doc_id
+    # v4 — OPTIMIZE ... ZORDER BY: compact the COW fragments along the
+    # 2-D Morton curve (bounds come from the manifest's per-file stats)
     n_before = len(TF.read_manifest(table, TF.current_version(table))["files"])
-    TF.optimize(spark, table, target_bytes=4 * 1024 * 1024, sort_col="doc_id")
+    TF.optimize(spark, table, target_bytes=3 * 1024,
+                cluster_by=["doc_id", "n_chars"])
     n_after = len(TF.read_manifest(table, TF.current_version(table))["files"])
-    print(f"optimize: {n_before} files -> {n_after}")
+    print(f"optimize+zorder: {n_before} files -> {n_after}")
     show(spark, table, "optimize")
+
+    # round 12 — stats-based FILE SKIPPING: a selective predicate opens
+    # only the overlapping files (the manifest's min/max prove the rest
+    # can't match); the result is still exact
+    pred = "doc_id < 15 AND n_chars < 300"
+    pruned = TF.snapshot_read(spark, table, where=pred)
+    kept, total = TF.pruned_file_counts(table, where=pred)
+    print(f"pruned scan '{pred}': opens {kept}/{total} files, "
+          f"{pruned.count()} rows")
+    print("metadata-only count(*):", TF.row_count(table), "rows, zero jobs")
+
+    # round 12 — CHANGE FEED: every row each commit ADDED, and one-call
+    # exactly-once sync into a downstream table (the destination's own
+    # txn map is the watermark — re-running is always safe)
+    feed = TF.read_changes(spark, table, 0)
+    print("change feed rows per version:",
+          sorted((r["_commit_version"], r["n"]) for r in
+                 feed.groupBy("_commit_version").agg(
+                     F.count(F.lit(1)).alias("n")).collect()))
+    dst = table + "_mirror"
+    print("sync_changes applied", TF.sync_changes(spark, table, dst, "demo"),
+          "versions;", "replay applies",
+          TF.sync_changes(spark, table, dst, "demo"),
+          f"(mirror rows: {TF.row_count(dst)})")
 
     # VACUUM: keep the last 2 versions; reclaim files only they reference
     out = TF.vacuum(table, keep_last=2)
