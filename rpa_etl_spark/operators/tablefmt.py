@@ -52,6 +52,16 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
   :func:`merge_into` writes), stamped with commit version + kind —
   the Delta CDF essence, pairing the exactly-once write side for
   incremental table-to-table pipelines;
+- merge-on-read DELETE via deletion vectors (round 12):
+  ``delete_where(mode="dv")`` writes matching row POSITIONS as a
+  (file, pos) sidecar instead of rewriting files — the Delta
+  deletion-vectors / Iceberg positional-delete essence; reads apply
+  vectors with an anti-join (``_metadata.row_index``), repeated
+  deletes union vectors, fully-deleted entries drop, and
+  :func:`optimize` materializes vectors back into clean files.
+  Delete-sized writes for small frequent deletes against huge files
+  (the GDPR-erasure shape); COW stays the default where read
+  amplification matters more;
 - empty snapshots are valid (round 12): a delete removing every row
   commits ``files: []`` and reads back as zero rows in the table
   schema; every operator works on top of one;
@@ -104,6 +114,7 @@ from rpa_etl_spark.operators import fileskip
 _LOG = "_log"
 _DATA = "data"
 _CHANGES = "_changes"
+_DV = "_dv"
 
 
 class CommitConflict(RuntimeError):
@@ -585,7 +596,8 @@ def overwrite(df, path: str, base_version: int | None = None) -> int:
 
 
 def delete_where(spark, path: str, predicate: str,
-                 base_version: "int | None" = None) -> int:
+                 base_version: "int | None" = None,
+                 mode: str = "cow") -> int:
     """Row-level DELETE as copy-on-write at FILE granularity — the
     reduced essence of Delta/Iceberg COW deletes: files containing no
     matching row carry their manifest entries into the new version
@@ -603,26 +615,40 @@ def delete_where(spark, path: str, predicate: str,
     the new version; a predicate matching nothing returns the current
     version WITHOUT committing (no empty commits in the log).
 
+    ``mode="dv"`` (round 12) switches to MERGE-ON-READ: instead of
+    rewriting affected files, the matching rows' POSITIONS are written
+    as a deletion-vector sidecar (one (file, pos) parquet per commit)
+    and the affected entries carry a ``dv`` record — the Delta
+    deletion-vectors / Iceberg positional-delete essence. Reads apply
+    the vector with an anti-join at scan time; :func:`optimize`
+    materializes vectors back into clean files. The write cost becomes
+    delete-sized (positions, not file bytes) — the right trade when
+    deletes are small and frequent against huge files; COW remains
+    right when read amplification matters more. A file whose every row
+    is dv-deleted drops from the manifest entirely (no dangling
+    all-deleted entries). Repeated dv deletes on the same file UNION
+    their vectors.
+
     Scale shape: the affected-file discovery scan is FIRST pruned by
     per-file manifest statistics (fileskip.prune_entries — files whose
     min/max prove no row can match never open; at 100 TB a selective
     delete on a clustered column touches a handful of files, not the
-    snapshot), then has the predicate BELOW the file-name projection, so
-    pushable predicates reach the parquet scan as PushedFilters and
-    column pruning reads only the predicate's columns (input_file_name()
-    is nondeterministic — a filter placed ABOVE a projection containing
-    it cannot push down, which is why discovery is not expressed over
-    the __file-carrying frame); only distinct file names collect —
-    metadata-sized, like the manifest itself. The rewrite then reads
-    EXACTLY the affected files by explicit list. A delete matching EVERY
-    row commits a valid EMPTY snapshot (``files: []`` — snapshot_read
-    returns zero rows in the table schema). History stays intact: older
-    snapshots still list the pre-delete files, so time travel across the
-    delete works and nothing may vacuum data files that any retained
-    version references."""
+    snapshot); the predicate reaches the parquet scan as PushedFilters
+    (the ``__file`` marker is the deterministic _metadata.file_path, so
+    the filter pushes through it — gated in tests); only distinct file
+    names (plus, in dv mode, delete-sized position sets) collect/write.
+    The COW rewrite then reads EXACTLY the affected files by explicit
+    list. A delete matching EVERY row commits a valid EMPTY snapshot
+    (``files: []`` — snapshot_read returns zero rows in the table
+    schema). History stays intact: older snapshots still list the
+    pre-delete files and vectors, so time travel across the delete
+    works and nothing may vacuum data files that any retained version
+    references."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r}; 'cow' or 'dv'")
     if base_version is None:
         base_version = current_version(path)
     if base_version < 0:
@@ -637,17 +663,19 @@ def delete_where(spark, path: str, predicate: str,
     if not candidates:
         return base_version
 
+    if mode == "dv":
+        return _delete_where_dv(
+            spark, path, predicate, base_version, m, target, candidates
+        )
+
     # affected = files with >= 1 TRUE-predicate row; bounded by file count
     affected_uris: list[str] = []
     for _sid, group in _aligned_schema_groups(
-        spark, path, m, target, only_entries=candidates
+        spark, path, m, target, only_entries=candidates, with_file=True
     ):
         affected_uris += [
             r["__file"]
-            for r in group.where(pred)
-            .select(F.input_file_name().alias("__file"))
-            .distinct()
-            .collect()
+            for r in group.where(pred).select("__file").distinct().collect()
         ]
     if not affected_uris:
         return base_version
@@ -678,14 +706,135 @@ def delete_where(spark, path: str, predicate: str,
         raise
 
 
+def _delete_where_dv(spark, path, predicate, base_version, m, target,
+                     candidates) -> int:
+    """Merge-on-read delete body: write the matching positions as a
+    (file, pos) sidecar and carry EVERY data file forward — affected
+    entries gain (or grow) their ``dv`` record, fully-deleted entries
+    drop. One discovery scan finds positions (already excluding rows
+    earlier vectors deleted, so vectors never double-count); existing
+    vectors of the affected files merge into the new sidecar so each
+    entry references exactly ONE current vector set."""
+    import os.path as _osp
+
+    from pyspark.sql import functions as F
+
+    # positions scan: the discovery scan, keeping (file, pos)
+    matches = _positions_matching(spark, path, m, target, candidates,
+                                  predicate)
+    per_file = {r["file"]: r["n"] for r in
+                matches.groupBy("file").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    if not per_file:
+        return base_version
+    affected_bn = set(per_file)
+    survivors, affected = [], []
+    for e in m["files"]:
+        (affected if _osp.basename(e["path"]) in affected_bn
+         else survivors).append(e)
+    # merge existing vectors of the affected files into the new sidecar
+    old_dv_paths = sorted({
+        p for e in affected if e.get("dv") for p in e["dv"]["paths"]
+    })
+    new_dv = matches
+    if old_dv_paths:
+        bn_lit = F.array(*[F.lit(b) for b in affected_bn])
+        old_rows = _dv_rows_frame(spark, path, old_dv_paths).where(
+            F.array_contains(bn_lit, F.col("file"))
+        )
+        new_dv = new_dv.unionByName(old_rows).distinct()
+    dv_entries = _write_data_files(new_dv, path, subdir=_DV)
+    dv_paths = [e["path"] for e in dv_entries]
+    totals = {r["file"]: r["n"] for r in
+              _dv_rows_frame(spark, path, dv_paths)
+              .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()}
+    carry = list(survivors)
+    for e in affected:
+        bn = _osp.basename(e["path"])
+        n = totals.get(bn, 0)
+        if "rows" in e and n >= e["rows"]:
+            continue  # every row deleted: drop the entry entirely
+        carry.append({**e, "dv": {"paths": dv_paths, "rows": n}})
+    try:
+        return _commit(
+            path, "delete", [], target,
+            base_version=base_version, strict_base=True,
+            carry_files=carry,
+        )
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, dv_entries)
+        raise
+
+
+def _positions_matching(spark, path, m, target, entries, predicate):
+    """(file-basename, pos) of every LIVE row matching ``predicate`` in
+    the given entries — dv-aware (already-deleted positions excluded),
+    predicate pushed into the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    pred = F.expr(predicate)
+    by_sid: dict[int, list[dict]] = {}
+    for e in entries:
+        by_sid.setdefault(e["schema_id"], []).append(e)
+    parts = []
+    for sid, group_entries in sorted(by_sid.items()):
+        file_schema = StructType.fromJson(m["schemas"][sid])
+        have = set(file_schema.fieldNames())
+        scan = spark.read.schema(file_schema).parquet(
+            *[os.path.join(path, e["path"]) for e in group_entries]
+        ).select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ],
+            _basename_col(F.col("_metadata.file_path")).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        matched = scan.where(pred).select("file", "pos")
+        dv_paths = sorted({
+            p for e in group_entries if e.get("dv")
+            for p in e["dv"]["paths"]
+        })
+        if dv_paths:
+            dv = _dv_rows_frame(spark, path, dv_paths)
+            matched = matched.join(dv, ["file", "pos"], "left_anti")
+        parts.append(matched)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_rows_frame(spark, path: str, dv_paths: list[str]):
+    """The (file, pos) deletion-vector rows of the given sidecar files."""
+    return spark.read.schema("file string, pos long").parquet(
+        *[os.path.join(path, p) for p in sorted(dv_paths)]
+    )
+
+
+def _basename_col(col):
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.split(col, "/"), -1)
+
+
 def _aligned_schema_groups(spark, path: str, m: dict, target,
-                           only_entries: "list[dict] | None" = None):
+                           only_entries: "list[dict] | None" = None,
+                           with_file: bool = False):
     """Yield ``(schema_id, frame)`` per write-time-schema group of
     manifest ``m``, each frame aligned to ``target`` (the snapshot_read
-    contract: missing columns null, narrower types cast up) WITHOUT any
-    file-name column — so a predicate applied directly on a frame can
-    still push into the parquet scan. ``only_entries`` restricts the
-    scan to an explicit entry subset (the COW rewrite path)."""
+    contract: missing columns null, narrower types cast up) and with
+    the snapshot's DELETION VECTORS applied (round 12: entries carrying
+    a ``dv`` record anti-join their sidecar's (file, pos) rows away —
+    the merge-on-read delete path; dv-free entries keep the plain
+    scan). ``with_file=True`` adds a ``__file`` column (the
+    deterministic ``_metadata.file_path``, so predicates above it still
+    push into the scan — unlike input_file_name). ``only_entries``
+    restricts the scan to an explicit entry subset (the COW rewrite
+    path)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -695,17 +844,45 @@ def _aligned_schema_groups(spark, path: str, m: dict, target,
     for sid, entries in sorted(by_sid.items()):
         file_schema = StructType.fromJson(m["schemas"][sid])
         have = set(file_schema.fieldNames())
-        part = spark.read.schema(file_schema).parquet(
-            *[os.path.join(path, e["path"]) for e in entries]
-        )
-        yield sid, part.select(
-            *[
-                F.col(f.name).cast(f.dataType)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in target.fields
-            ]
-        )
+        aligned_cols = [
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        file_col = [F.col("_metadata.file_path").alias("__file")] \
+            if with_file else []
+        parts = []
+        plain = [e for e in entries if not e.get("dv")]
+        dved = [e for e in entries if e.get("dv")]
+        if plain:
+            scan = spark.read.schema(file_schema).parquet(
+                *[os.path.join(path, e["path"]) for e in plain]
+            )
+            parts.append(scan.select(*aligned_cols, *file_col))
+        if dved:
+            scan = spark.read.schema(file_schema).parquet(
+                *[os.path.join(path, e["path"]) for e in dved]
+            ).select(
+                *aligned_cols,
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            dv = _dv_rows_frame(
+                spark, path,
+                sorted({p for e in dved for p in e["dv"]["paths"]}),
+            )
+            kept = scan.join(
+                dv,
+                (_basename_col(scan["__file"]) == dv["file"])
+                & (scan["__pos"] == dv["pos"]),
+                "left_anti",
+            ).drop("__pos")
+            parts.append(kept if with_file else kept.drop("__file"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        yield sid, out
 
 
 def _empty_frame(spark, target, with_file: bool = False):
@@ -724,18 +901,15 @@ def _empty_frame(spark, target, with_file: bool = False):
 def _aligned_with_file(spark, path: str, m: dict, target,
                        only_entries: "list[dict] | None" = None):
     """The snapshot's rows aligned to ``target`` plus a ``__file`` column
-    naming the physical file each row came from — the MERGE discovery
-    scan (whose filter is a key JOIN, not a pushable predicate, so the
-    nondeterministic input_file_name() in the projection costs nothing;
-    the DELETE path deliberately avoids this frame — see delete_where).
-    An empty entry set (empty snapshot, or everything pruned) yields an
-    empty frame in the same shape."""
-    from pyspark.sql import functions as F
-
+    naming the physical file each row came from (the deterministic
+    ``_metadata.file_path`` — predicates and join keys above it still
+    push/prune normally). An empty entry set (empty snapshot, or
+    everything pruned) yields an empty frame in the same shape."""
     parts = [
-        g.select("*", F.input_file_name().alias("__file"))
+        g
         for _sid, g in _aligned_schema_groups(
-            spark, path, m, target, only_entries=only_entries
+            spark, path, m, target, only_entries=only_entries,
+            with_file=True,
         )
     ]
     if not parts:
@@ -982,8 +1156,13 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
         os.path.getsize(os.path.join(path, e["path"])) for e in m["files"]
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    if len(m["files"]) <= n_out and sort_col is None and cluster_by is None:
-        return base_version  # already compact: no empty commit
+    has_dv = any(e.get("dv") for e in m["files"])
+    if (len(m["files"]) <= n_out and sort_col is None
+            and cluster_by is None and not has_dv):
+        # already compact AND vector-free: no empty commit (a deletion
+        # vector always justifies the rewrite — optimize MATERIALIZES
+        # merge-on-read deletes back into clean files)
+        return base_version
     parts = [g for _sid, g in _aligned_schema_groups(spark, path, m, target)]
     df = parts[0]
     for p_ in parts[1:]:
@@ -1103,26 +1282,11 @@ def snapshot_read(spark, path: str, version: int | None = None,
         else StructType.fromJson(m["schemas"][m["schema_id"]])
     )
     entries = fileskip.prune_entries(m["files"], where)
-    by_sid: dict[int, list[str]] = {}
-    for entry in entries:
-        by_sid.setdefault(entry["schema_id"], []).append(
-            os.path.join(path, entry["path"])
+    parts = [
+        g for _sid, g in _aligned_schema_groups(
+            spark, path, m, target, only_entries=entries
         )
-    parts = []
-    for sid, files in sorted(by_sid.items()):
-        file_schema = StructType.fromJson(m["schemas"][sid])
-        part = spark.read.schema(file_schema).parquet(*files)
-        have = set(file_schema.fieldNames())
-        parts.append(
-            part.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target.fields
-                ]
-            )
-        )
+    ]
     if not parts:
         out = _empty_frame(spark, target)
     else:
@@ -1270,7 +1434,9 @@ def row_count(path: str, version: "int | None" = None) -> int:
             f"{len(missing)} legacy entries lack row counts (e.g. "
             f"{missing[0]}); use snapshot_read().count()"
         )
-    return sum(e["rows"] for e in m["files"])
+    return sum(
+        e["rows"] - (e.get("dv") or {}).get("rows", 0) for e in m["files"]
+    )
 
 
 def clear_stale_claims(path: str) -> int:
@@ -1403,13 +1569,21 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
             continue
         retained.update(e["path"] for e in m["files"])
         retained.update(e["path"] for e in m.get("change_files", []))
+        retained.update(
+            p for e in m["files"] if e.get("dv") for p in e["dv"]["paths"]
+        )
     touched_dirs: set[str] = set()
     for v in range(cutoff):
         try:
             m = _upgrade_manifest(read_manifest(path, v))
         except FileNotFoundError:
             continue  # vacuumed by an earlier pass
-        for e in list(m["files"]) + list(m.get("change_files", [])):
+        dropped_entries = list(m["files"]) + list(m.get("change_files", []))
+        dropped_entries += [
+            {"path": p} for e in m["files"] if e.get("dv")
+            for p in e["dv"]["paths"]
+        ]
+        for e in dropped_entries:
             if e["path"] in retained:
                 continue
             try:

@@ -1872,3 +1872,86 @@ def q_table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, sum_doc_id bigint, spans_shrank boolean, "
         "pruned boolean",
     )
+
+
+@query(
+    "q_table_delete_dv",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version,
+           COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           TRUE AS no_rewrites
+    FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT CAST(1 AS INT), COUNT(*), CAST(SUM(doc_id) AS BIGINT), TRUE
+    FROM documents WHERE doc_id < 60 AND doc_id % 3 <> 0
+    UNION ALL
+    SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(doc_id) AS BIGINT), TRUE
+    FROM documents WHERE doc_id < 60 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+    """,
+)
+def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors under the external
+    oracle (round 12): ``delete_where(mode="dv")`` writes the matching
+    rows' POSITIONS as a (file, pos) sidecar instead of rewriting data
+    files — the Delta deletion-vectors / Iceberg positional-delete
+    essence; reads apply the vector with an anti-join at scan time
+    (``_metadata.row_index`` gives the stable in-file position). The
+    query runs create (docs<60, range-clustered) → dv-delete %3=0 →
+    dv-delete %5=0 (a SECOND vector on the same files — vectors UNION)
+    and reads all three snapshots back by version; ``no_rewrites``
+    asserts what makes this merge-on-read: both delete commits added
+    ZERO data files and every surviving file entry carries forward from
+    the create (the manifest's ``added`` record + file-set inclusion —
+    structural evidence, not a claim). A wrong position, a lost union,
+    a vector applied to the wrong file, or a phantom rewrite changes an
+    aggregate or the flag and hash-mismatches. Interplay with
+    COW/merge/optimize-materialization/vacuum is gated in
+    tests/test_tablefmt.py.
+
+    Scale shape: the write cost of a dv delete is DELETE-sized
+    (positions, not file bytes) — the right trade for small frequent
+    deletes against huge files (GDPR row erasure on a 100 TB table
+    rewrites nothing); reads pay one delete-sized anti-join until
+    OPTIMIZE materializes. The positions scan itself is stats-pruned
+    and predicate-pushed like every other discovery."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_dv_")
+    try:
+        TF.create_table(
+            docs.where(F.col("doc_id") < 60).repartitionByRange(4, "doc_id"),
+            path,
+        )
+        TF.delete_where(spark, path, "doc_id % 3 = 0", mode="dv")
+        TF.delete_where(spark, path, "doc_id % 5 = 0", mode="dv")
+        files = {
+            v: {e["path"] for e in TF.read_manifest(path, v)["files"]}
+            for v in (0, 1, 2)
+        }
+        no_rewrites = (
+            TF.read_manifest(path, 1)["added"] == []
+            and TF.read_manifest(path, 2)["added"] == []
+            and files[1] <= files[0]
+            and files[2] <= files[1]
+        )
+        rows = []
+        for v in (0, 1, 2):
+            agg = (
+                TF.snapshot_read(spark, path, version=v)
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0)).alias("sum_doc_id"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, agg["n_docs"], agg["sum_doc_id"], no_rewrites))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_docs bigint, sum_doc_id bigint, no_rewrites boolean",
+    )

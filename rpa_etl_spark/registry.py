@@ -55,7 +55,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
     # ======================= ROUND-12 WINDOW (50) =======================
-    # == tier A (6): NEW queries + tablefmt/zorder kernel consumers.
+    # == tier A (7): NEW queries + tablefmt/zorder kernel consumers.
     #    tablefmt.py changed substantially this round (per-file stats +
     #    file skipping, change feed, cluster_by z-order, O(1) txn map,
     #    valid empty snapshots, pluggable arbiter) — its two NEW queries
@@ -65,6 +65,7 @@ PRIORITY_ORDER = [
     "q_table_pruned_scan",
     "q_table_changes",
     "q_table_zorder_scan",
+    "q_table_delete_dv",
     "q_table_time_travel",
     "q_table_schema_evolution",
     "q_zorder_code",
@@ -117,10 +118,9 @@ PRIORITY_ORDER = [
     "q_join_range",
     "q_join_semi",
     "q_pack_sequences_bpe",
-    # == tier D (1): oldest ROUND-9 fill to complete the 50.
-    "q_scan_project",
     # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 9 (41 remaining) ==
+    # == last driver-green in ROUND 9 (42 remaining) ==
+    "q_scan_project",
     "q_topk",
     "q_rollup",
     "q_set_ops",

@@ -556,6 +556,7 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("overwrite"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("delete"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("delete_dv"), st.integers(0, 4), st.just(0)),
             st.tuples(st.just("delete_all"), st.just(0), st.just(0)),
             st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
@@ -593,6 +594,11 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
                 model = dict(rows)
             elif kind == "delete":
                 TF.delete_where(spark, p, f"k % 5 = {a % 5}")
+                model = {k: v for k, v in model.items() if k % 5 != a % 5}
+            elif kind == "delete_dv":
+                # merge-on-read: same SQL semantics as COW delete, rows
+                # masked by a positional vector instead of rewritten
+                TF.delete_where(spark, p, f"k % 5 = {a % 5}", mode="dv")
                 model = {k: v for k, v in model.items() if k % 5 != a % 5}
             elif kind == "delete_all":
                 # a delete matching EVERY row commits a valid EMPTY
@@ -1325,3 +1331,132 @@ def test_merge_multi_key_pruning_and_null_key_source(spark, tmp_path):
     assert {e["path"] for e in m1["files"]} <= {e["path"] for e in m2["files"]}
     assert TF.snapshot_read(spark, p).where("v = 777").count() == 1
     assert TF.snapshot_read(spark, p).count() == 401
+
+
+def test_pruned_read_keeps_parquet_pushdown(spark, tmp_path):
+    """The where= read must not trade parquet pushdown for manifest
+    skipping: the predicate lands in the surviving scan's PushedFilters
+    (row-group pruning INSIDE opened files still works) and the file
+    list in the plan is the pruned one."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 1000).select("id", (F.col("id") % 9).alias("g"))
+        .repartitionByRange(4, "id"),
+        p,
+    )
+    df = TF.snapshot_read(spark, p, where="id >= 100 AND id < 200")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "GreaterThanOrEqual(id,100)" in scan and "LessThan(id,200)" in scan
+    assert len(df.inputFiles()) < 4
+
+
+def test_delete_dv_merge_on_read_lifecycle(spark, tmp_path):
+    """Deletion-vector DELETE (round 12): no data file rewrites — the
+    manifest carries the SAME files plus (file, pos) sidecars; reads
+    anti-join them away; repeated deletes UNION vectors; row_count stays
+    metadata-exact; time travel crosses the vectors."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 100).select("id", (F.col("id") % 10).alias("g"))
+        .repartitionByRange(4, "id"),
+        p,
+    )
+    f0 = {e["path"] for e in TF.read_manifest(p, 0)["files"]}
+    TF.delete_where(spark, p, "id % 5 = 0", mode="dv")
+    m1 = TF.read_manifest(p, 1)
+    assert {e["path"] for e in m1["files"]} == f0  # zero rewrites
+    assert m1["added"] == []
+    assert all(e["dv"]["rows"] == 5 for e in m1["files"])
+    assert TF.snapshot_read(spark, p).count() == 80
+    assert TF.row_count(p) == 80
+    assert TF.snapshot_read(spark, p, 0).count() == 100  # time travel
+    # second vector on the same files: union, not replace
+    TF.delete_where(spark, p, "id % 3 = 0", mode="dv")
+    assert TF.snapshot_read(spark, p).count() == 53
+    assert TF.row_count(p) == 53
+    got = {r["id"] for r in TF.snapshot_read(spark, p).collect()}
+    assert got == {i for i in range(100) if i % 5 and i % 3}
+    # dv-matching-nothing: no commit
+    head = TF.current_version(p)
+    assert TF.delete_where(spark, p, "id > 1000", mode="dv") == head
+    # pruned reads and stats skipping still work over dv entries
+    sel = TF.snapshot_read(spark, p, where="id >= 25 AND id < 50")
+    assert len(sel.inputFiles()) < 4
+    assert {r["id"] for r in sel.collect()} == {
+        i for i in range(25, 50) if i % 5 and i % 3
+    }
+
+
+def test_delete_dv_interplay_with_cow_merge_optimize_vacuum(spark, tmp_path):
+    """Vectors compose with every other operator: COW deletes and MERGE
+    rewrites apply live vectors before rewriting; a fully-deleted file's
+    entry drops; OPTIMIZE materializes vectors into clean files; VACUUM
+    keeps sidecars any retained version references."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 40).select("id", F.lit(0).cast("long").alias("g"))
+        .repartitionByRange(4, "id"),
+        p,
+    )
+    # fully dv-delete the first file's range: its entry must DROP
+    TF.delete_where(spark, p, "id < 10", mode="dv")
+    m1 = TF.read_manifest(p, 1)
+    assert len(m1["files"]) == 3 and not any(e.get("dv") for e in m1["files"])
+    assert TF.row_count(p) == 30
+    # partial dv + then a COW delete over the same file applies both
+    TF.delete_where(spark, p, "id = 15", mode="dv")
+    TF.delete_where(spark, p, "id = 17")  # cow
+    assert {r["id"] for r in TF.snapshot_read(spark, p).collect()} == (
+        set(range(10, 40)) - {15, 17}
+    )
+    # merge over a dv-carrying file: matched update + dv'd id re-inserts
+    TF.delete_where(spark, p, "id = 21", mode="dv")
+    TF.merge_into(
+        spark, p,
+        spark.range(20, 23).select("id", F.lit(9).cast("long").alias("g")),
+        on=["id"],
+    )
+    got = TF.snapshot_read(spark, p)
+    assert got.where("g = 9").count() == 3  # 20,22 updated; 21 re-inserted
+    assert TF.row_count(p) == got.count()
+    # optimize materializes: no dv records survive, rows identical
+    before = got.count()
+    TF.delete_where(spark, p, "id = 30", mode="dv")
+    v = TF.optimize(spark, p, target_bytes=1 << 30)  # dv forces rewrite
+    mo = TF.read_manifest(p, v)
+    assert not any(e.get("dv") for e in mo["files"])
+    assert TF.snapshot_read(spark, p).count() == before - 1
+    # vacuum: dv sidecars of dropped-only versions go, retained stay
+    dv_files = [
+        pth for e in TF.read_manifest(p, v - 1)["files"] if e.get("dv")
+        for pth in e["dv"]["paths"]
+    ]
+    out = TF.vacuum(p, keep_last=1)
+    assert out["dropped_versions"]
+    for f in dv_files:
+        assert not os.path.exists(os.path.join(p, f))
+    assert TF.snapshot_read(spark, p).count() == before - 1
+
+
+def test_delete_dv_read_changes_and_sync_ignore_vectors(spark, tmp_path):
+    """A dv delete adds no rows to the change feed (additions-only) and
+    sync_changes still advances its watermark across it."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TF.create_table(spark.range(0, 20).select("id"), src)
+    TF.delete_where(spark, src, "id % 2 = 0", mode="dv")
+    TF.append(spark.range(20, 25).select("id"), src)
+    assert TF.read_changes(spark, src, 1, 1).count() == 0
+    assert TF.sync_changes(spark, src, dst, "cdc") == 3
+    assert TF.row_count(dst) == 25  # additions-only mirror
+    assert TF.sync_changes(spark, src, dst, "cdc") == 0
