@@ -14,6 +14,11 @@ Two claims to price on the sf0.1 → sf1 REAL-distribution pair:
    Measured: warm wall time of a one-version feed read vs a full
    snapshot scan of the same table.
 
+3. DELETION VECTORS vs COW: a selective delete in dv mode writes
+   positions (delete-sized), a COW delete rewrites the affected files
+   (file-sized). Measured: wall time of the same ~2% delete both ways,
+   plus the dv-read tax (snapshot scan before vs after the vector).
+
 Usage: python tools/skip_probe.py  (writes JSON to stdout)
 """
 
@@ -90,6 +95,24 @@ def main() -> None:
                 "feed_one_version_sec": t_feed,
                 "snapshot_scan_sec": t_snap,
             }
+            # dv vs cow: the same ~2% delete both ways on twin tables
+            del_pred = f"doc_id % 50 = 7"  # noqa: F541
+            twins = {}
+            for mode in ("dv", "cow"):
+                tp = path + "_" + mode
+                TF.create_table(docs.repartitionByRange(16, "doc_id"), tp)
+                t0 = time.perf_counter()
+                TF.delete_where(spark, tp, del_pred, mode=mode)
+                twins[mode] = round(time.perf_counter() - t0, 3)
+                twins[f"{mode}_read_sec"] = timed(
+                    lambda tp=tp: TF.snapshot_read(spark, tp)
+                    .agg(F.count(F.lit(1))).collect()
+                )
+                shutil.rmtree(tp, ignore_errors=True)
+            out[label]["delete_dv_sec"] = twins["dv"]
+            out[label]["delete_cow_sec"] = twins["cow"]
+            out[label]["read_after_dv_sec"] = twins["dv_read_sec"]
+            out[label]["read_after_cow_sec"] = twins["cow_read_sec"]
         finally:
             shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     print(json.dumps(out, indent=1))
