@@ -220,7 +220,9 @@ class _Parser:
     def p_unary(self):
         if self.peek() == ("kw", "NOT"):
             self.next()
-            return ("not", self.p_unary())
+            inner = self.p_unary()
+            pushed = _negate(inner)
+            return pushed if pushed is not None else ("not", inner)
         return self.p_primary()
 
     def p_literal(self):
@@ -287,6 +289,39 @@ class _Parser:
 
 _MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=",
            "==": "==", "!=": "!=", "<>": "<>"}
+
+# SQL three-valued negation of a comparison: NOT(col < x) can be TRUE
+# exactly where col >= x is TRUE (NULL stays NULL, never TRUE, both ways)
+_NEG_OP = {"<": ">=", "<=": ">", ">": "<=", ">=": "<",
+           "=": "!=", "==": "!=", "!=": "=", "<>": "="}
+
+
+def _negate(node):
+    """Push a NOT into ``node``, or None when no sound rewrite exists.
+    De Morgan over and/or, operator inversion over comparisons, and
+    IS NULL <-> IS NOT NULL are exact under SQL 3VL for the purposes of
+    can-be-TRUE analysis (a NULL operand makes both the predicate and
+    its negation NULL — not TRUE — so null handling is unchanged).
+    NOT IN stays unsupported: x NOT IN (a, b) is TRUE only where x
+    differs from EVERY element, which min/max bounds can refute only in
+    the degenerate constant-file case — modeled conservatively as
+    unknown (the file is kept)."""
+    kind = node[0]
+    if kind == "and":
+        a, b = _negate(node[1]), _negate(node[2])
+        return ("or", a, b) if a is not None and b is not None else None
+    if kind == "or":
+        a, b = _negate(node[1]), _negate(node[2])
+        return ("and", a, b) if a is not None and b is not None else None
+    if kind == "not":
+        return node[1]
+    if kind == "cmp":
+        return ("cmp", node[1], _NEG_OP[node[2]], node[3])
+    if kind == "isnull":
+        return ("notnull", node[1])
+    if kind == "notnull":
+        return ("isnull", node[1])
+    return None  # in: see docstring
 
 
 def compile_predicate(sql: str):

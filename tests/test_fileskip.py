@@ -99,8 +99,17 @@ def test_unknowns_keep_the_file():
     ):
         assert FS.compile_predicate(pred) is None, pred
         assert FS.prune_entries([e], pred) == [e]
-    # NOT is conservatively unknown (kept), never a wrong skip
-    c = FS.compile_predicate("NOT id < 10")
+    # NOT pushes into comparisons exactly (De Morgan / operator flip)...
+    assert FS.compile_predicate("NOT id < 10") == ("cmp", "id", ">=", 10)
+    assert FS.can_match(FS.compile_predicate("NOT id >= 0"), ID_0_49) is False
+    assert FS.can_match(
+        FS.compile_predicate("NOT (id < 10 OR id > 40)"), ID_50_99
+    ) is False
+    assert FS.compile_predicate("NOT v IS NULL") == ("notnull", "v")
+    # ...but NOT IN stays conservative (bounds can't refute inequality
+    # against every element) — kept, never a wrong skip
+    c = FS.compile_predicate("NOT id IN (60, 70)")
+    assert c == ("not", ("in", "id", [60, 70]))
     assert FS.can_match(c, ID_50_99) is True
     # missing column stats keep the file
     c = FS.compile_predicate("nope < 0")
@@ -182,7 +191,9 @@ def test_pruned_read_equals_full_read_predicate_matrix(spark, tmp_path):
         "id < 50 AND v IS NULL", "id < 50 OR id > 580",
         "id < 100 AND v < 5 AND s < 's010'",
         "(id < 100 OR id > 500) AND v IS NOT NULL",
-        "NOT id < 100",              # conservative unknown
+        "NOT id < 100",              # NOT pushed: id >= 100
+        "NOT (id < 100 OR v IS NULL)",
+        "NOT id IN (5, 700)",        # conservative unknown
         "id % 7 = 0",                # unparseable: falls back, still exact
         "v + 1 < 10",
         "id < 0", "id >= 600",       # all-pruned
@@ -197,3 +208,118 @@ def test_pruned_read_equals_full_read_predicate_matrix(spark, tmp_path):
             for r in TF.snapshot_read(spark, p).where(pred).collect()
         )
         assert got == want, pred
+
+
+# ---------------------------------------------------------------------------
+# soundness fuzz: can_match vs ground truth on generated rows/predicates
+# ---------------------------------------------------------------------------
+
+
+def _stats_of(rows):
+    """Footer-faithful stats for generated (a, b) rows: min/max over
+    non-null values, null counts — exactly what collect_file_stats
+    derives from a parquet footer."""
+    out = {}
+    for col in ("a", "b"):
+        vals = [r[col] for r in rows if r[col] is not None]
+        rec = {"nulls": sum(1 for r in rows if r[col] is None)}
+        if vals:
+            rec["min"] = min(vals)
+            rec["max"] = max(vals)
+        out[col] = rec
+    return {"path": "f", "rows": len(rows), "stats": out}
+
+
+def _truth(node, row):
+    """SQL-3VL evaluation of a prunable AST on one row: True/False/None."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        a, b = _truth(node[1], row), _truth(node[2], row)
+        if kind == "and":
+            if a is False or b is False:
+                return False
+            return None if (a is None or b is None) else True
+        if a is True or b is True:
+            return True
+        return None if (a is None or b is None) else False
+    if kind == "not":
+        t = _truth(node[1], row)
+        return None if t is None else (not t)
+    col = node[1]
+    v = row[col]
+    if kind == "isnull":
+        return v is None
+    if kind == "notnull":
+        return v is not None
+    if v is None:
+        return None  # comparisons/IN over NULL are NULL
+    if kind == "in":
+        return v in node[2]
+    op, lit = node[2], node[3]
+    return {
+        "<": v < lit, "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+        "=": v == lit, "==": v == lit, "!=": v != lit, "<>": v != lit,
+    }[op]
+
+
+def _render(node):
+    """AST -> SQL text, so the fuzz exercises the REAL pipeline
+    (tokenizer + parser + NOT pushdown), not hand-built trees."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        return f"({_render(node[1])} {kind.upper()} {_render(node[2])})"
+    if kind == "not":
+        return f"NOT ({_render(node[1])})"
+    if kind == "isnull":
+        return f"{node[1]} IS NULL"
+    if kind == "notnull":
+        return f"{node[1]} IS NOT NULL"
+    if kind == "in":
+        return f"{node[1]} IN ({', '.join(str(v) for v in node[2])})"
+    return f"{node[1]} {node[2]} {node[3]}"
+
+
+def test_can_match_soundness_fuzz():
+    """For random row sets and random predicates over the full grammar:
+    whenever ANY row satisfies the predicate, the file MUST be kept
+    (wrong skips are the only corruption mode; over-keeping is just
+    slower). Pure Python — no Spark in the loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    val = st.one_of(st.none(), st.integers(-5, 15))
+    rows = st.lists(
+        st.fixed_dictionaries({"a": val, "b": val}), min_size=0, max_size=12
+    )
+    lit = st.integers(-6, 16)
+    col = st.sampled_from(["a", "b"])
+    leaf = st.one_of(
+        st.tuples(st.just("cmp"), col,
+                  st.sampled_from(["<", "<=", ">", ">=", "=", "!="]), lit),
+        st.tuples(st.just("in"), col,
+                  st.lists(lit, min_size=1, max_size=3)),
+        st.tuples(st.just("isnull"), col),
+        st.tuples(st.just("notnull"), col),
+    )
+    node = st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.tuples(st.sampled_from(["and", "or"]), inner, inner),
+            st.tuples(st.just("not"), inner),
+        ),
+        max_leaves=6,
+    )
+
+    @settings(max_examples=400, deadline=None, derandomize=True)
+    @given(rows, node)
+    def run(rs, nd):
+        sql = _render(nd)
+        compiled = FS.compile_predicate(sql)
+        assert compiled is not None, sql
+        entry = _stats_of(rs)
+        any_true = any(_truth(nd, r) is True for r in rs)
+        keeps = FS.can_match(compiled, entry)
+        if any_true:
+            assert keeps, (sql, rs, entry)
+
+    run()
