@@ -51,7 +51,9 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
   the log's ``added`` record; merge INSERTS from a sidecar
   :func:`merge_into` writes), stamped with commit version + kind —
   the Delta CDF essence, pairing the exactly-once write side for
-  incremental table-to-table pipelines;
+  incremental table-to-table pipelines; ``include_deletes=True`` also
+  serves the rows REMOVED by delete/overwrite commits, derived by a
+  uniform snapshot diff (no eager change files to write);
 - merge-on-read DELETE via deletion vectors (round 12):
   ``delete_where(mode="dv")`` writes matching row POSITIONS as a
   (file, pos) sidecar instead of rewriting files — the Delta
@@ -1308,36 +1310,49 @@ def pruned_file_counts(path: str, version: "int | None" = None,
 
 
 def read_changes(spark, path: str, from_version: int = 0,
-                 to_version: "int | None" = None):
-    """Incremental (change-feed) read — the Delta CDF essence, reduced
-    to row ADDITIONS: every row appended to the table by commits in
-    ``[from_version, to_version]``, each stamped with ``_commit_version``
-    (int) and ``_change_kind`` ('insert'), aligned to the table schema
-    as of ``to_version``. This is the incremental-consumption read side
-    pairing :func:`streaming_append_sink`'s exactly-once write side — a
-    downstream stage reads ONLY the new commits since its last watermark
-    instead of rescanning the snapshot, and (re)applies them
-    idempotently with a per-version ``txn``.
+                 to_version: "int | None" = None,
+                 include_deletes: bool = False):
+    """Incremental (change-feed) read — the Delta CDF essence: every row
+    appended by commits in ``[from_version, to_version]``, each stamped
+    with ``_commit_version`` (int) and ``_change_kind``, aligned to the
+    table schema as of ``to_version``. This is the incremental-
+    consumption read side pairing :func:`streaming_append_sink`'s
+    exactly-once write side — a downstream stage reads ONLY the new
+    commits since its last watermark instead of rescanning the
+    snapshot, and (re)applies them idempotently with a per-version
+    ``txn``.
 
-    Per commit kind:
+    Per commit kind, ``_change_kind = 'insert'`` rows:
     - ``create`` / ``append`` / ``overwrite``: the commit's NEW data
-      files (manifest file set minus the parent's) hold exactly the
-      appended rows — zero extra write cost, derived from the log.
-      (An overwrite's REMOVALS are not modeled — this feed is
-      additions-only, documented.)
+      files (the log's ``added`` record) hold exactly the appended
+      rows — zero extra write cost, derived from the log.
     - ``merge``: rewritten files mix pre-existing rows with updates, so
       the INSERTED rows come from the commit's change sidecar (written
       by :func:`merge_into` unless ``change_feed=False`` — a merge
       commit in range without a sidecar raises ValueError rather than
-      silently under-reporting).
-    - ``delete`` / ``optimize``: no row additions — nothing emitted
-      (deletes remove, optimize only re-arranges).
+      silently under-reporting). Matched-key UPDATES are modeled
+      in-place (this format's merge is whole-row replacement): they are
+      neither inserts nor deletes, by design.
+    - ``delete`` / ``optimize``: no row additions.
+
+    ``include_deletes=True`` additionally emits ``_change_kind =
+    'delete'`` rows for ``delete`` (both COW and deletion-vector) and
+    ``overwrite`` commits, derived by SNAPSHOT DIFF: the parent's live
+    rows of every changed entry (an entry that disappeared, or whose
+    deletion vector grew) multiset-MINUS the commit's replacement rows
+    (exceptAll) — one uniform rule that yields exactly the removed rows
+    for a COW rewrite, a vector growth, a full-file drop, and an
+    overwrite. Requires the PARENT manifest of each such commit to
+    still be retained (FileNotFoundError otherwise — same retention
+    contract as the rest of the feed); costs a scan of the changed
+    entries plus an exceptAll shuffle, the price of deriving what Delta
+    records eagerly (documented trade: our deletes stay write-free).
 
     The feed extends as far as retained manifests: a vacuumed version
     inside the range raises FileNotFoundError (Delta's CDF retention
     behavior). Scale shape: one explicit-file-list scan per commit over
-    only the NEW files — incremental cost proportional to the change
-    volume, never the table size."""
+    only the NEW (or, for deletes, changed) files — incremental cost
+    proportional to the change volume, never the table size."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -1396,6 +1411,49 @@ def read_changes(spark, path: str, from_version: int = 0,
                 F.lit("insert").alias("_change_kind"),
             )
             parts.append(part)
+        if include_deletes and m["kind"] in ("delete", "overwrite") and v > 0:
+            prev = _upgrade_manifest(read_manifest(path, v - 1))
+            pf = {e["path"]: e for e in prev["files"]}
+            cf = {e["path"]: e for e in m["files"]}
+            changed_parent = [
+                e for pth, e in pf.items()
+                if pth not in cf or cf[pth].get("dv") != e.get("dv")
+            ]
+            replacement_child = [
+                e for pth, e in cf.items()
+                if pth not in pf
+                or (pth in pf and e.get("dv") != pf[pth].get("dv"))
+            ]
+            if changed_parent:
+                old_parts = [
+                    g for _s, g in _aligned_schema_groups(
+                        spark, path, prev, target,
+                        only_entries=changed_parent,
+                    )
+                ]
+                old = old_parts[0]
+                for p_ in old_parts[1:]:
+                    old = old.unionByName(p_)
+                if replacement_child:
+                    new_parts = [
+                        g for _s, g in _aligned_schema_groups(
+                            spark, path, m, target,
+                            only_entries=replacement_child,
+                        )
+                    ]
+                    new = new_parts[0]
+                    for p_ in new_parts[1:]:
+                        new = new.unionByName(p_)
+                    removed = old.exceptAll(new)
+                else:
+                    removed = old
+                parts.append(
+                    removed.select(
+                        "*",
+                        F.lit(v).cast("int").alias("_commit_version"),
+                        F.lit("delete").alias("_change_kind"),
+                    )
+                )
     if not parts:
         from pyspark.sql.types import IntegerType, StringType, StructField
 

@@ -1460,3 +1460,48 @@ def test_delete_dv_read_changes_and_sync_ignore_vectors(spark, tmp_path):
     assert TF.sync_changes(spark, src, dst, "cdc") == 3
     assert TF.row_count(dst) == 25  # additions-only mirror
     assert TF.sync_changes(spark, src, dst, "cdc") == 0
+
+
+def test_read_changes_include_deletes_diff_derived(spark, tmp_path):
+    """include_deletes: the snapshot-diff rule yields exactly the
+    removed rows for COW deletes, deletion-vector growth, full-file
+    vector drops, and overwrites; merges/optimize emit no deletes (the
+    format's merge is whole-row in-place update; optimize only
+    re-arranges)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 60).select("id").repartitionByRange(3, "id"), p
+    )
+    TF.delete_where(spark, p, "id % 4 = 0")                      # v1 cow
+    TF.delete_where(spark, p, "id % 9 = 0", mode="dv")           # v2 dv
+    TF.delete_where(spark, p, "id >= 40", mode="dv")             # v3 dv (drops file 3)
+    TF.merge_into(spark, p, spark.range(1, 4).select("id"), on=["id"])  # v4
+    TF.optimize(spark, p, target_bytes=1 << 30)                  # v5 (materializes)
+    TF.overwrite(spark.range(100, 103).select("id"), p)          # v6
+
+    ch = TF.read_changes(spark, p, 0, include_deletes=True)
+    dels = {
+        v: sorted(r["id"] for r in rows)
+        for v, rows in (
+            (v, ch.where(f"_commit_version = {v} AND _change_kind = 'delete'")
+             .collect())
+            for v in range(7)
+        )
+    }
+    s0 = set(range(60))
+    s1 = {i for i in s0 if i % 4}
+    s2 = {i for i in s1 if i % 9}
+    s3 = {i for i in s2 if i < 40}
+    assert dels[1] == sorted(s0 - s1)
+    assert dels[2] == sorted(s1 - s2)
+    assert dels[3] == sorted(s2 - s3)
+    assert dels[4] == [] and dels[5] == []
+    assert dels[6] == sorted(s3 | {1, 2, 3})  # overwrite removes the snapshot
+    # inserts unchanged by the flag; default stays additions-only
+    assert TF.read_changes(spark, p, 0).where(
+        "_change_kind = 'delete'").count() == 0
+    # vector growth must NOT re-emit previously deleted rows
+    assert set(dels[2]).isdisjoint(dels[1])
+    assert set(dels[3]).isdisjoint(dels[2])
