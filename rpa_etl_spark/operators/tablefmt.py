@@ -64,6 +64,10 @@ the public Delta Lake / Iceberg designs, on nothing but the filesystem:
   Delete-sized writes for small frequent deletes against huge files
   (the GDPR-erasure shape); COW stays the default where read
   amplification matters more;
+- RESTORE (round 12): :func:`restore` resets the head to any retained
+  snapshot as a new pure-metadata commit — history is never rewritten
+  and the schema never narrows (old entries stay portable because the
+  schema list only appends);
 - empty snapshots are valid (round 12): a delete removing every row
   commits ``files: []`` and reads back as zero rows in the table
   schema; every operator works on top of one;
@@ -1334,10 +1338,12 @@ def read_changes(spark, path: str, from_version: int = 0,
       in-place (this format's merge is whole-row replacement): they are
       neither inserts nor deletes, by design.
     - ``delete`` / ``optimize``: no row additions.
+    - ``restore``: the rows the restore brought BACK (old snapshot
+      minus parent snapshot), derived by the same diff rule as deletes.
 
     ``include_deletes=True`` additionally emits ``_change_kind =
-    'delete'`` rows for ``delete`` (both COW and deletion-vector) and
-    ``overwrite`` commits, derived by SNAPSHOT DIFF: the parent's live
+    'delete'`` rows for ``delete`` (both COW and deletion-vector),
+    ``overwrite``, and ``restore`` commits, derived by SNAPSHOT DIFF: the parent's live
     rows of every changed entry (an entry that disappeared, or whose
     deletion vector grew) multiset-MINUS the commit's replacement rows
     (exceptAll) — one uniform rule that yields exactly the removed rows
@@ -1411,7 +1417,12 @@ def read_changes(spark, path: str, from_version: int = 0,
                 F.lit("insert").alias("_change_kind"),
             )
             parts.append(part)
-        if include_deletes and m["kind"] in ("delete", "overwrite") and v > 0:
+        diff_deletes = (
+            include_deletes and v > 0
+            and m["kind"] in ("delete", "overwrite", "restore")
+        )
+        diff_inserts = m["kind"] == "restore" and v > 0
+        if diff_deletes or diff_inserts:
             prev = _upgrade_manifest(read_manifest(path, v - 1))
             pf = {e["path"]: e for e in prev["files"]}
             cf = {e["path"]: e for e in m["files"]}
@@ -1421,34 +1432,35 @@ def read_changes(spark, path: str, from_version: int = 0,
             ]
             replacement_child = [
                 e for pth, e in cf.items()
-                if pth not in pf
-                or (pth in pf and e.get("dv") != pf[pth].get("dv"))
+                if pth not in pf or e.get("dv") != pf[pth].get("dv")
             ]
-            if changed_parent:
-                old_parts = [
+
+            def _live(manifest, entries):
+                gs = [
                     g for _s, g in _aligned_schema_groups(
-                        spark, path, prev, target,
-                        only_entries=changed_parent,
+                        spark, path, manifest, target, only_entries=entries
                     )
                 ]
-                old = old_parts[0]
-                for p_ in old_parts[1:]:
-                    old = old.unionByName(p_)
-                if replacement_child:
-                    new_parts = [
-                        g for _s, g in _aligned_schema_groups(
-                            spark, path, m, target,
-                            only_entries=replacement_child,
-                        )
-                    ]
-                    new = new_parts[0]
-                    for p_ in new_parts[1:]:
-                        new = new.unionByName(p_)
-                    removed = old.exceptAll(new)
-                else:
-                    removed = old
+                if not gs:
+                    return _empty_frame(spark, target)
+                out = gs[0]
+                for p_ in gs[1:]:
+                    out = out.unionByName(p_)
+                return out
+
+            old = _live(prev, changed_parent)
+            new = _live(m, replacement_child)
+            if diff_inserts:
                 parts.append(
-                    removed.select(
+                    new.exceptAll(old).select(
+                        "*",
+                        F.lit(v).cast("int").alias("_commit_version"),
+                        F.lit("insert").alias("_change_kind"),
+                    )
+                )
+            if diff_deletes:
+                parts.append(
+                    old.exceptAll(new).select(
                         "*",
                         F.lit(v).cast("int").alias("_commit_version"),
                         F.lit("delete").alias("_change_kind"),
@@ -1525,6 +1537,54 @@ def clear_stale_claims(path: str) -> int:
             except FileNotFoundError:
                 pass
     return cleared
+
+
+def restore(path: str, version: int,
+            base_version: "int | None" = None) -> int:
+    """RESTORE the table to a retained ``version`` as a NEW commit (the
+    Delta RESTORE essence): the old snapshot's file entries (deletion
+    vectors included) carry into a fresh manifest at the head — history
+    is never rewritten, the bad commits stay time-travelable, and the
+    restore itself can be restored away. Pure metadata: no Spark, no
+    data movement, O(entries).
+
+    Correctness hinges on two invariants this module maintains:
+    - the schema LIST only ever appends (every commit copies its
+      parent's list), so an old entry's ``schema_id`` indexes the same
+      schema in any later manifest — old entries are portable;
+    - schemas only evolve forward: the restored TABLE schema is the
+      old schema merged into the current one (wider wins), so a
+      restore never narrows what later readers see — the old rows come
+      back through the evolved schema like any old snapshot read.
+
+    Guards: every data and vector file of the restored snapshot must
+    still exist (a :func:`vacuum` past it makes the restore impossible
+    — ValueError names the first missing file). Strict on
+    ``base_version`` like overwrite. A restore TO the current head is
+    a no-op (current version returned, no empty commit)."""
+    from pyspark.sql.types import StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if version == base_version:
+        return base_version
+    old = _upgrade_manifest(read_manifest(path, version))
+    needed = [e["path"] for e in old["files"]]
+    needed += [p for e in old["files"] if e.get("dv")
+               for p in e["dv"]["paths"]]
+    for rel in needed:
+        if not os.path.exists(os.path.join(path, rel)):
+            raise ValueError(
+                f"cannot restore to v{version}: {rel} was vacuumed away"
+            )
+    old_schema = StructType.fromJson(old["schemas"][old["schema_id"]])
+    return _commit(
+        path, "restore", [], old_schema,
+        base_version=base_version, strict_base=True,
+        carry_files=list(old["files"]),
+    )
 
 
 def sync_changes(spark, src_path: str, dst_path: str, app: str) -> int:

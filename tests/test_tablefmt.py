@@ -559,6 +559,7 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             st.tuples(st.just("delete_dv"), st.integers(0, 4), st.just(0)),
             st.tuples(st.just("delete_all"), st.just(0), st.just(0)),
             st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("restore"), st.integers(0, 9), st.just(0)),
             st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
             st.tuples(st.just("optimize"), st.just(0), st.just(0)),
         ),
@@ -614,6 +615,12 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
                 )
                 for k, v in rows:
                     model[k] = v
+            elif kind == "restore":
+                head = TF.current_version(p)
+                tgt = a % (head + 1)
+                if tgt >= vacuumed_below and tgt in snapshots:
+                    TF.restore(p, tgt)
+                    model = dict(snapshots[tgt])
             elif kind == "vacuum":  # keep_last=2
                 out = TF.vacuum(p, keep_last=2)
                 if out["dropped_versions"]:
@@ -1505,3 +1512,49 @@ def test_read_changes_include_deletes_diff_derived(spark, tmp_path):
     # vector growth must NOT re-emit previously deleted rows
     assert set(dels[2]).isdisjoint(dels[1])
     assert set(dels[3]).isdisjoint(dels[2])
+
+
+def test_restore_to_old_snapshot(spark, tmp_path):
+    """RESTORE: pure-metadata commit resetting the head to a retained
+    snapshot — bad commits stay time-travelable, schema never narrows,
+    vectors ride along, a vacuumed target refuses, and the feed emits
+    the re-added rows as inserts (and the undone rows as deletes under
+    the flag)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 20).select("id"), p)             # v0
+    TF.delete_where(spark, p, "id % 2 = 0", mode="dv")              # v1
+    TF.append(
+        spark.range(100, 103).select("id", F.lit("x").alias("tag")), p
+    )                                                               # v2 evolves
+    TF.overwrite(spark.range(500, 502).select(
+        "id", F.lit("bad").alias("tag")), p)                        # v3: oops
+    v4 = TF.restore(p, 2)
+    assert v4 == 4
+    got = TF.snapshot_read(spark, p)
+    # v2's content, THROUGH the current (already-widened) schema
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        [i for i in range(20) if i % 2] + [100, 101, 102]
+    )
+    assert TF.row_count(p) == 13
+    assert [h["kind"] for h in TF.history(p)][-2:] == ["overwrite", "restore"]
+    assert TF.snapshot_read(spark, p, 3).count() == 2  # history intact
+    # restore to head is a no-op; restore never narrows schema
+    assert TF.restore(p, 4) == 4
+    TF.restore(p, 0)
+    assert TF.table_schema(p).fieldNames() == ["id", "tag"]  # stays wide
+    assert TF.snapshot_read(spark, p).count() == 20
+    # feed: the restore commits emit diffs, not file contents
+    ch = TF.read_changes(spark, p, 4, 4)
+    assert sorted(r["id"] for r in ch.collect()) == sorted(
+        [i for i in range(20) if i % 2] + [100, 101, 102]
+    )
+    chd = TF.read_changes(spark, p, 4, 4, include_deletes=True)
+    assert sorted(
+        r["id"] for r in chd.where("_change_kind = 'delete'").collect()
+    ) == [500, 501]
+    # a vacuumed restore target refuses with the missing file named
+    TF.vacuum(p, keep_last=1)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        TF.restore(p, 3)
