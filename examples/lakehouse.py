@@ -93,6 +93,20 @@ def main() -> None:
     print(f"optimize+zorder: {n_before} files -> {n_after}")
     show(spark, table, "optimize")
 
+    # round 12 — merge-on-read DELETE (deletion vectors): positions
+    # sidecar, zero data-file rewrites; and RESTORE: undo it with a
+    # pure-metadata commit (history stays time-travelable)
+    before_files = {e["path"] for e in
+                    TF.read_manifest(table, TF.current_version(table))["files"]}
+    TF.delete_where(spark, table, "n_chars > 500", mode="dv")
+    after = TF.read_manifest(table, TF.current_version(table))
+    print(f"dv delete: rewrote 0 files (added={after['added']}, "
+          f"same files: {({e['path'] for e in after['files']}) <= before_files}), "
+          f"now {TF.row_count(table)} rows")
+    TF.restore(table, TF.current_version(table) - 1)
+    print(f"restore: back to {TF.row_count(table)} rows, history kinds:",
+          [h["kind"] for h in TF.history(table)][-3:])
+
     # round 12 — stats-based FILE SKIPPING: a selective predicate opens
     # only the overlapping files (the manifest's min/max prove the rest
     # can't match); the result is still exact
