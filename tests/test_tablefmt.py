@@ -1558,3 +1558,27 @@ def test_restore_to_old_snapshot(spark, tmp_path):
     TF.vacuum(p, keep_last=1)
     with pytest.raises((ValueError, FileNotFoundError)):
         TF.restore(p, 3)
+
+
+def test_delete_dv_conflict_discards_sidecar(spark, tmp_path):
+    """A dv delete losing the strict-base race raises CommitConflict and
+    leaves NO orphan vector directory; the retry on the new head then
+    lands and masks exactly its rows."""
+    import glob
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 30), p)
+    base = TF.current_version(p)
+    TF.append(spark.range(30, 33), p)  # another writer moved the head
+    with pytest.raises(TF.CommitConflict):
+        TF.delete_where(spark, p, "id < 5", mode="dv", base_version=base)
+    leaked = [
+        f for f in glob.glob(os.path.join(p, "_dv", "*", "*"))
+        if not os.path.basename(f).startswith((".", "_"))
+    ]
+    assert leaked == [], leaked
+    TF.delete_where(spark, p, "id < 5", mode="dv")
+    assert TF.row_count(p) == 28
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == list(range(5, 33))
