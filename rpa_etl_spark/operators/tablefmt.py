@@ -286,8 +286,21 @@ def _publish_conditional(path: str, version: int, manifest: dict) -> bool:
         os.unlink(staged)
         return False
     os.close(fd)
-    os.rename(staged, _manifest_path(path, version))
-    return True
+    # publish via link, NOT rename: rename silently overwrites, so a
+    # conditional-arbiter committer racing a link-arbiter committer of
+    # the same table (a misconfiguration — all writers must use one
+    # arbiter — but a possible one, since the arbiter is per-process)
+    # could clobber an already-published manifest (round-12 ADVICE #4).
+    # link(2) fails on an existing target, converting the clobber into
+    # a lost race. A real object store replaces claim+publish with ONE
+    # conditional PUT of the manifest, which has neither problem.
+    try:
+        os.link(staged, _manifest_path(path, version))
+        return True
+    except FileExistsError:
+        return False  # claim marker stays; harmless (version is published)
+    finally:
+        os.unlink(staged)
 
 
 _ARBITERS = {"link": _publish_link, "conditional": _publish_conditional}
@@ -327,13 +340,26 @@ def _write_data_files(df, path: str, subdir: str = _DATA) -> list[dict]:
     Hadoop-supported filesystem — the DATA path no longer assumes POSIX
     listability (the commit LOG still does; see module docstring). The
     footer read is metadata-only (no data pages) and amortizes into the
-    write; on an object store it is one ranged GET per file."""
+    write; on an object store it is one ranged GET per file.
+
+    Timestamp columns are written as INT64 TIMESTAMP_MICROS (pinned
+    around the write): Spark's default INT96 encoding carries NO footer
+    statistics, so a time-range predicate — the dominant selective
+    predicate on an event table — could never prune a file (round-12
+    verdict #1). Micros is also what Delta/Iceberg require."""
     from urllib.parse import unquote, urlparse
 
     sub = os.path.join(subdir, uuid.uuid4().hex)
     out_dir = os.path.join(path, sub)
-    df.write.mode("overwrite").parquet(out_dir)
-    committed = df.sparkSession.read.parquet(out_dir).inputFiles()
+    sess = df.sparkSession
+    tt_key = "spark.sql.parquet.outputTimestampType"
+    tt_prev = sess.conf.get(tt_key)
+    sess.conf.set(tt_key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(out_dir)
+    finally:
+        sess.conf.set(tt_key, tt_prev)
+    committed = sess.read.parquet(out_dir).inputFiles()
     rel_paths = sorted(
         os.path.join(sub, os.path.basename(unquote(urlparse(uri).path)))
         for uri in committed
@@ -352,7 +378,16 @@ def _write_data_files(df, path: str, subdir: str = _DATA) -> list[dict]:
                 os.unlink(os.path.join(path, e["path"]))
             except OSError:
                 pass
-    return [e for e in entries if e["rows"] > 0]
+    kept = [e for e in entries if e["rows"] > 0]
+    if not kept:
+        # a fully-empty write leaves a uuid directory holding only
+        # committer markers (_SUCCESS/.crc) that no manifest will ever
+        # reference — reference-driven vacuum could never reclaim it
+        # (round-12 ADVICE #3)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return kept
 
 
 def _schema_id(schemas: list[dict], schema_json: dict) -> int:
@@ -378,6 +413,15 @@ def _discard_files(path: str, entries: list[dict]) -> None:
             os.path.join(path, os.path.dirname(entries[0]["path"])),
             ignore_errors=True,
         )
+
+
+def _session_tz(spark) -> str:
+    """The SQL session time zone — what timestamp literals in pruning
+    predicates resolve in (fileskip's ``tz=``)."""
+    try:
+        return spark.conf.get("spark.sql.session.timeZone") or "UTC"
+    except Exception:  # noqa: BLE001 — no conf: stay conservative
+        return "UTC"
 
 
 class _TxnAlreadyApplied(Exception):
@@ -665,7 +709,8 @@ def delete_where(spark, path: str, predicate: str,
 
     # manifest-level skip: entries whose stats prove the predicate false
     # are untouchable survivors — they never even open for discovery
-    candidates = fileskip.prune_entries(m["files"], predicate)
+    candidates = fileskip.prune_entries(m["files"], predicate,
+                                        _session_tz(spark))
     if not candidates:
         return base_version
 
@@ -755,12 +800,20 @@ def _delete_where_dv(spark, path, predicate, base_version, m, target,
               _dv_rows_frame(spark, path, dv_paths)
               .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()}
     carry = list(survivors)
+    dv_used = False
     for e in affected:
         bn = _osp.basename(e["path"])
         n = totals.get(bn, 0)
         if "rows" in e and n >= e["rows"]:
             continue  # every row deleted: drop the entry entirely
         carry.append({**e, "dv": {"paths": dv_paths, "rows": n}})
+        dv_used = True
+    if not dv_used:
+        # every affected file ended up fully deleted: the freshly
+        # written sidecar would be referenced by NO manifest entry, so
+        # vacuum's reference walk could never reclaim it (round-12
+        # ADVICE #3) — discard it before committing
+        _discard_files(path, dv_entries)
     try:
         return _commit(
             path, "delete", [], target,
@@ -1024,9 +1077,22 @@ def merge_into(spark, path: str, source, on: "list[str]",
     # are the complete match window; one tiny aggregate prices it)
     candidates = m["files"]
     if m["files"]:
+        from pyspark.sql.types import TimestampType
+
+        # timestamp keys aggregate as unix_micros (epoch ints) so the
+        # bound literal never round-trips through Python datetime/tz;
+        # everything else aggregates raw and converts via
+        # fileskip.literal_from_py, which REJECTS NaN/inf bounds —
+        # Spark's max() returns NaN (NaN sorts greatest), and comparing
+        # against a NaN bound is False everywhere, which would prune
+        # every file and turn matched rows into duplicate inserts
+        # (round-12 ADVICE #2)
+        dtypes = {f.name: f.dataType for f in src.schema.fields}
+        is_ts = {k: isinstance(dtypes.get(k), TimestampType) for k in on}
         aggs = []
         for k in on:
-            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+            c = F.unix_micros(F.col(k)) if is_ts[k] else F.col(k)
+            aggs += [F.min(c).alias(f"__lo_{k}"), F.max(c).alias(f"__hi_{k}")]
         b = src.agg(*aggs).collect()[0]
         node = None
         for k in on:
@@ -1037,14 +1103,20 @@ def merge_into(spark, path: str, source, on: "list[str]",
                 candidates = []
                 node = None
                 break
-            if not all(isinstance(v, (int, float, str))
-                       and not isinstance(v, bool) for v in (lo, hi)):
-                continue  # unprunable key type: contributes no constraint
-            rng = ("and", ("cmp", k, ">=", lo), ("cmp", k, "<=", hi))
+            if is_ts[k]:
+                llo, lhi = (fileskip.ts_micros_literal(lo),
+                            fileskip.ts_micros_literal(hi))
+            else:
+                llo, lhi = (fileskip.literal_from_py(lo),
+                            fileskip.literal_from_py(hi))
+            if llo is None or lhi is None:
+                continue  # unprunable key type/value: no constraint
+            rng = ("and", ("cmp", k, ">=", llo), ("cmp", k, "<=", lhi))
             node = rng if node is None else ("and", node, rng)
         if node is not None:
+            tz = _session_tz(spark)
             candidates = [
-                e for e in m["files"] if fileskip.can_match(node, e)
+                e for e in m["files"] if fileskip.can_match(node, e, tz)
             ]
     aligned = _aligned_with_file(spark, path, m, merged,
                                  only_entries=candidates)
@@ -1209,6 +1281,8 @@ def _cluster_bounds(m: dict, cols: list[str], df) -> list[tuple[float, float]]:
     have_all = all(
         isinstance((e.get("stats") or {}).get(c, {}).get("min"), (int, float))
         and not isinstance((e.get("stats") or {}).get(c, {}).get("min"), bool)
+        and "t" not in (e.get("stats") or {}).get(c, {})  # tagged (ts/dec)
+        # bounds are ENCODINGS, not the column's numeric value space
         for e in m["files"]
         for c in cols
     )
@@ -1287,7 +1361,7 @@ def snapshot_read(spark, path: str, version: int | None = None,
         if schema_version is not None
         else StructType.fromJson(m["schemas"][m["schema_id"]])
     )
-    entries = fileskip.prune_entries(m["files"], where)
+    entries = fileskip.prune_entries(m["files"], where, _session_tz(spark))
     parts = [
         g for _sid, g in _aligned_schema_groups(
             spark, path, m, target, only_entries=entries
@@ -1303,14 +1377,16 @@ def snapshot_read(spark, path: str, version: int | None = None,
 
 
 def pruned_file_counts(path: str, version: "int | None" = None,
-                       where: "str | None" = None) -> tuple[int, int]:
+                       where: "str | None" = None,
+                       tz: str = "UTC") -> tuple[int, int]:
     """(files the pruned scan would open, files the snapshot holds) —
     the data-skipping evidence for tests and declared queries, computed
-    from the manifest alone (no Spark)."""
+    from the manifest alone (no Spark). ``tz``: session time zone for
+    timestamp literals (match the session the read would run in)."""
     if version is None:
         version = current_version(path)
     m = _upgrade_manifest(read_manifest(path, version))
-    return len(fileskip.prune_entries(m["files"], where)), len(m["files"])
+    return len(fileskip.prune_entries(m["files"], where, tz)), len(m["files"])
 
 
 def read_changes(spark, path: str, from_version: int = 0,

@@ -1709,6 +1709,81 @@ def q_table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_time_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS sum_user,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(8 AS INT) AS files_total,
+           TRUE AS pruned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def q_table_time_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE FILE SKIPPING under the external oracle (round-12
+    verdict #1): per-file statistics now cover TIMESTAMP columns —
+    stored as order-faithful epoch-micros int64 read from the parquet
+    footer's raw encoding (operators/fileskip.py `_typed_bounds`; the
+    write path pins TIMESTAMP_MICROS because Spark's default INT96
+    carries no stats at all, tablefmt.py `_write_data_files`) — so the
+    dominant selective predicate on a 100 TB event table, a time-range
+    filter, prunes files before the Spark scan is built. TIMESTAMP
+    literals are canonicalized at parse time in the session time zone
+    (non-padded parts, optional offsets, DST-ambiguous wall times
+    degrade to keep — never a wrong skip).
+
+    The query writes the events table range-clustered on ``ts`` into 8
+    files (each owns ~3.75 days of the 30-day range), reads a 3-day
+    window through ``snapshot_read(where=...)``, and emits the window's
+    aggregates PLUS the skipping evidence: ``files_total`` from the
+    manifest and ``pruned`` = the Spark scan actually opened fewer
+    files than the snapshot holds (``df.inputFiles()`` — the physical
+    list Catalyst was handed, not a claim). Wrong micros encoding, a
+    time-zone slip, or pruning that never fires changes an aggregate or
+    the flag and hash-mismatches against DuckDB evaluating the same
+    TIMESTAMP literals. Decimal/date pruning of the same machinery is
+    matrix- and fuzz-gated in tests/test_fileskip.py.
+
+    Scale shape: skipping is driver-side arithmetic over the manifest —
+    a 3-day dashboard query on a year-partitioned 100 TB events table
+    opens the overlapping handful of files, not the snapshot; parquet
+    row-group pruning then works WITHIN the survivors."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    events = load(spark, sf_dir, "events").select("ts", "user_id",
+                                                  "event_type")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_timeprune_")
+    try:
+        TF.create_table(events.repartitionByRange(8, "ts"), path)
+        pred = ("ts >= TIMESTAMP '2024-01-05 00:00:00' "
+                "AND ts < TIMESTAMP '2024-01-08 00:00:00'")
+        pruned = TF.snapshot_read(spark, path, where=pred)
+        files_scanned = len(pruned.inputFiles())
+        files_total = len(TF.read_manifest(path, 0)["files"])
+        agg = pruned.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("sum_user"),
+            F.countDistinct("event_type").alias("n_types"),
+        ).collect()[0]
+        row = (
+            agg["n_events"], agg["sum_user"], agg["n_types"], files_total,
+            bool(files_scanned < files_total),
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_events bigint, sum_user bigint, n_types bigint, "
+        "files_total int, pruned boolean",
+    )
+
+
+@query(
     "q_table_changes",
     oracle="""
     SELECT CAST(0 AS INT) AS version, 'create' AS kind,

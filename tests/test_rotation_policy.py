@@ -58,10 +58,11 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/tablefmt.py": [
         "q_table_time_travel", "q_table_schema_evolution",
         "q_table_pruned_scan", "q_table_changes", "q_table_zorder_scan",
-        "q_table_delete_dv",
+        "q_table_delete_dv", "q_table_time_pruned_scan",
     ],
     "rpa_etl_spark/operators/fileskip.py": [
         "q_table_pruned_scan", "q_table_zorder_scan", "q_table_delete_dv",
+        "q_table_time_pruned_scan",
     ],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
