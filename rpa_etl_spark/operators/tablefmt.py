@@ -234,9 +234,97 @@ def current_version(path: str) -> int:
     return max(versions, default=-1)
 
 
-def read_manifest(path: str, version: int) -> dict:
+def _read_manifest_raw(path: str, version: int) -> dict:
+    """One manifest EXACTLY as committed — incremental manifests carry
+    ``add``/``remove`` deltas, not a file list (see :func:`read_manifest`
+    for the materialized view)."""
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
+
+
+# write a full-snapshot checkpoint sidecar every N commits: the log
+# replay a reader pays is bounded by N delta manifests + one checkpoint,
+# and every commit's manifest stays O(its own change), never O(table) —
+# the Delta _last_checkpoint / Iceberg manifest-list essence (round-12
+# verdict #3: full per-commit file lists were tens of MB of driver JSON
+# per commit at 10^5 files)
+_CKPT_EVERY = 16
+
+
+def _ckpt_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.ckpt.json")
+
+
+def write_checkpoint(path: str, version: "int | None" = None) -> str:
+    """Materialize ``version``'s live file list as a checkpoint sidecar
+    (``_log/NNNNNNNN.ckpt.json``). Checkpoints are DERIVED data — their
+    content is fully determined by the manifest chain, so the write
+    needs no arbitration (temp + atomic rename; a concurrent writer
+    produces byte-equivalent content) and a crash before one lands only
+    means readers replay a longer delta chain. _commit emits one every
+    ``_CKPT_EVERY`` commits; vacuum emits one for its retention cutoff
+    so retained versions never depend on dropped manifests."""
+    if version is None:
+        version = current_version(path)
+    files = read_manifest(path, version)["files"]
+    tmp = os.path.join(_log_dir(path), f".tmp-ckpt-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": files},
+                  f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    final = _ckpt_path(path, version)
+    os.rename(tmp, final)
+    return final
+
+
+def _read_ckpt(path: str, version: int) -> "list[dict] | None":
+    try:
+        with open(_ckpt_path(path, version)) as f:
+            return json.load(f)["files"]
+    except FileNotFoundError:
+        return None
+    except Exception:  # noqa: BLE001 — torn/corrupt sidecar: replay log
+        return None
+
+
+def read_manifest(path: str, version: int) -> dict:
+    """Version ``version``'s manifest with its live file list
+    MATERIALIZED under ``files`` (the shape every consumer reads).
+    Full manifests (v0, legacy tables) return as stored; incremental
+    manifests replay ``add``/``remove`` deltas forward from the nearest
+    checkpoint sidecar or full manifest — at most ``_CKPT_EVERY`` small
+    JSON reads, independent of table history length."""
+    top = _upgrade_manifest(_read_manifest_raw(path, version))
+    if "files" in top:
+        return top
+    deltas: list[dict] = []
+    cur = version
+    m = top
+    base: "list[dict] | None" = None
+    while True:
+        ck = _read_ckpt(path, cur)
+        if ck is not None:
+            base = ck
+            break
+        if "files" in m:
+            base = m["files"]
+            break
+        deltas.append(m)
+        cur = m["parent"]
+        if cur < 0:
+            base = []
+            break
+        m = _upgrade_manifest(_read_manifest_raw(path, cur))
+    by_path: dict[str, dict] = {e["path"]: e for e in base}
+    for d in reversed(deltas):
+        for p in d.get("remove", ()):
+            by_path.pop(p, None)
+        for e in d.get("add", ()):
+            by_path[e["path"]] = e
+    out = dict(top)
+    out["files"] = list(by_path.values())
+    return out
 
 
 def _stage_manifest(path: str, manifest: dict) -> str:
@@ -496,8 +584,10 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
                 "re-read and retry the overwrite"
             )
         txns: dict = {}
+        prev_files: list[dict] = []
         if head >= 0:
-            prev = _upgrade_manifest(read_manifest(path, head))
+            prev = read_manifest(path, head)
+            prev_files = prev["files"]
             txns = _txns_map(path, head, prev)
             if txn is not None:
                 last = txns.get(txn["app"])
@@ -528,11 +618,25 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             "schema": merged.simpleString(),
             "schemas": schemas,
             "schema_id": table_sid,
-            "files": live,
+            "n_live": len(live),
             "added": [e["path"] for e in new_files],
             "txns": txns,
             "committed_at": time.time(),
         }
+        if head < 0:
+            # the first commit IS the full snapshot
+            manifest["files"] = live
+        else:
+            # incremental manifest: record only what changed vs the
+            # parent (round-12 verdict #3 — a full per-commit file list
+            # made every commit O(table)); an entry whose content
+            # changed (a grown deletion vector) re-adds under its path
+            prev_by = {e["path"]: e for e in prev_files}
+            live_by = {e["path"]: e for e in live}
+            manifest["add"] = [
+                e for p, e in live_by.items() if prev_by.get(p) != e
+            ]
+            manifest["remove"] = [p for p in prev_by if p not in live_by]
         if change_files is not None:
             manifest["change_files"] = [
                 {**e, "schema_id": df_sid} for e in change_files
@@ -540,7 +644,13 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
         if txn is not None:
             manifest["txn"] = {"app": txn["app"], "batch": int(txn["batch"])}
         if _publish(path, head + 1, manifest):
-            return head + 1
+            new_v = head + 1
+            if new_v % _CKPT_EVERY == 0:
+                try:
+                    write_checkpoint(path, new_v)
+                except OSError:
+                    pass  # derived data: readers replay a longer chain
+            return new_v
         attempt += 1
         if attempt > max_retries:
             raise CommitConflict(f"lost {max_retries} commit races at {path}")
@@ -703,7 +813,7 @@ def delete_where(spark, path: str, predicate: str,
         base_version = current_version(path)
     if base_version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    m = _upgrade_manifest(read_manifest(path, base_version))
+    m = read_manifest(path, base_version)
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
     pred = F.expr(predicate)
 
@@ -1039,7 +1149,7 @@ def merge_into(spark, path: str, source, on: "list[str]",
         base_version = current_version(path)
     if base_version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    m = _upgrade_manifest(read_manifest(path, base_version))
+    m = read_manifest(path, base_version)
     table = StructType.fromJson(m["schemas"][m["schema_id"]])
 
     missing = [f.name for f in table.fields if f.name not in source.columns]
@@ -1226,7 +1336,7 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
         base_version = current_version(path)
     if base_version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    m = _upgrade_manifest(read_manifest(path, base_version))
+    m = read_manifest(path, base_version)
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
     if not m["files"]:
         return base_version  # empty snapshot: nothing to compact
@@ -1312,7 +1422,7 @@ def table_schema(path: str, version: int | None = None):
 
     if version is None:
         version = current_version(path)
-    m = _upgrade_manifest(read_manifest(path, version))
+    m = read_manifest(path, version)
     return StructType.fromJson(m["schemas"][m["schema_id"]])
 
 
@@ -1355,7 +1465,7 @@ def snapshot_read(spark, path: str, version: int | None = None,
             f"schema_version {schema_version} predates snapshot {version}; "
             "schemas only evolve forward — read through an equal-or-later one"
         )
-    m = _upgrade_manifest(read_manifest(path, version))
+    m = read_manifest(path, version)
     target = (
         table_schema(path, schema_version)
         if schema_version is not None
@@ -1385,7 +1495,7 @@ def pruned_file_counts(path: str, version: "int | None" = None,
     timestamp literals (match the session the read would run in)."""
     if version is None:
         version = current_version(path)
-    m = _upgrade_manifest(read_manifest(path, version))
+    m = read_manifest(path, version)
     return len(fileskip.prune_entries(m["files"], where, tz)), len(m["files"])
 
 
@@ -1450,7 +1560,7 @@ def read_changes(spark, path: str, from_version: int = 0,
     target = table_schema(path, to_version)
     parts = []
     for v in range(from_version, to_version + 1):
-        m = _upgrade_manifest(read_manifest(path, v))
+        m = read_manifest(path, v)
         if m["kind"] in ("create", "append", "overwrite"):
             if "added" in m:
                 added = set(m["added"])
@@ -1458,7 +1568,7 @@ def read_changes(spark, path: str, from_version: int = 0,
             else:
                 # legacy manifest (pre-"added"): diff against the parent,
                 # which must still be retained
-                prev = _upgrade_manifest(read_manifest(path, v - 1)) \
+                prev = read_manifest(path, v - 1) \
                     if v > 0 else {"files": []}
                 before = {e["path"] for e in prev["files"]}
                 new_entries = [
@@ -1499,7 +1609,7 @@ def read_changes(spark, path: str, from_version: int = 0,
         )
         diff_inserts = m["kind"] == "restore" and v > 0
         if diff_deletes or diff_inserts:
-            prev = _upgrade_manifest(read_manifest(path, v - 1))
+            prev = read_manifest(path, v - 1)
             pf = {e["path"]: e for e in prev["files"]}
             cf = {e["path"]: e for e in m["files"]}
             changed_parent = [
@@ -1573,7 +1683,7 @@ def row_count(path: str, version: "int | None" = None) -> int:
         version = current_version(path)
     if version < 0:
         raise FileNotFoundError(f"no committed version at {path}")
-    m = _upgrade_manifest(read_manifest(path, version))
+    m = read_manifest(path, version)
     missing = [e["path"] for e in m["files"] if "rows" not in e]
     if missing:
         raise ValueError(
@@ -1646,7 +1756,7 @@ def restore(path: str, version: int,
         raise FileNotFoundError(f"no committed version at {path}")
     if version == base_version:
         return base_version
-    old = _upgrade_manifest(read_manifest(path, version))
+    old = read_manifest(path, version)
     needed = [e["path"] for e in old["files"]]
     needed += [p for e in old["files"] if e.get("dv")
                for p in e["dv"]["paths"]]
@@ -1714,15 +1824,18 @@ def history(path: str) -> list[dict]:
     out = []
     for v in range(head + 1):
         try:
-            m = read_manifest(path, v)
+            m = _read_manifest_raw(path, v)
         except FileNotFoundError:
             continue  # vacuumed version
+        n = m.get("n_live")
+        if n is None:  # pre-incremental manifest: full list inline
+            n = len(_upgrade_manifest(m)["files"])
         out.append(
             {
                 "version": v,
                 "parent": m["parent"],
                 "kind": m["kind"],
-                "n_files": len(m["files"]),
+                "n_files": n,
             }
         )
     return out
@@ -1758,7 +1871,7 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     retained: set[str] = set()
     for v in range(cutoff, head + 1):
         try:
-            m = _upgrade_manifest(read_manifest(path, v))
+            m = read_manifest(path, v)
         except FileNotFoundError:
             continue
         retained.update(e["path"] for e in m["files"])
@@ -1766,12 +1879,20 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         retained.update(
             p for e in m["files"] if e.get("dv") for p in e["dv"]["paths"]
         )
-    touched_dirs: set[str] = set()
+    # materialize every dropped version BEFORE touching the log: an
+    # incremental manifest replays its parents, so dropping v while
+    # iterating would break materializing v+1
+    dropped: list[tuple[int, dict]] = []
     for v in range(cutoff):
         try:
-            m = _upgrade_manifest(read_manifest(path, v))
+            dropped.append((v, read_manifest(path, v)))
         except FileNotFoundError:
             continue  # vacuumed by an earlier pass
+    # checkpoint the cutoff so retained versions reconstruct without the
+    # manifests about to drop (their delta chains stop at this sidecar)
+    write_checkpoint(path, cutoff)
+    touched_dirs: set[str] = set()
+    for v, m in dropped:
         dropped_entries = list(m["files"]) + list(m.get("change_files", []))
         dropped_entries += [
             {"path": p} for e in m["files"] if e.get("dv")
@@ -1787,10 +1908,11 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
                 pass  # shared with another dropped version, already gone
             touched_dirs.add(os.path.dirname(e["path"]))
         os.unlink(_manifest_path(path, v))
-        try:  # conditional-arbiter claim marker, if that arbiter ran
-            os.unlink(_claim_path(path, v))
-        except FileNotFoundError:
-            pass
+        for side in (_claim_path(path, v), _ckpt_path(path, v)):
+            try:  # claim marker / checkpoint sidecar, if present
+                os.unlink(side)
+            except FileNotFoundError:
+                pass
         out["dropped_versions"].append(v)
     for d in sorted(touched_dirs):
         full = os.path.join(path, d)
