@@ -738,26 +738,235 @@ def streaming_append_sink(path: str, app: str):
     return write
 
 
-def overwrite(df, path: str, base_version: int | None = None) -> int:
+def overwrite(df, path: str, base_version: int | None = None,
+              where: "str | None" = None, change_feed: bool = True) -> int:
     """Replace the table's contents atomically. Fails with
     CommitConflict if the head moved past ``base_version`` (optimistic
     concurrency — the caller re-reads and retries). Schema evolution as
     in :func:`append` — history stays readable, so an overwrite may
-    still only widen, never narrow."""
+    still only widen, never narrow.
+
+    ``where`` (round-12 verdict #4 — the Delta ``replaceWhere``
+    essence) makes the overwrite SELECTIVE: exactly the rows matching
+    the predicate are replaced by ``df``'s rows, atomically, at file
+    granularity — files the stats prove untouched carry their entries
+    forward verbatim (the fileskip pruning + delete_where COW
+    machinery). Every ``df`` row must itself satisfy the predicate
+    (ValueError otherwise — Delta's constraint; a row outside the
+    replaced region would silently corrupt the rest of the table).
+    The commit kind is ``replace``; its change feed carries ``df``'s
+    rows as the inserts sidecar, and the replaced rows surface through
+    ``read_changes(include_deletes=True)``'s snapshot diff.
+
+    Scale shape: a partition-shaped replace (the nightly re-ingest of
+    one day, the classic replaceWhere use) discovers its affected
+    files by manifest stats — on a time-clustered 100 TB table it
+    rewrites the day, never the table."""
     if base_version is None:
         base_version = current_version(path)
-    files = _write_data_files(df, path)
+    if where is None:
+        files = _write_data_files(df, path)
+        try:
+            return _commit(path, "overwrite", files, df.schema,
+                           base_version=base_version, strict_base=True)
+        except (CommitConflict, SchemaEvolutionError):
+            _discard_files(path, files)
+            raise
+    return _replace_where(df, path, where, base_version, change_feed)
+
+
+def _replace_where(df, path: str, where: str, base_version: int,
+                   change_feed: bool) -> int:
+    """Selective-overwrite body (see :func:`overwrite`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    spark = df.sparkSession
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    pred = F.expr(where)
+    stray = df.where(~F.coalesce(pred, F.lit(False))).limit(1).count()
+    if stray:
+        raise ValueError(
+            f"overwrite(where={where!r}): the replacement frame has rows "
+            "NOT matching the predicate — they would land outside the "
+            "replaced region (Delta's replaceWhere constraint)"
+        )
+    m = read_manifest(path, base_version)
+    table = StructType.fromJson(m["schemas"][m["schema_id"]])
+    merged = merge_schemas(table, df.schema)
+    src = df.select(
+        *[F.col(f.name).cast(f.dataType) if f.name in df.columns
+          else F.lit(None).cast(f.dataType).alias(f.name)
+          for f in merged.fields]
+    )
+    candidates = fileskip.prune_entries(m["files"], where,
+                                        _session_tz(spark))
+    affected_uris = []
+    if candidates:
+        affected_uris = [
+            r["__file"]
+            for r in _aligned_with_file(spark, path, m, merged,
+                                        only_entries=candidates)
+            .where(pred).select("__file").distinct().collect()
+        ]
+    if not affected_uris and not src.limit(1).count():
+        return base_version  # nothing replaced, nothing inserted
+    survivors = _entries_not_in(path, m, affected_uris)
+    new_data = src
+    if affected_uris:
+        survivor_set = {id(e) for e in survivors}
+        kept_parts = [
+            g.where(~F.coalesce(pred, F.lit(False)))
+            for _sid, g in _aligned_schema_groups(
+                spark, path, m, merged,
+                only_entries=[
+                    e for e in m["files"] if id(e) not in survivor_set
+                ],
+            )
+        ]
+        kept = kept_parts[0]
+        for part in kept_parts[1:]:
+            kept = kept.unionByName(part)
+        new_data = kept.unionByName(src)
+    change_entries: "list[dict] | None" = None
+    if change_feed:
+        inserts = src.withColumn("_ck", F.lit("insert"))
+        change_entries = (
+            [{**e, "ck": True}
+             for e in _write_data_files(inserts, path, subdir=_CHANGES)]
+            if src.limit(1).count()
+            else []
+        )
+    new_files = _write_data_files(new_data, path)
     try:
-        return _commit(path, "overwrite", files, df.schema,
-                       base_version=base_version, strict_base=True)
+        return _commit(
+            path, "replace", new_files, merged,
+            base_version=base_version, strict_base=True,
+            carry_files=survivors,
+            change_files=change_entries,
+        )
     except (CommitConflict, SchemaEvolutionError):
-        _discard_files(path, files)
+        _discard_files(path, new_files)
+        if change_entries:
+            _discard_files(path, change_entries)
+        raise
+
+
+def update_where(spark, path: str, predicate: str, assignments: dict,
+                 base_version: "int | None" = None,
+                 change_feed: bool = True) -> int:
+    """Column-level ``UPDATE <table> SET col = expr WHERE predicate``
+    (round-12 verdict #4) — copy-on-write at FILE granularity like
+    :func:`delete_where`: files whose stats prove no row matches carry
+    forward untouched (never opened); files with matches rewrite with
+    ``assignments`` applied to exactly the matching rows. SQL UPDATE
+    semantics: a row updates iff the predicate is TRUE (NULL keeps it);
+    every SET expression sees the row's OLD values (simultaneous
+    assignment); results cast to the column's existing type — UPDATE
+    never evolves the schema (append/merge do that). Unknown SET
+    columns raise ValueError before anything writes.
+
+    ``change_feed`` (default on) records the updated rows' pre- and
+    post-images in the commit's change sidecar (``_change_kind =
+    'update_preimage' / 'update_postimage'`` in :func:`read_changes` —
+    the Delta CDF shape); the sidecar write is update-sized.
+
+    Concurrency: strict on ``base_version`` (overwrite-class). A
+    predicate matching nothing returns the current version without
+    committing. Returns the new version."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not assignments:
+        raise ValueError("update_where needs at least one SET assignment")
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = read_manifest(path, base_version)
+    target = StructType.fromJson(m["schemas"][m["schema_id"]])
+    known = {f.name for f in target.fields}
+    unknown = sorted(set(assignments) - known)
+    if unknown:
+        raise ValueError(
+            f"update_where SET columns {unknown} not in table schema "
+            f"{sorted(known)}"
+        )
+    pred = F.expr(predicate)
+    candidates = fileskip.prune_entries(m["files"], predicate,
+                                        _session_tz(spark))
+    if not candidates:
+        return base_version
+    affected_uris = [
+        r["__file"]
+        for r in _aligned_with_file(spark, path, m, target,
+                                    only_entries=candidates)
+        .where(pred).select("__file").distinct().collect()
+    ]
+    if not affected_uris:
+        return base_version
+    survivors = _entries_not_in(path, m, affected_uris)
+    survivor_set = {id(e) for e in survivors}
+    parts = [
+        g for _sid, g in _aligned_schema_groups(
+            spark, path, m, target,
+            only_entries=[e for e in m["files"] if id(e) not in survivor_set],
+        )
+    ]
+    scan = parts[0]
+    for p_ in parts[1:]:
+        scan = scan.unionByName(p_)
+    cond = F.coalesce(pred, F.lit(False))
+
+    def _applied(frame, always: bool):
+        sel = []
+        for f in target.fields:
+            if f.name in assignments:
+                newv = F.expr(assignments[f.name]).cast(f.dataType)
+                sel.append(
+                    (newv if always else
+                     F.when(cond, newv).otherwise(F.col(f.name)))
+                    .alias(f.name)
+                )
+            else:
+                sel.append(F.col(f.name))
+        return frame.select(*sel)
+
+    updated = _applied(scan, always=False)
+    change_entries: "list[dict] | None" = None
+    if change_feed:
+        pre = scan.where(cond)
+        changes = (
+            pre.withColumn("_ck", F.lit("update_preimage"))
+            .unionByName(
+                _applied(pre, always=True)
+                .withColumn("_ck", F.lit("update_postimage"))
+            )
+        )
+        change_entries = [
+            {**e, "ck": True}
+            for e in _write_data_files(changes, path, subdir=_CHANGES)
+        ]
+    new_files = _write_data_files(updated, path)
+    try:
+        return _commit(
+            path, "update", new_files, target,
+            base_version=base_version, strict_base=True,
+            carry_files=survivors,
+            change_files=change_entries,
+        )
+    except (CommitConflict, SchemaEvolutionError):
+        _discard_files(path, new_files)
+        if change_entries:
+            _discard_files(path, change_entries)
         raise
 
 
 def delete_where(spark, path: str, predicate: str,
                  base_version: "int | None" = None,
-                 mode: str = "cow") -> int:
+                 mode: str = "cow",
+                 dv_rewrite_fraction: float = 0.5) -> int:
     """Row-level DELETE as copy-on-write at FILE granularity — the
     reduced essence of Delta/Iceberg COW deletes: files containing no
     matching row carry their manifest entries into the new version
@@ -787,7 +996,11 @@ def delete_where(spark, path: str, predicate: str,
     right when read amplification matters more. A file whose every row
     is dv-deleted drops from the manifest entirely (no dangling
     all-deleted entries). Repeated dv deletes on the same file UNION
-    their vectors.
+    their vectors. ``dv_rewrite_fraction`` (default 0.5, round-12
+    verdict #7) auto-materializes any file whose TOTAL deleted fraction
+    would cross the threshold — rewritten clean in the same commit —
+    so the anti-join read tax stays bounded even if OPTIMIZE is never
+    called; pass 1.0 for pure merge-on-read.
 
     Scale shape: the affected-file discovery scan is FIRST pruned by
     per-file manifest statistics (fileskip.prune_entries — files whose
@@ -826,7 +1039,8 @@ def delete_where(spark, path: str, predicate: str,
 
     if mode == "dv":
         return _delete_where_dv(
-            spark, path, predicate, base_version, m, target, candidates
+            spark, path, predicate, base_version, m, target, candidates,
+            dv_rewrite_fraction,
         )
 
     # affected = files with >= 1 TRUE-predicate row; bounded by file count
@@ -868,14 +1082,22 @@ def delete_where(spark, path: str, predicate: str,
 
 
 def _delete_where_dv(spark, path, predicate, base_version, m, target,
-                     candidates) -> int:
+                     candidates, rewrite_fraction: float) -> int:
     """Merge-on-read delete body: write the matching positions as a
     (file, pos) sidecar and carry EVERY data file forward — affected
     entries gain (or grow) their ``dv`` record, fully-deleted entries
     drop. One discovery scan finds positions (already excluding rows
     earlier vectors deleted, so vectors never double-count); existing
     vectors of the affected files merge into the new sidecar so each
-    entry references exactly ONE current vector set."""
+    entry references exactly ONE current vector set.
+
+    ``rewrite_fraction`` (round-12 verdict #7) bounds the merge-on-read
+    read tax WITHOUT a manual OPTIMIZE: a file whose total deleted
+    fraction (existing vector + this delete) would cross the threshold
+    is MATERIALIZED instead — rewritten copy-on-write in the same
+    commit, its vector gone — so a table whose owner never calls
+    OPTIMIZE still converges to at most ``rewrite_fraction`` dead rows
+    per file. 1.0 (or higher) disables auto-materialization."""
     import os.path as _osp
 
     from pyspark.sql import functions as F
@@ -893,45 +1115,83 @@ def _delete_where_dv(spark, path, predicate, base_version, m, target,
     for e in m["files"]:
         (affected if _osp.basename(e["path"]) in affected_bn
          else survivors).append(e)
-    # merge existing vectors of the affected files into the new sidecar
-    old_dv_paths = sorted({
-        p for e in affected if e.get("dv") for p in e["dv"]["paths"]
-    })
-    new_dv = matches
-    if old_dv_paths:
-        bn_lit = F.array(*[F.lit(b) for b in affected_bn])
-        old_rows = _dv_rows_frame(spark, path, old_dv_paths).where(
-            F.array_contains(bn_lit, F.col("file"))
-        )
-        new_dv = new_dv.unionByName(old_rows).distinct()
-    dv_entries = _write_data_files(new_dv, path, subdir=_DV)
-    dv_paths = [e["path"] for e in dv_entries]
-    totals = {r["file"]: r["n"] for r in
-              _dv_rows_frame(spark, path, dv_paths)
-              .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()}
-    carry = list(survivors)
-    dv_used = False
+    # split the affected files by their WOULD-BE deleted fraction:
+    # fully-deleted entries just drop; entries crossing the rewrite
+    # threshold materialize COW in this same commit; the rest grow (or
+    # gain) a vector
+    dropped_bn: set[str] = set()
+    rewrite_entries: list[dict] = []
+    dv_entries_in: list[dict] = []
     for e in affected:
         bn = _osp.basename(e["path"])
-        n = totals.get(bn, 0)
-        if "rows" in e and n >= e["rows"]:
-            continue  # every row deleted: drop the entry entirely
-        carry.append({**e, "dv": {"paths": dv_paths, "rows": n}})
-        dv_used = True
-    if not dv_used:
-        # every affected file ended up fully deleted: the freshly
-        # written sidecar would be referenced by NO manifest entry, so
-        # vacuum's reference walk could never reclaim it (round-12
-        # ADVICE #3) — discard it before committing
-        _discard_files(path, dv_entries)
+        total_dead = per_file[bn] + (e.get("dv") or {}).get("rows", 0)
+        if "rows" in e and total_dead >= e["rows"]:
+            dropped_bn.add(bn)
+        elif "rows" in e and total_dead >= rewrite_fraction * e["rows"]:
+            rewrite_entries.append(e)
+        else:
+            dv_entries_in.append(e)
+    new_files: list[dict] = []
+    if rewrite_entries:
+        # materialize: live rows of these entries (their existing
+        # vectors already applied by the aligned scan) minus this
+        # delete's matches
+        parts = [
+            g.where(~F.coalesce(F.expr(predicate), F.lit(False)))
+            for _sid, g in _aligned_schema_groups(
+                spark, path, m, target, only_entries=rewrite_entries
+            )
+        ]
+        rewritten = parts[0]
+        for p_ in parts[1:]:
+            rewritten = rewritten.unionByName(p_)
+        new_files = _write_data_files(rewritten, path)
+    dv_keep_bn = {_osp.basename(e["path"]) for e in dv_entries_in}
+    carry = list(survivors)
+    dv_entries: list[dict] = []
+    if dv_keep_bn:
+        bn_lit = F.array(*[F.lit(b) for b in sorted(dv_keep_bn)])
+        new_dv = matches.where(F.array_contains(bn_lit, F.col("file")))
+        old_dv_paths = sorted({
+            p for e in dv_entries_in if e.get("dv")
+            for p in e["dv"]["paths"]
+        })
+        if old_dv_paths:
+            old_rows = _dv_rows_frame(spark, path, old_dv_paths).where(
+                F.array_contains(bn_lit, F.col("file"))
+            )
+            new_dv = new_dv.unionByName(old_rows).distinct()
+        dv_entries = _write_data_files(new_dv, path, subdir=_DV)
+        dv_paths = [e["path"] for e in dv_entries]
+        totals = {r["file"]: r["n"] for r in
+                  _dv_rows_frame(spark, path, dv_paths)
+                  .groupBy("file").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        dv_used = False
+        for e in dv_entries_in:
+            bn = _osp.basename(e["path"])
+            n = totals.get(bn, 0)
+            if "rows" in e and n >= e["rows"]:
+                continue  # every row deleted: drop the entry entirely
+            carry.append({**e, "dv": {"paths": dv_paths, "rows": n}})
+            dv_used = True
+        if not dv_used:
+            # every vector-carrying candidate ended up fully deleted:
+            # the freshly written sidecar would be referenced by NO
+            # manifest entry, so vacuum's reference walk could never
+            # reclaim it (round-12 ADVICE #3) — discard before commit
+            _discard_files(path, dv_entries)
+            dv_entries = []
     try:
         return _commit(
-            path, "delete", [], target,
+            path, "delete", new_files, target,
             base_version=base_version, strict_base=True,
             carry_files=carry,
         )
     except (CommitConflict, SchemaEvolutionError):
-        _discard_files(path, dv_entries)
+        if dv_entries:
+            _discard_files(path, dv_entries)
+        _discard_files(path, new_files)
         raise
 
 
@@ -1263,14 +1523,26 @@ def merge_into(spark, path: str, source, on: "list[str]",
 
     change_entries: "list[dict] | None" = None
     if change_feed:
-        # the merge's INSERTS: source rows whose key exists nowhere in
-        # the table (pruning is conservative, so any matchable key is in
-        # the candidate scan) — written as an insert-sized sidecar
+        # the merge's INSERTS (source rows whose key exists nowhere in
+        # the table — pruning is conservative, so any matchable key is
+        # in the candidate scan) plus, round-12 verdict #6, the matched
+        # keys' UPDATE IMAGES: pre-image = the table's old row, post-
+        # image = the replacing source row — written as one change-sized
+        # sidecar whose ``_ck`` column carries the change kind (the
+        # Delta CDF update_preimage/update_postimage shape)
         matched_keys = keys.join(aligned.select(*on), on, "left_semi")
         inserts = src.join(matched_keys, on, "left_anti")
+        pre = aligned.drop("__file").join(matched_keys, on, "left_semi")
+        post = src.join(matched_keys, on, "left_semi")
+        changes = (
+            inserts.withColumn("_ck", F.lit("insert"))
+            .unionByName(pre.withColumn("_ck", F.lit("update_preimage")))
+            .unionByName(post.withColumn("_ck", F.lit("update_postimage")))
+        )
         change_entries = (
-            _write_data_files(inserts, path, subdir=_CHANGES)
-            if inserts.limit(1).count()
+            [{**e, "ck": True}
+             for e in _write_data_files(changes, path, subdir=_CHANGES)]
+            if changes.limit(1).count()
             else []
         )
     new_files = _write_data_files(new_data, path)
@@ -1574,25 +1846,36 @@ def read_changes(spark, path: str, from_version: int = 0,
                 new_entries = [
                     e for e in m["files"] if e["path"] not in before
                 ]
-        elif m["kind"] == "merge":
+        elif m["kind"] in ("merge", "replace", "update"):
             if "change_files" not in m:
                 raise ValueError(
-                    f"version {v} is a merge committed without a change "
-                    "feed (merge_into(..., change_feed=False)) — the "
-                    "addition feed over this range would be incomplete"
+                    f"version {v} is a {m['kind']} committed without a "
+                    "change feed (change_feed=False) — the feed over "
+                    "this range would be incomplete"
                 )
             new_entries = list(m["change_files"])
         else:  # delete / optimize: no additions
             new_entries = []
-        by_sid: dict[int, list[str]] = {}
+        by_group: dict[tuple[int, bool], list[str]] = {}
         for e in new_entries:
-            by_sid.setdefault(e["schema_id"], []).append(
-                os.path.join(path, e["path"])
-            )
-        for sid, files in sorted(by_sid.items()):
+            key = (e["schema_id"], bool(e.get("ck")))
+            by_group.setdefault(key, []).append(os.path.join(path, e["path"]))
+        for (sid, ck), files in sorted(by_group.items()):
             file_schema = StructType.fromJson(m["schemas"][sid])
             have = set(file_schema.fieldNames())
-            part = spark.read.schema(file_schema).parquet(*files).select(
+            read_schema = file_schema
+            if ck:
+                # change sidecar rows carry their kind in a _ck column
+                # (insert / update_preimage / update_postimage); legacy
+                # sidecars without it are inserts by construction
+                from pyspark.sql.types import StringType, StructField
+
+                read_schema = StructType(
+                    list(file_schema.fields)
+                    + [StructField("_ck", StringType())]
+                )
+            kind_col = (F.col("_ck") if ck else F.lit("insert"))
+            part = spark.read.schema(read_schema).parquet(*files).select(
                 *[
                     F.col(f.name).cast(f.dataType)
                     if f.name in have
@@ -1600,12 +1883,12 @@ def read_changes(spark, path: str, from_version: int = 0,
                     for f in target.fields
                 ],
                 F.lit(v).cast("int").alias("_commit_version"),
-                F.lit("insert").alias("_change_kind"),
+                kind_col.alias("_change_kind"),
             )
             parts.append(part)
         diff_deletes = (
             include_deletes and v > 0
-            and m["kind"] in ("delete", "overwrite", "restore")
+            and m["kind"] in ("delete", "overwrite", "restore", "replace")
         )
         diff_inserts = m["kind"] == "restore" and v > 0
         if diff_deletes or diff_inserts:
@@ -1773,7 +2056,8 @@ def restore(path: str, version: int,
     )
 
 
-def sync_changes(spark, src_path: str, dst_path: str, app: str) -> int:
+def sync_changes(spark, src_path: str, dst_path: str, app: str,
+                 max_versions: "int | None" = None) -> int:
     """One-call EXACTLY-ONCE incremental table-to-table sync: apply
     every source commit's ADDITIONS (see :func:`read_changes`) past the
     destination's recorded watermark, one idempotent txn-stamped append
@@ -1790,7 +2074,12 @@ def sync_changes(spark, src_path: str, dst_path: str, app: str) -> int:
     a foreachBatch hook, or a loop — each call costs the NEW commits
     only, never a rescan. Additions-only by construction (source
     deletes do not propagate; the destination is an append-only
-    materialization of everything the source ingested)."""
+    materialization of everything the source ingested).
+
+    ``max_versions`` caps how many source versions ONE call applies —
+    the ``maxVersionsPerTrigger`` of the streaming wrapper
+    (:func:`stream_changes`), bounding a micro-batch's size when the
+    stream falls behind."""
     src_head = current_version(src_path)
     if src_head < 0:
         raise FileNotFoundError(f"no committed version at {src_path}")
@@ -1807,14 +2096,126 @@ def sync_changes(spark, src_path: str, dst_path: str, app: str) -> int:
         dst_head = current_version(dst_path)
     last = _txns_map(dst_path, dst_head).get(app)
     start = 0 if last is None else last + 1
+    end = src_head
+    if max_versions is not None:
+        end = min(end, start + max_versions - 1)
     applied = 0
-    for v in range(start, src_head + 1):
-        rows = read_changes(spark, src_path, v, v).drop(
-            "_commit_version", "_change_kind"
+    from pyspark.sql import functions as F
+
+    for v in range(start, end + 1):
+        rows = (
+            read_changes(spark, src_path, v, v)
+            # additions-only materialization: update images describe
+            # rows the destination already ingested, not new rows
+            .where(F.col("_change_kind") == "insert")
+            .drop("_commit_version", "_change_kind")
         )
         append(rows, dst_path, txn={"app": app, "batch": v})
         applied += 1
     return applied
+
+
+class ChangeStream:
+    """STREAMING source over the change feed (round-12 verdict #5) —
+    the Delta ``readStream``-on-a-table essence as a micro-batch driver
+    loop: every trigger applies at most ``max_versions_per_trigger``
+    new source commits to the destination table via
+    :func:`sync_changes`, then sleeps ``poll_interval_s`` when caught
+    up. The stream's CHECKPOINT is the destination's own transaction
+    map (``{app: last_source_version}`` in its head manifest), so there
+    is no external state to lose: kill the loop anywhere — mid-batch,
+    between batches, before the first — and a restarted stream resumes
+    from the last committed version, applying each source version
+    EXACTLY ONCE (the txn guard turns replays into no-ops). This is
+    the long-running rendering of the one-call ``sync_changes``; a
+    real Structured Streaming integration would wrap the same trigger
+    body in a DataSourceV2 micro-batch reader — the offset log would
+    hold what the txn map already holds.
+
+    Usage::
+
+        stream = ChangeStream(spark, src, dst, app="replicate")
+        stream.start()            # daemon thread; returns immediately
+        ...
+        stream.stop()             # graceful; .crash() for an abrupt kill
+
+    Scale shape: each trigger costs the NEW commits only (explicit-file
+    scans of their added files); an idle stream costs one head-manifest
+    read per poll."""
+
+    def __init__(self, spark, src_path: str, dst_path: str, app: str,
+                 max_versions_per_trigger: int = 10,
+                 poll_interval_s: float = 0.25):
+        self.spark = spark
+        self.src_path = src_path
+        self.dst_path = dst_path
+        self.app = app
+        self.max_versions_per_trigger = max_versions_per_trigger
+        self.poll_interval_s = poll_interval_s
+        self.versions_applied = 0
+        self.error: "BaseException | None" = None
+        self._stop = None
+        self._thread = None
+
+    def _run(self) -> None:
+        try:
+            while not self._stop.is_set():
+                applied = sync_changes(
+                    self.spark, self.src_path, self.dst_path, self.app,
+                    max_versions=self.max_versions_per_trigger,
+                )
+                self.versions_applied += applied
+                if applied == 0:
+                    self._stop.wait(self.poll_interval_s)
+        except BaseException as e:  # noqa: BLE001 — surfaced to the caller
+            self.error = e
+
+    def start(self) -> "ChangeStream":
+        import threading
+
+        if self._thread is not None and self._thread.is_alive():
+            raise RuntimeError("stream already running")
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 60.0) -> None:
+        """Graceful shutdown: finish the in-flight trigger, then exit."""
+        if self._thread is None:
+            return
+        self._stop.set()
+        self._thread.join(timeout)
+        if self.error is not None:
+            raise self.error
+
+    def crash(self) -> None:
+        """Abrupt kill for tests: abandon the thread WITHOUT waiting —
+        whatever the in-flight trigger committed stays committed, the
+        rest replays on restart (exactly-once either way)."""
+        if self._stop is not None:
+            self._stop.set()
+        self._thread = None
+
+    def await_caught_up(self, timeout: float = 60.0) -> None:
+        """Block until the destination's watermark reaches the source's
+        current head (for tests and drain-then-stop shutdowns)."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if self.error is not None:
+                raise self.error
+            src_head = current_version(self.src_path)
+            dst_head = current_version(self.dst_path)
+            if src_head < 0:
+                return
+            if dst_head >= 0:
+                last = _txns_map(self.dst_path, dst_head).get(self.app)
+                if last is not None and last >= src_head:
+                    return
+            time.sleep(0.05)
+        raise TimeoutError(
+            f"stream {self.app!r} not caught up within {timeout}s"
+        )
 
 
 def history(path: str) -> list[dict]:

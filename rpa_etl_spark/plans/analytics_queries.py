@@ -1784,23 +1784,148 @@ def q_table_time_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_update",
+    oracle="""
+    WITH upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
+                   AS n_chars
+        FROM documents
+    ),
+    fin AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id < 50 THEN 0 ELSE n_chars END AS n_chars
+        FROM upd
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           (SELECT COUNT(*) FROM documents WHERE lang = 'de') AS n_upd,
+           (SELECT CAST(COALESCE(SUM(n_chars), 0) AS BIGINT)
+            FROM documents WHERE lang = 'de') AS sum_pre,
+           (SELECT CAST(COALESCE(SUM(n_chars + 1000), 0) AS BIGINT)
+            FROM documents WHERE lang = 'de') AS sum_post,
+           (SELECT COUNT(*) FROM documents WHERE doc_id < 50) AS n_replaced
+    FROM fin GROUP BY lang
+    """,
+)
+def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-LEVEL UPDATE + SELECTIVE OVERWRITE under the external
+    oracle (round-12 verdict #4 — the two write verbs a lakehouse user
+    still couldn't express): ``update_where(path, predicate, SET)``
+    rewrites only the files containing matching rows, applying the SET
+    expressions to exactly those rows (SQL UPDATE semantics — NULL
+    predicate keeps, assignments see old values), and
+    ``overwrite(df, where=...)`` (Delta's ``replaceWhere``) atomically
+    replaces exactly the predicate's rows with the frame's — both COW
+    at file granularity over the fileskip-pruned discovery scan.
+
+    Lifecycle: create documents(doc_id, lang, n_chars); UPDATE SET
+    n_chars = n_chars + 1000 WHERE lang = 'de'; replaceWhere
+    doc_id < 50 with the same ids at n_chars = 0. Emits the FINAL
+    per-lang aggregates plus change-feed evidence (same on every row):
+    the update's pre-/post-image counts and sums from the v1 sidecar
+    (round-12 verdict #6) and the replace's insert count from the v2
+    sidecar. A wrong row updated, a SET leaking outside the predicate,
+    a replace touching rows outside its region, or missing/wrong
+    update images changes a value and hash-mismatches against DuckDB
+    recomputing the lifecycle with CASE expressions.
+
+    Scale shape: both verbs discover affected files via manifest
+    statistics first (a clustered predicate opens only overlapping
+    files), rewrite by explicit file list, and write change sidecars
+    sized by the CHANGE, not the table."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                   "n_chars")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_upd_")
+    try:
+        TF.create_table(docs, path)
+        TF.update_where(spark, path, "lang = 'de'",
+                        {"n_chars": "n_chars + 1000"})
+        replacement = docs.where(F.col("doc_id") < 50).withColumn(
+            "n_chars", F.lit(0).cast("long")
+        )
+        TF.overwrite(replacement, path, where="doc_id < 50")
+
+        upd = TF.read_changes(spark, path, 1, 1)
+        ev1 = upd.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_change_kind") == "update_preimage",
+                             F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias("n_upd"),
+            F.coalesce(
+                F.sum(F.when(F.col("_change_kind") == "update_preimage",
+                             F.col("n_chars"))), F.lit(0)
+            ).alias("sum_pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("_change_kind") == "update_postimage",
+                             F.col("n_chars"))), F.lit(0)
+            ).alias("sum_post"),
+        ).collect()[0]
+        n_replaced = (
+            TF.read_changes(spark, path, 2, 2)
+            .where(F.col("_change_kind") == "insert").count()
+        )
+        final = (
+            TF.snapshot_read(spark, path)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_n_chars"),
+            )
+            .collect()
+        )
+        rows = [
+            (r["lang"], r["n_docs"], r["sum_n_chars"],
+             ev1["n_upd"], ev1["sum_pre"], ev1["sum_post"], n_replaced)
+            for r in final
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs bigint, sum_n_chars bigint, n_upd bigint, "
+        "sum_pre bigint, sum_post bigint, n_replaced bigint",
+    )
+
+
+@query(
     "q_table_changes",
     oracle="""
     SELECT CAST(0 AS INT) AS version, 'create' AS kind,
-           COUNT(*) AS n_rows,
-           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_doc_id
+           COUNT(*) AS n_ins,
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_ins,
+           CAST(0 AS BIGINT) AS n_upd_pre,
+           CAST(0 AS BIGINT) AS sum_upd_pre,
+           CAST(0 AS BIGINT) AS n_upd_post,
+           CAST(0 AS BIGINT) AS sum_upd_post
     FROM documents WHERE doc_id < 50
     UNION ALL
     SELECT CAST(1 AS INT), 'append', COUNT(*),
-           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+           0, 0, 0, 0
     FROM documents WHERE doc_id >= 50 AND doc_id < 80
     UNION ALL
     SELECT CAST(2 AS INT), 'delete', COUNT(*),
-           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+           0, 0, 0, 0
     FROM documents WHERE FALSE
     UNION ALL
     SELECT CAST(3 AS INT), 'merge', COUNT(*),
-           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT),
+           (SELECT COUNT(*) FROM documents
+            WHERE doc_id < 20 AND doc_id % 5 <> 0),
+           (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents
+            WHERE doc_id < 20 AND doc_id % 5 <> 0),
+           (SELECT COUNT(*) FROM documents
+            WHERE doc_id < 20 AND doc_id % 5 <> 0),
+           (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM documents
+            WHERE doc_id < 20 AND doc_id % 5 <> 0)
     FROM documents WHERE doc_id < 20 AND doc_id % 5 = 0
     """,
 )
@@ -1813,13 +1938,16 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing the exactly-once ``streaming_append_sink``. The query runs
     a four-commit lifecycle on the documents table (create docs<50,
     append 50..79, COW-delete doc_id%5=0, merge docs<20) and emits ONE
-    row per version with the feed's row count and id sum for exactly
-    that version: the create/append feeds are their committed rows, the
-    DELETE feeds nothing (additions-only, stated), and the merge feeds
-    precisely the ids the delete removed from under 20 (0,5,10,15 —
-    matched ids whole-row update and must NOT appear). A feed that
-    leaks updates, misses inserts, reads the wrong files, or
-    mis-stamps versions changes a row and hash-mismatches. The
+    row per version with the feed's per-change-kind row counts and id
+    sums: the create/append feeds are their committed rows (inserts),
+    the DELETE feeds nothing (additions-only, stated), and the merge
+    feeds precisely the ids the delete removed from under 20 as inserts
+    PLUS — round-12 verdict #6 — the matched keys' UPDATE IMAGES
+    (``update_preimage``/``update_postimage``, the Delta CDF shape,
+    carried in the change sidecar's ``_ck`` column): exactly the
+    surviving ids under 20. A feed that leaks updates as inserts,
+    misses images, reads the wrong files, or mis-stamps versions
+    changes a column and hash-mismatches. The
     exactly-once table-to-table replay loop is gated in
     tests/test_tablefmt.py (not SQL-expressible).
 
@@ -1845,24 +1973,46 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, docs.where(F.col("doc_id") < 20), on=["doc_id"]
         )
         hist = {h["version"]: h["kind"] for h in TF.history(path)}
+
+        def _kind_agg(ck: str, suffix: str):
+            is_k = F.col("_change_kind") == ck
+            return [
+                F.coalesce(
+                    F.sum(F.when(is_k, F.lit(1)).otherwise(F.lit(0))),
+                    F.lit(0),
+                ).alias(f"n_{suffix}"),
+                F.coalesce(
+                    F.sum(F.when(is_k, F.col("doc_id"))), F.lit(0)
+                ).alias(f"sum_{suffix}"),
+            ]
+
         rows = []
         for v in (0, 1, 2, 3):
+            # coalesce: an EMPTY version's sums are 0, not NULL, so the
+            # tiny-sf fixture (where the append range is empty) stays
+            # NULL/NaN-fold-free cross-engine
             agg = (
                 TF.read_changes(spark, path, v, v)
                 .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    # coalesce: an EMPTY version's sum is 0, not NULL, so
-                    # the tiny-sf fixture (where the append range is
-                    # empty) stays NULL/NaN-fold-free cross-engine
-                    F.coalesce(F.sum("doc_id"), F.lit(0)).alias("sum_doc_id"),
+                    *_kind_agg("insert", "ins"),
+                    *_kind_agg("update_preimage", "upd_pre"),
+                    *_kind_agg("update_postimage", "upd_post"),
                 )
                 .collect()[0]
             )
-            rows.append((v, hist[v], agg["n_rows"], agg["sum_doc_id"]))
+            rows.append((
+                v, hist[v],
+                agg["n_ins"], agg["sum_ins"],
+                agg["n_upd_pre"], agg["sum_upd_pre"],
+                agg["n_upd_post"], agg["sum_upd_post"],
+            ))
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
-        rows, "version int, kind string, n_rows bigint, sum_doc_id bigint"
+        rows,
+        "version int, kind string, n_ins bigint, sum_ins bigint, "
+        "n_upd_pre bigint, sum_upd_pre bigint, "
+        "n_upd_post bigint, sum_upd_post bigint",
     )
 
 
@@ -1962,6 +2112,10 @@ def q_table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT CAST(2 AS INT), COUNT(*), CAST(SUM(doc_id) AS BIGINT), TRUE
     FROM documents WHERE doc_id < 60 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT CAST(3 AS INT), COUNT(*), CAST(SUM(doc_id) AS BIGINT), TRUE
+    FROM documents WHERE doc_id < 60 AND doc_id % 3 <> 0 AND doc_id % 5 <> 0
+      AND doc_id % 2 <> 0
     """,
 )
 def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2001,11 +2155,20 @@ def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where(F.col("doc_id") < 60).repartitionByRange(4, "doc_id"),
             path,
         )
-        TF.delete_where(spark, path, "doc_id % 3 = 0", mode="dv")
-        TF.delete_where(spark, path, "doc_id % 5 = 0", mode="dv")
+        TF.delete_where(spark, path, "doc_id % 3 = 0", mode="dv",
+                        dv_rewrite_fraction=1.0)
+        TF.delete_where(spark, path, "doc_id % 5 = 0", mode="dv",
+                        dv_rewrite_fraction=1.0)
+        # round-12 verdict #7: a delete whose deleted fraction crosses
+        # ``dv_rewrite_fraction`` AUTO-MATERIALIZES the affected files
+        # (rewritten clean in the same commit, vectors gone) — 0.0
+        # forces it for every affected file, so the v3 gate below is
+        # partitioning-independent
+        TF.delete_where(spark, path, "doc_id % 2 = 0", mode="dv",
+                        dv_rewrite_fraction=0.0)
         files = {
             v: {e["path"] for e in TF.read_manifest(path, v)["files"]}
-            for v in (0, 1, 2)
+            for v in (0, 1, 2, 3)
         }
         no_rewrites = (
             TF.read_manifest(path, 1)["added"] == []
@@ -2013,8 +2176,25 @@ def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             and files[1] <= files[0]
             and files[2] <= files[1]
         )
+        # materialization evidence: v3 added new (clean) files; entries
+        # carried from v2 kept exactly their old vectors; every NEW
+        # entry is vector-free
+        m2_dv = {
+            e["path"]: e.get("dv")
+            for e in TF.read_manifest(path, 2)["files"]
+        }
+        m3 = TF.read_manifest(path, 3)
+        materialized = (
+            m3["added"] != []
+            and all(
+                (e.get("dv") == m2_dv[e["path"]])
+                if e["path"] in m2_dv else not e.get("dv")
+                for e in m3["files"]
+            )
+        )
+        ok = no_rewrites and materialized
         rows = []
-        for v in (0, 1, 2):
+        for v in (0, 1, 2, 3):
             agg = (
                 TF.snapshot_read(spark, path, version=v)
                 .agg(
@@ -2023,7 +2203,7 @@ def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .collect()[0]
             )
-            rows.append((v, agg["n_docs"], agg["sum_doc_id"], no_rewrites))
+            rows.append((v, agg["n_docs"], agg["sum_doc_id"], ok))
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(

@@ -559,6 +559,8 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
             st.tuples(st.just("delete_dv"), st.integers(0, 4), st.just(0)),
             st.tuples(st.just("delete_all"), st.just(0), st.just(0)),
             st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("update"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("replace"), st.integers(0, 9), st.integers(1, 4)),
             st.tuples(st.just("restore"), st.integers(0, 9), st.just(0)),
             st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
             st.tuples(st.just("optimize"), st.just(0), st.just(0)),
@@ -613,6 +615,29 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
                     spark, p, spark.createDataFrame(rows, "k long, v long"),
                     on=["k"],
                 )
+                for k, v in rows:
+                    model[k] = v
+            elif kind == "update":
+                # column-level UPDATE: SET v = v + 1 on one key stripe;
+                # a no-match stripe is a no-op (no commit)
+                TF.update_where(spark, p, f"k % 5 = {a % 5}",
+                                {"v": "v + 1"})
+                model = {
+                    k: (v + 1 if k % 5 == a % 5 else v)
+                    for k, v in model.items()
+                }
+            elif kind == "replace":
+                # selective overwrite of one 100-key region; the
+                # replacement rows all satisfy the predicate
+                rows = [(a * 100 + i, 5000 + i) for i in range(b)]
+                TF.overwrite(
+                    spark.createDataFrame(rows, "k long, v long"), p,
+                    where=f"k >= {a * 100} AND k < {a * 100 + 100}",
+                )
+                model = {
+                    k: v for k, v in model.items()
+                    if not (a * 100 <= k < a * 100 + 100)
+                }
                 for k, v in rows:
                     model[k] = v
             elif kind == "restore":
@@ -1003,14 +1028,22 @@ def test_read_changes_over_lifecycle(spark, tmp_path):
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
-    # v3 merge: matched odd ids 3,5 update (not in feed); 4,6 were
-    # deleted at v2 so they INSERT
-    assert per == {0: 10, 1: 5, 3: 2}
+    # v3 merge: matched odd ids 3,5 update -> pre+post IMAGES in the
+    # feed (round-12 verdict #6); 4,6 were deleted at v2 so they INSERT
+    assert per == {0: 10, 1: 5, 3: 6}
+    v3 = ch.where("_commit_version = 3")
     inserts = sorted(
-        r["id"] for r in ch.where("_commit_version = 3").collect()
+        r["id"] for r in v3.where("_change_kind = 'insert'").collect()
     )
     assert inserts == [4, 6]
-    assert ch.where("_change_kind != 'insert'").count() == 0
+    pre = {(r["id"], r["tag"])
+           for r in v3.where("_change_kind = 'update_preimage'").collect()}
+    post = {(r["id"], r["tag"])
+            for r in v3.where("_change_kind = 'update_postimage'").collect()}
+    assert pre == {(3, None), (5, None)}  # old rows predate the tag column
+    assert post == {(3, "s3"), (5, "s5")}
+    assert ch.where("_commit_version != 3")\
+             .where("_change_kind != 'insert'").count() == 0
     # bounded range + incremental watermark consumption
     assert TF.read_changes(spark, p, 1, 1).count() == 5
     assert TF.read_changes(spark, p, 4).count() == 0
@@ -1643,3 +1676,212 @@ def _entry(i: int) -> dict:
         "rows": 1,
         "stats": {"id": {"nulls": 0, "min": i, "max": i}},
     }
+
+
+def test_update_where_cow_lifecycle(spark, tmp_path):
+    """Column-level UPDATE (round-12 verdict #4): only matching rows
+    change, SET sees old values (simultaneous assignment), non-matching
+    files carry forward untouched, history stays time-travelable, the
+    change feed carries pre/post images, and unknown SET columns /
+    empty SET raise before anything writes."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", (F.col("id") * 2).alias("a"), (F.col("id") + 1).alias("b")
+    )
+    TF.create_table(df.repartitionByRange(4, "id"), p)
+    before = {e["path"] for e in TF.read_manifest(p, 0)["files"]}
+
+    v = TF.update_where(spark, p, "id >= 100 AND id < 150",
+                        {"a": "a + b", "b": "a"})  # simultaneous: new b = OLD a
+    assert v == 1
+    # untouched files carried verbatim (stats prove 2+ of 4 can't match)
+    carried = {e["path"] for e in TF.read_manifest(p, 1)["files"]} & before
+    assert len(carried) >= 2
+    rows = {r["id"]: (r["a"], r["b"])
+            for r in TF.snapshot_read(spark, p).collect()}
+    assert rows[120] == (120 * 2 + 121, 120 * 2)   # updated, old-value RHS
+    assert rows[50] == (100, 51)                   # untouched
+    assert rows[399] == (798, 400)
+    # time travel: v0 unchanged
+    assert TF.snapshot_read(spark, p, 0).where("id = 120").collect()[0]["a"] \
+        == 240
+    # change feed images
+    ch = TF.read_changes(spark, p, 1, 1)
+    pre = ch.where("_change_kind = 'update_preimage'")
+    post = ch.where("_change_kind = 'update_postimage'")
+    assert pre.count() == 50 and post.count() == 50
+    assert pre.where("id = 120").collect()[0]["a"] == 240
+    assert post.where("id = 120").collect()[0]["a"] == 361
+    assert ch.where("_change_kind = 'insert'").count() == 0
+    # guards
+    with pytest.raises(ValueError, match="SET columns"):
+        TF.update_where(spark, p, "id < 5", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one"):
+        TF.update_where(spark, p, "id < 5", {})
+    # no-match predicate: no commit
+    assert TF.update_where(spark, p, "id < 0", {"a": "0"}) == 1
+    # NULL predicate keeps the row (SQL UPDATE semantics)
+    df2 = spark.range(0, 4).select(
+        "id", F.when(F.col("id") % 2 == 0, F.col("id")).alias("k"),
+        F.lit(1).cast("long").alias("x")
+    )
+    p2 = str(tmp_path / "t2")
+    TF.create_table(df2, p2)
+    TF.update_where(spark, p2, "k > 0", {"x": "99"})
+    got = {r["id"]: r["x"] for r in TF.snapshot_read(spark, p2).collect()}
+    assert got == {0: 1, 1: 1, 2: 99, 3: 1}  # NULL k rows untouched; k=0 false
+
+
+def test_update_where_conflict_is_strict(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 10).select("id"), p)
+    base = TF.current_version(p)
+    TF.append(spark.range(10, 20).select("id"), p)
+    with pytest.raises(TF.CommitConflict):
+        TF.update_where(spark, p, "id < 5", {"id": "id + 100"},
+                        base_version=base)
+    # no orphan uuid dirs from the losing writer
+    data = os.path.join(p, "data")
+    live = {os.path.dirname(e["path"]) for e in
+            TF.read_manifest(p, TF.current_version(p))["files"]}
+    on_disk = {os.path.join("data", d) for d in os.listdir(data)}
+    assert on_disk == live
+
+
+def test_replace_where_selective_overwrite(spark, tmp_path):
+    """replaceWhere (round-12 verdict #4): exactly the predicate's rows
+    replaced, constraint on the frame enforced, untouched files carried,
+    change feed serves the inserts (sidecar) and include_deletes=True
+    derives the replaced rows; conflict is overwrite-class."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 400).select("id", (F.col("id") % 7).alias("g"))
+    TF.create_table(df.repartitionByRange(4, "id"), p)
+    before = {e["path"] for e in TF.read_manifest(p, 0)["files"]}
+
+    repl = spark.range(100, 110).select(
+        "id", F.lit(99).cast("long").alias("g")
+    )
+    v = TF.overwrite(repl, p, where="id >= 100 AND id < 200")
+    assert v == 1
+    carried = {e["path"] for e in TF.read_manifest(p, 1)["files"]} & before
+    assert len(carried) >= 2  # files outside [100, 200) never rewrote
+    snap = TF.snapshot_read(spark, p)
+    assert snap.count() == 400 - 100 + 10
+    assert snap.where("id >= 100 AND id < 200").count() == 10
+    assert snap.where("g = 99").count() == 10
+    assert snap.where("id < 100").count() == 100  # untouched region intact
+    # constraint: frame rows must satisfy the predicate
+    with pytest.raises(ValueError, match="replaceWhere"):
+        TF.overwrite(spark.range(0, 5).select(
+            "id", F.lit(0).cast("long").alias("g")), p, where="id >= 500")
+    # change feed: inserts from the sidecar; deletes by snapshot diff
+    ch = TF.read_changes(spark, p, 1, 1)
+    assert ch.where("_change_kind = 'insert'").count() == 10
+    chd = TF.read_changes(spark, p, 1, 1, include_deletes=True)
+    assert chd.where("_change_kind = 'delete'").count() == 100
+    assert sorted(
+        r["id"] for r in chd.where("_change_kind = 'insert'").collect()
+    ) == list(range(100, 110))
+    # empty replacement = selective delete via replace
+    TF.overwrite(spark.createDataFrame([], "id long, g long"), p,
+                 where="id < 50")
+    assert TF.snapshot_read(spark, p).where("id < 50").count() == 0
+    # conflict: strict base
+    base = TF.current_version(p)
+    TF.append(spark.range(1000, 1001).select(
+        "id", F.lit(0).cast("long").alias("g")), p)
+    with pytest.raises(TF.CommitConflict):
+        TF.overwrite(repl, p, where="id >= 100 AND id < 200",
+                     base_version=base)
+
+
+def test_dv_auto_materialization_crossover(spark, tmp_path):
+    """dv_rewrite_fraction (round-12 verdict #7): a dv-delete that keeps
+    a file's dead fraction under the threshold grows a vector; one that
+    crosses it rewrites the file clean in the SAME commit — bounding
+    the anti-join read tax without OPTIMIZE. Pinned at the exact
+    crossover on a single 100-row file."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 100).select("id").coalesce(1), p)
+
+    # delete 30% with threshold 0.5: vector grows, no rewrite
+    TF.delete_where(spark, p, "id < 30", mode="dv", dv_rewrite_fraction=0.5)
+    m1 = TF.read_manifest(p, 1)
+    assert m1["added"] == []
+    assert [e.get("dv", {}).get("rows") for e in m1["files"]] == [30]
+    assert TF.snapshot_read(spark, p).count() == 70
+
+    # delete 20 more -> total dead 50/100 = exactly the threshold:
+    # crossover fires (>=), the file materializes, vector gone
+    TF.delete_where(spark, p, "id >= 30 AND id < 50", mode="dv",
+                    dv_rewrite_fraction=0.5)
+    m2 = TF.read_manifest(p, 2)
+    assert m2["added"] != []
+    assert all(not e.get("dv") for e in m2["files"])
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == list(range(50, 100))
+    assert TF.row_count(p) == 50
+    # history intact across the materialization
+    assert TF.snapshot_read(spark, p, 1).count() == 70
+    # the replaced file's vector is still referenced by v1 (retained),
+    # and vacuum past it reclaims both the old file and the sidecar
+    res = TF.vacuum(p, keep_last=1)
+    assert res["deleted_files"] >= 2
+    assert TF.snapshot_read(spark, p).count() == 50
+
+
+def test_change_stream_crash_restart_exactly_once(spark, tmp_path):
+    """Round-12 verdict #5: the change feed as a LONG-RUNNING streaming
+    source. Commits land upstream while the stream runs; the stream is
+    killed abruptly mid-flight and a fresh instance restarted; the
+    destination must equal the union of everything the source ingested
+    EXACTLY once (no loss, no duplicates) — the checkpoint is the
+    destination's own txn map, so the crash loses nothing."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    TF.create_table(spark.range(0, 10).select("id"), src)
+
+    stream = TF.ChangeStream(spark, src, dst, app="rep",
+                             max_versions_per_trigger=2,
+                             poll_interval_s=0.05).start()
+    # upstream keeps committing while the stream runs
+    for i in range(1, 5):
+        TF.append(spark.range(i * 10, i * 10 + 10).select("id"), src)
+    stream.await_caught_up()
+    stream.crash()  # abrupt: no graceful drain
+
+    # more commits while NO stream is running (downtime backlog),
+    # including a delete (feeds nothing) and a merge (sidecar inserts)
+    TF.append(spark.range(50, 60).select("id"), src)
+    TF.delete_where(spark, src, "id % 10 = 3")
+    TF.merge_into(
+        spark, src,
+        spark.range(3, 6).select("id"), on=["id"],
+    )  # ids 3: re-insert (deleted); 4,5 matched -> update images, no insert
+
+    stream2 = TF.ChangeStream(spark, src, dst, app="rep",
+                              max_versions_per_trigger=2,
+                              poll_interval_s=0.05).start()
+    stream2.await_caught_up()
+    stream2.stop()
+
+    # exactly once: every id the source EVER ingested, exactly as often
+    # as it was ingested (3 twice: the create and the merge re-insert)
+    got = [r["id"] for r in TF.snapshot_read(spark, dst).collect()]
+    assert sorted(got) == sorted(list(range(60)) + [3])
+    # a third stream with nothing to do applies zero versions
+    stream3 = TF.ChangeStream(spark, src, dst, app="rep").start()
+    stream3.await_caught_up()
+    stream3.stop()
+    assert stream3.versions_applied == 0
+    assert TF.snapshot_read(spark, dst).count() == len(got)
