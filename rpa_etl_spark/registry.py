@@ -54,72 +54,25 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # ======================= ROUND-12 WINDOW (50) =======================
-    # == tier A (7): NEW queries + tablefmt/zorder kernel consumers.
-    #    tablefmt.py changed substantially this round (per-file stats +
-    #    file skipping, change feed, cluster_by z-order, O(1) txn map,
-    #    valid empty snapshots, pluggable arbiter) — its two NEW queries
-    #    and both existing consumers head the window; q_zorder_code is
-    #    both the zorder.py consumer (now wired into optimize) and
-    #    r7-stale.
+    # ======================= ROUND-13 WINDOW (50) =======================
+    # == tier A (8): NEW queries + every tablefmt/fileskip kernel
+    #    consumer. Both kernels changed substantially this round (typed
+    #    timestamp/decimal/date stats + literal canonicalization;
+    #    incremental manifests + checkpoints; replaceWhere; update_where;
+    #    CDF update images; dv auto-materialization; ChangeStream) — the
+    #    two NEW queries and all six existing consumers head the window.
+    "q_table_time_pruned_scan",
+    "q_table_update",
     "q_table_pruned_scan",
     "q_table_changes",
-    "q_table_zorder_scan",
     "q_table_delete_dv",
+    "q_table_zorder_scan",
     "q_table_time_travel",
     "q_table_schema_evolution",
-    "q_zorder_code",
-    # == tier B (13): the remaining ROUND-7-stale verdicts (5 rounds
-    #    old) — round-11 verdict #2's named cohort, alphabetical; all
-    #    unchanged since their verdict (local replica green), so this is
-    #    rotation lag, not drift.
-    "q_pack_sequences",
-    "q_parse_invoice",
-    "q_percentile_disc",
-    "q_quality_cascade",
-    "q_set_ops_all",
-    "q_text_stats",
-    "q_time_weighted_avg",
-    "q_trust_score",
-    "q_try_arith",
-    "q_url_parse",
-    "q_window_lead_lag",
-    "q_window_rank_ties",
-    "q_wordcount",
-    # == tier C (30): every ROUND-8-stale verdict (4 rounds old) —
-    #    the rest of verdict #2's cohort, alphabetical, unchanged.
-    "q_bm25",
-    "q_bpe_tokenize",
-    "q_bpe_tokenize_bytes",
-    "q_bpe_train",
-    "q_bpe_train_bytes",
-    "q_bpe_train_distributed",
-    "q_cnpj_valid",
-    "q_corpus_drift",
-    "q_count_distinct",
-    "q_cube",
-    "q_curation_verdict",
-    "q_dedup_containment",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_distinct",
-    "q_domain_mix_bpe",
-    "q_embedding_project",
-    "q_filter_predicates",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_hash",
-    "q_join_full",
-    "q_join_inner_broadcast",
-    "q_join_left",
-    "q_join_null_safe",
-    "q_join_range",
-    "q_join_semi",
-    "q_pack_sequences_bpe",
-    # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 9 (42 remaining) ==
+    # == tier B (42): the ROUND-9-stale cohort (verdict #2's named
+    #    list) — every query whose latest driver-green verdict is 4
+    #    rounds old; all unchanged since (local replica green), so this
+    #    is rotation lag, not drift. After r13 no verdict predates r10.
     "q_scan_project",
     "q_topk",
     "q_rollup",
@@ -162,6 +115,7 @@ PRIORITY_ORDER = [
     "q_audit_events",
     "q_case_routing",
     "q_decimal_math",
+    # ---------------- below the sampled window ----------------
     # == last driver-green in ROUND 10 (34) ==
     "q_fuzzy_match",
     "q_tpch_q3_shape",
@@ -197,9 +151,8 @@ PRIORITY_ORDER = [
     "q_user_totals_state",
     "q_stream_session_ttl",
     "q_join_skew_salted",
+    # == last driver-green in ROUND 11 (49) ==
     "q_agg_skew_salted",
-    # == last driver-green in ROUND 11 (48 not re-queued above; the
-    #    freshest cohort sits at the bottom by design) ==
     "q_lateral_topk",
     "q_profile_stats",
     "q_quantiles",
@@ -248,6 +201,52 @@ PRIORITY_ORDER = [
     "q_mode",
     "q_normalize_docs",
     "q_not_in_null_semantics",
+    # == last driver-green in ROUND 12 (44 not re-queued above; the
+    #    freshest cohort sits at the bottom by design) ==
+    "q_zorder_code",
+    "q_pack_sequences",
+    "q_parse_invoice",
+    "q_percentile_disc",
+    "q_quality_cascade",
+    "q_set_ops_all",
+    "q_text_stats",
+    "q_time_weighted_avg",
+    "q_trust_score",
+    "q_try_arith",
+    "q_url_parse",
+    "q_window_lead_lag",
+    "q_window_rank_ties",
+    "q_wordcount",
+    "q_bm25",
+    "q_bpe_tokenize",
+    "q_bpe_tokenize_bytes",
+    "q_bpe_train",
+    "q_bpe_train_bytes",
+    "q_bpe_train_distributed",
+    "q_cnpj_valid",
+    "q_corpus_drift",
+    "q_count_distinct",
+    "q_cube",
+    "q_curation_verdict",
+    "q_dedup_containment",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_distinct",
+    "q_domain_mix_bpe",
+    "q_embedding_project",
+    "q_filter_predicates",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_hash",
+    "q_join_full",
+    "q_join_inner_broadcast",
+    "q_join_left",
+    "q_join_null_safe",
+    "q_join_range",
+    "q_join_semi",
+    "q_pack_sequences_bpe",
 ]
 
 
