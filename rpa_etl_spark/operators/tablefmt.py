@@ -656,6 +656,83 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             raise CommitConflict(f"lost {max_retries} commit races at {path}")
 
 
+def _commit_rebase(path: str, kind: str, new_files: list[dict], df_schema,
+                   base_version: int,
+                   carry_files: list[dict],
+                   change_files: "list[dict] | None" = None,
+                   append_compat=None,
+                   max_rebases: int = 20) -> int:
+    """Strict (overwrite-class) commit with LOGICAL conflict detection —
+    the Delta ConflictChecker essence, reduced: when the head moved past
+    ``base_version``, the commit need not fail if every intervening
+    commit was a PURE ADDITION (kind ``append``, removes nothing,
+    modifies nothing) whose added entries each satisfy
+    ``append_compat(entry)`` — the caller's proof that the addition
+    cannot interact with this operation (for a predicate op: the
+    entry's stats prove no row matches; for compaction: anything).
+    Compatible additions REBASE: their entries carry into the new
+    manifest alongside the survivors, and the commit retries on the new
+    head. Anything else — an intervening delete/merge/overwrite/
+    optimize, an addition that MIGHT overlap, a vacuumed gap, no
+    ``append_compat`` — raises CommitConflict exactly as before.
+
+    Why it matters at scale: compaction and predicate-scoped COW writes
+    run for minutes on a 100 TB table while streaming ingest commits
+    every few seconds; without logical detection every long write loses
+    every race. With it, OPTIMIZE never conflicts with appends, and a
+    delete/update/merge conflicts only when an append's stats OVERLAP
+    its predicate/keys — the same stats machinery the read path prunes
+    with (soundness: ``can_match`` is conservative, so unknown stats
+    read as overlap = conflict, never a wrong rebase)."""
+    bv = base_version
+    carry = list(carry_files)
+    rebases = 0
+    while True:
+        try:
+            return _commit(path, kind, new_files, df_schema,
+                           base_version=bv, strict_base=True,
+                           carry_files=carry, change_files=change_files)
+        except CommitConflict:
+            if append_compat is None or rebases >= max_rebases:
+                raise
+            head = current_version(path)
+            added_entries: list[dict] = []
+            ok = True
+            for v in range(bv + 1, head + 1):
+                try:
+                    raw = _read_manifest_raw(path, v)
+                except FileNotFoundError:
+                    ok = False  # vacuumed mid-race: cannot prove anything
+                    break
+                if raw.get("kind") != "append" or raw.get("remove"):
+                    ok = False
+                    break
+                adds = raw.get("add")
+                if adds is None:  # legacy full manifest: no cheap delta
+                    ok = False
+                    break
+                if not all(append_compat(e) for e in adds):
+                    ok = False
+                    break
+                added_entries.extend(adds)
+            if not ok:
+                raise
+            carry = carry + added_entries
+            bv = head
+            rebases += 1
+
+
+def _no_match_compat(predicate: "str | None", tz: str):
+    """append_compat proving an added entry holds NO row matching
+    ``predicate`` — None (always-conflict) when the predicate is
+    outside the prunable subset."""
+    compiled = fileskip.compile_predicate(predicate) \
+        if predicate is not None else None
+    if compiled is None:
+        return None
+    return lambda e: not fileskip.can_match(compiled, e, tz)
+
+
 def create_table(df, path: str) -> int:
     """Create (or fail if the table exists) — version 0 EXACTLY. The
     commit is strict on version 0, so two racing create_table calls
@@ -840,11 +917,12 @@ def _replace_where(df, path: str, where: str, base_version: int,
         )
     new_files = _write_data_files(new_data, path)
     try:
-        return _commit(
+        return _commit_rebase(
             path, "replace", new_files, merged,
-            base_version=base_version, strict_base=True,
+            base_version=base_version,
             carry_files=survivors,
             change_files=change_entries,
+            append_compat=_no_match_compat(where, _session_tz(spark)),
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -950,11 +1028,12 @@ def update_where(spark, path: str, predicate: str, assignments: dict,
         ]
     new_files = _write_data_files(updated, path)
     try:
-        return _commit(
+        return _commit_rebase(
             path, "update", new_files, target,
-            base_version=base_version, strict_base=True,
+            base_version=base_version,
             carry_files=survivors,
             change_files=change_entries,
+            append_compat=_no_match_compat(predicate, _session_tz(spark)),
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -1071,10 +1150,11 @@ def delete_where(spark, path: str, predicate: str,
         kept = kept.unionByName(part)
     new_files = _write_data_files(kept, path) if kept.limit(1).count() else []
     try:
-        return _commit(
+        return _commit_rebase(
             path, "delete", new_files, target,
-            base_version=base_version, strict_base=True,
+            base_version=base_version,
             carry_files=survivors_entries,
+            append_compat=_no_match_compat(predicate, _session_tz(spark)),
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -1183,10 +1263,11 @@ def _delete_where_dv(spark, path, predicate, base_version, m, target,
             _discard_files(path, dv_entries)
             dv_entries = []
     try:
-        return _commit(
+        return _commit_rebase(
             path, "delete", new_files, target,
-            base_version=base_version, strict_base=True,
+            base_version=base_version,
             carry_files=carry,
+            append_compat=_no_match_compat(predicate, _session_tz(spark)),
         )
     except (CommitConflict, SchemaEvolutionError):
         if dv_entries:
@@ -1446,6 +1527,7 @@ def merge_into(spark, path: str, source, on: "list[str]",
     # [min, max] (NULL source keys never match, so the non-null bounds
     # are the complete match window; one tiny aggregate prices it)
     candidates = m["files"]
+    node = None
     if m["files"]:
         from pyspark.sql.types import TimestampType
 
@@ -1464,7 +1546,6 @@ def merge_into(spark, path: str, source, on: "list[str]",
             c = F.unix_micros(F.col(k)) if is_ts[k] else F.col(k)
             aggs += [F.min(c).alias(f"__lo_{k}"), F.max(c).alias(f"__hi_{k}")]
         b = src.agg(*aggs).collect()[0]
-        node = None
         for k in on:
             lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
             if lo is None:
@@ -1547,11 +1628,19 @@ def merge_into(spark, path: str, source, on: "list[str]",
         )
     new_files = _write_data_files(new_data, path)
     try:
-        return _commit(
+        return _commit_rebase(
             path, "merge", new_files, merged,
-            base_version=base_version, strict_base=True,
+            base_version=base_version,
             carry_files=survivors_entries,
             change_files=change_entries,
+            # an appended file whose stats prove it cannot hold ANY row
+            # inside the source's key bounds cannot contain a matched
+            # key — safe to rebase over (None = unprunable keys: strict)
+            append_compat=(
+                (lambda e: not fileskip.can_match(node, e,
+                                                  _session_tz(spark)))
+                if node is not None else None
+            ),
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -1644,10 +1733,15 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
         df = df.coalesce(n_out)
     new_files = _write_data_files(df, path)
     try:
-        return _commit(
+        return _commit_rebase(
             path, "optimize", new_files, target,
-            base_version=base_version, strict_base=True,
+            base_version=base_version,
             carry_files=[],
+            # compaction interacts with NO addition: concurrent appends
+            # rebase in unconditionally (their files simply stay
+            # uncompacted until the next OPTIMIZE) — the property that
+            # lets compaction run continuously against streaming ingest
+            append_compat=lambda e: True,
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -1688,6 +1782,38 @@ def _cluster_bounds(m: dict, cols: list[str], df) -> list[tuple[float, float]]:
     return out
 
 
+def version_at_time(path: str, ts) -> int:
+    """TIMESTAMP-BASED time travel (Delta's ``timestampAsOf``): the
+    newest RETAINED version whose commit time is <= ``ts`` (a unix
+    epoch float/int or a datetime; naive datetimes are taken as UTC).
+    Raises ValueError when every retained commit is newer (the Delta
+    behavior — there is no snapshot that early). Pure metadata: one
+    raw-manifest read per retained version, newest-first, stopping at
+    the first hit."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = ts.timestamp()
+    head = current_version(path)
+    if head < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    oldest = None
+    for v in range(head, -1, -1):
+        try:
+            m = _read_manifest_raw(path, v)
+        except FileNotFoundError:
+            break  # vacuumed below here
+        oldest = (v, m.get("committed_at"))
+        if m.get("committed_at") is not None and m["committed_at"] <= ts:
+            return v
+    raise ValueError(
+        f"no retained snapshot at or before ts={ts}: the oldest retained "
+        f"commit is v{oldest[0]} at {oldest[1]}"
+    )
+
+
 def table_schema(path: str, version: int | None = None):
     """The table's StructType at ``version`` (default: head)."""
     from pyspark.sql.types import StructType
@@ -1700,7 +1826,8 @@ def table_schema(path: str, version: int | None = None):
 
 def snapshot_read(spark, path: str, version: int | None = None,
                   schema_version: int | None = None,
-                  where: "str | None" = None):
+                  where: "str | None" = None,
+                  at_time=None):
     """Snapshot-isolated read: resolve the version ONCE, then scan
     exactly that manifest's files (plain parquet multi-file scans —
     pushdown and pruning intact). ``version`` time-travels. An EMPTY
@@ -1722,10 +1849,19 @@ def snapshot_read(spark, path: str, version: int | None = None,
     the layer ABOVE parquet's own row-group pruning: at 100 TB the plan
     lists only the overlapping files instead of handing Catalyst the
     whole snapshot). The predicate is STILL applied to the surviving
-    rows, so the result is exact whatever the stats say."""
+    rows, so the result is exact whatever the stats say.
+
+    ``at_time`` (Delta's ``timestampAsOf``) time-travels by COMMIT TIME
+    instead of version number — the newest retained snapshot at or
+    before the given epoch/datetime (see :func:`version_at_time`);
+    mutually exclusive with ``version``."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if at_time is not None:
+        if version is not None:
+            raise ValueError("pass version OR at_time, not both")
+        version = version_at_time(path, at_time)
     if version is None:
         version = current_version(path)
     if version < 0:
@@ -2242,12 +2378,19 @@ def history(path: str) -> list[dict]:
     return out
 
 
-def vacuum(path: str, keep_last: int = 2) -> dict:
+def vacuum(path: str, keep_last: int = 2,
+           max_age_s: "float | None" = None) -> dict:
     """Retention GC — the Delta VACUUM essence, reduced: drop manifests
     older than the newest ``keep_last`` versions and delete the data
     files referenced ONLY by dropped versions. After a vacuum the head
     and its ``keep_last - 1`` predecessors still time-travel; older
     versions raise FileNotFoundError (the documented retention trade).
+
+    ``max_age_s`` adds TIME-BASED retention (Delta's retention hours):
+    a version committed within the last ``max_age_s`` seconds is kept
+    even beyond ``keep_last`` — retention becomes "newest keep_last
+    versions AND everything younger than the window", so
+    :func:`version_at_time` keeps resolving anywhere inside it.
 
     Safety rules:
     - a data file is deleted iff a DROPPED manifest references it and NO
@@ -2267,6 +2410,20 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
     if head < 0:
         return out
     cutoff = head - max(1, keep_last) + 1  # retain versions >= cutoff
+    if max_age_s is not None:
+        horizon = time.time() - max_age_s
+        v = 0
+        while v < cutoff:
+            try:
+                m = _read_manifest_raw(path, v)
+            except FileNotFoundError:
+                v += 1
+                continue
+            if m.get("committed_at") is not None \
+                    and m["committed_at"] >= horizon:
+                cutoff = v  # this and everything newer is in the window
+                break
+            v += 1
     if cutoff <= 0:
         return out
     retained: set[str] = set()

@@ -330,23 +330,39 @@ def test_delete_where_all_rows_in_file_drops_file(spark, tmp_path):
 
 
 def test_delete_where_conflict_detected(spark, tmp_path):
-    """DELETE carries the overwrite-class conflict rule: a concurrent
-    commit past base_version raises, and the loser leaks no data dir."""
+    """DELETE carries the overwrite-class conflict rule with LOGICAL
+    detection (round 13): a concurrent append whose stats might overlap
+    the predicate raises (and the loser leaks no data dir); a PROVABLY
+    disjoint concurrent append rebases in — the delete lands on the new
+    head and the appended rows survive."""
     import os
 
     p = str(tmp_path / "t")
     TF.create_table(spark.range(0, 5), p)
     base = TF.current_version(p)
-    TF.append(spark.range(5, 8), p)
+    TF.append(spark.range(5, 8), p)  # ids 5..7 MIGHT contain id <= 5
     dirs_before = sorted(os.listdir(os.path.join(p, "data")))
     with pytest.raises(TF.CommitConflict):
-        TF.delete_where(spark, p, "id = 0", base_version=base)
+        TF.delete_where(spark, p, "id <= 5", base_version=base)
     assert sorted(os.listdir(os.path.join(p, "data"))) == dirs_before
     # re-read and retry succeeds
-    TF.delete_where(spark, p, "id = 0")
+    TF.delete_where(spark, p, "id <= 5")
     assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
-        1, 2, 3, 4, 5, 6, 7,
+        6, 7,
     ]
+    # disjoint concurrent append: the delete REBASES instead of failing
+    base = TF.current_version(p)
+    TF.append(spark.range(100, 103), p)  # stats prove no id = 7 here
+    v = TF.delete_where(spark, p, "id = 7", base_version=base)
+    assert v == TF.current_version(p)
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == [
+        6, 100, 101, 102,
+    ]
+    # a non-append intervening commit always conflicts
+    base = TF.current_version(p)
+    TF.delete_where(spark, p, "id = 100")
+    with pytest.raises(TF.CommitConflict):
+        TF.delete_where(spark, p, "id = 6", base_version=base)
 
 
 def test_delete_where_across_schema_evolution(spark, tmp_path):
@@ -531,12 +547,20 @@ def test_merge_into_conflict_and_empty_source(spark, tmp_path):
     TF.append(
         spark.range(3, 4).select(F.col("id").alias("k"), F.lit(0).alias("v")), p
     )
-    src = spark.createDataFrame([(0, 7)], "k long, v long")
+    # key 3 overlaps the appended file's key range -> genuine conflict
+    src_overlap = spark.createDataFrame([(3, 7)], "k long, v long")
     with pytest.raises(TF.CommitConflict):
-        TF.merge_into(spark, p, src, on=["k"], base_version=base)
+        TF.merge_into(spark, p, src_overlap, on=["k"], base_version=base)
+    # key 0 is provably outside the appended file's [3, 3] bounds ->
+    # the merge REBASES onto the new head (round-13 logical detection)
+    src = spark.createDataFrame([(0, 7)], "k long, v long")
+    v = TF.merge_into(spark, p, src, on=["k"], base_version=base)
+    assert v == TF.current_version(p)
+    got = {r["k"]: r["v"] for r in TF.snapshot_read(spark, p).collect()}
+    assert got == {0: 7, 1: 0, 2: 0, 3: 0}
     empty = spark.createDataFrame([], "k long, v long")
     assert TF.merge_into(spark, p, empty, on=["k"]) == TF.current_version(p)
-    assert [h["kind"] for h in TF.history(p)] == ["create", "append"]
+    assert [h["kind"] for h in TF.history(p)] == ["create", "append", "merge"]
 
 
 # ---------------------------------------------------------------- model test
@@ -739,11 +763,20 @@ def test_optimize_noop_when_already_compact_and_conflict_rule(spark, tmp_path):
     TF.overwrite(spark.range(0, 20).repartition(6), p)
     base = TF.current_version(p)
     TF.append(spark.range(20, 30).repartition(4), p)
+    # round 13: compaction NEVER conflicts with concurrent appends —
+    # the appended files rebase in uncompacted, every row survives
+    v = TF.optimize(spark, p, base_version=base)
+    assert v == TF.current_version(p)
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(30))
+    # a non-append intervening commit still conflicts
+    TF.overwrite(spark.range(0, 20).repartition(6), p)
+    base = TF.current_version(p)
+    TF.delete_where(spark, p, "id = 0")
     with pytest.raises(TF.CommitConflict):
         TF.optimize(spark, p, base_version=base)
     # head optimize still works and keeps every row
     TF.optimize(spark, p)
-    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(30))
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) == list(range(1, 20))
 
 
 def test_optimize_sort_col_clusters_ranges(spark, tmp_path):
@@ -1603,7 +1636,7 @@ def test_delete_dv_conflict_discards_sidecar(spark, tmp_path):
     p = str(tmp_path / "t")
     TF.create_table(spark.range(0, 30), p)
     base = TF.current_version(p)
-    TF.append(spark.range(30, 33), p)  # another writer moved the head
+    TF.append(spark.range(3, 33), p)  # overlaps id < 5: genuine conflict
     with pytest.raises(TF.CommitConflict):
         TF.delete_where(spark, p, "id < 5", mode="dv", base_version=base)
     leaked = [
@@ -1612,9 +1645,9 @@ def test_delete_dv_conflict_discards_sidecar(spark, tmp_path):
     ]
     assert leaked == [], leaked
     TF.delete_where(spark, p, "id < 5", mode="dv")
-    assert TF.row_count(p) == 28
+    assert TF.row_count(p) == 53  # 60 rows - ids {0..4} - appended {3,4}
     assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
-        == list(range(5, 33))
+        == sorted(list(range(5, 30)) + list(range(5, 33)))
 
 
 def test_incremental_manifests_commit_payload_is_o_change(tmp_path):
@@ -1740,10 +1773,19 @@ def test_update_where_conflict_is_strict(spark, tmp_path):
     p = str(tmp_path / "t")
     TF.create_table(spark.range(0, 10).select("id"), p)
     base = TF.current_version(p)
-    TF.append(spark.range(10, 20).select("id"), p)
+    TF.append(spark.range(4, 20).select("id"), p)  # overlaps id < 5
     with pytest.raises(TF.CommitConflict):
         TF.update_where(spark, p, "id < 5", {"id": "id + 100"},
                         base_version=base)
+    # a PROVABLY disjoint append rebases instead (round-13 logical
+    # conflict detection)
+    base = TF.current_version(p)
+    TF.append(spark.range(50, 60).select("id"), p)
+    v = TF.update_where(spark, p, "id < 2", {"id": "id + 100"},
+                        base_version=base)
+    assert v == TF.current_version(p)
+    got = sorted(r["id"] for r in TF.snapshot_read(spark, p).collect())
+    assert 100 in got and 101 in got and 50 in got and 0 not in got
     # no orphan uuid dirs from the losing writer
     data = os.path.join(p, "data")
     live = {os.path.dirname(e["path"]) for e in
@@ -1792,13 +1834,23 @@ def test_replace_where_selective_overwrite(spark, tmp_path):
     TF.overwrite(spark.createDataFrame([], "id long, g long"), p,
                  where="id < 50")
     assert TF.snapshot_read(spark, p).where("id < 50").count() == 0
-    # conflict: strict base
+    # conflict: an intervening append OVERLAPPING the region conflicts;
+    # a disjoint one rebases (round-13 logical detection)
     base = TF.current_version(p)
-    TF.append(spark.range(1000, 1001).select(
+    TF.append(spark.range(150, 151).select(
         "id", F.lit(0).cast("long").alias("g")), p)
     with pytest.raises(TF.CommitConflict):
         TF.overwrite(repl, p, where="id >= 100 AND id < 200",
                      base_version=base)
+    base = TF.current_version(p)
+    TF.append(spark.range(1000, 1001).select(
+        "id", F.lit(0).cast("long").alias("g")), p)
+    v = TF.overwrite(repl, p, where="id >= 100 AND id < 200",
+                     base_version=base)
+    assert v == TF.current_version(p)
+    snap2 = TF.snapshot_read(spark, p)
+    assert snap2.where("id = 1000").count() == 1
+    assert snap2.where("id >= 100 AND id < 200").count() == 10
 
 
 def test_dv_auto_materialization_crossover(spark, tmp_path):
@@ -1885,3 +1937,103 @@ def test_change_stream_crash_restart_exactly_once(spark, tmp_path):
     stream3.stop()
     assert stream3.versions_applied == 0
     assert TF.snapshot_read(spark, dst).count() == len(got)
+
+
+def test_timestamp_time_travel_and_age_retention(spark, tmp_path):
+    """version_at_time / snapshot_read(at_time=) resolve by commit time
+    (Delta timestampAsOf); vacuum(max_age_s=) keeps everything inside
+    the age window beyond keep_last. Commit times are rewritten to a
+    synthetic spaced timeline so the test is wall-clock-independent."""
+    import json as _json
+    import time as _time
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5).select("id"), p)           # v0
+    TF.append(spark.range(5, 10).select("id"), p)                # v1
+    TF.append(spark.range(10, 15).select("id"), p)               # v2
+    TF.append(spark.range(15, 20).select("id"), p)               # v3
+    now = _time.time()
+    stamps = {0: now - 3600, 1: now - 600, 2: now - 60, 3: now - 5}
+    for v, t in stamps.items():
+        mp = TF._manifest_path(p, v)
+        m = _json.load(open(mp))
+        m["committed_at"] = t
+        os_unlink_then_write(mp, m)
+
+    assert TF.version_at_time(p, now) == 3
+    assert TF.version_at_time(p, now - 30) == 2
+    assert TF.version_at_time(p, now - 599) == 1
+    assert TF.version_at_time(p, now - 3600) == 0
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        TF.version_at_time(p, now - 7200)
+    assert TF.snapshot_read(spark, p, at_time=now - 30).count() == 15
+    with pytest.raises(ValueError, match="not both"):
+        TF.snapshot_read(spark, p, version=1, at_time=now)
+    import datetime as _dt
+
+    assert TF.version_at_time(
+        p, _dt.datetime.fromtimestamp(now - 30, _dt.timezone.utc)
+    ) == 2
+
+    # age-based retention: keep_last=1 would normally drop v0..v2, but
+    # a 300s window keeps v2 and v3 (committed 60s and 5s ago)
+    res = TF.vacuum(p, keep_last=1, max_age_s=300)
+    assert res["dropped_versions"] == [0, 1]
+    assert TF.snapshot_read(spark, p, 2).count() == 15
+    with pytest.raises(FileNotFoundError):
+        TF.read_manifest(p, 1)
+    # pure count-based retention still works on top
+    res2 = TF.vacuum(p, keep_last=1)
+    assert res2["dropped_versions"] == [2]
+
+
+def os_unlink_then_write(path, obj):
+    import json as _json
+    import os as _os
+
+    _os.unlink(path)
+    with open(path, "w") as f:
+        _json.dump(obj, f)
+
+
+def test_cow_rebase_under_live_concurrent_appenders(spark, tmp_path):
+    """The streaming-ingest-vs-maintenance race (round 13): appender
+    threads keep committing disjoint rows while a predicate-scoped
+    DELETE and an OPTIMIZE run — logical conflict detection must land
+    both WITHOUT CommitConflict (the appends are provably outside the
+    predicate, and compaction accepts any addition), and no row may be
+    lost or spuriously deleted."""
+    import threading
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 40).select("id"), p)
+
+    errs = []
+
+    def appender(t):
+        try:
+            for i in range(3):
+                lo = 1000 + t * 100 + i * 10
+                TF.append(spark.range(lo, lo + 10).select("id"), p)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(t,))
+               for t in range(4)]
+    for th in threads:
+        th.start()
+    # maintenance runs against a base that keeps going stale
+    TF.delete_where(spark, p, "id < 20")
+    TF.optimize(spark, p, target_bytes=1 << 30)
+    for th in threads:
+        th.join()
+    assert errs == []
+    got = sorted(r["id"] for r in TF.snapshot_read(spark, p).collect())
+    appended = sorted(
+        1000 + t * 100 + i * 10 + j
+        for t in range(4) for i in range(3) for j in range(10)
+    )
+    # ids < 20 deleted; 20..39 kept; every appended row present exactly
+    # once (the delete/optimize may or may not have raced each append,
+    # but either way nothing is lost or double-counted)
+    assert got == sorted(list(range(20, 40)) + appended)
