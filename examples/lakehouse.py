@@ -98,7 +98,8 @@ def main() -> None:
     # pure-metadata commit (history stays time-travelable)
     before_files = {e["path"] for e in
                     TF.read_manifest(table, TF.current_version(table))["files"]}
-    TF.delete_where(spark, table, "n_chars > 500", mode="dv")
+    TF.delete_where(spark, table, "n_chars > 500", mode="dv",
+                    dv_rewrite_fraction=1.0)  # pure merge-on-read demo
     after = TF.read_manifest(table, TF.current_version(table))
     print(f"dv delete: rewrote 0 files (added={after['added']}, "
           f"same files: {({e['path'] for e in after['files']}) <= before_files}), "
@@ -130,6 +131,39 @@ def main() -> None:
           "versions;", "replay applies",
           TF.sync_changes(spark, table, dst, "demo"),
           f"(mirror rows: {TF.row_count(dst)})")
+
+    # round 13 — column-level UPDATE and selective overwrite
+    # (replaceWhere): the two write verbs between "append" and "rewrite
+    # the table"; both COW at file granularity over the stats-pruned
+    # discovery, both change-feed'd (UPDATE emits pre/post images)
+    TF.update_where(spark, table, "lang = 'und'",
+                    {"lang": "'unknown'", "n_chars": "n_chars + 1"})
+    print("update_where: re-graded",
+          TF.snapshot_read(spark, table).where("lang = 'unknown'").count(),
+          "docs (pre/post images in the change feed)")
+    region = TF.snapshot_read(spark, table).where("doc_id < 10") \
+        .withColumn("source", F.lit("re-ingest"))
+    TF.overwrite(region, table, where="doc_id < 10")
+    print("replaceWhere doc_id < 10: region re-ingested atomically,",
+          TF.row_count(table), "rows total")
+
+    # round 13 — logical conflict detection: maintenance survives a
+    # concurrent (disjoint) append instead of losing the race
+    base = TF.current_version(table)
+    TF.append(
+        spark.createDataFrame([(90_000, "new", 7, "late")],
+                              "doc_id long, lang string, n_chars long, "
+                              "source string"), table)
+    v = TF.delete_where(spark, table, "doc_id BETWEEN 20 AND 29",
+                        base_version=base)  # stale base, provably disjoint
+    print(f"stale-base delete REBASED onto v{v} (appended row survives:",
+          TF.snapshot_read(spark, table).where("doc_id = 90000").count() == 1,
+          ")")
+
+    # round 13 — timestamp time travel (Delta's timestampAsOf)
+    import time as _time
+
+    print("version_at_time(now):", TF.version_at_time(table, _time.time()))
 
     # VACUUM: keep the last 2 versions; reclaim files only they reference
     out = TF.vacuum(table, keep_last=2)
