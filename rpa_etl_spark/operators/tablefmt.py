@@ -152,32 +152,119 @@ def _wider(a, b):
     return None
 
 
+# StructField.metadata key holding a column's STABLE FIELD ID (round 13
+# — the Delta column-mapping / Iceberg field-id essence): ids are minted
+# at commit time, ride every stored schema, survive renames, and are how
+# a file written before a rename still yields the renamed column. Spark
+# carries field metadata through StructType JSON untouched.
+_TFID = "tfid"
+
+
+def _field_id(f) -> "int | None":
+    try:
+        v = f.metadata.get(_TFID)
+    except Exception:  # noqa: BLE001 — no metadata at all
+        return None
+    return int(v) if isinstance(v, (int, float)) else None
+
+
+def _with_id(f, fid: int):
+    from pyspark.sql.types import StructField
+
+    md = dict(f.metadata or {})
+    md[_TFID] = int(fid)
+    return StructField(f.name, f.dataType, f.nullable, md)
+
+
+def _max_field_id(schemas: list[dict]) -> int:
+    """Largest field id any stored schema ever used (ids are never
+    reused — a re-added column after a drop gets a FRESH id, so the
+    dropped column's data stays hidden)."""
+    from pyspark.sql.types import StructType
+
+    mx = 0
+    for sj in schemas:
+        for f in StructType.fromJson(sj).fields:
+            fid = _field_id(f)
+            if fid is not None and fid > mx:
+                mx = fid
+    return mx
+
+
+def _enrich_ids(schema, next_id: int):
+    """Stamp stable field ids onto every field lacking one (existing ids
+    — inherited from stored table schemas through merge_schemas — are
+    kept). Returns (schema', next_id')."""
+    from pyspark.sql.types import StructType
+
+    fields = []
+    for f in schema.fields:
+        fid = _field_id(f)
+        if fid is None:
+            fid = next_id
+            next_id += 1
+        fields.append(_with_id(f, fid))
+    return StructType(fields), next_id
+
+
 def merge_schemas(table_schema, df_schema):
     """Evolve ``table_schema`` by ``df_schema``: shared columns must match
     exactly or widen along a numeric chain (either direction — a narrower
     incoming file is fine to WRITE, it reads back cast up); new df columns
     append after the table columns; table columns absent from the df are
     kept (they read as null for the new files). Any other change —
-    narrowing, renames, cross-family or parameterized-type changes
-    (array/map/struct element types, decimal precision) — raises
-    SchemaEvolutionError before anything publishes."""
-    from pyspark.sql.types import StructType
+    narrowing, implicit renames, cross-family or parameterized-type
+    changes (array/map/struct element types, decimal precision) — raises
+    SchemaEvolutionError before anything publishes. (EXPLICIT renames/
+    drops are their own metadata-only commits: :func:`rename_column` /
+    :func:`drop_column`.)
 
-    by_name = {f.name: f for f in df_schema.fields}
+    Matching is by STABLE FIELD ID first when both sides carry one (only
+    schemas this module stored do — it makes a restore across a rename
+    fuse the old field with its renamed self, keeping the TABLE's
+    current name), then by name; a name match whose explicit ids differ
+    is NOT fused (a re-added column after a drop is a different
+    column)."""
+    from pyspark.sql.types import StructField, StructType
+
+    used: set[int] = set()
     out = []
     for f in table_schema.fields:
-        g = by_name.pop(f.name, None)
+        fid = _field_id(f)
+        g = None
+        if fid is not None:
+            g = next((d for d in df_schema.fields
+                      if _field_id(d) == fid and id(d) not in used), None)
+        if g is None:
+            cand = next((d for d in df_schema.fields
+                         if d.name == f.name and id(d) not in used), None)
+            if cand is not None:
+                cid = _field_id(cand)
+                if cid is None or fid is None or cid == fid:
+                    g = cand
         if g is None:
             out.append(f)
             continue
+        used.add(id(g))
         w = _wider(f.dataType, g.dataType)
         if w is None:
             raise SchemaEvolutionError(
                 f"column {f.name!r}: cannot evolve "
                 f"{f.dataType.simpleString()} <-> {g.dataType.simpleString()}"
             )
-        out.append(f if f.dataType == w else g)
-    out.extend(f for f in df_schema.fields if f.name in by_name)
+        # the table's name and id always win (renames are table-side)
+        out.append(
+            f if f.dataType == w
+            else StructField(f.name, w, True, dict(f.metadata or {}))
+        )
+    out.extend(d for d in df_schema.fields if id(d) not in used)
+    names = [f.name for f in out]
+    if len(names) != len(set(names)):
+        dup = sorted({n for n in names if names.count(n) > 1})
+        raise SchemaEvolutionError(
+            f"evolution would duplicate column name(s) {dup} (a new "
+            "column collides with a renamed one)"
+        )
     return StructType(out)
 
 
@@ -552,11 +639,34 @@ def _last_txn_batch(path: str, head: int, app: str) -> "int | None":
     return _txns_map(path, head).get(app)
 
 
+def _inherit_ids(df_schema, merged):
+    """Carry ``merged``'s stable field ids onto the df schema's fields
+    (matched by id when the df field already has one — a stored-schema
+    df like restore's — else by name), keeping the df's own NAMES: a
+    file's stored schema records its PHYSICAL column names plus the ids
+    that map them to whatever the table later calls those columns."""
+    from pyspark.sql.types import StructType
+
+    by_id = {_field_id(f): f for f in merged.fields
+             if _field_id(f) is not None}
+    by_name = {f.name: f for f in merged.fields}
+    fields = []
+    for f in df_schema.fields:
+        fid = _field_id(f)
+        tgt = by_id.get(fid) if fid is not None else None
+        if tgt is None:
+            tgt = by_name.get(f.name)
+        tid = _field_id(tgt) if tgt is not None else None
+        fields.append(_with_id(f, tid) if tid is not None else f)
+    return StructType(fields)
+
+
 def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             base_version: int, *, strict_base: bool,
             carry_files: "list[dict] | None" = None,
             txn: "dict | None" = None,
             change_files: "list[dict] | None" = None,
+            schema_override=None,
             max_retries: int = 50) -> int:
     """Publish a commit on top of the head, retrying on lost races.
     ``strict_base``: fail (CommitConflict) if the head moved past
@@ -595,7 +705,12 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
                     raise _TxnAlreadyApplied(head)
             schemas = list(prev["schemas"])
             table_schema = StructType.fromJson(schemas[prev["schema_id"]])
-            merged = merge_schemas(table_schema, df_schema)
+            if schema_override is not None:
+                # explicit metadata schema change (rename/drop): the
+                # caller computed the new table schema; no merge
+                merged = schema_override
+            else:
+                merged = merge_schemas(table_schema, df_schema)
             if carry_files is not None:
                 live = list(carry_files)
             elif kind == "append":
@@ -606,7 +721,11 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             schemas = []
             merged = df_schema
             live = []
-        df_sid = _schema_id(schemas, df_schema.jsonValue())
+        # stamp stable field ids: fields inherited from stored schemas
+        # keep theirs, new columns mint fresh ones (never reused)
+        merged, _ = _enrich_ids(merged, _max_field_id(schemas) + 1)
+        df_use = _inherit_ids(df_schema, merged)
+        df_sid = _schema_id(schemas, df_use.jsonValue())
         table_sid = _schema_id(schemas, merged.jsonValue())
         live = live + [{**e, "schema_id": df_sid} for e in new_files]
         if txn is not None:
@@ -661,6 +780,8 @@ def _commit_rebase(path: str, kind: str, new_files: list[dict], df_schema,
                    carry_files: list[dict],
                    change_files: "list[dict] | None" = None,
                    append_compat=None,
+                   manifest_compat=None,
+                   schema_override=None,
                    max_rebases: int = 20) -> int:
     """Strict (overwrite-class) commit with LOGICAL conflict detection —
     the Delta ConflictChecker essence, reduced: when the head moved past
@@ -691,7 +812,8 @@ def _commit_rebase(path: str, kind: str, new_files: list[dict], df_schema,
         try:
             return _commit(path, kind, new_files, df_schema,
                            base_version=bv, strict_base=True,
-                           carry_files=carry, change_files=change_files)
+                           carry_files=carry, change_files=change_files,
+                           schema_override=schema_override)
         except CommitConflict:
             if append_compat is None or rebases >= max_rebases:
                 raise
@@ -705,6 +827,9 @@ def _commit_rebase(path: str, kind: str, new_files: list[dict], df_schema,
                     ok = False  # vacuumed mid-race: cannot prove anything
                     break
                 if raw.get("kind") != "append" or raw.get("remove"):
+                    ok = False
+                    break
+                if manifest_compat is not None and not manifest_compat(raw):
                     ok = False
                     break
                 adds = raw.get("add")
@@ -741,12 +866,13 @@ def create_table(df, path: str) -> int:
     if current_version(path) >= 0:
         raise FileExistsError(f"table already exists at {path}")
     files = _write_data_files(df, path)
-    sjson = df.schema.jsonValue()
+    schema0, _ = _enrich_ids(df.schema, 1)  # mint stable field ids
+    sjson = schema0.jsonValue()
     manifest = {
         "version": 0,
         "parent": -1,
         "kind": "create",
-        "schema": df.schema.simpleString(),
+        "schema": schema0.simpleString(),
         "schemas": [sjson],
         "schema_id": 0,
         "files": [{**e, "schema_id": 0} for e in files],
@@ -1290,16 +1416,10 @@ def _positions_matching(spark, path, m, target, entries, predicate):
     parts = []
     for sid, group_entries in sorted(by_sid.items()):
         file_schema = StructType.fromJson(m["schemas"][sid])
-        have = set(file_schema.fieldNames())
         scan = spark.read.schema(file_schema).parquet(
             *[os.path.join(path, e["path"]) for e in group_entries]
         ).select(
-            *[
-                F.col(f.name).cast(f.dataType)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in target.fields
-            ],
+            *_aligned_cols(file_schema, target),
             _basename_col(F.col("_metadata.file_path")).alias("file"),
             F.col("_metadata.row_index").alias("pos"),
         )
@@ -1331,6 +1451,46 @@ def _basename_col(col):
     return F.element_at(F.split(col, "/"), -1)
 
 
+def _align_map(file_schema, target) -> dict:
+    """target column name -> the FILE's physical column name holding it
+    (None = absent, reads as null). Matched by STABLE FIELD ID when the
+    file's stored schema carries ids (every schema this module stored
+    since field ids — so a file written before a rename still yields
+    the renamed column, and a re-added column never leaks a dropped
+    column's old data); legacy id-free schemas match by name."""
+    file_ids = {_field_id(f): f.name for f in file_schema.fields
+                if _field_id(f) is not None}
+    file_names = set(file_schema.fieldNames())
+    out = {}
+    for f in target.fields:
+        fid = _field_id(f)
+        if file_ids:
+            src = file_ids.get(fid) if fid is not None else None
+            # a target field without an id can only come from a legacy
+            # schema_version; fall back to name for it alone
+            if fid is None and f.name in file_names:
+                src = f.name
+        else:
+            src = f.name if f.name in file_names else None
+        out[f.name] = src
+    return out
+
+
+def _aligned_cols(file_schema, target):
+    """The SELECT list aligning one file group to ``target``: matched
+    columns cast to the target type under the target NAME, absent
+    columns as typed nulls."""
+    from pyspark.sql import functions as F
+
+    src = _align_map(file_schema, target)
+    return [
+        F.col(src[f.name]).cast(f.dataType).alias(f.name)
+        if src[f.name] is not None
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in target.fields
+    ]
+
+
 def _aligned_schema_groups(spark, path: str, m: dict, target,
                            only_entries: "list[dict] | None" = None,
                            with_file: bool = False):
@@ -1353,13 +1513,7 @@ def _aligned_schema_groups(spark, path: str, m: dict, target,
         by_sid.setdefault(entry["schema_id"], []).append(entry)
     for sid, entries in sorted(by_sid.items()):
         file_schema = StructType.fromJson(m["schemas"][sid])
-        have = set(file_schema.fieldNames())
-        aligned_cols = [
-            F.col(f.name).cast(f.dataType)
-            if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in target.fields
-        ]
+        aligned_cols = _aligned_cols(file_schema, target)
         file_col = [F.col("_metadata.file_path").alias("__file")] \
             if with_file else []
         parts = []
@@ -1782,6 +1936,111 @@ def _cluster_bounds(m: dict, cols: list[str], df) -> list[tuple[float, float]]:
     return out
 
 
+def _metadata_schema_change(path: str, kind: str, new_schema,
+                            base_version: "int | None") -> int:
+    """Shared body of rename/drop: a PURE-METADATA commit carrying every
+    live file forward under the new table schema. Rebase-safe over
+    concurrent appends that did not themselves evolve the schema (their
+    files align by field id regardless of the rename/drop)."""
+    from pyspark.sql.types import StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    m = read_manifest(path, base_version)
+    base_schema_json = m["schemas"][m["schema_id"]]
+
+    def same_schema(raw: dict) -> bool:
+        return raw["schemas"][raw["schema_id"]] == base_schema_json
+
+    return _commit_rebase(
+        path, kind, [], new_schema,
+        base_version=base_version,
+        carry_files=list(m["files"]),
+        schema_override=new_schema,
+        append_compat=lambda e: True,
+        manifest_compat=same_schema,
+    )
+
+
+def rename_column(path: str, old: str, new: str,
+                  base_version: "int | None" = None) -> int:
+    """RENAME a column WITHOUT rewriting any data — the Delta
+    column-mapping / Iceberg field-id essence (round 13): every stored
+    schema stamps each column with a STABLE FIELD ID, reads align files
+    to the table schema by id, so a pure-metadata commit that changes
+    only the field's NAME re-labels every historical file instantly.
+    Old snapshots read through their own schemas keep the old name;
+    reads through the renamed schema (the default at head) serve the
+    same data under the new name.
+
+    Guards: the old name must exist, the new must not; every LIVE file
+    must have been written under an id-carrying schema (tables created
+    before field ids align by name — renaming them would silently null
+    the column; OPTIMIZE once to rewrite under an id-carrying schema).
+    Statistics caveat: files written BEFORE the rename keep their stats
+    under the old physical name, so predicates on the new name skip
+    nothing for them (sound — they are simply always read) until the
+    next OPTIMIZE rewrites them.
+
+    Concurrency: rebases over concurrent appends (their files carry ids
+    and align fine); any intervening schema evolution conflicts."""
+    from pyspark.sql.types import StructField, StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    schema = table_schema(path, base_version)
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    m = read_manifest(path, base_version)
+    for e in m["files"]:
+        fs = StructType.fromJson(m["schemas"][e["schema_id"]])
+        if not any(_field_id(f) is not None for f in fs.fields):
+            raise ValueError(
+                f"live file {e['path']} predates stable field ids — its "
+                "columns align by NAME, so a rename would null them; "
+                "run optimize() once to rewrite under the current schema"
+            )
+    renamed = StructType([
+        StructField(new, f.dataType, f.nullable, dict(f.metadata or {}))
+        if f.name == old else f
+        for f in schema.fields
+    ])
+    return _metadata_schema_change(path, "rename_column", renamed,
+                                   base_version)
+
+
+def drop_column(path: str, name: str,
+                base_version: "int | None" = None) -> int:
+    """DROP a column WITHOUT rewriting any data (round 13): a pure-
+    metadata commit removes the field from the table schema; the data
+    stays in the files but no read through this or any later schema
+    selects it (alignment is by stable field id, and a LATER re-added
+    column with the same name mints a FRESH id — the dropped column's
+    old values can never leak into it). Old snapshots read through
+    their own schemas still see the column; vacuum reclaims the bytes
+    when the pre-drop versions age out and the files rewrite.
+
+    Same guards and concurrency posture as :func:`rename_column`."""
+    from pyspark.sql.types import StructType
+
+    if base_version is None:
+        base_version = current_version(path)
+    schema = table_schema(path, base_version)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    dropped = StructType([f for f in schema.fields if f.name != name])
+    return _metadata_schema_change(path, "drop_column", dropped,
+                                   base_version)
+
+
 def version_at_time(path: str, ts) -> int:
     """TIMESTAMP-BASED time travel (Delta's ``timestampAsOf``): the
     newest RETAINED version whose commit time is <= ``ts`` (a unix
@@ -1998,7 +2257,6 @@ def read_changes(spark, path: str, from_version: int = 0,
             by_group.setdefault(key, []).append(os.path.join(path, e["path"]))
         for (sid, ck), files in sorted(by_group.items()):
             file_schema = StructType.fromJson(m["schemas"][sid])
-            have = set(file_schema.fieldNames())
             read_schema = file_schema
             if ck:
                 # change sidecar rows carry their kind in a _ck column
@@ -2012,12 +2270,7 @@ def read_changes(spark, path: str, from_version: int = 0,
                 )
             kind_col = (F.col("_ck") if ck else F.lit("insert"))
             part = spark.read.schema(read_schema).parquet(*files).select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in target.fields
-                ],
+                *_aligned_cols(file_schema, target),
                 F.lit(v).cast("int").alias("_commit_version"),
                 kind_col.alias("_change_kind"),
             )

@@ -1567,6 +1567,19 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(doc_id % 100) AS BIGINT),
            CAST(SUM(CASE WHEN doc_id >= 40 THEN 1 ELSE 0 END) AS BIGINT)
     FROM documents WHERE doc_id < 70
+    UNION ALL
+    SELECT CAST(2 AS INT), 'renamed',
+           'struct<doc_id:bigint,quality:double,lang:string>',
+           COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(doc_id % 100) AS BIGINT),
+           CAST(SUM(CASE WHEN doc_id >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents WHERE doc_id < 70
+    UNION ALL
+    SELECT CAST(3 AS INT), 'dropped',
+           'struct<doc_id:bigint,quality:double>',
+           COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+           CAST(SUM(doc_id % 100) AS BIGINT), CAST(0 AS BIGINT)
+    FROM documents WHERE doc_id < 70
     """,
 )
 def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,7 +1597,15 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     old-snapshot read changes schema_str or an aggregate and
     hash-mismatches. Widening legality itself is gated in
     tests/test_tablefmt.py (cross-family changes raise
-    SchemaEvolutionError). Aggregates are bounded by construction (one
+    SchemaEvolutionError).
+
+    Round 13 extends the lifecycle with the METADATA-ONLY schema verbs:
+    v2 RENAMES score to quality and v3 DROPS lang — both pure-metadata
+    commits over stable field ids (no data rewrite; reads align files
+    by id, so BOTH write-time schemas' files serve the renamed column,
+    and the dropped column disappears at head while old snapshots keep
+    it). Wrong id plumbing surfaces as a schema_str or aggregate
+    mismatch. Aggregates are bounded by construction (one
     row per read); collected eagerly so the temp table is removed, as
     q_table_time_travel does."""
     import shutil
@@ -1610,17 +1631,26 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             path,
         )
+        # round 13: RENAME then DROP without rewriting a byte — pure
+        # metadata commits over stable field ids; the renamed read must
+        # serve BOTH write-time schemas' files under the new name, and
+        # the drop must hide lang everywhere at head
+        TF.rename_column(path, "score", "quality")
+        TF.drop_column(path, "lang")
         reads = [
             (0, "own", TF.snapshot_read(spark, path, 0)),
             (0, "evolved", TF.snapshot_read(spark, path, 0, schema_version=1)),
             (1, "evolved", TF.snapshot_read(spark, path, 1)),
+            (2, "renamed", TF.snapshot_read(spark, path, 2)),
+            (3, "dropped", TF.snapshot_read(spark, path, 3)),
         ]
         rows = []
         for version, through, df in reads:
+            scol = "quality" if "quality" in df.columns else "score"
             aggs = [
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.col("doc_id").cast("long")).alias("sum_doc_id"),
-                F.sum(F.col("score").cast("long")).alias("sum_score"),
+                F.sum(F.col(scol).cast("long")).alias("sum_score"),
             ]
             if "lang" in df.columns:
                 aggs.append(F.count("lang").alias("n_lang"))

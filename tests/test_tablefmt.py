@@ -2037,3 +2037,112 @@ def test_cow_rebase_under_live_concurrent_appenders(spark, tmp_path):
     # once (the delete/optimize may or may not have raced each append,
     # but either way nothing is lost or double-counted)
     assert got == sorted(list(range(20, 40)) + appended)
+
+
+def test_rename_column_without_rewrite(spark, tmp_path):
+    """Stable-field-id rename (round 13): a pure-metadata commit
+    re-labels every historical file; no data moves; reads at head serve
+    the old files' data under the new name; old snapshots keep the old
+    name; writes after the rename use the new name; stats-based pruning
+    still fires for files written AFTER the rename."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 50).select("id", (F.col("id") * 2).alias("val")), p
+    )
+    files0 = {e["path"] for e in TF.read_manifest(p, 0)["files"]}
+    v = TF.rename_column(p, "val", "score")
+    assert v == 1
+    m1 = TF.read_manifest(p, 1)
+    assert {e["path"] for e in m1["files"]} == files0  # zero data movement
+    assert m1["added"] == []
+    head = TF.snapshot_read(spark, p)
+    assert head.columns == ["id", "score"]
+    assert head.where("id = 7").collect()[0]["score"] == 14
+    # old snapshot keeps its own name
+    assert TF.snapshot_read(spark, p, 0).columns == ["id", "val"]
+    # old snapshot THROUGH the renamed schema serves data under the new
+    assert TF.snapshot_read(spark, p, 0, schema_version=1) \
+        .where("id = 7").collect()[0]["score"] == 14
+    # writes after the rename use the new name; predicates and DELETE on
+    # the renamed column reach old files' data
+    TF.append(spark.range(50, 60).select(
+        "id", (F.col("id") * 2).alias("score")), p)
+    assert TF.snapshot_read(spark, p).where("score >= 100").count() == 10
+    TF.delete_where(spark, p, "score < 10")  # ids 0..4 in the OLD file
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == list(range(5, 60))
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        TF.rename_column(p, "id", "score")
+    with pytest.raises(ValueError, match="no column"):
+        TF.rename_column(p, "nope", "x")
+    # rename rebases over a concurrent (non-evolving) append
+    base = TF.current_version(p)
+    TF.append(spark.range(60, 61).select(
+        "id", (F.col("id") * 2).alias("score")), p)
+    v2 = TF.rename_column(p, "score", "points", base_version=base)
+    assert v2 == TF.current_version(p)
+    got = TF.snapshot_read(spark, p)
+    assert got.columns == ["id", "points"]
+    assert got.where("id = 60").collect()[0]["points"] == 120
+
+
+def test_drop_column_and_readd_never_leaks(spark, tmp_path):
+    """Dropping a column is metadata-only; re-adding the same NAME mints
+    a fresh field id, so the dropped column's old values never surface
+    under the new column (they read as null for old files)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 10).select("id", (F.col("id") + 100).alias("x")), p
+    )
+    files0 = {e["path"] for e in TF.read_manifest(p, 0)["files"]}
+    TF.drop_column(p, "x")
+    m1 = TF.read_manifest(p, 1)
+    assert {e["path"] for e in m1["files"]} == files0
+    assert TF.snapshot_read(spark, p).columns == ["id"]
+    # old snapshot still shows the column
+    assert TF.snapshot_read(spark, p, 0).columns == ["id", "x"]
+    # re-add a column named x: OLD files' x must NOT leak into it
+    TF.append(spark.range(10, 15).select(
+        "id", (F.col("id") + 900).alias("x")), p)
+    rows = {r["id"]: r["x"] for r in TF.snapshot_read(spark, p).collect()}
+    assert rows[12] == 912
+    assert all(rows[i] is None for i in range(10))  # hidden, not leaked
+    with pytest.raises(ValueError, match="only column"):
+        p2 = str(tmp_path / "t2")
+        TF.create_table(spark.range(0, 3).select("id"), p2)
+        TF.drop_column(p2, "id")
+
+
+def test_rename_interacts_with_restore_and_merge(spark, tmp_path):
+    """Field ids make a RESTORE across a rename fuse the old field with
+    its renamed self (the table's current name wins), and merge/update
+    through the renamed schema touch the right data."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 10).select("id", (F.col("id") * 3).alias("v")), p
+    )                                                    # v0
+    TF.rename_column(p, "v", "w")                        # v1
+    TF.update_where(spark, p, "w >= 24", {"w": "w + 1"})  # v2: ids 8,9
+    got = {r["id"]: r["w"] for r in TF.snapshot_read(spark, p).collect()}
+    assert got[8] == 25 and got[9] == 28 and got[0] == 0
+    TF.merge_into(
+        spark, p,
+        spark.createDataFrame([(3, 999), (100, 1)], "id long, w long"),
+        on=["id"],
+    )                                                    # v3
+    got = {r["id"]: r["w"] for r in TF.snapshot_read(spark, p).collect()}
+    assert got[3] == 999 and got[100] == 1
+    # restore to the PRE-rename snapshot: pure metadata, data identical,
+    # and the restored table schema keeps the CURRENT name (ids fused)
+    TF.restore(p, 0)                                     # v4
+    head = TF.snapshot_read(spark, p)
+    assert head.columns == ["id", "w"]
+    assert {r["id"]: r["w"] for r in head.collect()} \
+        == {i: i * 3 for i in range(10)}
