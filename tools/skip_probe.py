@@ -113,6 +113,27 @@ def main() -> None:
             out[label]["delete_cow_sec"] = twins["cow"]
             out[label]["read_after_dv_sec"] = twins["dv_read_sec"]
             out[label]["read_after_cow_sec"] = twins["cow_read_sec"]
+
+            # round 13: TIMESTAMP pruning (typed stats) — a 1-day window
+            # over the 30-day ts-clustered events table (~3% of range)
+            events = spark.read.parquet(os.path.join(sf_dir,
+                                                     "events.parquet"))
+            ep = os.path.dirname(path) + "/ev"
+            TF.create_table(events.repartitionByRange(16, "ts"), ep)
+            ts_pred = ("ts >= TIMESTAMP '2024-01-10 00:00:00' "
+                       "AND ts < TIMESTAMP '2024-01-11 00:00:00'")
+            ts_kept, ts_total = TF.pruned_file_counts(ep, 0, ts_pred)
+            out[label]["ts_rows"] = events.count()
+            out[label]["ts_files_opened"] = ts_kept
+            out[label]["ts_files_total"] = ts_total
+            out[label]["ts_pruned_read_sec"] = timed(
+                lambda: TF.snapshot_read(spark, ep, where=ts_pred)
+                .agg(F.count(F.lit(1)), F.sum("user_id")).collect()
+            )
+            out[label]["ts_full_filter_sec"] = timed(
+                lambda: TF.snapshot_read(spark, ep).where(ts_pred)
+                .agg(F.count(F.lit(1)), F.sum("user_id")).collect()
+            )
         finally:
             shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     print(json.dumps(out, indent=1))
