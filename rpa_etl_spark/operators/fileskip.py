@@ -184,10 +184,12 @@ _TS_TEXT_RE = re.compile(
 )
 
 
-def _parse_date_text(text: str) -> "str | None":
+def _parse_date_text(text) -> "str | None":
     """``text`` as a canonical ISO date the way Spark parses a DATE
     literal / casts a string to date (non-padded parts, optional month/
     day defaulting to 1, optional trailing time ignored), or None."""
+    if not isinstance(text, str):
+        return None  # DATE 5 and friends: not a date literal
     m = _DATE_TEXT_RE.match(text)
     if m is None:
         return None
@@ -198,11 +200,13 @@ def _parse_date_text(text: str) -> "str | None":
     return d.isoformat()
 
 
-def _parse_ts_text(text: str) -> "_TsLit | None":
+def _parse_ts_text(text) -> "_TsLit | None":
     """``text`` as a timestamp literal (naive wall time + optional
     explicit offset), Spark-style: non-padded fields, optional time
     (midnight), ≤6 fraction digits, zone as Z/UTC/±HH[:MM]. Named zones
     and higher precision are out of the subset (None)."""
+    if not isinstance(text, str):
+        return None
     m = _TS_TEXT_RE.match(text)
     if m is None:
         d = _parse_date_text(text)

@@ -1138,6 +1138,8 @@ def update_where(spark, path: str, predicate: str, assignments: dict,
         return frame.select(*sel)
 
     updated = _applied(scan, always=False)
+    updated.schema  # analyze NOW: a bad SET expression must fail before
+    # any sidecar/data write stages a uuid directory nothing will clean
     change_entries: "list[dict] | None" = None
     if change_feed:
         pre = scan.where(cond)
