@@ -127,6 +127,10 @@ class CommitConflict(RuntimeError):
     """Raised when an overwrite loses the optimistic-concurrency race."""
 
 
+class ConstraintViolation(ValueError):
+    """Raised when rows being written break a table CHECK constraint."""
+
+
 class SchemaEvolutionError(ValueError):
     """Raised when a commit's schema cannot evolve the table's (narrowing,
     incompatible type change) — the caller must cast explicitly."""
@@ -667,6 +671,8 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             txn: "dict | None" = None,
             change_files: "list[dict] | None" = None,
             schema_override=None,
+            constraints_override: "dict | None" = None,
+            enforced: "dict | None" = None,
             max_retries: int = 50) -> int:
     """Publish a commit on top of the head, retrying on lost races.
     ``strict_base``: fail (CommitConflict) if the head moved past
@@ -695,9 +701,11 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             )
         txns: dict = {}
         prev_files: list[dict] = []
+        cons: dict = {}
         if head >= 0:
             prev = read_manifest(path, head)
             prev_files = prev["files"]
+            cons = dict(prev.get("constraints") or {})
             txns = _txns_map(path, head, prev)
             if txn is not None:
                 last = txns.get(txn["app"])
@@ -721,6 +729,16 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             schemas = []
             merged = df_schema
             live = []
+        if constraints_override is not None:
+            cons = dict(constraints_override)
+        elif enforced is not None and cons != enforced:
+            # the caller validated its rows against a DIFFERENT
+            # constraint set than the head now carries (a concurrent
+            # add_constraint won the race): re-read, re-validate, retry
+            raise CommitConflict(
+                f"table constraints changed since validation "
+                f"({sorted(enforced)} -> {sorted(cons)}); re-read and retry"
+            )
         # stamp stable field ids: fields inherited from stored schemas
         # keep theirs, new columns mint fresh ones (never reused)
         merged, _ = _enrich_ids(merged, _max_field_id(schemas) + 1)
@@ -742,6 +760,8 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
             "txns": txns,
             "committed_at": time.time(),
         }
+        if cons:
+            manifest["constraints"] = cons
         if head < 0:
             # the first commit IS the full snapshot
             manifest["files"] = live
@@ -782,6 +802,7 @@ def _commit_rebase(path: str, kind: str, new_files: list[dict], df_schema,
                    append_compat=None,
                    manifest_compat=None,
                    schema_override=None,
+                   enforced: "dict | None" = None,
                    max_rebases: int = 20) -> int:
     """Strict (overwrite-class) commit with LOGICAL conflict detection —
     the Delta ConflictChecker essence, reduced: when the head moved past
@@ -813,7 +834,8 @@ def _commit_rebase(path: str, kind: str, new_files: list[dict], df_schema,
             return _commit(path, kind, new_files, df_schema,
                            base_version=bv, strict_base=True,
                            carry_files=carry, change_files=change_files,
-                           schema_override=schema_override)
+                           schema_override=schema_override,
+                           enforced=enforced)
         except CommitConflict:
             if append_compat is None or rebases >= max_rebases:
                 raise
@@ -913,11 +935,14 @@ def append(df, path: str, txn: "dict | None" = None) -> int:
             last = _last_txn_batch(path, head, txn["app"])
             if last is not None and int(txn["batch"]) <= last:
                 return head
+    cons = constraints(path)
+    if cons:
+        _check_constraints(df, cons)
     files = _write_data_files(df, path)
     try:
         return _commit(path, "append", files, df.schema,
                        base_version=current_version(path),
-                       strict_base=False, txn=txn)
+                       strict_base=False, txn=txn, enforced=cons)
     except _TxnAlreadyApplied as skip:
         _discard_files(path, files)
         return skip.version
@@ -968,10 +993,14 @@ def overwrite(df, path: str, base_version: int | None = None,
     if base_version is None:
         base_version = current_version(path)
     if where is None:
+        cons = constraints(path, base_version) if base_version >= 0 else {}
+        if cons:
+            _check_constraints(df, cons)
         files = _write_data_files(df, path)
         try:
             return _commit(path, "overwrite", files, df.schema,
-                           base_version=base_version, strict_base=True)
+                           base_version=base_version, strict_base=True,
+                           enforced=cons)
         except (CommitConflict, SchemaEvolutionError):
             _discard_files(path, files)
             raise
@@ -1003,6 +1032,9 @@ def _replace_where(df, path: str, where: str, base_version: int,
           else F.lit(None).cast(f.dataType).alias(f.name)
           for f in merged.fields]
     )
+    cons = dict(m.get("constraints") or {})
+    if cons:
+        _check_constraints(src, cons)
     candidates = fileskip.prune_entries(m["files"], where,
                                         _session_tz(spark))
     affected_uris = []
@@ -1049,6 +1081,7 @@ def _replace_where(df, path: str, where: str, base_version: int,
             carry_files=survivors,
             change_files=change_entries,
             append_compat=_no_match_compat(where, _session_tz(spark)),
+            enforced=cons,
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -1140,6 +1173,9 @@ def update_where(spark, path: str, predicate: str, assignments: dict,
     updated = _applied(scan, always=False)
     updated.schema  # analyze NOW: a bad SET expression must fail before
     # any sidecar/data write stages a uuid directory nothing will clean
+    cons = dict(m.get("constraints") or {})
+    if cons:
+        _check_constraints(_applied(scan.where(cond), always=True), cons)
     change_entries: "list[dict] | None" = None
     if change_feed:
         pre = scan.where(cond)
@@ -1162,6 +1198,7 @@ def update_where(spark, path: str, predicate: str, assignments: dict,
             carry_files=survivors,
             change_files=change_entries,
             append_compat=_no_match_compat(predicate, _session_tz(spark)),
+            enforced=cons,
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -1676,6 +1713,9 @@ def merge_into(spark, path: str, source, on: "list[str]",
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in merged.fields
           if f.name not in source.columns],
     ).select(*[f.name for f in merged.fields])
+    cons = dict(m.get("constraints") or {})
+    if cons:
+        _check_constraints(src, cons)
     keys = src.select(*on).distinct()
 
     # manifest-level skip: a file can hold a matched row only if, for
@@ -1797,6 +1837,7 @@ def merge_into(spark, path: str, source, on: "list[str]",
                                                   _session_tz(spark)))
                 if node is not None else None
             ),
+            enforced=cons,
         )
     except (CommitConflict, SchemaEvolutionError):
         _discard_files(path, new_files)
@@ -2041,6 +2082,92 @@ def drop_column(path: str, name: str,
     dropped = StructType([f for f in schema.fields if f.name != name])
     return _metadata_schema_change(path, "drop_column", dropped,
                                    base_version)
+
+
+def constraints(path: str, version: "int | None" = None) -> dict:
+    """The table's CHECK constraints ``{name: sql_expr}`` at ``version``
+    (default head); ``{}`` for an absent/empty table."""
+    if version is None:
+        version = current_version(path)
+    if version < 0:
+        return {}
+    return dict(read_manifest(path, version).get("constraints") or {})
+
+
+def _check_constraints(df, cons: dict) -> None:
+    """Raise ConstraintViolation if any ``df`` row makes any constraint
+    FALSE (SQL-standard CHECK: TRUE and UNKNOWN/NULL pass). One
+    change-sized filter job per constraint, with a sample offending row
+    in the error."""
+    from pyspark.sql import functions as F
+
+    for name, expr in sorted(cons.items()):
+        bad = df.where(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        ).limit(1).collect()
+        if bad:
+            raise ConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated, e.g. by "
+                f"{bad[0].asDict()!r}"
+            )
+
+
+def add_constraint(spark, path: str, name: str, expr: str,
+                   base_version: "int | None" = None) -> int:
+    """ADD a named CHECK constraint (the Delta ``ALTER TABLE … ADD
+    CONSTRAINT`` essence): from this commit on, every write that adds
+    or changes rows (append / overwrite / replaceWhere / merge source /
+    update post-images) is validated — a violating row fails the WHOLE
+    write with :class:`ConstraintViolation` before anything publishes.
+    Adding the constraint first validates every EXISTING row (one scan,
+    like Delta). SQL-standard semantics: a row violates iff the
+    expression is FALSE — NULL/UNKNOWN passes (add an ``x IS NOT NULL``
+    constraint for null rejection).
+
+    Race-safe: writers validate against the constraint set of the head
+    they read, and the commit loop re-checks that the head still
+    carries exactly that set — a concurrent add_constraint flips the
+    write into a CommitConflict (re-read, re-validate, retry) instead
+    of letting unvalidated rows slip in under the new rule."""
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    cons = constraints(path, base_version)
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+    _check_constraints(snapshot_read(spark, path, base_version), {name: expr})
+    schema = table_schema(path, base_version)
+    m = read_manifest(path, base_version)
+    return _commit(
+        path, "add_constraint", [], schema,
+        base_version=base_version, strict_base=True,
+        carry_files=list(m["files"]),
+        schema_override=schema,
+        constraints_override={**cons, name: expr},
+    )
+
+
+def drop_constraint(path: str, name: str,
+                    base_version: "int | None" = None) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    if base_version is None:
+        base_version = current_version(path)
+    if base_version < 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    cons = constraints(path, base_version)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} (have {sorted(cons)})")
+    cons.pop(name)
+    schema = table_schema(path, base_version)
+    m = read_manifest(path, base_version)
+    return _commit(
+        path, "drop_constraint", [], schema,
+        base_version=base_version, strict_base=True,
+        carry_files=list(m["files"]),
+        schema_override=schema,
+        constraints_override=cons,
+    )
 
 
 def version_at_time(path: str, ts) -> int:

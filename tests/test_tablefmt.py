@@ -2146,3 +2146,82 @@ def test_rename_interacts_with_restore_and_merge(spark, tmp_path):
     assert head.columns == ["id", "w"]
     assert {r["id"]: r["w"] for r in head.collect()} \
         == {i: i * 3 for i in range(10)}
+
+
+def test_check_constraints_enforced_on_every_write_verb(spark, tmp_path):
+    """CHECK constraints (round 13, the Delta ADD CONSTRAINT essence):
+    adding validates existing rows; append/overwrite/replace/merge/
+    update all refuse violating rows BEFORE publishing; NULL passes
+    (SQL-standard CHECK); drop lifts the rule; the constraint set rides
+    manifests (survives optimize + vacuum)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 20).select("id", (F.col("id") % 5).alias("q")), p
+    )
+    TF.add_constraint(spark, p, "q_small", "q < 5")
+    assert TF.constraints(p) == {"q_small": "q < 5"}
+    # adding a constraint existing rows violate refuses
+    with pytest.raises(TF.ConstraintViolation, match="q_nonzero"):
+        TF.add_constraint(spark, p, "q_nonzero", "q > 0")
+    # duplicate name refuses
+    with pytest.raises(ValueError, match="already exists"):
+        TF.add_constraint(spark, p, "q_small", "q < 9")
+
+    ok = spark.range(20, 25).select("id", F.lit(1).cast("long").alias("q"))
+    bad = spark.range(25, 30).select("id", F.lit(9).cast("long").alias("q"))
+    TF.append(ok, p)
+    with pytest.raises(TF.ConstraintViolation, match="q_small"):
+        TF.append(bad, p)
+    with pytest.raises(TF.ConstraintViolation):
+        TF.overwrite(bad, p)
+    with pytest.raises(TF.ConstraintViolation):
+        TF.overwrite(bad.where("id >= 25"), p, where="id >= 25")
+    with pytest.raises(TF.ConstraintViolation):
+        TF.merge_into(spark, p, bad, on=["id"])
+    with pytest.raises(TF.ConstraintViolation):
+        TF.update_where(spark, p, "id = 3", {"q": "99"})
+    # nothing above published
+    assert TF.snapshot_read(spark, p).where("q >= 5").count() == 0
+    # NULL passes (SQL CHECK three-valued semantics)
+    TF.append(
+        spark.range(30, 32).select(
+            "id", F.lit(None).cast("long").alias("q")), p
+    )
+    assert TF.snapshot_read(spark, p).where("q IS NULL").count() == 2
+    # constraints survive optimize + vacuum
+    TF.optimize(spark, p, target_bytes=1 << 30)
+    TF.vacuum(p, keep_last=1)
+    assert TF.constraints(p) == {"q_small": "q < 5"}
+    with pytest.raises(TF.ConstraintViolation):
+        TF.append(bad, p)
+    # drop lifts the rule
+    TF.drop_constraint(p, "q_small")
+    TF.append(bad, p)
+    assert TF.snapshot_read(spark, p).where("q = 9").count() == 5
+    with pytest.raises(ValueError, match="no constraint"):
+        TF.drop_constraint(p, "nope")
+
+
+def test_constraint_race_forces_revalidation(spark, tmp_path):
+    """A write validated against a head WITHOUT a constraint must not
+    land once a concurrent add_constraint committed: the commit loop
+    compares the validated set against the head's and conflicts."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5).select("id"), p)
+    # simulate the race: validate-and-stage an append against v0's
+    # (empty) constraint set, then land add_constraint first
+    bad = spark.range(100, 101).select("id")
+    files = TF._write_data_files(bad, p)
+    TF.add_constraint(spark, p, "small", "id < 50")
+    with pytest.raises(TF.CommitConflict, match="constraints changed"):
+        TF._commit(p, "append", files, bad.schema,
+                   base_version=TF.current_version(p), strict_base=False,
+                   enforced={})
+    TF._discard_files(p, files)
+    # the public retry path now revalidates and refuses
+    with pytest.raises(TF.ConstraintViolation):
+        TF.append(bad, p)
