@@ -1979,6 +1979,22 @@ def _cluster_bounds(m: dict, cols: list[str], df) -> list[tuple[float, float]]:
     return out
 
 
+def _guard_constrained_column(path: str, column: str, verb: str,
+                              base_version: int) -> None:
+    """Refuse renaming/dropping a column a CHECK constraint references
+    (the expression would break every later write — Delta blocks the
+    same way). Conservative word-boundary match on the expression text;
+    drop the constraint first, then change the column."""
+    import re as _re
+
+    for cname, expr in constraints(path, base_version).items():
+        if _re.search(rf"\b{_re.escape(column)}\b", expr, _re.IGNORECASE):
+            raise ValueError(
+                f"cannot {verb} column {column!r}: CHECK constraint "
+                f"{cname!r} ({expr}) references it — drop_constraint first"
+            )
+
+
 def _metadata_schema_change(path: str, kind: str, new_schema,
                             base_version: "int | None") -> int:
     """Shared body of rename/drop: a PURE-METADATA commit carrying every
@@ -2039,6 +2055,7 @@ def rename_column(path: str, old: str, new: str,
         raise ValueError(f"no column {old!r} (have {names})")
     if new in names:
         raise ValueError(f"column {new!r} already exists")
+    _guard_constrained_column(path, old, "rename", base_version)
     m = read_manifest(path, base_version)
     for e in m["files"]:
         fs = StructType.fromJson(m["schemas"][e["schema_id"]])
@@ -2079,6 +2096,7 @@ def drop_column(path: str, name: str,
         raise ValueError(f"no column {name!r} (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the only column")
+    _guard_constrained_column(path, name, "drop", base_version)
     dropped = StructType([f for f in schema.fields if f.name != name])
     return _metadata_schema_change(path, "drop_column", dropped,
                                    base_version)

@@ -2225,3 +2225,24 @@ def test_constraint_race_forces_revalidation(spark, tmp_path):
     # the public retry path now revalidates and refuses
     with pytest.raises(TF.ConstraintViolation):
         TF.append(bad, p)
+
+
+def test_constrained_column_cannot_rename_or_drop(spark, tmp_path):
+    """Renaming/dropping a column a CHECK constraint references would
+    break every later write's validation — refuse up front."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 5).select("id", (F.col("id") % 3).alias("q")), p
+    )
+    TF.add_constraint(spark, p, "q_small", "q < 10")
+    with pytest.raises(ValueError, match="drop_constraint first"):
+        TF.rename_column(p, "q", "quality")
+    with pytest.raises(ValueError, match="drop_constraint first"):
+        TF.drop_column(p, "q")
+    # unconstrained columns still rename
+    TF.rename_column(p, "id", "doc")
+    TF.drop_constraint(p, "q_small")
+    TF.rename_column(p, "q", "quality")
+    assert TF.snapshot_read(spark, p).columns == ["doc", "quality"]
