@@ -349,13 +349,19 @@ import calendar as _cal
 import datetime as _dtm
 
 
+import decimal as _dec
+
+
 def _enc(v):
     """Stats encoding of one generated value: ints raw, dates ISO,
-    datetimes epoch micros — exactly what collect_file_stats writes."""
+    datetimes epoch micros, decimals exact strings — exactly what
+    collect_file_stats writes."""
     if isinstance(v, _dtm.datetime):
         return _cal.timegm(v.timetuple()) * 10**6 + v.microsecond
     if isinstance(v, _dtm.date):
         return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
     return v
 
 
@@ -374,6 +380,8 @@ def _stats_of(rows, cols=("a", "b")):
                 rec["t"] = "ts"
             elif isinstance(vals[0], _dtm.date):
                 rec["t"] = "date"
+            elif isinstance(vals[0], _dec.Decimal):
+                rec["t"] = "dec"
         out[col] = rec
     return {"path": "f", "rows": len(rows), "stats": out}
 
@@ -460,8 +468,15 @@ def test_can_match_soundness_fuzz():
             lambda n: _dtm.datetime(2020, 1, 1) + _dtm.timedelta(minutes=n)
         ),
     )
+    mval = st.one_of(
+        st.none(),
+        st.integers(-40, 60).map(
+            lambda n: _dec.Decimal(n * 25).scaleb(-2)  # exact quarters
+        ),
+    )
     rows = st.lists(
-        st.fixed_dictionaries({"a": ival, "b": ival, "d": dval, "t": tval}),
+        st.fixed_dictionaries({"a": ival, "b": ival, "d": dval, "t": tval,
+                               "m": mval}),
         min_size=0, max_size=12,
     )
     ilit = st.integers(-6, 16)
@@ -470,6 +485,10 @@ def test_can_match_soundness_fuzz():
     )
     tlit = st.integers(-60, 3060).map(
         lambda n: _dtm.datetime(2020, 1, 1) + _dtm.timedelta(minutes=n)
+    )
+    mlit = st.one_of(
+        st.integers(-44, 64).map(lambda n: _dec.Decimal(n * 25).scaleb(-2)),
+        st.integers(-11, 16),  # whole-number literals against decimals
     )
     ops = st.sampled_from(["<", "<=", ">", ">=", "=", "!="])
 
@@ -484,7 +503,7 @@ def test_can_match_soundness_fuzz():
 
     leaf = st.one_of(
         leaves("a", ilit), leaves("b", ilit),
-        leaves("d", dlit), leaves("t", tlit),
+        leaves("d", dlit), leaves("t", tlit), leaves("m", mlit),
     )
     node = st.recursive(
         leaf,
@@ -501,7 +520,7 @@ def test_can_match_soundness_fuzz():
         sql = _render(nd)
         compiled = FS.compile_predicate(sql)
         assert compiled is not None, sql
-        entry = _stats_of(rs, cols=("a", "b", "d", "t"))
+        entry = _stats_of(rs, cols=("a", "b", "d", "t", "m"))
         any_true = any(_truth(nd, r) is True for r in rs)
         keeps = FS.can_match(compiled, entry)
         if any_true:

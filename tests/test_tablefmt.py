@@ -2246,3 +2246,35 @@ def test_constrained_column_cannot_rename_or_drop(spark, tmp_path):
     TF.drop_constraint(p, "q_small")
     TF.rename_column(p, "q", "quality")
     assert TF.snapshot_read(spark, p).columns == ["doc", "quality"]
+
+
+def test_update_and_replace_discovery_scans_push_predicates(spark, tmp_path):
+    """Plan gate for the round-13 verbs' scale claim: update_where and
+    replaceWhere discover affected files through _aligned_with_file
+    (the deterministic _metadata.file_path marker), so the predicate
+    must land in the parquet scan's PushedFilters and the scan must
+    read ONLY the predicate's columns — not decode the whole row width
+    to learn which files to rewrite."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_chars"),
+        F.lit("x").alias("payload"),
+    )
+    TF.create_table(docs, p)
+    m = TF.read_manifest(p, 0)
+    target = TF.table_schema(p)
+    q = (
+        TF._aligned_with_file(spark, p, m, target)
+        .where(F.expr("n_chars < 50"))
+        .select("__file").distinct()
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "LessThan(n_chars,50)" in scan, scan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", scan).group(1)
+    assert {c.split(":")[0] for c in schema.split(",")} == {"n_chars"}, schema
