@@ -2278,3 +2278,55 @@ def test_update_and_replace_discovery_scans_push_predicates(spark, tmp_path):
     assert "LessThan(n_chars,50)" in scan, scan
     schema = re.search(r"ReadSchema: struct<([^>]*)>", scan).group(1)
     assert {c.split(":")[0] for c in schema.split(",")} == {"n_chars"}, schema
+
+
+def test_round12_format_tables_read_write_and_upgrade(spark, tmp_path):
+    """Compatibility: a table whose manifest predates round 13 (full
+    per-commit file list, schemas WITHOUT stable field ids, no
+    add/remove deltas, untagged stats) must keep working — reads,
+    time travel, appends (which mint ids going forward), deletes,
+    change feed — and rename_column must REFUSE until OPTIMIZE rewrites
+    the id-free files, after which it works."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 30).select("id", (F.col("id") * 2).alias("v")), p
+    )
+    # rewrite v0's manifest into the round-12 shape: strip field ids
+    # from the schema, keep the full inline file list
+    mp = TF._manifest_path(p, 0)
+    m = _json.load(open(mp))
+    for f in m["schemas"][0]["fields"]:
+        f.get("metadata", {}).pop("tfid", None)
+    m.pop("n_live", None)
+    os.unlink(mp)
+    _json.dump(m, open(mp, "w"))
+    assert all(
+        TF._field_id(f) is None
+        for f in StructType.fromJson(
+            TF.read_manifest(p, 0)["schemas"][0]).fields
+    )
+
+    # reads + row-level ops work on the legacy shape
+    assert TF.snapshot_read(spark, p).count() == 30
+    TF.append(spark.range(30, 40).select(
+        "id", (F.col("id") * 2).alias("v")), p)
+    TF.delete_where(spark, p, "id < 5")
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == list(range(5, 40))
+    assert TF.read_changes(spark, p, 1, 1).count() == 10
+    assert TF.snapshot_read(spark, p, 0).count() == 30  # time travel
+    # rename refuses while id-free files are live...
+    with pytest.raises(ValueError, match="predates stable field ids"):
+        TF.rename_column(p, "v", "w")
+    # ...and works after OPTIMIZE rewrites them under an id'd schema
+    TF.optimize(spark, p, target_bytes=1 << 30)
+    TF.rename_column(p, "v", "w")
+    head = TF.snapshot_read(spark, p)
+    assert head.columns == ["id", "w"]
+    assert head.where("id = 20").collect()[0]["w"] == 40
