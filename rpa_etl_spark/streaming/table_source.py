@@ -1,0 +1,355 @@
+"""Spark-NATIVE data sources over the commit-log table format (round 13).
+
+The table format's read surface, packaged through Spark 4's Python Data
+Source API so a user needs no tablefmt import at all:
+
+- ``spark.read.format("tablefmt").option("path", p).load()`` — batch
+  SNAPSHOT read: snapshot isolation (the version resolves once at plan
+  time), ``option("version", n)`` time travel, deletion vectors applied,
+  schema-evolution alignment by stable field id, and MANIFEST-LEVEL FILE
+  SKIPPING driven by Catalyst's own pushed filters (``pushFilters``
+  receives the query's predicates, the planner prunes non-overlapping
+  files with the same fileskip stats machinery as ``snapshot_read`` —
+  and every filter is returned as "unsupported" so Spark still applies
+  it exactly; pruning is a fast path, never a semantics change).
+
+- ``spark.readStream.format("tablefmt_changes").option("path", p)`` —
+  STREAMING change-feed source: offsets ARE table versions, each
+  micro-batch serves the rows the next commits added (appends/overwrite
+  from the log's ``added`` record; merge/replace/update rows from the
+  change sidecar, ``_change_kind`` included), checkpointed by Spark's
+  own offset log — kill and restart the query anywhere and Structured
+  Streaming replays exactly the uncommitted versions. This is the
+  DataSourceV2 rendering of :class:`tablefmt.ChangeStream`'s driver
+  loop (which remains for checkpoint-free table-to-table sync).
+
+Execution split: PLANNING (offsets, manifests, pruning, alignment maps)
+runs on the driver with full tablefmt access; PARTITION READS run in
+executor Python workers with nothing but pyarrow — each partition
+carries its file path, a precomputed target-column -> physical-column
+map, and its deletion-vector file list, so the worker does a columnar
+parquet read, drops dv positions by row index, and yields rows. At
+scale each file is one partition, read where it lives.
+
+Restore commits cannot stream (their row diff needs a join the planner
+won't run): the stream raises unless ``ignoreRestores=true``. Metadata
+commits (rename/drop/constraints) stream as empty batches; reads pick
+up renamed columns via field ids like every other read path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FilePartition(InputPartition):
+    """One parquet file to read on an executor: absolute path, the
+    target-column -> physical-column map (None = absent, null), the
+    file's dv sidecar paths + its own basename (dv join key), and the
+    stream stamps (version + change-kind mode)."""
+
+    def __init__(self, file: str, cols: list, dv_files: list,
+                 basename: str, version: "int | None" = None,
+                 kind: "str | None" = None):
+        self.file = file
+        self.cols = cols
+        self.dv_files = dv_files
+        self.basename = basename
+        self.version = version
+        self.kind = kind
+
+
+def _read_file_partition(part: _FilePartition):
+    """Executor-side: columnar read, dv positions dropped by row index,
+    rows yielded as tuples in target-column order (pure pyarrow — no
+    engine imports in the worker)."""
+    import pyarrow.parquet as pq
+
+    needed = sorted({c for c in part.cols if c is not None})
+    if part.kind == "_ck":
+        needed.append("_ck")
+    t = pq.read_table(part.file, columns=needed)
+    n = t.num_rows
+    names = set(t.column_names)
+    cols = []
+    for c in part.cols:
+        if c is not None and c in names:
+            cols.append(t.column(c).to_pylist())
+        else:
+            cols.append([None] * n)
+    if part.version is not None:
+        cols.append([part.version] * n)
+        if part.kind == "_ck":
+            cols.append(t.column("_ck").to_pylist())
+        else:
+            cols.append([part.kind or "insert"] * n)
+    drop: set = set()
+    for f in part.dv_files:
+        dv = pq.read_table(f, columns=["file", "pos"])
+        for fb, pos in zip(dv.column("file").to_pylist(),
+                           dv.column("pos").to_pylist()):
+            if fb == part.basename:
+                drop.add(pos)
+    rows = zip(*cols) if cols else iter(())
+    if not drop:
+        yield from rows
+        return
+    for i, row in enumerate(rows):
+        if i not in drop:
+            yield row
+
+
+def _plan_entries(path: str, m: dict, target, entries,
+                  version: "int | None" = None,
+                  kind: "str | None" = None) -> list:
+    """Driver-side: manifest entries -> file partitions with alignment
+    maps (stable-field-id aware) and dv sidecar lists."""
+    from pyspark.sql.types import StructType
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    parts = []
+    for e in entries:
+        fs = StructType.fromJson(m["schemas"][e["schema_id"]])
+        amap = TF._align_map(fs, target)
+        cols = [amap[f.name] for f in target.fields]
+        dv_files = [os.path.join(path, p)
+                    for p in (e.get("dv") or {}).get("paths", [])]
+        parts.append(_FilePartition(
+            file=os.path.join(path, e["path"]),
+            cols=cols,
+            dv_files=dv_files,
+            basename=os.path.basename(e["path"]),
+            version=version,
+            kind=("_ck" if kind == "_ck" else kind),
+        ))
+    return parts
+
+
+def _filters_to_node(filters) -> "tuple | None":
+    """Catalyst pushed filters -> a fileskip AND-node over the subset we
+    can evaluate against file stats (top-level columns, literal values
+    fileskip understands). Untranslatable filters contribute nothing —
+    the caller returns EVERY filter as unsupported anyway, so Spark
+    re-applies them all and pruning stays a pure fast path."""
+    import datetime as _dt
+
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull,
+        LessThan, LessThanOrEqual,
+    )
+
+    from rpa_etl_spark.operators import fileskip
+
+    def lit(v):
+        if isinstance(v, _dt.datetime):
+            # naive Catalyst value in the session zone is ambiguous
+            # driver-side; skip (sound: no constraint)
+            return None
+        return fileskip.literal_from_py(v)
+
+    ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+           LessThan: "<", LessThanOrEqual: "<="}
+    node = None
+    for f in filters:
+        sub = None
+        if isinstance(f, (IsNull, IsNotNull)):
+            col = f.attribute
+            if len(col) == 1:
+                sub = ("isnull" if isinstance(f, IsNull) else "notnull",
+                       col[0])
+        elif type(f) in ops:
+            col = f.attribute
+            v = lit(f.value)
+            if len(col) == 1 and v is not None:
+                sub = ("cmp", col[0], ops[type(f)], v)
+        if sub is not None:
+            node = sub if node is None else ("and", node, sub)
+    return node
+
+
+class _SnapshotReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.version = (int(options["version"])
+                        if options.get("version") is not None else None)
+        self._node = None
+
+    def pushFilters(self, filters):
+        self._node = _filters_to_node(filters)
+        # we only PRUNE with the filters; Spark must still apply them
+        # exactly, so every one is reported back as unsupported
+        yield from filters
+
+    def partitions(self):
+        from pyspark.sql.types import StructType
+
+        from rpa_etl_spark.operators import fileskip
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        version = (self.version if self.version is not None
+                   else TF.current_version(self.path))
+        m = TF.read_manifest(self.path, version)
+        target = StructType.fromJson(m["schemas"][m["schema_id"]])
+        entries = m["files"]
+        if self._node is not None:
+            entries = [e for e in entries
+                       if fileskip.can_match(self._node, e)]
+        parts = _plan_entries(self.path, m, target, entries)
+        # Spark requires >= 1 partition; an empty snapshot reads nothing
+        return parts or [_FilePartition("", [], [], "", None, None)]
+
+    def read(self, partition):
+        if not partition.file:
+            return iter(())
+        return _read_file_partition(partition)
+
+
+class _ChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        self.path = options["path"]
+        self.start_version = int(options.get("startingversion", 0))
+        self.ignore_restores = str(
+            options.get("ignorerestores", "false")).lower() == "true"
+        head = TF.current_version(self.path)
+        if head < 0:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = TF.read_manifest(self.path, head)
+        from pyspark.sql.types import StructType
+
+        self.target = StructType.fromJson(m["schemas"][m["schema_id"]])
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        return {"version": TF.current_version(self.path) + 1}
+
+    def partitions(self, start: dict, end: dict):
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        parts = []
+        for v in range(int(start["version"]), int(end["version"])):
+            m = TF.read_manifest(self.path, v)
+            kind = m["kind"]
+            if kind in ("create", "append", "overwrite"):
+                added = set(m.get("added") or [])
+                entries = [e for e in m["files"] if e["path"] in added]
+                parts += _plan_entries(self.path, m, self.target, entries,
+                                       version=v, kind="insert")
+            elif kind in ("merge", "replace", "update"):
+                if "change_files" not in m:
+                    raise ValueError(
+                        f"version {v} is a {kind} committed without a "
+                        "change feed — the stream cannot serve it"
+                    )
+                for e in m["change_files"]:
+                    parts += _plan_entries(
+                        self.path, m, self.target, [e], version=v,
+                        kind=("_ck" if e.get("ck") else "insert"),
+                    )
+            elif kind == "restore" and not self.ignore_restores:
+                raise ValueError(
+                    f"version {v} is a restore — its change rows need a "
+                    "snapshot diff the stream planner will not run; pass "
+                    ".option('ignoreRestores', 'true') to skip it"
+                )
+            # delete/optimize/rename/drop/constraints: no added rows
+        return parts or [_FilePartition("", [], [], "", None, None)]
+
+    def read(self, partition):
+        if not partition.file:
+            return iter(())
+        return _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's own offset log
+
+
+def _nullable(schema):
+    """The declared source schema with every field NULLABLE: files
+    written before an added column legitimately read it as null, and
+    the row-tuple path has no way to promise non-nullness anyway."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType([
+        StructField(f.name, f.dataType, True, dict(f.metadata or {}))
+        for f in schema.fields
+    ])
+
+
+class TableFormatDataSource(DataSource):
+    """Batch snapshot source: ``spark.read.format("tablefmt")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablefmt"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        version = (int(self.options["version"])
+                   if self.options.get("version") is not None
+                   else TF.current_version(self.options["path"]))
+        m = TF.read_manifest(self.options["path"], version)
+        return _nullable(StructType.fromJson(m["schemas"][m["schema_id"]]))
+
+    def reader(self, schema):
+        return _SnapshotReader(self.options)
+
+
+class TableFormatChangesDataSource(DataSource):
+    """Streaming change-feed source:
+    ``spark.readStream.format("tablefmt_changes")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablefmt_changes"
+
+    def schema(self):
+        from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                       StructType)
+
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        path = self.options["path"]
+        head = TF.current_version(path)
+        m = TF.read_manifest(path, head)
+        base = _nullable(StructType.fromJson(m["schemas"][m["schema_id"]]))
+        return StructType(
+            list(base.fields)
+            + [StructField("_commit_version", IntegerType()),
+               StructField("_change_kind", StringType())]
+        )
+
+    def streamReader(self, schema):
+        return _ChangesStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register both formats on the session (idempotent), enabling
+    Python-data-source filter pushdown (off by default in Spark 4.1 —
+    without it a reader implementing ``pushFilters`` refuses to plan)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TableFormatDataSource)
+    spark.dataSource.register(TableFormatChangesDataSource)
+
+
+__all__ = [
+    "TableFormatDataSource",
+    "TableFormatChangesDataSource",
+    "register",
+]

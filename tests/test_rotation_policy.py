@@ -113,6 +113,11 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/functions/validators.py": [
         "q_cnpj_valid", "q_nfe_key_valid", "q_monetary_br",
     ],
+    # Spark-native data sources over the table format: no declared query
+    # yet (the r13 window is fully allocated to the rotation plan);
+    # gated end-to-end by tests/test_table_source.py — queue a declared
+    # query in the r14 rotation.
+    "rpa_etl_spark/streaming/table_source.py": [],
     "rpa_etl_spark/streaming/pipeline.py": [
         "q_stream_tumbling", "q_stream_sliding", "q_session_window",
         "q_stream_dedup", "q_stream_interval_join", "q_audit_events",
