@@ -165,6 +165,15 @@ def main() -> None:
 
     print("version_at_time(now):", TF.version_at_time(table, _time.time()))
 
+    # round 13 — Spark-NATIVE reads: no tablefmt import needed by the
+    # consumer; Catalyst's pushed filters drive the file skipping
+    from rpa_etl_spark.streaming import table_source as TS
+
+    TS.register(spark)
+    native = spark.read.format("tablefmt").option("path", table).load()
+    print("spark.read.format('tablefmt'):", native.count(), "rows,",
+          "filtered:", native.where("doc_id < 10").count())
+
     # VACUUM: keep the last 2 versions; reclaim files only they reference
     out = TF.vacuum(table, keep_last=2)
     print(
