@@ -23,13 +23,29 @@ Source API so a user needs no tablefmt import at all:
   DataSourceV2 rendering of :class:`tablefmt.ChangeStream`'s driver
   loop (which remains for checkpoint-free table-to-table sync).
 
+WRITES are native too:
+
+- ``df.write.format("tablefmt").mode("append"|"overwrite")`` — executor
+  tasks write parquet shards (pyarrow, the same physical encodings as
+  the engine's Spark writes: TIMESTAMP_MICROS, footer stats), the
+  driver-side commit hook registers them as one atomic table commit
+  with full schema evolution and CHECK-constraint enforcement (the
+  commit hook has no SparkSession, so shard-sized validation runs on
+  DuckDB — the repo's SQL-semantics twin; unevaluable expressions
+  refuse conservatively).
+- ``df.writeStream.format("tablefmt")`` — each micro-batch lands as a
+  txn-stamped append (``option("txnAppId")``, batch id = Spark's), so a
+  replayed batch is a no-op that also deletes its duplicate shards:
+  exactly-once from Spark's checkpoint AND from the table's own
+  watermark, whichever survives.
+
 Execution split: PLANNING (offsets, manifests, pruning, alignment maps)
-runs on the driver with full tablefmt access; PARTITION READS run in
-executor Python workers with nothing but pyarrow — each partition
-carries its file path, a precomputed target-column -> physical-column
-map, and its deletion-vector file list, so the worker does a columnar
-parquet read, drops dv positions by row index, and yields rows. At
-scale each file is one partition, read where it lives.
+runs on the driver with full tablefmt access; PARTITION READS/WRITES run
+in executor Python workers with nothing but pyarrow — each read
+partition carries its file path, a precomputed target-column ->
+physical-column map, and its deletion-vector file list, so the worker
+does a columnar parquet read, drops dv positions by row index, and
+yields rows. At scale each file is one partition, read where it lives.
 
 Restore commits cannot stream (their row diff needs a join the planner
 won't run): the stream raises unless ``ignoreRestores=true``. Metadata
@@ -39,14 +55,29 @@ up renamed columns via field ids like every other read path.
 
 from __future__ import annotations
 
+import json
 import os
+
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    """Executor -> driver: the parquet shards one task wrote (paths
+    relative to the table root; empty for an empty partition)."""
+
+    files: list = field(default_factory=list)
 
 
 class _FilePartition(InputPartition):
@@ -277,6 +308,220 @@ class _ChangesStreamReader(DataSourceStreamReader):
         pass  # progress lives in Spark's own offset log
 
 
+def _pa_field_type(dt):
+    """Spark type -> pyarrow type for the native writer's shard files
+    (the same physical encodings tablefmt's Spark writes produce, so
+    footer stats and read paths treat both identically)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    flat = {
+        T.LongType: pa.int64(), T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(), T.ByteType: pa.int8(),
+        T.DoubleType: pa.float64(), T.FloatType: pa.float32(),
+        T.StringType: pa.string(), T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(), T.BinaryType: pa.binary(),
+    }
+    if type(dt) in flat:
+        return flat[type(dt)]
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise ValueError(
+        f"native tablefmt writer does not support {dt.simpleString()} "
+        "columns — write via tablefmt.append/streaming_append_sink"
+    )
+
+
+class _ShardWriterMixin:
+    """Executor-side row -> parquet shard writing shared by the batch
+    and streaming writers. The pyarrow schema and the session time zone
+    (for naive-timestamp resolution) are captured at PLAN time."""
+
+    def _setup(self, options, schema):
+        from pyspark.sql import types as T
+
+        self.path = options["path"]
+        self.sub = os.path.join(_DATA_SUBDIR, uuid.uuid4().hex)
+        self.fields = [(f.name, _pa_field_type(f.dataType)) for f in schema.fields]
+        self.ts_cols = [i for i, f in enumerate(schema.fields)
+                        if isinstance(f.dataType, T.TimestampType)]
+        self.spark_schema_json = schema.json()
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        self.tz = (sess.conf.get("spark.sql.session.timeZone") or "UTC") \
+            if sess is not None else "UTC"
+
+    def write(self, iterator):  # executor
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _ShardCommit([])
+        cols = list(zip(*rows))
+        if self.ts_cols:
+            from zoneinfo import ZoneInfo
+
+            zone = ZoneInfo(self.tz)
+            for i in self.ts_cols:
+                cols[i] = tuple(
+                    v.replace(tzinfo=zone) if v is not None
+                    and v.tzinfo is None else v
+                    for v in cols[i]
+                )
+        arrays = [pa.array(list(col), type=t)
+                  for col, (_n, t) in zip(cols, self.fields)]
+        table = pa.table(dict(zip((n for n, _t in self.fields), arrays)))
+        rel = os.path.join(self.sub, f"part-{uuid.uuid4().hex}.parquet")
+        out = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pq.write_table(table, out)
+        return _ShardCommit([rel])
+
+    # ---- driver-side helpers -------------------------------------
+    def _gather_entries(self, messages) -> list:
+        from rpa_etl_spark.operators import fileskip
+
+        rels = [r for m in messages for r in (m.files or [])]
+        return [
+            {"path": rel,
+             **fileskip.collect_file_stats(os.path.join(self.path, rel))}
+            for rel in rels
+        ]
+
+    def _validate(self, entries) -> None:
+        """Constraint enforcement for the native writer: the shards are
+        already on disk (temp, unreferenced) and the data-source commit
+        hook runs in a driver-side Python worker WITHOUT a SparkSession,
+        so the shard-sized validation runs on DuckDB — the same engine
+        this repo uses as the SQL-semantics twin for every oracle check.
+        A constraint DuckDB cannot evaluate refuses the write
+        (conservative; use tablefmt.append for exotic expressions)."""
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        cons = TF.constraints(self.path)
+        if not cons or not entries:
+            return
+        import duckdb
+
+        files = ",".join(
+            "'" + os.path.join(self.path, e["path"]).replace("'", "''") + "'"
+            for e in entries
+        )
+        rel = f"read_parquet([{files}], union_by_name=true)"
+        con = duckdb.connect()
+        for name, expr in sorted(cons.items()):
+            try:
+                bad = con.execute(
+                    f"SELECT * FROM {rel} "
+                    f"WHERE NOT coalesce(({expr}), TRUE) LIMIT 1"
+                ).fetchall()
+            except TF.ConstraintViolation:
+                raise
+            except Exception as e:  # noqa: BLE001 — dialect gap: refuse
+                raise TF.ConstraintViolation(
+                    f"CHECK constraint {name!r} ({expr}) could not be "
+                    f"validated by the native writer's local evaluator "
+                    f"({e}); write via tablefmt.append instead"
+                ) from e
+            if bad:
+                raise TF.ConstraintViolation(
+                    f"CHECK constraint {name!r} ({expr}) violated, e.g. "
+                    f"by {bad[0]!r}"
+                )
+
+    def _schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(self.spark_schema_json))
+
+    def _cleanup(self, messages) -> None:
+        """Remove exactly THIS commit's shards (a long-running stream
+        writer reuses one shard dir across micro-batches, and earlier
+        batches' committed files must survive a later batch's abort)."""
+        for m in messages:
+            for rel in (m.files or []):
+                try:
+                    os.unlink(os.path.join(self.path, rel))
+                except OSError:
+                    pass
+        try:
+            os.rmdir(os.path.join(self.path, self.sub))
+        except OSError:
+            pass  # still holds committed files (or already gone)
+
+
+_DATA_SUBDIR = "data"
+
+
+class _TableBatchWriter(_ShardWriterMixin, DataSourceWriter):
+    """``df.write.format("tablefmt").mode("append"|"overwrite")``."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self._setup(options, schema)
+        self.overwrite = overwrite
+
+    def commit(self, messages):  # driver
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        entries = self._gather_entries(messages)
+        try:
+            self._validate(entries)
+            kind = "overwrite" if self.overwrite else "append"
+            TF._commit(
+                self.path, kind, entries, self._schema(),
+                base_version=TF.current_version(self.path),
+                strict_base=self.overwrite,
+                carry_files=[] if self.overwrite else None,
+                enforced=TF.constraints(self.path),
+            )
+        except BaseException:
+            self._cleanup(messages)
+            raise
+
+    def abort(self, messages):
+        self._cleanup(messages)
+
+
+class _TableStreamWriter(_ShardWriterMixin, DataSourceStreamWriter):
+    """``df.writeStream.format("tablefmt")`` — exactly-once via the
+    table's own txn watermark: the micro-batch id is the batch number,
+    the app id is ``option("txnAppId")`` (default a checkpoint-stable
+    constant; set it when several streams feed one table)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self._setup(options, schema)
+        self.app = options.get("txnappid", "tablefmt_stream")
+
+    def commit(self, messages, batchId: int):  # driver
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        entries = self._gather_entries(messages)
+        try:
+            self._validate(entries)
+            TF._commit(
+                self.path, "append", entries, self._schema(),
+                base_version=TF.current_version(self.path),
+                strict_base=False,
+                txn={"app": self.app, "batch": int(batchId)},
+                enforced=TF.constraints(self.path),
+            )
+        except TF._TxnAlreadyApplied:
+            # replayed batch: drop the duplicate shards, keep the table
+            self._cleanup(messages)
+        except BaseException:
+            self._cleanup(messages)
+            raise
+
+    def abort(self, messages, batchId: int):
+        self._cleanup(messages)
+
+
 def _nullable(schema):
     """The declared source schema with every field NULLABLE: files
     written before an added column legitimately read it as null, and
@@ -309,6 +554,12 @@ class TableFormatDataSource(DataSource):
 
     def reader(self, schema):
         return _SnapshotReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _TableBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _TableStreamWriter(self.options, schema, overwrite)
 
 
 class TableFormatChangesDataSource(DataSource):

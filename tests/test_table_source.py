@@ -201,3 +201,157 @@ def test_worker_partition_reader_is_self_contained(tmp_path):
     )
     rows = list(TS._read_file_partition(part))
     assert rows == [("w", None, 1), ("y", None, 3), ("z", None, 4)]
+
+
+def test_native_batch_writer_append_and_overwrite(spark, tmp_path):
+    """df.write.format('tablefmt'): append commits shards with footer
+    stats into the log; overwrite replaces atomically; CHECK constraints
+    refuse the whole write and leave no shards behind."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 10).select("id"), p)
+    TS.register(spark)
+
+    spark.range(10, 20).select("id").write.format("tablefmt") \
+        .option("path", p).mode("append").save()
+    assert TF.row_count(p) == 20
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == list(range(20))
+    # entries carry footer stats -> pruning works on natively written files
+    m = TF.read_manifest(p, TF.current_version(p))
+    new_e = [e for e in m["files"] if e["path"] in m["added"]]
+    assert new_e and all("stats" in e and e["stats"]["id"]["min"] >= 10
+                         for e in new_e)
+    # overwrite
+    spark.range(100, 103).select("id").write.format("tablefmt") \
+        .option("path", p).mode("overwrite").save()
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == [100, 101, 102]
+    # constraints bind the native path too
+    TF.add_constraint(spark, p, "small", "id < 1000")
+    data_before = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
+    )
+    with pytest.raises(Exception, match="small"):
+        spark.range(5000, 5002).select("id").write.format("tablefmt") \
+            .option("path", p).mode("append").save()
+    data_after = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
+    )
+    assert data_after == data_before  # no orphan shards
+    assert TF.row_count(p) == 3
+
+
+def test_native_batch_writer_typed_columns_roundtrip(spark, tmp_path):
+    """Timestamps (session-tz naive -> UTC micros), dates, and decimals
+    survive the native writer bit-exactly, and the written footers give
+    typed stats (a time-range predicate prunes natively written files)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    p = str(tmp_path / "t")
+    rows = [
+        (i,
+         _dt.datetime(2024, 1, 1 + i, 12, 0, 0, 250000),
+         _dt.date(2024, 2, 1 + i),
+         _dec.Decimal(f"{i}.25"))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, d date, amt decimal(10,2)")
+    TF.create_table(df.where("id < 0"), p)  # empty, fixes the schema
+    TS.register(spark)
+    df.repartitionByRange(3, "ts").write.format("tablefmt") \
+        .option("path", p).mode("append").save()
+    got = sorted(map(tuple, TF.snapshot_read(spark, p).collect()))
+    assert got == sorted(rows)
+    opened, total = TF.pruned_file_counts(
+        p, where="ts < TIMESTAMP '2024-01-02 00:00:00'")
+    assert total == 3 and opened < total, (opened, total)
+
+
+def test_native_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('tablefmt'): micro-batches land as txn-stamped
+    appends — a replay of an already-applied batch id is a no-op that
+    also removes its duplicate shards."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    dst = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    TF.create_table(spark.createDataFrame([], "id long"), dst)
+    TS.register(spark)
+    spark.range(0, 5).select("id").write.mode("overwrite").parquet(src)
+
+    q = (
+        spark.readStream.schema("id long").parquet(src)
+        .writeStream.format("tablefmt")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, dst).collect()) \
+        == list(range(5))
+    head = TF.current_version(dst)
+    # restart with NO new input: no new versions, no leftovers
+    q = (
+        spark.readStream.schema("id long").parquet(src)
+        .writeStream.format("tablefmt")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert TF.current_version(dst) == head
+    # direct replay of batch 0 through the writer: txn guard drops it
+    # and removes the duplicate shards
+    w = TS._TableStreamWriter(
+        {"path": dst}, TF.table_schema(dst), False)
+    msg = w.write(iter([(999,)]))
+    w.commit([msg], batchId=0)  # batch 0 already applied by the stream
+    assert TF.current_version(dst) == head
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, dst).collect()) \
+        == list(range(5))
+    leftovers = [
+        f for dp, _dn, fn in os.walk(os.path.join(dst, "data"))
+        for f in fn if "part-" in f
+    ]
+    live = {os.path.basename(e["path"])
+            for e in TF.read_manifest(dst, head)["files"]}
+    assert set(leftovers) <= live | {
+        os.path.basename(e) for e in ()
+    } or all(os.path.basename(f) in live for f in leftovers)
+
+
+def test_native_writer_schema_evolution_and_rename(spark, tmp_path):
+    """The native append evolves the schema like tablefmt.append (new
+    column, widened type) and writes correctly into a RENAMED table
+    (ids inherited by current name)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 5).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") * 2).alias("v")), p
+    )
+    TS.register(spark)
+    spark.range(5, 8).select(
+        F.col("id").cast("long").alias("id"),   # widens int -> long
+        (F.col("id") * 2).alias("v"),
+        F.lit("n").alias("tag"),                # evolves: new column
+    ).write.format("tablefmt").option("path", p).mode("append").save()
+    snap = TF.snapshot_read(spark, p)
+    assert snap.schema.simpleString() == \
+        "struct<id:bigint,v:bigint,tag:string>"
+    assert snap.where("tag IS NULL").count() == 5
+    TF.rename_column(p, "v", "w")
+    spark.range(8, 10).select(
+        "id", (F.col("id") * 2).alias("w"), F.lit("m").alias("tag")
+    ).write.format("tablefmt").option("path", p).mode("append").save()
+    got = {r["id"]: r["w"] for r in TF.snapshot_read(spark, p).collect()}
+    assert got == {i: i * 2 for i in range(10)}
