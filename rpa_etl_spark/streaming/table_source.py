@@ -387,14 +387,15 @@ class _ShardWriterMixin:
     def _gather_entries(self, messages) -> list:
         from rpa_etl_spark.operators import fileskip
 
-        rels = [r for m in messages for r in (m.files or [])]
+        rels = [r for m in messages if m is not None
+                for r in (m.files or [])]
         return [
             {"path": rel,
              **fileskip.collect_file_stats(os.path.join(self.path, rel))}
             for rel in rels
         ]
 
-    def _validate(self, entries) -> None:
+    def _validate(self, entries, cons: dict) -> None:
         """Constraint enforcement for the native writer: the shards are
         already on disk (temp, unreferenced) and the data-source commit
         hook runs in a driver-side Python worker WITHOUT a SparkSession,
@@ -404,7 +405,6 @@ class _ShardWriterMixin:
         (conservative; use tablefmt.append for exotic expressions)."""
         from rpa_etl_spark.operators import tablefmt as TF
 
-        cons = TF.constraints(self.path)
         if not cons or not entries:
             return
         import duckdb
@@ -440,11 +440,18 @@ class _ShardWriterMixin:
 
         return StructType.fromJson(json.loads(self.spark_schema_json))
 
+    def _constraints(self) -> dict:
+        from rpa_etl_spark.operators import tablefmt as TF
+
+        return TF.constraints(self.path)
+
     def _cleanup(self, messages) -> None:
         """Remove exactly THIS commit's shards (a long-running stream
         writer reuses one shard dir across micro-batches, and earlier
         batches' committed files must survive a later batch's abort)."""
         for m in messages:
+            if m is None:
+                continue
             for rel in (m.files or []):
                 try:
                     os.unlink(os.path.join(self.path, rel))
@@ -471,14 +478,19 @@ class _TableBatchWriter(_ShardWriterMixin, DataSourceWriter):
 
         entries = self._gather_entries(messages)
         try:
-            self._validate(entries)
+            # ONE constraint-set read: the rows are validated against
+            # EXACTLY the set the commit declares as enforced, so a
+            # concurrent add_constraint can only flip the commit into a
+            # conflict, never slip unvalidated rows under a new rule
+            cons = self._constraints()
+            self._validate(entries, cons)
             kind = "overwrite" if self.overwrite else "append"
             TF._commit(
                 self.path, kind, entries, self._schema(),
                 base_version=TF.current_version(self.path),
                 strict_base=self.overwrite,
                 carry_files=[] if self.overwrite else None,
-                enforced=TF.constraints(self.path),
+                enforced=cons,
             )
         except BaseException:
             self._cleanup(messages)
@@ -503,13 +515,14 @@ class _TableStreamWriter(_ShardWriterMixin, DataSourceStreamWriter):
 
         entries = self._gather_entries(messages)
         try:
-            self._validate(entries)
+            cons = self._constraints()  # one read; see batch writer
+            self._validate(entries, cons)
             TF._commit(
                 self.path, "append", entries, self._schema(),
                 base_version=TF.current_version(self.path),
                 strict_base=False,
                 txn={"app": self.app, "batch": int(batchId)},
-                enforced=TF.constraints(self.path),
+                enforced=cons,
             )
         except TF._TxnAlreadyApplied:
             # replayed batch: drop the duplicate shards, keep the table
