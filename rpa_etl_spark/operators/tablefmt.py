@@ -2847,8 +2847,13 @@ def vacuum(path: str, keep_last: int = 2,
         except FileNotFoundError:
             continue  # vacuumed by an earlier pass
     # checkpoint the cutoff so retained versions reconstruct without the
-    # manifests about to drop (their delta chains stop at this sidecar)
-    write_checkpoint(path, cutoff)
+    # manifests about to drop (their delta chains stop at this sidecar).
+    # Only when something actually drops: a re-vacuum with a LARGER
+    # keep_last computes a cutoff whose manifest an earlier pass already
+    # removed — missing manifests form a prefix, so cutoff's manifest
+    # exists exactly when `dropped` is non-empty (round-13 ADVICE #1)
+    if dropped:
+        write_checkpoint(path, cutoff)
     touched_dirs: set[str] = set()
     for v, m in dropped:
         dropped_entries = list(m["files"]) + list(m.get("change_files", []))

@@ -2240,3 +2240,101 @@ def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version int, n_docs bigint, sum_doc_id bigint, no_rewrites boolean",
     )
+
+
+@query(
+    "q_table_native_write",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           TRUE AS refused,
+           TRUE AS stats_present
+    FROM documents
+    WHERE doc_id < 40
+    """,
+)
+def q_table_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRAINT-BEARING NATIVE WRITES under the external oracle
+    (round-13 verdict #1): ``df.write.format("tablefmt")`` must enforce
+    CHECK constraints and collect footer stats INSIDE the executor
+    write tasks — the constraint set is read once at plan time, each
+    task validates its own Arrow batch with DuckDB before its shard
+    lands, and the driver commit hook receives ready-made manifest
+    entries (metadata-only; a 1 TB constrained append never re-reads
+    data through the driver). The query creates a CHECK-constrained
+    table (``n_chars >= 0``), lands the doc_id<40 slice in two native
+    appends (split by parity), then attempts a VIOLATING native append:
+    ``refused`` = the write raised naming the constraint AND the table
+    row count is unchanged (no partial commit, no orphan rows).
+    ``stats_present`` = every entry the two appends added carries
+    footer min/max stats for both columns — the executor-collected
+    stats actually reached the manifest, which is what makes natively
+    written files prunable. The read-back goes through the NATIVE
+    reader too (``spark.read.format("tablefmt")``), so the aggregates
+    hash-check the whole native write→commit→read loop against DuckDB
+    on the raw parquet. Unit gates (shard-level refusal before the file
+    lands, plan-time constraint-set race → CommitConflict) live in
+    tests/test_table_source.py.
+
+    Scale shape: validation and stats are per-task, per-shard work that
+    scales with executor count; the driver's commit is O(files) JSON
+    arithmetic. CHECK constraints are row-local predicates, so
+    shard-local validation IS whole-set validation."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+    from rpa_etl_spark.streaming import table_source as TS
+
+    TS.register(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_native_")
+    try:
+        TF.create_table(docs.where(F.col("doc_id") < 0), path)  # schema only
+        TF.add_constraint(spark, path, "nonneg", "n_chars >= 0")
+        for parity in (0, 1):
+            (docs.where((F.col("doc_id") < 40)
+                        & (F.col("doc_id") % 2 == parity))
+             .repartition(2)
+             .write.format("tablefmt").option("path", path)
+             .mode("append").save())
+        n_before = TF.row_count(path)
+        refused = False
+        try:
+            bad = spark.createDataFrame(
+                [(99999, "xx", -5)], "doc_id long, lang string, n_chars long")
+            bad.write.format("tablefmt").option("path", path) \
+                .mode("append").save()
+        except Exception as e:  # noqa: BLE001 — the refusal IS the check
+            refused = "nonneg" in str(e)
+        refused = refused and TF.row_count(path) == n_before
+        stats_present = True
+        for v in (2, 3):  # the two native appends (v0 create, v1 constraint)
+            m = TF.read_manifest(path, v)
+            added = {e["path"]: e for e in m["files"]
+                     if e["path"] in m["added"]}
+            stats_present = stats_present and bool(added) and all(
+                "doc_id" in e["stats"] and "n_chars" in e["stats"]
+                and e["stats"]["doc_id"]["min"] is not None
+                for e in added.values()
+            )
+        agg = (
+            spark.read.format("tablefmt").option("path", path).load()
+            .where(F.col("doc_id") < 40)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_n_chars"),
+                F.countDistinct("lang").alias("n_langs"),
+            ).collect()[0]
+        )
+        row = (agg["n_docs"], agg["sum_n_chars"], agg["n_langs"],
+               bool(refused), bool(stats_present))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_docs bigint, sum_n_chars bigint, n_langs bigint, "
+        "refused boolean, stats_present boolean",
+    )

@@ -245,6 +245,83 @@ def test_native_batch_writer_append_and_overwrite(spark, tmp_path):
     assert TF.row_count(p) == 3
 
 
+def test_native_writer_validates_in_the_write_task(spark, tmp_path):
+    """Round-13 verdict #1: CHECK validation and footer-stats collection
+    run INSIDE write() (the executor task), not in the driver commit
+    hook — a violating batch refuses BEFORE its shard lands, and the
+    commit message already carries ready-made manifest entries."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5).select("id"), p)
+    TF.add_constraint(spark, p, "small", "id < 100")
+    TS.register(spark)
+
+    w = TS._TableBatchWriter({"path": p}, TF.table_schema(p), False)
+    assert w.cons == {"small": "id < 100"}  # plan-time, one read
+    # a clean task returns entries WITH footer stats (no driver re-read)
+    msg = w.write(iter([(7,), (8,)]))
+    (e,) = msg.entries
+    assert e["rows"] == 2 and e["stats"]["id"]["min"] == 7 \
+        and e["stats"]["id"]["max"] == 8
+    shard = os.path.join(p, e["path"])
+    assert pq.read_table(shard).num_rows == 2
+    os.unlink(shard)  # don't leave the uncommitted probe shard behind
+    # a violating task raises IN write() and leaves no file behind
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
+    )
+    with pytest.raises(TF.ConstraintViolation, match="small"):
+        w.write(iter([(7,), (500,)]))
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
+    )
+    assert after == before
+    # the commit hook itself never reads data: feed it entries whose
+    # shard file is unreadable garbage — metadata-only commit succeeds
+    rel = os.path.join("data", "fake", "part-xyz.parquet")
+    os.makedirs(os.path.join(p, "data", "fake"), exist_ok=True)
+    with open(os.path.join(p, rel), "wb") as f:
+        f.write(b"not parquet")
+    fake = TS._ShardCommit([{
+        "path": rel, "rows": 1,
+        "stats": {"id": {"min": 42, "max": 42, "nulls": 0}},
+    }])
+    w2 = TS._TableBatchWriter({"path": p}, TF.table_schema(p), False)
+    w2.commit([fake])
+    m = TF.read_manifest(p, TF.current_version(p))
+    assert any(e2["path"] == rel for e2 in m["files"])
+    TF.restore(p, 1)  # put the table back on real data for sanity
+    assert sorted(r["id"] for r in TF.snapshot_read(spark, p).collect()) \
+        == list(range(5))
+
+
+def test_native_writer_plan_time_constraint_set_conflicts(spark, tmp_path):
+    """The constraint set reads ONCE at plan time; a constraint added
+    between plan and commit flips the commit into CommitConflict (the
+    race can tighten, never loosen, enforcement)."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 5).select("id"), p)
+    TS.register(spark)
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
+    )
+    w = TS._TableBatchWriter({"path": p}, TF.table_schema(p), False)
+    msg = w.write(iter([(7,)]))
+    TF.add_constraint(spark, p, "late", "id < 1000")  # lands mid-flight
+    with pytest.raises(TF.CommitConflict):
+        w.commit([msg])
+    # the conflicting commit cleaned its shard up: no new files remain
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
+    )
+    assert after == before
+
+
 def test_native_batch_writer_typed_columns_roundtrip(spark, tmp_path):
     """Timestamps (session-tz naive -> UTC micros), dates, and decimals
     survive the native writer bit-exactly, and the written footers give

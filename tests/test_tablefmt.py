@@ -467,6 +467,27 @@ def test_vacuum_within_retention_is_noop(spark, tmp_path):
     assert TF.snapshot_read(spark, p, 0).count() == 3
 
 
+def test_revacuum_with_larger_keep_last_succeeds(spark, tmp_path):
+    """Round-13 ADVICE #1: a vacuum whose keep_last is LARGER than an
+    earlier pass's computes a cutoff whose manifest already dropped —
+    the checkpoint write must be skipped (nothing drops), not raise
+    FileNotFoundError forever."""
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 3), p)
+    for i in range(5):
+        TF.append(spark.range(10 * i, 10 * i + 2), p)
+    TF.vacuum(p, keep_last=2)                     # drops v0..v3
+    out = TF.vacuum(p, keep_last=5)               # cutoff v1: already gone
+    assert out["dropped_versions"] == []
+    # and the table still reads fine at the head
+    assert TF.snapshot_read(spark, p).count() == 13
+    # a later tighter pass still drops and checkpoints normally
+    TF.append(spark.range(100, 101), p)
+    out2 = TF.vacuum(p, keep_last=1)
+    assert out2["dropped_versions"], out2
+    assert TF.snapshot_read(spark, p).count() == 14
+
+
 def test_merge_into_upsert_copy_on_write(spark, tmp_path):
     """Round-11 MERGE: matched keys update (whole-row replace), unmatched
     insert; files without matched keys carry forward verbatim."""
