@@ -820,12 +820,51 @@ def can_match(compiled, entry: dict, tz: str = "UTC") -> bool:
 
 
 def prune_entries(entries: list[dict], predicate: "str | None",
-                  tz: str = "UTC") -> list[dict]:
+                  tz: str = "UTC",
+                  partition_by: "list[str] | None" = None) -> list[dict]:
     """Manifest file entries that MAY contain a matching row. The
-    one-call read-side API: compile once, evaluate per entry."""
+    one-call read-side API: compile once, evaluate per entry.
+
+    ``partition_by`` (round-14): the table's partition columns. Entries
+    carrying a ``pv`` record (their hive-style partition values) group
+    by it, and the predicate is evaluated ONCE per distinct partition
+    against the partition columns' stats alone (within a partition
+    every file has min = max = the partition value, so any member's
+    restricted stats speak for the whole group) — a pruned partition
+    skips all its files with ZERO per-file stats arithmetic: O(files)
+    work becomes O(partitions) + O(files in surviving partitions)."""
     if predicate is None:
         return list(entries)
     compiled = compile_predicate(predicate)
     if compiled is None:
         return list(entries)
-    return [e for e in entries if can_match(compiled, e, tz)]
+    return prune_compiled(compiled, entries, tz, partition_by)
+
+
+def prune_compiled(compiled, entries: list[dict], tz: str = "UTC",
+                   partition_by: "list[str] | None" = None) -> list[dict]:
+    """:func:`prune_entries` for an already-compiled predicate node
+    (the native data source hands Catalyst's pushed filters in compiled
+    form). Same partition-wise fast path."""
+    if compiled is None:
+        return list(entries)
+    if not partition_by:
+        return [e for e in entries if can_match(compiled, e, tz)]
+    pcols = set(partition_by)
+    groups: dict[tuple, list[dict]] = {}
+    for e in entries:
+        key = tuple(sorted((e.get("pv") or {}).items()))
+        groups.setdefault(key, []).append(e)
+    alive: set[int] = set()
+    for key, group in groups.items():
+        if key:
+            first = group[0]
+            probe = {
+                "rows": first.get("rows"),
+                "stats": {c: s for c, s in (first.get("stats") or {}).items()
+                          if c in pcols},
+            }
+            if not can_match(compiled, probe, tz):
+                continue  # whole partition proven non-matching
+        alive.update(id(e) for e in group if can_match(compiled, e, tz))
+    return [e for e in entries if id(e) in alive]  # input order preserved

@@ -502,7 +502,41 @@ def _publish(path: str, version: int, manifest: dict) -> bool:
     return _ARBITERS[_ARBITER["name"]](path, version, manifest)
 
 
-def _write_data_files(df, path: str, subdir: str = _DATA) -> list[dict]:
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_spec(path: str, version: "int | None" = None) -> list[str]:
+    """The table's partition columns (``create_table(partition_by=…)``),
+    in declared order; ``[]`` for an unpartitioned/absent table. The
+    spec is fixed at create time and carried forward by every commit."""
+    if version is None:
+        version = current_version(path)
+    if version < 0:
+        return []
+    return list(read_manifest(path, version).get("partition_by") or [])
+
+
+def _pv_from_rel(rel: str, partition_by: list[str]) -> dict:
+    """Partition values parsed from a file's hive-style relative path
+    (``data/<uuid>/day=2024-01-01/part-….parquet``): raw strings as
+    written in the directory names, unescaped; the hive null marker
+    maps to None. These are LAYOUT metadata + the pruning group key —
+    typed pruning bounds come from the footer stats (the partition
+    column stays physically present in every file)."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for comp in rel.split(os.sep):
+        if "=" not in comp:
+            continue
+        k, _, v = comp.partition("=")
+        if k in partition_by:
+            vals[k] = None if v == _HIVE_NULL else unquote(v)
+    return {c: vals.get(c) for c in partition_by}
+
+
+def _write_data_files(df, path: str, subdir: str = _DATA,
+                      partition_by: "list[str] | None" = None) -> list[dict]:
     """Write the DataFrame as parquet under a fresh uuid subdirectory of
     data/ (so concurrent writers never collide on file names); returns
     file ENTRIES ``{"path": rel, "rows": n, "stats": {col: {min, max,
@@ -525,26 +559,92 @@ def _write_data_files(df, path: str, subdir: str = _DATA) -> list[dict]:
     around the write): Spark's default INT96 encoding carries NO footer
     statistics, so a time-range predicate — the dominant selective
     predicate on an event table — could never prune a file (round-12
-    verdict #1). Micros is also what Delta/Iceberg require."""
+    verdict #1). Micros is also what Delta/Iceberg require.
+
+    PARTITIONED tables (round-14, first-class partition columns): rows
+    route into hive-style ``col=value/`` directories, but — unlike a
+    plain ``partitionBy`` write — every partition column stays
+    PHYSICALLY PRESENT in the files (the write partitions on a hidden
+    duplicate ``__pv_<col>`` whose directories are renamed afterwards),
+    so footer stats, schema alignment, deletion vectors and every read
+    path work identically to the unpartitioned case. Each entry records
+    its partition values under ``pv`` — the O(partitions) pruning group
+    key. ``partition_by=None`` looks the spec up from the table head
+    (every verb inherits the layout with no call-site changes); sidecar
+    writes (changes/dv subdirs) never partition."""
     from urllib.parse import unquote, urlparse
 
+    from pyspark.sql import functions as F
+
+    if partition_by is None and subdir == _DATA:
+        partition_by = partition_spec(path)
+    partition_by = partition_by or []
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"write into a table partitioned by {partition_by} must "
+            f"include the partition column(s) {missing}"
+        )
     sub = os.path.join(subdir, uuid.uuid4().hex)
     out_dir = os.path.join(path, sub)
     sess = df.sparkSession
     tt_key = "spark.sql.parquet.outputTimestampType"
     tt_prev = sess.conf.get(tt_key)
     sess.conf.set(tt_key, "TIMESTAMP_MICROS")
+    hidden = {c: f"__pv_{c}" for c in partition_by}
     try:
-        df.write.mode("overwrite").parquet(out_dir)
+        if partition_by:
+            staged = df
+            for c, h in hidden.items():
+                staged = staged.withColumn(h, F.col(c))
+            staged.write.mode("overwrite") \
+                .partitionBy(*hidden.values()).parquet(out_dir)
+        else:
+            df.write.mode("overwrite").parquet(out_dir)
     finally:
         sess.conf.set(tt_key, tt_prev)
-    committed = sess.read.parquet(out_dir).inputFiles()
+    try:
+        committed = sess.read.parquet(out_dir).inputFiles()
+    except Exception:
+        if partition_by:
+            # an empty partitionBy write commits NO part files at all
+            # (unlike the unpartitioned committer), so there is no
+            # schema to infer — a valid zero-file commit
+            committed = []
+        else:
+            raise
     rel_paths = sorted(
-        os.path.join(sub, os.path.basename(unquote(urlparse(uri).path)))
+        os.path.join(
+            sub,
+            os.path.relpath(unquote(urlparse(uri).path),
+                            os.path.abspath(out_dir)),
+        )
         for uri in committed
     )
+    if partition_by:
+        # rename the hidden partition directories to their public
+        # hive-style names (``__pv_day=X`` -> ``day=X``), deepest first
+        # so parent paths stay valid; one rename per partition directory
+        all_dirs = sorted(
+            (os.path.join(dp, d) for dp, dn, _fn in os.walk(out_dir)
+             for d in dn if d.startswith("__pv_")),
+            key=len, reverse=True,
+        )
+        for full in all_dirs:
+            os.rename(full, os.path.join(
+                os.path.dirname(full), os.path.basename(full)[len("__pv_"):]
+            ))
+        rel_paths = [
+            os.sep.join(
+                comp[len("__pv_"):] if comp.startswith("__pv_") else comp
+                for comp in rel.split(os.sep)
+            )
+            for rel in rel_paths
+        ]
     entries = [
-        {"path": rel, **fileskip.collect_file_stats(os.path.join(path, rel))}
+        {"path": rel,
+         **({"pv": _pv_from_rel(rel, partition_by)} if partition_by else {}),
+         **fileskip.collect_file_stats(os.path.join(path, rel))}
         for rel in rel_paths
     ]
     # empty partitions commit empty part files: they contribute no rows,
@@ -588,10 +688,11 @@ def _discard_files(path: str, entries: list[dict]) -> None:
     import shutil
 
     if entries:
-        shutil.rmtree(
-            os.path.join(path, os.path.dirname(entries[0]["path"])),
-            ignore_errors=True,
-        )
+        # the write's uuid root is the first TWO path components
+        # (``data/<uuid>``) — a partitioned entry's dirname would be the
+        # hive subdirectory (``data/<uuid>/day=X``), leaking siblings
+        sub = os.sep.join(entries[0]["path"].split(os.sep)[:2])
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
 
 
 def _session_tz(spark) -> str:
@@ -702,10 +803,12 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
         txns: dict = {}
         prev_files: list[dict] = []
         cons: dict = {}
+        pby: list = []
         if head >= 0:
             prev = read_manifest(path, head)
             prev_files = prev["files"]
             cons = dict(prev.get("constraints") or {})
+            pby = list(prev.get("partition_by") or [])
             txns = _txns_map(path, head, prev)
             if txn is not None:
                 last = txns.get(txn["app"])
@@ -762,6 +865,8 @@ def _commit(path: str, kind: str, new_files: list[dict], df_schema,
         }
         if cons:
             manifest["constraints"] = cons
+        if pby:
+            manifest["partition_by"] = pby
         if head < 0:
             # the first commit IS the full snapshot
             manifest["files"] = live
@@ -880,14 +985,31 @@ def _no_match_compat(predicate: "str | None", tz: str):
     return lambda e: not fileskip.can_match(compiled, e, tz)
 
 
-def create_table(df, path: str) -> int:
+def create_table(df, path: str,
+                 partition_by: "list[str] | None" = None) -> int:
     """Create (or fail if the table exists) — version 0 EXACTLY. The
     commit is strict on version 0, so two racing create_table calls
     cannot both succeed (the round-9 review caught the loser previously
-    re-publishing as v1 and silently replacing the winner's snapshot)."""
+    re-publishing as v1 and silently replacing the winner's snapshot).
+
+    ``partition_by`` (round-14) declares FIRST-CLASS PARTITION COLUMNS:
+    every data-writing verb lays files out in hive-style
+    ``col=value/`` directories, manifest entries record their partition
+    values, and reads/verb discovery prune whole partitions in
+    O(partitions) before any per-file stats arithmetic
+    (fileskip.prune_entries). The spec is fixed for the table's
+    lifetime and carried forward by every commit; partition columns
+    cannot be renamed or dropped."""
     if current_version(path) >= 0:
         raise FileExistsError(f"table already exists at {path}")
-    files = _write_data_files(df, path)
+    partition_by = list(partition_by or [])
+    if len(set(partition_by)) != len(partition_by):
+        raise ValueError(f"duplicate partition column in {partition_by}")
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition column(s) {missing} not in {df.columns}")
+    files = _write_data_files(df, path, partition_by=partition_by)
     schema0, _ = _enrich_ids(df.schema, 1)  # mint stable field ids
     sjson = schema0.jsonValue()
     manifest = {
@@ -902,6 +1024,8 @@ def create_table(df, path: str) -> int:
         "txns": {},
         "committed_at": time.time(),
     }
+    if partition_by:
+        manifest["partition_by"] = partition_by
     if not _publish(path, 0, manifest):
         _discard_files(path, files)  # the winner's snapshot stays; ours goes
         raise FileExistsError(f"table already exists at {path}")
@@ -1035,8 +1159,9 @@ def _replace_where(df, path: str, where: str, base_version: int,
     cons = dict(m.get("constraints") or {})
     if cons:
         _check_constraints(src, cons)
-    candidates = fileskip.prune_entries(m["files"], where,
-                                        _session_tz(spark))
+    candidates = fileskip.prune_entries(
+        m["files"], where, _session_tz(spark),
+        partition_by=m.get("partition_by"))
     affected_uris = []
     if candidates:
         affected_uris = [
@@ -1131,8 +1256,9 @@ def update_where(spark, path: str, predicate: str, assignments: dict,
             f"{sorted(known)}"
         )
     pred = F.expr(predicate)
-    candidates = fileskip.prune_entries(m["files"], predicate,
-                                        _session_tz(spark))
+    candidates = fileskip.prune_entries(
+        m["files"], predicate, _session_tz(spark),
+        partition_by=m.get("partition_by"))
     if not candidates:
         return base_version
     affected_uris = [
@@ -1276,8 +1402,9 @@ def delete_where(spark, path: str, predicate: str,
 
     # manifest-level skip: entries whose stats prove the predicate false
     # are untouchable survivors — they never even open for discovery
-    candidates = fileskip.prune_entries(m["files"], predicate,
-                                        _session_tz(spark))
+    candidates = fileskip.prune_entries(
+        m["files"], predicate, _session_tz(spark),
+        partition_by=m.get("partition_by"))
     if not candidates:
         return base_version
 
@@ -1995,6 +2122,18 @@ def _guard_constrained_column(path: str, column: str, verb: str,
             )
 
 
+def _guard_partition_column(path: str, column: str, verb: str,
+                            base_version: int) -> None:
+    """Refuse renaming/dropping a partition column: the hive directory
+    layout and every entry's ``pv`` record are keyed by the declared
+    name for the table's lifetime (Delta/Iceberg refuse the same)."""
+    if column in partition_spec(path, base_version):
+        raise ValueError(
+            f"cannot {verb} column {column!r}: it is a partition column "
+            f"(partition_by={partition_spec(path, base_version)})"
+        )
+
+
 def _metadata_schema_change(path: str, kind: str, new_schema,
                             base_version: "int | None") -> int:
     """Shared body of rename/drop: a PURE-METADATA commit carrying every
@@ -2056,6 +2195,7 @@ def rename_column(path: str, old: str, new: str,
     if new in names:
         raise ValueError(f"column {new!r} already exists")
     _guard_constrained_column(path, old, "rename", base_version)
+    _guard_partition_column(path, old, "rename", base_version)
     m = read_manifest(path, base_version)
     for e in m["files"]:
         fs = StructType.fromJson(m["schemas"][e["schema_id"]])
@@ -2097,6 +2237,7 @@ def drop_column(path: str, name: str,
     if len(names) == 1:
         raise ValueError("cannot drop the only column")
     _guard_constrained_column(path, name, "drop", base_version)
+    _guard_partition_column(path, name, "drop", base_version)
     dropped = StructType([f for f in schema.fields if f.name != name])
     return _metadata_schema_change(path, "drop_column", dropped,
                                    base_version)
@@ -2285,7 +2426,8 @@ def snapshot_read(spark, path: str, version: int | None = None,
         if schema_version is not None
         else StructType.fromJson(m["schemas"][m["schema_id"]])
     )
-    entries = fileskip.prune_entries(m["files"], where, _session_tz(spark))
+    entries = fileskip.prune_entries(m["files"], where, _session_tz(spark),
+                                     partition_by=m.get("partition_by"))
     parts = [
         g for _sid, g in _aligned_schema_groups(
             spark, path, m, target, only_entries=entries
@@ -2310,7 +2452,9 @@ def pruned_file_counts(path: str, version: "int | None" = None,
     if version is None:
         version = current_version(path)
     m = read_manifest(path, version)
-    return len(fileskip.prune_entries(m["files"], where, tz)), len(m["files"])
+    return (len(fileskip.prune_entries(m["files"], where, tz,
+                                       partition_by=m.get("partition_by"))),
+            len(m["files"]))
 
 
 def read_changes(spark, path: str, from_version: int = 0,
@@ -2869,7 +3013,10 @@ def vacuum(path: str, keep_last: int = 2,
                 out["deleted_files"] += 1
             except FileNotFoundError:
                 pass  # shared with another dropped version, already gone
-            touched_dirs.add(os.path.dirname(e["path"]))
+            d = os.path.dirname(e["path"])
+            while d.count(os.sep) >= 1:  # partition dirs AND uuid root
+                touched_dirs.add(d)
+                d = os.path.dirname(d)
         os.unlink(_manifest_path(path, v))
         for side in (_claim_path(path, v), _ckpt_path(path, v)):
             try:  # claim marker / checkpoint sidecar, if present
@@ -2877,7 +3024,7 @@ def vacuum(path: str, keep_last: int = 2,
             except FileNotFoundError:
                 pass
         out["dropped_versions"].append(v)
-    for d in sorted(touched_dirs):
+    for d in sorted(touched_dirs, reverse=True):  # deepest first
         full = os.path.join(path, d)
         try:
             if not os.path.isdir(full):

@@ -2338,3 +2338,83 @@ def q_table_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, sum_n_chars bigint, n_langs bigint, "
         "refused boolean, stats_present boolean",
     )
+
+
+@query(
+    "q_table_partitioned_scan",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           TRUE AS pruned,
+           TRUE AS partition_scoped
+    FROM documents
+    WHERE lang IN ('en', 'zh')
+    GROUP BY lang
+    """,
+)
+def q_table_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-CLASS PARTITION COLUMNS under the external oracle
+    (round-13 verdict #2): ``create_table(partition_by=["lang"])`` lays
+    data out in hive-style ``lang=…/`` directories while keeping the
+    partition column physically in every file, records each file's
+    partition values in its manifest entry, and prunes WHOLE PARTITIONS
+    in O(partitions) before any per-file stats arithmetic
+    (fileskip.prune_entries's pv-group fast path; call-count gated in
+    tests/test_tablefmt.py::test_partition_prune_is_o_partitions). The
+    query creates the documents table partitioned by lang (plus an
+    appended second slice, so partitions span multiple files and
+    commits), reads ``lang IN ('en','zh')`` through the pruned
+    snapshot, and emits per-lang aggregates PLUS structural evidence:
+    ``pruned`` = the Spark scan opened fewer files than the snapshot
+    holds (``df.inputFiles()``), ``partition_scoped`` = the opened file
+    count equals EXACTLY the manifest entries whose recorded partition
+    value is en/zh — the scan never opened a file of any other
+    partition. A wrong pv record, a group check that prunes a matching
+    partition, or a layout that routes rows to the wrong directory
+    changes an aggregate or a flag and hash-mismatches.
+
+    Scale shape: partition pruning is O(partitions) driver arithmetic —
+    on a 10⁶-file, 10³-partition table a partition-scoped query prunes
+    999 directories with 10³ group checks instead of 10⁶ per-file stats
+    evaluations; footer-stats pruning still applies WITHIN surviving
+    partitions, and the hive directory layout is what external tools
+    (Delta/Iceberg readers, plain ``spark.read.parquet``) expect."""
+    import shutil
+    import tempfile
+
+    from rpa_etl_spark.operators import tablefmt as TF
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_part_")
+    try:
+        half = docs.where(F.col("doc_id") % 2 == 0)
+        rest = docs.where(F.col("doc_id") % 2 == 1)
+        TF.create_table(half.repartition("lang"), path,
+                        partition_by=["lang"])
+        TF.append(rest.repartition("lang"), path)
+        m = TF.read_manifest(path, 1)
+        want_files = sum(
+            1 for e in m["files"] if e["pv"]["lang"] in ("en", "zh"))
+        pred = "lang IN ('en', 'zh')"
+        pruned_df = TF.snapshot_read(spark, path, where=pred)
+        files_scanned = len(pruned_df.inputFiles())
+        files_total = len(m["files"])
+        pruned = bool(files_scanned < files_total)
+        partition_scoped = bool(files_scanned == want_files)
+        rows = [
+            (r["lang"], r["n_docs"], r["sum_n_chars"],
+             pruned, partition_scoped)
+            for r in pruned_df.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_n_chars"),
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs bigint, sum_n_chars bigint, "
+        "pruned boolean, partition_scoped boolean",
+    )

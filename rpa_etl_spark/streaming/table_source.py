@@ -249,10 +249,10 @@ class _SnapshotReader(DataSourceReader):
 
         m = TF.read_manifest(self.path, self.version)
         target = StructType.fromJson(m["schemas"][m["schema_id"]])
-        entries = m["files"]
-        if self._node is not None:
-            entries = [e for e in entries
-                       if fileskip.can_match(self._node, e, tz=self.tz)]
+        # same pruning as snapshot_read: O(partitions) partition-value
+        # fast path first, per-file stats for the survivors
+        entries = fileskip.prune_compiled(
+            self._node, m["files"], self.tz, m.get("partition_by"))
         parts = _plan_entries(self.path, m, target, entries)
         # Spark requires >= 1 partition; an empty snapshot reads nothing
         return parts or [_FilePartition("", [], [], "", None, None)]
@@ -356,6 +356,33 @@ def _pa_field_type(dt):
     )
 
 
+def _pv_str(v) -> "str | None":
+    """A partition value's canonical string form — what the engine's
+    Spark ``partitionBy`` writes in directory names (dates ISO, bools
+    lowercase), so native and engine writes group identically."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) \
+            else v.isoformat()
+    return str(v)
+
+
+def _hive_component(c: str, v) -> str:
+    """``col=value`` path component, escaped like the read side's
+    unquote expects; None takes the hive default-partition marker."""
+    from urllib.parse import quote
+
+    from rpa_etl_spark.operators.tablefmt import _HIVE_NULL
+
+    s = _pv_str(v)
+    return f"{c}={_HIVE_NULL if s is None else quote(s, safe='')}"
+
+
 class _ShardWriterMixin:
     """Executor-side row -> parquet shard writing shared by the batch
     and streaming writers. The pyarrow schema and the session time zone
@@ -380,6 +407,18 @@ class _ShardWriterMixin:
         # itself is validated shard-locally in the executors (round-13
         # verdict #1: no full-data driver read in the commit hook).
         self.cons = TF.constraints(self.path)
+        # partitioned tables: each task routes its rows into hive-style
+        # col=value/ shard files so the native write keeps the layout;
+        # the spec is plan-time metadata like the constraint set
+        self.pby = TF.partition_spec(self.path)
+        names = [f.name for f in schema.fields]
+        missing = [c for c in self.pby if c not in names]
+        if missing:
+            raise ValueError(
+                f"write into a table partitioned by {self.pby} must "
+                f"include the partition column(s) {missing}"
+            )
+        self.p_idx = [names.index(c) for c in self.pby]
         from pyspark.sql import SparkSession
 
         sess = SparkSession.getActiveSession()
@@ -404,23 +443,48 @@ class _ShardWriterMixin:
                     and v.tzinfo is None else v
                     for v in cols[i]
                 )
+            rows = list(zip(*cols))  # partition grouping sees fixed values
         arrays = [pa.array(list(col), type=t)
                   for col, (_n, t) in zip(cols, self.fields)]
         table = pa.table(dict(zip((n for n, _t in self.fields), arrays)))
         if self.cons:
             self._validate_shard(table)  # refuse BEFORE the shard lands
-        rel = os.path.join(self.sub, f"part-{uuid.uuid4().hex}.parquet")
-        out = os.path.join(self.path, rel)
-        os.makedirs(os.path.dirname(out), exist_ok=True)
-        pq.write_table(table, out)
         from rpa_etl_spark.operators import fileskip
 
-        # footer stats collected HERE, where the file just landed — the
-        # driver commit hook receives ready-made manifest entries and
-        # touches metadata only
-        return _ShardCommit(
-            [{"path": rel, **fileskip.collect_file_stats(out)}]
-        )
+        if not self.pby:
+            shards = [(self.sub, None, table)]
+        else:
+            # route this task's rows into one shard per partition value
+            by_pv: dict = {}
+            for row in rows:
+                by_pv.setdefault(
+                    tuple(row[i] for i in self.p_idx), []).append(row)
+            shards = []
+            for key, grows in sorted(by_pv.items(), key=lambda kv: repr(kv)):
+                gcols = list(zip(*grows))
+                garrays = [pa.array(list(col), type=t)
+                           for col, (_n, t) in zip(gcols, self.fields)]
+                gtable = pa.table(
+                    dict(zip((n for n, _t in self.fields), garrays)))
+                sub = os.path.join(self.sub, *(
+                    _hive_component(c, v) for c, v in zip(self.pby, key)
+                ))
+                pv = {c: _pv_str(v) for c, v in zip(self.pby, key)}
+                shards.append((sub, pv, gtable))
+        entries = []
+        for sub, pv, t_out in shards:
+            rel = os.path.join(sub, f"part-{uuid.uuid4().hex}.parquet")
+            out = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            pq.write_table(t_out, out)
+            # footer stats collected HERE, where the file just landed —
+            # the driver commit hook receives ready-made manifest
+            # entries and touches metadata only
+            e = {"path": rel, **fileskip.collect_file_stats(out)}
+            if pv is not None:
+                e["pv"] = pv
+            entries.append(e)
+        return _ShardCommit(entries)
 
     def _validate_shard(self, table) -> None:
         """CHECK enforcement IN THE EXECUTOR, against the task's own
