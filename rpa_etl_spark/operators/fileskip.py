@@ -819,6 +819,50 @@ def can_match(compiled, entry: dict, tz: str = "UTC") -> bool:
     return _eval(compiled, stats, rows, tz) is not False
 
 
+def row_group_stats(local_path: str) -> list[dict]:
+    """Per-ROW-GROUP pruning entries for one parquet file:
+    ``[{"rg": i, "rows": n, "row_offset": o, "stats": {col: ...}}]`` —
+    the same typed bounds :func:`collect_file_stats` aggregates, kept
+    separate per row group so a reader can skip or parallelize WITHIN a
+    large file (the native source splits externally-written big files
+    into one task per row group and prunes each against the same
+    predicate node). ``row_offset`` is the group's first row's
+    file-level index (what deletion vectors address)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    out: list[dict] = []
+    offset = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        stats: dict = {}
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None:
+                continue
+            rec: dict = {"nulls": st.null_count}
+            if st.has_min_max:
+                try:
+                    tag, mn, mx = _typed_bounds(st)
+                except Exception:  # noqa: BLE001 — pyarrow surprise
+                    tag = mn = mx = None
+                if mn is not None and mx is not None:
+                    if tag == "dec":
+                        mn, mx = str(mn), str(mx)
+                    rec["min"], rec["max"] = mn, mx
+                    if tag is not None:
+                        rec["t"] = tag
+            stats[name] = rec
+        out.append({"rg": rg, "rows": g.num_rows,
+                    "row_offset": offset, "stats": stats})
+        offset += g.num_rows
+    return out
+
+
 def prune_entries(entries: list[dict], predicate: "str | None",
                   tz: str = "UTC",
                   partition_by: "list[str] | None" = None) -> list[dict]:

@@ -89,20 +89,27 @@ class _ShardCommit(WriterCommitMessage):
 
 
 class _FilePartition(InputPartition):
-    """One parquet file to read on an executor: absolute path, the
-    target-column -> physical-column map (None = absent, null), the
-    file's dv sidecar paths + its own basename (dv join key), and the
-    stream stamps (version + change-kind mode)."""
+    """One parquet file — or one ROW GROUP of a large file — to read on
+    an executor: absolute path, the target-column -> physical-column
+    map (None = absent, null), the file's dv sidecar paths + its own
+    basename (dv join key), and the stream stamps (version +
+    change-kind mode). ``row_group`` (round-14): a single row-group
+    index to read instead of the whole file, with ``row_offset`` = the
+    group's first row's FILE-level index so deletion-vector positions
+    keep addressing file rows."""
 
     def __init__(self, file: str, cols: list, dv_files: list,
                  basename: str, version: "int | None" = None,
-                 kind: "str | None" = None):
+                 kind: "str | None" = None,
+                 row_group: "int | None" = None, row_offset: int = 0):
         self.file = file
         self.cols = cols
         self.dv_files = dv_files
         self.basename = basename
         self.version = version
         self.kind = kind
+        self.row_group = row_group
+        self.row_offset = row_offset
 
 
 def _read_file_partition(part: _FilePartition):
@@ -114,7 +121,11 @@ def _read_file_partition(part: _FilePartition):
     needed = sorted({c for c in part.cols if c is not None})
     if part.kind == "_ck":
         needed.append("_ck")
-    t = pq.read_table(part.file, columns=needed)
+    if getattr(part, "row_group", None) is not None:
+        t = pq.ParquetFile(part.file).read_row_group(
+            part.row_group, columns=needed)
+    else:
+        t = pq.read_table(part.file, columns=needed)
     n = t.num_rows
     names = set(t.column_names)
     cols = []
@@ -140,8 +151,9 @@ def _read_file_partition(part: _FilePartition):
     if not drop:
         yield from rows
         return
+    base = getattr(part, "row_offset", 0)  # dv positions are FILE rows
     for i, row in enumerate(rows):
-        if i not in drop:
+        if (base + i) not in drop:
             yield row
 
 
@@ -233,6 +245,8 @@ class _SnapshotReader(DataSourceReader):
         # snapshot_read's _session_tz plumbing (round-13 ADVICE #3)
         sess = SparkSession.getActiveSession()
         self.tz = TF._session_tz(sess) if sess is not None else "UTC"
+        self.split_bytes = int(options.get("splitfilebytes",
+                                           128 * 1024 * 1024))
         self._node = None
 
     def pushFilters(self, filters):
@@ -254,8 +268,45 @@ class _SnapshotReader(DataSourceReader):
         entries = fileskip.prune_compiled(
             self._node, m["files"], self.tz, m.get("partition_by"))
         parts = _plan_entries(self.path, m, target, entries)
+        parts = self._split_large(parts)
         # Spark requires >= 1 partition; an empty snapshot reads nothing
         return parts or [_FilePartition("", [], [], "", None, None)]
+
+    def _split_large(self, parts: list) -> list:
+        """Round-14 (round-13 verdict #3): a file bigger than
+        ``splitFileBytes`` (default 128 MB — Spark's maxPartitionBytes)
+        splits into ONE TASK PER ROW GROUP, so an externally-written
+        1 GB file parallelizes instead of serializing through a single
+        executor. Each group is pruned against the SAME pushed-filter
+        node using its own row-group stats (footer read only for the
+        files being split — bounded by the large-file count, not the
+        snapshot). Engine-written files stay under the cap and pass
+        through untouched."""
+        from rpa_etl_spark.operators import fileskip
+
+        out: list = []
+        for p in parts:
+            try:
+                big = os.path.getsize(p.file) > self.split_bytes
+            except OSError:
+                big = False
+            if not big:
+                out.append(p)
+                continue
+            groups = fileskip.row_group_stats(p.file)
+            if len(groups) <= 1:
+                out.append(p)
+                continue
+            for g in groups:
+                if self._node is not None and not fileskip.can_match(
+                        self._node, g, self.tz):
+                    continue  # row-group-level skip
+                out.append(_FilePartition(
+                    file=p.file, cols=p.cols, dv_files=p.dv_files,
+                    basename=p.basename, version=p.version, kind=p.kind,
+                    row_group=g["rg"], row_offset=g["row_offset"],
+                ))
+        return out
 
     def read(self, partition):
         if not partition.file:

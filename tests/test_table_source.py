@@ -432,3 +432,47 @@ def test_native_writer_schema_evolution_and_rename(spark, tmp_path):
     ).write.format("tablefmt").option("path", p).mode("append").save()
     got = {r["id"]: r["w"] for r in TF.snapshot_read(spark, p).collect()}
     assert got == {i: i * 2 for i in range(10)}
+
+
+def test_native_reader_splits_large_files_by_row_group(spark, tmp_path):
+    """Round-13 verdict #3: a file above splitFileBytes splits into one
+    task per ROW GROUP (externally-written big files parallelize), each
+    group pruned by its own stats, deletion vectors still addressing
+    file-level row indexes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    p = str(tmp_path / "t")
+    TF.create_table(spark.range(0, 100).select("id").repartition(1), p)
+    (entry,) = TF.read_manifest(p, 0)["files"]
+    full = os.path.join(p, entry["path"])
+    # simulate an externally-written multi-row-group file: same rows,
+    # same order, 4 row groups of 25
+    t = pq.read_table(full)
+    pq.write_table(t, full, row_group_size=25)
+    crc = os.path.join(os.path.dirname(full),
+                       "." + os.path.basename(full) + ".crc")
+    if os.path.exists(crc):  # stale Hadoop checksum from the first write
+        os.unlink(crc)
+    # dv-delete every 10th row (positions are file row indexes)
+    TF.delete_where(spark, p, "id % 10 = 0", mode="dv",
+                    dv_rewrite_fraction=1.0)
+    TS.register(spark)
+
+    r = TS._SnapshotReader({"path": p, "splitfilebytes": "1"})
+    parts = r.partitions()
+    assert len(parts) == 4 and all(
+        pt.row_group is not None for pt in parts)  # split beat file count
+    got = spark.read.format("tablefmt").option("path", p) \
+        .option("splitFileBytes", "1").load()
+    want = [i for i in range(100) if i % 10 != 0]
+    assert sorted(x["id"] for x in got.collect()) == want
+    # pushed filters prune whole row groups by their own stats
+    from pyspark.sql.datasource import LessThan
+
+    r2 = TS._SnapshotReader({"path": p, "splitfilebytes": "1"})
+    list(r2.pushFilters([LessThan(("id",), 25)]))
+    assert len(r2.partitions()) == 1
+    # default threshold: small files pass through whole
+    r3 = TS._SnapshotReader({"path": p})
+    assert [pt.row_group for pt in r3.partitions()] == [None]
