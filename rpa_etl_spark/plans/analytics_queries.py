@@ -2418,3 +2418,81 @@ def q_table_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, n_docs bigint, sum_n_chars bigint, "
         "pruned boolean, partition_scoped boolean",
     )
+
+
+@query(
+    "q_table_sql",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           TRUE AS snapshot_isolated
+    FROM documents
+    WHERE doc_id < 200
+    GROUP BY lang
+    """,
+)
+def q_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-TEXT SURFACE over the table format under the external oracle
+    (round-13 verdict #7): ``register_table(spark, name, path)`` makes
+    a commit-log table queryable with plain ``spark.sql("SELECT … FROM
+    name")`` — the entry point an analyst actually types — backed by
+    the native snapshot source, so pushed filters, partition pruning
+    and deletion vectors all apply under the SQL text. The view has
+    SNAPSHOT-ISOLATION semantics: it pins the version current at
+    registration. The query creates the table from the doc_id<200
+    slice, registers the view, APPENDS the rest of the corpus, and
+    runs the aggregation through ``spark.sql`` — the result must still
+    be the registration-time snapshot (the oracle re-computes exactly
+    the doc_id<200 slice in DuckDB; a view that leaked the later
+    commit would change every aggregate and hash-mismatch).
+    ``snapshot_isolated`` additionally gates the row counts both ways:
+    the pinned view serves the old count while a RE-registration serves
+    the new one. Unit gates (time-travel views, pushed-WHERE pruning)
+    live in tests/test_table_source.py.
+
+    Scale shape: the view is a name for a planned snapshot — queries
+    over it plan with metadata-only file skipping exactly like the
+    DataFrame path; re-registration is one manifest read."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from rpa_etl_spark.operators import tablefmt as TF
+    from rpa_etl_spark.streaming import table_source as TS
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="rpa_etl_tablefmt_sql_")
+    view = f"tfsql_{_uuid.uuid4().hex[:8]}"
+    try:
+        TF.create_table(docs.where(F.col("doc_id") < 200), path)
+        n_v0 = TF.row_count(path)
+        TS.register_table(spark, view, path)
+        TF.append(docs.where(F.col("doc_id") >= 200), path)
+        agg = spark.sql(
+            f"SELECT lang, COUNT(*) AS n_docs, "
+            f"SUM(n_chars) AS sum_n_chars FROM {view} GROUP BY lang"
+        ).collect()
+        pinned_n = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {view}").collect()[0]["n"]
+        TS.register_table(spark, view, path)  # advance to the head
+        head_n = spark.sql(
+            f"SELECT COUNT(*) AS n FROM {view}").collect()[0]["n"]
+        snapshot_isolated = bool(
+            pinned_n == n_v0 and head_n == TF.row_count(path)
+            and head_n > pinned_n
+        )
+        rows = [(r["lang"], r["n_docs"], r["sum_n_chars"],
+                 snapshot_isolated) for r in agg]
+    finally:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:  # noqa: BLE001 — registration may have failed
+            pass
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "lang string, n_docs bigint, sum_n_chars bigint, "
+        "snapshot_isolated boolean",
+    )

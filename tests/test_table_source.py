@@ -476,3 +476,42 @@ def test_native_reader_splits_large_files_by_row_group(spark, tmp_path):
     # default threshold: small files pass through whole
     r3 = TS._SnapshotReader({"path": p})
     assert [pt.row_group for pt in r3.partitions()] == [None]
+
+
+def test_register_table_sql_text_snapshot_isolation(spark, tmp_path):
+    """register_table: plain spark.sql over the view, pinned at the
+    registration-time version (later commits invisible until
+    re-registration); version= gives a time-travel view; pushed SQL
+    WHERE still prunes files."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    TF.create_table(
+        spark.range(0, 100).select("id", (F.col("id") % 5).alias("g"))
+        .repartitionByRange(4, "id"), p)
+    TF.append(spark.range(100, 120).select(
+        "id", (F.col("id") % 5).alias("g")), p)
+    TS.register_table(spark, "tsql_t", p)
+    got = spark.sql(
+        "SELECT g, COUNT(*) AS n, SUM(id) AS s FROM tsql_t "
+        "GROUP BY g ORDER BY g").collect()
+    assert [(r["g"], r["n"], r["s"]) for r in got] == [
+        (g, sum(1 for i in range(120) if i % 5 == g),
+         sum(i for i in range(120) if i % 5 == g)) for g in range(5)]
+    # snapshot isolation: a commit AFTER registration is invisible
+    TF.append(spark.range(1000, 1010).select(
+        "id", (F.col("id") % 5).alias("g")), p)
+    assert spark.sql("SELECT COUNT(*) AS n FROM tsql_t").collect()[0]["n"] \
+        == 120
+    # re-registration advances; time-travel view pins v0
+    TS.register_table(spark, "tsql_t", p)
+    assert spark.sql("SELECT COUNT(*) AS n FROM tsql_t").collect()[0]["n"] \
+        == 130
+    TS.register_table(spark, "tsql_t0", p, version=0)
+    assert spark.sql("SELECT COUNT(*) AS n FROM tsql_t0").collect()[0]["n"] \
+        == 100
+    # the SQL WHERE reaches the source's pushed-filter pruning
+    pruned = spark.sql("SELECT id FROM tsql_t0 WHERE id < 25")
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(25))
+    spark.catalog.dropTempView("tsql_t")
+    spark.catalog.dropTempView("tsql_t0")
