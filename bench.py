@@ -115,7 +115,10 @@ def main() -> None:
     n_docs = docs.count()
     n_cores = spark.sparkContext.defaultParallelism
     pipe_sec = None
-    for i in range(3):
+    # best-of-3 timed (was best-of-2): the round-13→14 bisect showed the
+    # per-pass spread on identical code is ±20% (interleaved A/B runs
+    # flip sign with ordering), so one extra ~3 s sample buys real signal
+    for i in range(4):
         t0 = time.perf_counter()
         process_documents(docs).write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -273,6 +276,23 @@ def _report_deltas(
         f"[bench-delta] vs {name} ({kind}): total {total_then:.1f}s -> {total_now:.1f}s",
         file=sys.stderr,
     )
+    # per-cohort line for the table verbs (round-13 verdict #4: their
+    # feature tax grew 13–37% across r12→r13 under the global gate —
+    # keep the cohort visible even when the total is quiet)
+    tbl_then = sum(v for q, v in prior.items()
+                   if q.startswith("q_table_") and isinstance(v, (int, float)))
+    tbl_now = sum(v for q, v in now_side.items() if q.startswith("q_table_"))
+    if tbl_then or tbl_now:
+        shared = [q for q in now_side if q.startswith("q_table_") and q in prior]
+        tbl_then_shared = sum(prior[q] for q in shared)
+        tbl_now_shared = sum(now_side[q] for q in shared)
+        ratio = tbl_now_shared / tbl_then_shared if tbl_then_shared else float("nan")
+        print(
+            f"[bench-delta]   table cohort ({kind}): {tbl_then:.2f}s -> "
+            f"{tbl_now:.2f}s total; shared {len(shared)} queries "
+            f"{tbl_then_shared:.2f}s -> {tbl_now_shared:.2f}s ({ratio:.2f}x)",
+            file=sys.stderr,
+        )
     for q, then, now in flagged:
         print(
             f"[bench-delta]   {q}: {then:.2f}s -> {now:.2f}s "

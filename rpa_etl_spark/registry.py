@@ -54,69 +54,26 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # ======================= ROUND-13 WINDOW (50) =======================
-    # == tier A (8): NEW queries + every tablefmt/fileskip kernel
-    #    consumer. Both kernels changed substantially this round (typed
-    #    timestamp/decimal/date stats + literal canonicalization;
-    #    incremental manifests + checkpoints; replaceWhere; update_where;
-    #    CDF update images; dv auto-materialization; ChangeStream) — the
-    #    two NEW queries and all six existing consumers head the window.
-    "q_table_time_pruned_scan",
+    # ======================= ROUND-14 WINDOW (50) =======================
+    # == tier A (11): the 3 NEW queries (executor-side native writes,
+    #    first-class partition columns, SQL-text views) + every
+    #    tablefmt/fileskip/table_source kernel consumer — all three
+    #    kernels changed this round (round-13 verdict #1/#2/#3/#7).
+    "q_table_native_write",
+    "q_table_partitioned_scan",
+    "q_table_sql",
     "q_table_update",
     "q_table_pruned_scan",
+    "q_table_time_pruned_scan",
     "q_table_changes",
     "q_table_delete_dv",
     "q_table_zorder_scan",
     "q_table_time_travel",
     "q_table_schema_evolution",
-    # == tier B (42): the ROUND-9-stale cohort (verdict #2's named
-    #    list) — every query whose latest driver-green verdict is 4
-    #    rounds old; all unchanged since (local replica green), so this
-    #    is rotation lag, not drift. After r13 no verdict predates r10.
-    "q_scan_project",
-    "q_topk",
-    "q_rollup",
-    "q_set_ops",
-    "q_pivot",
-    "q_string_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_monetary_br",
-    "q_nfe_key_valid",
-    "q_lang_quality",
-    "q_session_window",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_scalar_subquery",
-    "q_ngram_novelty",
-    "q_unigram_logprob",
-    "q_url_dedup",
-    "q_multimodal_mpeg_pframes",
-    "q_multimodal_mpeg_bframes",
-    "q_pipeline_e2e",
-    "q_warc_extract",
-    "q_tar_extract",
-    "q_flagship",
-    "q_multimodal_meta",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_multimodal_audio",
-    "q_multimodal_png",
-    "q_multimodal_resize",
-    "q_multimodal_mjpeg",
-    "q_multimodal_mpeg_iframes",
-    "q_multimodal_g711",
-    "q_multimodal_gif",
-    "q_approx_count_distinct",
-    "q_argmax",
-    "q_array_agg",
-    "q_audit_events",
-    "q_case_routing",
-    "q_decimal_math",
-    # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 10 (34) ==
+    # == tier B (35): the ROUND-10-stale cohort (round-13 verdict #6's
+    #    named list) — every query whose latest driver-green verdict is
+    #    4 rounds old; all unchanged since (local replica green).
+    #    After r14 no verdict predates r11.
     "q_fuzzy_match",
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
@@ -151,12 +108,14 @@ PRIORITY_ORDER = [
     "q_user_totals_state",
     "q_stream_session_ttl",
     "q_join_skew_salted",
-    # == last driver-green in ROUND 11 (49) ==
     "q_agg_skew_salted",
+    # == tier C (4): oldest r11-stale fill.
     "q_lateral_topk",
     "q_profile_stats",
     "q_quantiles",
     "q_pii_redact",
+    # ---------------- below the sampled window ----------------
+    # == last driver-green in ROUND 11 ==
     "q_hll_sketch_merge",
     "q_tfidf_terms",
     "q_histogram",
@@ -201,8 +160,7 @@ PRIORITY_ORDER = [
     "q_mode",
     "q_normalize_docs",
     "q_not_in_null_semantics",
-    # == last driver-green in ROUND 12 (44 not re-queued above; the
-    #    freshest cohort sits at the bottom by design) ==
+    # == last driver-green in ROUND 12 ==
     "q_zorder_code",
     "q_pack_sequences",
     "q_parse_invoice",
@@ -247,6 +205,50 @@ PRIORITY_ORDER = [
     "q_join_range",
     "q_join_semi",
     "q_pack_sequences_bpe",
+    # == last driver-green in ROUND 13 (the freshest cohort sits at the
+    #    bottom by design) ==
+    "q_scan_project",
+    "q_topk",
+    "q_rollup",
+    "q_set_ops",
+    "q_pivot",
+    "q_string_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_monetary_br",
+    "q_nfe_key_valid",
+    "q_lang_quality",
+    "q_session_window",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_dedup",
+    "q_stream_interval_join",
+    "q_scalar_subquery",
+    "q_ngram_novelty",
+    "q_unigram_logprob",
+    "q_url_dedup",
+    "q_multimodal_mpeg_pframes",
+    "q_multimodal_mpeg_bframes",
+    "q_pipeline_e2e",
+    "q_warc_extract",
+    "q_tar_extract",
+    "q_flagship",
+    "q_multimodal_meta",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
+    "q_multimodal_png",
+    "q_multimodal_resize",
+    "q_multimodal_mjpeg",
+    "q_multimodal_mpeg_iframes",
+    "q_multimodal_g711",
+    "q_multimodal_gif",
+    "q_approx_count_distinct",
+    "q_argmax",
+    "q_array_agg",
+    "q_audit_events",
+    "q_case_routing",
+    "q_decimal_math",
 ]
 
 

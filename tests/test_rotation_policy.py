@@ -58,11 +58,12 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/operators/tablefmt.py": [
         "q_table_time_travel", "q_table_schema_evolution",
         "q_table_pruned_scan", "q_table_changes", "q_table_zorder_scan",
-        "q_table_delete_dv", "q_table_time_pruned_scan",
+        "q_table_delete_dv", "q_table_time_pruned_scan", "q_table_update",
+        "q_table_partitioned_scan", "q_table_native_write", "q_table_sql",
     ],
     "rpa_etl_spark/operators/fileskip.py": [
         "q_table_pruned_scan", "q_table_zorder_scan", "q_table_delete_dv",
-        "q_table_time_pruned_scan",
+        "q_table_time_pruned_scan", "q_table_partitioned_scan",
     ],
     "rpa_etl_spark/operators/similarity.py": [
         "q_sim_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_trained",
@@ -113,11 +114,12 @@ KERNEL_CONSUMERS: dict[str, list[str]] = {
     "rpa_etl_spark/functions/validators.py": [
         "q_cnpj_valid", "q_nfe_key_valid", "q_monetary_br",
     ],
-    # Spark-native data sources over the table format: no declared query
-    # yet (the r13 window is fully allocated to the rotation plan);
-    # gated end-to-end by tests/test_table_source.py — queue a declared
-    # query in the r14 rotation.
-    "rpa_etl_spark/streaming/table_source.py": [],
+    # Spark-native data sources over the table format (round 14):
+    # native writes, partitioned shards + SQL-text views are declared
+    # queries; unit depth in tests/test_table_source.py.
+    "rpa_etl_spark/streaming/table_source.py": [
+        "q_table_native_write", "q_table_partitioned_scan", "q_table_sql",
+    ],
     "rpa_etl_spark/streaming/pipeline.py": [
         "q_stream_tumbling", "q_stream_sliding", "q_session_window",
         "q_stream_dedup", "q_stream_interval_join", "q_audit_events",
