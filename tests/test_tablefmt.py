@@ -2531,3 +2531,110 @@ def test_partitioned_null_values_and_vacuum(spark, tmp_path):
     ]
     assert old_roots == []  # no empty uuid directories leak
     assert TF.snapshot_read(spark, p).count() == 5
+
+
+def test_random_commit_sequences_match_model_partitioned(spark, tmp_path):
+    """The round-11 model-based gate re-run over a PARTITIONED table
+    (round 14): every verb in a random sequence must keep (a) the dict
+    semantics identical to the unpartitioned surface, (b) the hive
+    layout invariant — every live entry's pv matches its path AND its
+    rows' actual partition values — and (c) partition_by carried by
+    every commit. Catches cross-verb layout interactions (e.g. an
+    optimize after a dv-delete after a replace) no single-op test sees."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    def with_pt(rows):
+        return spark.createDataFrame(
+            [(k, v, k % 3) for k, v in rows], "k long, v long, pt long")
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("overwrite"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("delete"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("delete_dv"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("merge"), st.integers(0, 9), st.integers(1, 4)),
+            st.tuples(st.just("update"), st.integers(0, 4), st.just(0)),
+            st.tuples(st.just("restore"), st.integers(0, 9), st.just(0)),
+            st.tuples(st.just("vacuum"), st.just(0), st.just(0)),
+            st.tuples(st.just("optimize"), st.just(0), st.just(0)),
+        ),
+        min_size=3,
+        max_size=6,
+    )
+    counter = [0]
+
+    def check_layout(p):
+        m = TF.read_manifest(p, TF.current_version(p))
+        assert m.get("partition_by") == ["pt"]
+        for e in m["files"]:
+            assert f"pt={e['pv']['pt']}" in e["path"], e
+            # footer stats agree with the recorded partition value
+            s = e["stats"].get("pt")
+            if s and s.get("min") is not None:
+                assert s["min"] == s["max"] == int(e["pv"]["pt"]), e
+
+    @settings(max_examples=3, deadline=None, derandomize=True)
+    @given(ops)
+    def run(seq):
+        counter[0] += 1
+        p = str(tmp_path / f"pm{counter[0]}")
+        model = {0: 0, 1: 10}
+        TF.create_table(with_pt(sorted(model.items())), p,
+                        partition_by=["pt"])
+        snapshots = {TF.current_version(p): dict(model)}
+        vacuumed_below = 0
+        for kind, a, b in seq:
+            if kind == "append":
+                rows = [(1000 + a * 10 + i, 1000 + a * 10 + i)
+                        for i in range(b)]
+                TF.append(with_pt(rows), p)
+                model.update(rows)
+            elif kind == "overwrite":
+                rows = [(a * 100 + i, i) for i in range(b)]
+                TF.overwrite(with_pt(rows), p)
+                model = dict(rows)
+            elif kind == "delete":
+                TF.delete_where(spark, p, f"k % 5 = {a % 5}")
+                model = {k: v for k, v in model.items() if k % 5 != a % 5}
+            elif kind == "delete_dv":
+                TF.delete_where(spark, p, f"k % 5 = {a % 5}", mode="dv")
+                model = {k: v for k, v in model.items() if k % 5 != a % 5}
+            elif kind == "merge":
+                rows = [(a * 10 + i, 7000 + i) for i in range(b)]
+                TF.merge_into(spark, p, with_pt(rows), on=["k"])
+                model.update(rows)
+            elif kind == "update":
+                TF.update_where(spark, p, f"k % 5 = {a % 5}", {"v": "v + 1"})
+                model = {k: (v + 1 if k % 5 == a % 5 else v)
+                         for k, v in model.items()}
+            elif kind == "restore":
+                head = TF.current_version(p)
+                tgt = a % (head + 1)
+                if tgt >= vacuumed_below and tgt in snapshots:
+                    TF.restore(p, tgt)
+                    model = dict(snapshots[tgt])
+            elif kind == "vacuum":
+                out = TF.vacuum(p, keep_last=2)
+                if out["dropped_versions"]:
+                    vacuumed_below = max(out["dropped_versions"]) + 1
+            else:
+                TF.optimize(spark, p, target_bytes=1 << 20)
+            got = {r["k"]: r["v"]
+                   for r in TF.snapshot_read(spark, p).collect()}
+            assert got == model, (kind, a, b)
+            pt_ok = TF.snapshot_read(spark, p).where(
+                F.col("pt") != F.col("k") % 3).count()
+            assert pt_ok == 0, (kind, a, b)
+            check_layout(p)
+            snapshots[TF.current_version(p)] = dict(model)
+        for v, expect in snapshots.items():
+            if v < vacuumed_below:
+                continue
+            got = {r["k"]: r["v"]
+                   for r in TF.snapshot_read(spark, p, version=v).collect()}
+            assert got == expect, f"version {v} drifted"
+
+    run()
