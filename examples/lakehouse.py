@@ -174,6 +174,42 @@ def main() -> None:
     print("spark.read.format('tablefmt'):", native.count(), "rows,",
           "filtered:", native.where("doc_id < 10").count())
 
+    # round 14 — SQL text: a snapshot-pinned temp view; plain spark.sql
+    TS.register_table(spark, "lake_docs", table)
+    print("spark.sql over the view:",
+          spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT lang) AS langs "
+                    "FROM lake_docs").collect()[0].asDict())
+
+    # round 14 — first-class partition columns: hive-style lang=… layout,
+    # whole partitions pruned in O(partitions) before any per-file stats
+    ptable = table + "_by_lang"
+    TF.create_table(
+        TF.snapshot_read(spark, table).repartition("lang"),
+        ptable, partition_by=["lang"])
+    m = TF.read_manifest(ptable, 0)
+    kept, total = TF.pruned_file_counts(ptable, where="lang = 'en'")
+    print(f"partitioned table: {len(m['files'])} files in "
+          f"{len({e['pv']['lang'] for e in m['files']})} lang partitions; "
+          f"lang='en' opens {kept}/{total} files")
+
+    # round 14 — native WRITE against a CHECK constraint: validated in
+    # the executor write task, refused before any shard lands
+    TF.add_constraint(spark, ptable, "nonneg", "n_chars >= 0")
+    spark.createDataFrame([(77_000, "en", 10, "native")],
+                          "doc_id long, lang string, n_chars long, "
+                          "source string") \
+        .write.format("tablefmt").option("path", ptable) \
+        .mode("append").save()
+    try:
+        spark.createDataFrame([(77_001, "en", -1, "bad")],
+                              "doc_id long, lang string, n_chars long, "
+                              "source string") \
+            .write.format("tablefmt").option("path", ptable) \
+            .mode("append").save()
+    except Exception:
+        print("native write: valid row appended; violating row refused "
+              f"in the write task ({TF.row_count(ptable)} rows)")
+
     # VACUUM: keep the last 2 versions; reclaim files only they reference
     out = TF.vacuum(table, keep_last=2)
     print(
