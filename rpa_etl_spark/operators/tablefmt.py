@@ -508,12 +508,14 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 def partition_spec(path: str, version: "int | None" = None) -> list[str]:
     """The table's partition columns (``create_table(partition_by=…)``),
     in declared order; ``[]`` for an unpartitioned/absent table. The
-    spec is fixed at create time and carried forward by every commit."""
+    spec is fixed at create time and carried forward by every commit —
+    it sits at the manifest's top level, so the RAW read suffices (no
+    file-list materialization; this runs once per data write)."""
     if version is None:
         version = current_version(path)
     if version < 0:
         return []
-    return list(read_manifest(path, version).get("partition_by") or [])
+    return list(_read_manifest_raw(path, version).get("partition_by") or [])
 
 
 def _pv_from_rel(rel: str, partition_by: list[str]) -> dict:
