@@ -636,13 +636,33 @@ def _write_data_files(df, path: str, subdir: str = _DATA,
             os.rename(full, os.path.join(
                 os.path.dirname(full), os.path.basename(full)[len("__pv_"):]
             ))
-        rel_paths = [
-            os.sep.join(
-                comp[len("__pv_"):] if comp.startswith("__pv_") else comp
-                for comp in rel.split(os.sep)
-            )
-            for rel in rel_paths
-        ]
+        # give every data file a GLOBALLY UNIQUE basename: one Spark
+        # task writes the SAME part-NNNNN name into every partition
+        # directory it touches, and deletion vectors key rows by
+        # basename — colliding names would make one file's vector
+        # delete rows from its same-named siblings (a real wrong-rows
+        # bug, caught round 14). One metadata rename per file, same
+        # asymptotic cost as the footer-stats read below. (This layout
+        # layer is POSIX-bound like the commit log — see module notes.)
+        committed_bn = {
+            os.path.basename(unquote(urlparse(uri).path))
+            for uri in committed
+        }
+        rel_paths = []
+        for dp, _dn, fn in os.walk(out_dir):
+            for f in fn:
+                if f not in committed_bn:
+                    continue  # committer artifacts (_SUCCESS, .crc)
+                new = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(dp, f), os.path.join(dp, new))
+                try:  # drop the stale Hadoop checksum for the old name
+                    os.unlink(os.path.join(dp, "." + f + ".crc"))
+                except OSError:
+                    pass
+                rel_paths.append(
+                    os.path.relpath(os.path.abspath(os.path.join(dp, new)),
+                                    os.path.abspath(path)))
+        rel_paths.sort()
     entries = [
         {"path": rel,
          **({"pv": _pv_from_rel(rel, partition_by)} if partition_by else {}),
@@ -1978,6 +1998,7 @@ def merge_into(spark, path: str, source, on: "list[str]",
 def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
              sort_col: "str | None" = None,
              cluster_by: "list[str] | None" = None,
+             where: "str | None" = None,
              base_version: "int | None" = None) -> int:
     """OPTIMIZE — small-file compaction as a table-format commit: rewrite
     the snapshot into ~``target_bytes``-sized files (kind ``optimize``),
@@ -2000,6 +2021,16 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
     skips files for predicates on either one (the OPTIMIZE…ZORDER BY
     payoff). Without either, the rewrite is a pure coalesce — no
     shuffle, each output task concatenates input files.
+
+    ``where`` (round 14) SCOPES the compaction: only files the
+    manifest stats (and partition values, on a partitioned table)
+    cannot prove non-matching are rewritten; everything else carries
+    forward verbatim. Compaction rewrites whole files without
+    filtering rows, so ANY candidate selection is semantics-preserving
+    — the predicate is a maintenance selector, not a row filter. This
+    is the "OPTIMIZE one day/partition" op: on a 100 TB table the
+    nightly compaction of today's streaming ingest touches one
+    partition directory, never the table.
 
     Concurrency: strict on ``base_version`` — compacting over a lost
     race would silently drop the concurrent commit's rows. A no-op
@@ -2027,23 +2058,34 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
     target = StructType.fromJson(m["schemas"][m["schema_id"]])
     if not m["files"]:
         return base_version  # empty snapshot: nothing to compact
+    if where is not None:
+        cand = fileskip.prune_entries(
+            m["files"], where, _session_tz(spark),
+            partition_by=m.get("partition_by"))
+    else:
+        cand = m["files"]
+    if not cand:
+        return base_version  # nothing in scope
+    cand_paths = {e["path"] for e in cand}
+    keep = [e for e in m["files"] if e["path"] not in cand_paths]
     total = sum(
-        os.path.getsize(os.path.join(path, e["path"])) for e in m["files"]
+        os.path.getsize(os.path.join(path, e["path"])) for e in cand
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    has_dv = any(e.get("dv") for e in m["files"])
-    if (len(m["files"]) <= n_out and sort_col is None
+    has_dv = any(e.get("dv") for e in cand)
+    if (len(cand) <= n_out and sort_col is None
             and cluster_by is None and not has_dv):
         # already compact AND vector-free: no empty commit (a deletion
         # vector always justifies the rewrite — optimize MATERIALIZES
         # merge-on-read deletes back into clean files)
         return base_version
-    parts = [g for _sid, g in _aligned_schema_groups(spark, path, m, target)]
+    parts = [g for _sid, g in _aligned_schema_groups(
+        spark, path, m, target, only_entries=cand)]
     df = parts[0]
     for p_ in parts[1:]:
         df = df.unionByName(p_)
     if cluster_by is not None:
-        bounds = _cluster_bounds(m, cluster_by, df)
+        bounds = _cluster_bounds({**m, "files": cand}, cluster_by, df)
         code = zorder.morton(
             [(F.col(c), lo, hi) for c, (lo, hi) in zip(cluster_by, bounds)]
         )
@@ -2062,7 +2104,7 @@ def optimize(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
         return _commit_rebase(
             path, "optimize", new_files, target,
             base_version=base_version,
-            carry_files=[],
+            carry_files=keep,
             # compaction interacts with NO addition: concurrent appends
             # rebase in unconditionally (their files simply stay
             # uncompacted until the next OPTIMIZE) — the property that

@@ -2638,3 +2638,83 @@ def test_random_commit_sequences_match_model_partitioned(spark, tmp_path):
             assert got == expect, f"version {v} drifted"
 
     run()
+
+
+def test_optimize_where_scopes_compaction(spark, tmp_path):
+    """OPTIMIZE ... WHERE (round 14): only stats/partition-matching
+    files rewrite; everything else carries forward with entry identity
+    (schema ids, dv records). Rows exactly preserved, the scoped
+    partition compacts to one file, other partitions keep their file
+    count."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("day"), (F.col("id") * 2).alias("v"))
+    TF.create_table(df.repartition(6), p, partition_by=["day"])
+    # several files per partition from the multi-task write
+    m0 = TF.read_manifest(p, 0)
+    per = {}
+    for e in m0["files"]:
+        per.setdefault(e["pv"]["day"], []).append(e)
+    assert all(len(v) > 1 for v in per.values()), {
+        k: len(v) for k, v in per.items()}
+    v1 = TF.optimize(spark, p, where="day = 1")
+    m1 = TF.read_manifest(p, v1)
+    per1 = {}
+    for e in m1["files"]:
+        per1.setdefault(e["pv"]["day"], []).append(e)
+    # scoped partition compacted; others carried verbatim
+    assert len(per1["1"]) == 1
+    for d in ("0", "2"):
+        assert sorted(e["path"] for e in per1[d]) \
+            == sorted(e["path"] for e in per[d])
+    got = {r["id"]: (r["day"], r["v"])
+           for r in TF.snapshot_read(spark, p).collect()}
+    assert got == {i: (i % 3, i * 2) for i in range(300)}
+    # dv inside the scope materializes; dv outside survives untouched
+    TF.delete_where(spark, p, "id % 10 = 0", mode="dv",
+                    dv_rewrite_fraction=1.0)
+    v3 = TF.optimize(spark, p, where="day = 2")
+    m3 = TF.read_manifest(p, v3)
+    for e in m3["files"]:
+        if e["pv"]["day"] == "2":
+            assert not e.get("dv"), e
+    assert any(e.get("dv") for e in m3["files"]
+               if e["pv"]["day"] != "2")
+    want = {i: (i % 3, i * 2) for i in range(300) if i % 10 != 0}
+    got = {r["id"]: (r["day"], r["v"])
+           for r in TF.snapshot_read(spark, p).collect()}
+    assert got == want
+    # a no-op scope (already compact, no dv — day=2 just materialized)
+    head = TF.current_version(p)
+    assert TF.optimize(spark, p, where="day = 2") == head
+
+
+def test_partitioned_dv_no_cross_partition_collision(spark, tmp_path):
+    """Round-14 regression: one Spark task writes the SAME part-NNNNN
+    basename into every partition directory it touches; deletion
+    vectors key rows by basename, so colliding names made one file's
+    vector delete rows from same-named siblings in OTHER partitions.
+    The partitioned write path must mint globally unique basenames."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("day"), (F.col("id") * 2).alias("v"))
+    # repartition(6): every task holds rows of ALL three days -> the
+    # same task writes three same-named files without the unique rename
+    TF.create_table(df.repartition(6), p, partition_by=["day"])
+    m = TF.read_manifest(p, 0)
+    basenames = [os.path.basename(e["path"]) for e in m["files"]]
+    assert len(basenames) == len(set(basenames)), "colliding basenames"
+    TF.delete_where(spark, p, "id % 10 = 0", mode="dv",
+                    dv_rewrite_fraction=1.0)
+    got = {r["id"] for r in TF.snapshot_read(spark, p).collect()}
+    assert got == {i for i in range(300) if i % 10 != 0}
+    # and the native reader applies the vectors identically
+    from rpa_etl_spark.streaming import table_source as TS
+
+    TS.register(spark)
+    native = spark.read.format("tablefmt").option("path", p).load()
+    assert {r["id"] for r in native.collect()} == got
