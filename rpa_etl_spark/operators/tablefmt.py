@@ -1214,12 +1214,12 @@ def _replace_where(df, path: str, where: str, base_version: int,
     change_entries: "list[dict] | None" = None
     if change_feed:
         inserts = src.withColumn("_ck", F.lit("insert"))
-        change_entries = (
-            [{**e, "ck": True}
-             for e in _write_data_files(inserts, path, subdir=_CHANGES)]
-            if src.limit(1).count()
-            else []
-        )
+        # no emptiness pre-gate — _write_data_files returns [] for an
+        # empty frame, so the limit(1) job was a redundant source scan
+        change_entries = [
+            {**e, "ck": True}
+            for e in _write_data_files(inserts, path, subdir=_CHANGES)
+        ]
     new_files = _write_data_files(new_data, path)
     try:
         return _commit_rebase(
@@ -1462,7 +1462,10 @@ def delete_where(spark, path: str, predicate: str,
     kept = kept_parts[0]
     for part in kept_parts[1:]:
         kept = kept.unionByName(part)
-    new_files = _write_data_files(kept, path) if kept.limit(1).count() else []
+    # no emptiness pre-gate: _write_data_files drops zero-row files and
+    # returns [] for an all-deleted rewrite, so the extra limit(1) job
+    # (a second scan of every affected file) bought nothing (round 14)
+    new_files = _write_data_files(kept, path)
     try:
         return _commit_rebase(
             path, "delete", new_files, target,
@@ -1842,16 +1845,6 @@ def merge_into(spark, path: str, source, on: "list[str]",
             "replacement requires every current column (select them "
             "explicitly, or use delete_where+append for partial shapes)"
         )
-    dup = (
-        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1).limit(1).count()
-    )
-    if dup:
-        raise ValueError(
-            f"merge_into source has duplicate keys on {on} — the update "
-            "target row would be ambiguous; de-duplicate the source first"
-        )
-
     # the post-merge table schema (source may add/widen); the aligned
     # scan and every rewritten row are cast to it so the new files are
     # uniform under one schema id
@@ -1867,30 +1860,49 @@ def merge_into(spark, path: str, source, on: "list[str]",
         _check_constraints(src, cons)
     keys = src.select(*on).distinct()
 
+    # ONE aggregate job prices three things at once (round 14 — these
+    # were three separate source scans): the duplicate-key guard (max
+    # per-key count over the grouped source), the source row count (sum
+    # of the counts — the empty-source early exit's input), and the
+    # manifest-skip key bounds (min/max per key column over the DISTINCT
+    # keys, which equals min/max over the rows — min/max are set
+    # functions, and the widening casts into `merged` are injective so
+    # grouping src is grouping source).
+    from pyspark.sql.types import TimestampType
+
+    # timestamp keys aggregate as unix_micros (epoch ints) so the
+    # bound literal never round-trips through Python datetime/tz;
+    # everything else aggregates raw and converts via
+    # fileskip.literal_from_py, which REJECTS NaN/inf bounds —
+    # Spark's max() returns NaN (NaN sorts greatest), and comparing
+    # against a NaN bound is False everywhere, which would prune
+    # every file and turn matched rows into duplicate inserts
+    # (round-12 ADVICE #2)
+    dtypes = {f.name: f.dataType for f in src.schema.fields}
+    is_ts = {k: isinstance(dtypes.get(k), TimestampType) for k in on}
+    aggs = [F.max("__n").alias("__dupmax"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("__rows")]
+    for k in on:
+        c = F.unix_micros(F.col(k)) if is_ts[k] else F.col(k)
+        aggs += [F.min(c).alias(f"__lo_{k}"), F.max(c).alias(f"__hi_{k}")]
+    b = (
+        src.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+        .agg(*aggs).collect()[0]
+    )
+    if (b["__dupmax"] or 0) > 1:
+        raise ValueError(
+            f"merge_into source has duplicate keys on {on} — the update "
+            "target row would be ambiguous; de-duplicate the source first"
+        )
+    src_rows = int(b["__rows"])
+
     # manifest-level skip: a file can hold a matched row only if, for
     # EVERY key column, its stats range overlaps the source's non-null
     # [min, max] (NULL source keys never match, so the non-null bounds
-    # are the complete match window; one tiny aggregate prices it)
+    # are the complete match window)
     candidates = m["files"]
     node = None
     if m["files"]:
-        from pyspark.sql.types import TimestampType
-
-        # timestamp keys aggregate as unix_micros (epoch ints) so the
-        # bound literal never round-trips through Python datetime/tz;
-        # everything else aggregates raw and converts via
-        # fileskip.literal_from_py, which REJECTS NaN/inf bounds —
-        # Spark's max() returns NaN (NaN sorts greatest), and comparing
-        # against a NaN bound is False everywhere, which would prune
-        # every file and turn matched rows into duplicate inserts
-        # (round-12 ADVICE #2)
-        dtypes = {f.name: f.dataType for f in src.schema.fields}
-        is_ts = {k: isinstance(dtypes.get(k), TimestampType) for k in on}
-        aggs = []
-        for k in on:
-            c = F.unix_micros(F.col(k)) if is_ts[k] else F.col(k)
-            aggs += [F.min(c).alias(f"__lo_{k}"), F.max(c).alias(f"__hi_{k}")]
-        b = src.agg(*aggs).collect()[0]
         for k in on:
             lo, hi = b[f"__lo_{k}"], b[f"__hi_{k}"]
             if lo is None:
@@ -1922,7 +1934,7 @@ def merge_into(spark, path: str, source, on: "list[str]",
         for r in aligned.join(keys, on, "left_semi")
         .select("__file").distinct().collect()
     ]
-    if not affected_uris and not src.limit(1).count():
+    if not affected_uris and not src_rows:
         return base_version  # empty source, nothing matched: no commit
     survivors_entries = _entries_not_in(path, m, affected_uris)
     # unmatched rows of the affected files + every source row (matched =
@@ -1965,12 +1977,13 @@ def merge_into(spark, path: str, source, on: "list[str]",
             .unionByName(pre.withColumn("_ck", F.lit("update_preimage")))
             .unionByName(post.withColumn("_ck", F.lit("update_postimage")))
         )
-        change_entries = (
-            [{**e, "ck": True}
-             for e in _write_data_files(changes, path, subdir=_CHANGES)]
-            if changes.limit(1).count()
-            else []
-        )
+        # no emptiness pre-gate: _write_data_files returns [] for an
+        # empty change set (it drops zero-row files), so the limit(1)
+        # job — which re-evaluated the three-way union — was pure cost
+        change_entries = [
+            {**e, "ck": True}
+            for e in _write_data_files(changes, path, subdir=_CHANGES)
+        ]
     new_files = _write_data_files(new_data, path)
     try:
         return _commit_rebase(
