@@ -2352,9 +2352,22 @@ def add_constraint(spark, path: str, name: str, expr: str,
     cons = constraints(path, base_version)
     if name in cons:
         raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
-    _check_constraints(snapshot_read(spark, path, base_version), {name: expr})
     schema = table_schema(path, base_version)
     m = read_manifest(path, base_version)
+    # an empty snapshot has no rows to validate — skip the scan job
+    # (the common create-empty → constrain → ingest bootstrap pattern)
+    # but still ANALYZE the expression against the table schema so a
+    # malformed/unresolvable constraint is rejected here, not at the
+    # first write
+    if m["files"]:
+        _check_constraints(
+            snapshot_read(spark, path, base_version), {name: expr})
+    else:
+        from pyspark.sql import functions as F
+
+        _empty_frame(spark, schema).where(
+            F.expr(expr).cast("boolean")
+        ).schema  # analysis only — no job
     return _commit(
         path, "add_constraint", [], schema,
         base_version=base_version, strict_base=True,

@@ -69,10 +69,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -101,7 +101,9 @@ class _FilePartition(InputPartition):
     def __init__(self, file: str, cols: list, dv_files: list,
                  basename: str, version: "int | None" = None,
                  kind: "str | None" = None,
-                 row_group: "int | None" = None, row_offset: int = 0):
+                 row_group: "int | None" = None, row_offset: int = 0,
+                 types: "list | None" = None,
+                 names: "list | None" = None):
         self.file = file
         self.cols = cols
         self.dv_files = dv_files
@@ -110,22 +112,94 @@ class _FilePartition(InputPartition):
         self.kind = kind
         self.row_group = row_group
         self.row_offset = row_offset
+        self.types = types  # target arrow types (None -> row fallback)
+        self.names = names  # target column names (arrow batch labels)
+
+
+def _dv_drop_set(part: _FilePartition) -> set:
+    """FILE-level row indices this partition's deletion vectors kill."""
+    import pyarrow.parquet as pq
+
+    drop: set = set()
+    for f in part.dv_files:
+        dv = pq.read_table(f, columns=["file", "pos"])
+        for fb, pos in zip(dv.column("file").to_pylist(),
+                           dv.column("pos").to_pylist()):
+            if fb == part.basename:
+                drop.add(pos)
+    return drop
+
+
+def _read_parquet_slice(part: _FilePartition, needed: list):
+    import pyarrow.parquet as pq
+
+    if getattr(part, "row_group", None) is not None:
+        return pq.ParquetFile(part.file).read_row_group(
+            part.row_group, columns=needed)
+    return pq.read_table(part.file, columns=needed)
 
 
 def _read_file_partition(part: _FilePartition):
-    """Executor-side: columnar read, dv positions dropped by row index,
-    rows yielded as tuples in target-column order (pure pyarrow — no
-    engine imports in the worker)."""
-    import pyarrow.parquet as pq
+    """Executor-side read. ARROW fast path (round 14 — guide §4): the
+    parquet columns are aligned/cast to the target arrow types and
+    yielded as RecordBatches, so data crosses the Python→JVM boundary
+    columnar instead of as pickled row tuples (measured multi-x on wide
+    snapshots). Partitions whose target schema contains a type outside
+    the writer's arrow map (nested types) fall back to the row path —
+    identical semantics, just slower."""
+    if getattr(part, "types", None) is None:
+        yield from _read_rows_fallback(part)
+        return
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     needed = sorted({c for c in part.cols if c is not None})
     if part.kind == "_ck":
         needed.append("_ck")
-    if getattr(part, "row_group", None) is not None:
-        t = pq.ParquetFile(part.file).read_row_group(
-            part.row_group, columns=needed)
-    else:
-        t = pq.read_table(part.file, columns=needed)
+    t = _read_parquet_slice(part, needed)
+    n = t.num_rows
+    names = set(t.column_names)
+    arrays = []
+    for c, typ in zip(part.cols, part.types):
+        if c is not None and c in names:
+            col = t.column(c).combine_chunks()
+            if col.type != typ:
+                col = pc.cast(col, typ)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(n, type=typ))
+    out_names = list(part.names or [f"c{i}" for i in range(len(arrays))])
+    if part.version is not None:
+        arrays.append(pa.repeat(pa.scalar(part.version, pa.int32()), n))
+        out_names.append("_commit_version")
+        if part.kind == "_ck":
+            ck = t.column("_ck").combine_chunks()
+            if ck.type != pa.string():
+                ck = pc.cast(ck, pa.string())
+            arrays.append(ck)
+        else:
+            arrays.append(
+                pa.repeat(pa.scalar(part.kind or "insert", pa.string()), n))
+        out_names.append("_change_kind")
+    out = pa.table(dict(zip(out_names, arrays)))
+    drop = _dv_drop_set(part)
+    if drop:
+        import numpy as np
+
+        base = getattr(part, "row_offset", 0)  # dv positions: FILE rows
+        mask = np.isin(np.arange(base, base + n, dtype=np.int64),
+                       np.fromiter(drop, dtype=np.int64), invert=True)
+        out = out.filter(pa.array(mask))
+    yield from out.to_batches()
+
+
+def _read_rows_fallback(part: _FilePartition):
+    """Row-tuple path for target schemas outside the arrow type map
+    (pure pyarrow — no engine imports in the worker)."""
+    needed = sorted({c for c in part.cols if c is not None})
+    if part.kind == "_ck":
+        needed.append("_ck")
+    t = _read_parquet_slice(part, needed)
     n = t.num_rows
     names = set(t.column_names)
     cols = []
@@ -140,13 +214,7 @@ def _read_file_partition(part: _FilePartition):
             cols.append(t.column("_ck").to_pylist())
         else:
             cols.append([part.kind or "insert"] * n)
-    drop: set = set()
-    for f in part.dv_files:
-        dv = pq.read_table(f, columns=["file", "pos"])
-        for fb, pos in zip(dv.column("file").to_pylist(),
-                           dv.column("pos").to_pylist()):
-            if fb == part.basename:
-                drop.add(pos)
+    drop = _dv_drop_set(part)
     rows = zip(*cols) if cols else iter(())
     if not drop:
         yield from rows
@@ -166,6 +234,14 @@ def _plan_entries(path: str, m: dict, target, entries,
 
     from rpa_etl_spark.operators import tablefmt as TF
 
+    # arrow fast path: ship the target arrow types + names into every
+    # partition; a target type outside the writer's arrow map (nested)
+    # drops ALL partitions to the row fallback (types=None)
+    try:
+        types = [_pa_field_type(f.dataType) for f in target.fields]
+    except ValueError:
+        types = None
+    names = [f.name for f in target.fields]
     parts = []
     for e in entries:
         fs = StructType.fromJson(m["schemas"][e["schema_id"]])
@@ -180,6 +256,8 @@ def _plan_entries(path: str, m: dict, target, entries,
             basename=os.path.basename(e["path"]),
             version=version,
             kind=("_ck" if kind == "_ck" else kind),
+            types=types,
+            names=names,
         ))
     return parts
 
@@ -305,6 +383,7 @@ class _SnapshotReader(DataSourceReader):
                     file=p.file, cols=p.cols, dv_files=p.dv_files,
                     basename=p.basename, version=p.version, kind=p.kind,
                     row_group=g["rg"], row_offset=g["row_offset"],
+                    types=p.types, names=p.names,
                 ))
         return out
 
@@ -476,27 +555,26 @@ class _ShardWriterMixin:
         self.tz = (sess.conf.get("spark.sql.session.timeZone") or "UTC") \
             if sess is not None else "UTC"
 
-    def write(self, iterator):  # executor
+    def write(self, iterator):  # executor — ARROW batches in (round 14,
+        # guide §4: the row-tuple path pickled every cell JVM→Python;
+        # batches arrive columnar and only need a per-column cast to the
+        # table's physical encodings, e.g. TIMESTAMP_MICROS/UTC)
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        rows = list(iterator)
-        if not rows:
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
             return _ShardCommit([])
-        cols = list(zip(*rows))
-        if self.ts_cols:
-            from zoneinfo import ZoneInfo
-
-            zone = ZoneInfo(self.tz)
-            for i in self.ts_cols:
-                cols[i] = tuple(
-                    v.replace(tzinfo=zone) if v is not None
-                    and v.tzinfo is None else v
-                    for v in cols[i]
-                )
-            rows = list(zip(*cols))  # partition grouping sees fixed values
-        arrays = [pa.array(list(col), type=t)
-                  for col, (_n, t) in zip(cols, self.fields)]
+        raw = pa.Table.from_batches(batches)
+        arrays = []
+        for i, (_n, t) in enumerate(self.fields):
+            col = raw.column(i).combine_chunks()
+            if col.type != t:
+                # tz-aware cast converts the instant; Spark hands
+                # TimestampType as timestamp[us, tz=<session tz>]
+                col = pc.cast(col, t)
+            arrays.append(col)
         table = pa.table(dict(zip((n for n, _t in self.fields), arrays)))
         if self.cons:
             self._validate_shard(table)  # refuse BEFORE the shard lands
@@ -505,18 +583,30 @@ class _ShardWriterMixin:
         if not self.pby:
             shards = [(self.sub, None, table)]
         else:
-            # route this task's rows into one shard per partition value
+            # route this task's rows into one shard per partition value;
+            # grouping runs over the partition COLUMNS only. Partition
+            # values keep the row path's convention (naive session-zone
+            # walls) for identical directory names.
+            from zoneinfo import ZoneInfo
+            import datetime as _dt
+
+            zone = ZoneInfo(self.tz)
+
+            def _walled(v):
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                    return v.astimezone(zone).replace(tzinfo=None)
+                return v
+
+            pkeys = [
+                [_walled(v) for v in table.column(i).to_pylist()]
+                for i in self.p_idx
+            ]
             by_pv: dict = {}
-            for row in rows:
-                by_pv.setdefault(
-                    tuple(row[i] for i in self.p_idx), []).append(row)
+            for ridx, key in enumerate(zip(*pkeys)):
+                by_pv.setdefault(key, []).append(ridx)
             shards = []
-            for key, grows in sorted(by_pv.items(), key=lambda kv: repr(kv)):
-                gcols = list(zip(*grows))
-                garrays = [pa.array(list(col), type=t)
-                           for col, (_n, t) in zip(gcols, self.fields)]
-                gtable = pa.table(
-                    dict(zip((n for n, _t in self.fields), garrays)))
+            for key, idxs in sorted(by_pv.items(), key=lambda kv: repr(kv)):
+                gtable = table.take(pa.array(idxs, type=pa.int64()))
                 sub = os.path.join(self.sub, *(
                     _hive_component(c, v) for c, v in zip(self.pby, key)
                 ))
@@ -602,7 +692,7 @@ class _ShardWriterMixin:
 _DATA_SUBDIR = "data"
 
 
-class _TableBatchWriter(_ShardWriterMixin, DataSourceWriter):
+class _TableBatchWriter(_ShardWriterMixin, DataSourceArrowWriter):
     """``df.write.format("tablefmt").mode("append"|"overwrite")``."""
 
     def __init__(self, options, schema, overwrite: bool):
@@ -633,7 +723,7 @@ class _TableBatchWriter(_ShardWriterMixin, DataSourceWriter):
         self._cleanup(messages)
 
 
-class _TableStreamWriter(_ShardWriterMixin, DataSourceStreamWriter):
+class _TableStreamWriter(_ShardWriterMixin, DataSourceStreamArrowWriter):
     """``df.writeStream.format("tablefmt")`` — exactly-once via the
     table's own txn watermark: the micro-batch id is the batch number,
     the app id is ``option("txnAppId")`` (default a checkpoint-stable

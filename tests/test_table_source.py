@@ -257,10 +257,15 @@ def test_native_writer_validates_in_the_write_task(spark, tmp_path):
     TF.add_constraint(spark, p, "small", "id < 100")
     TS.register(spark)
 
+    import pyarrow as pa
+
+    def _batch(*ids):  # the Arrow-writer task contract: RecordBatches in
+        return pa.record_batch([pa.array(list(ids), pa.int64())], ["id"])
+
     w = TS._TableBatchWriter({"path": p}, TF.table_schema(p), False)
     assert w.cons == {"small": "id < 100"}  # plan-time, one read
     # a clean task returns entries WITH footer stats (no driver re-read)
-    msg = w.write(iter([(7,), (8,)]))
+    msg = w.write(iter([_batch(7, 8)]))
     (e,) = msg.entries
     assert e["rows"] == 2 and e["stats"]["id"]["min"] == 7 \
         and e["stats"]["id"]["max"] == 8
@@ -273,7 +278,7 @@ def test_native_writer_validates_in_the_write_task(spark, tmp_path):
         for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
     )
     with pytest.raises(TF.ConstraintViolation, match="small"):
-        w.write(iter([(7,), (500,)]))
+        w.write(iter([_batch(7, 500)]))
     after = sorted(
         os.path.join(dp, f)
         for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
@@ -309,8 +314,11 @@ def test_native_writer_plan_time_constraint_set_conflicts(spark, tmp_path):
         os.path.join(dp, f)
         for dp, _dn, fn in os.walk(os.path.join(p, "data")) for f in fn
     )
+    import pyarrow as pa
+
     w = TS._TableBatchWriter({"path": p}, TF.table_schema(p), False)
-    msg = w.write(iter([(7,)]))
+    msg = w.write(iter([pa.record_batch(
+        [pa.array([7], pa.int64())], ["id"])]))
     TF.add_constraint(spark, p, "late", "id < 1000")  # lands mid-flight
     with pytest.raises(TF.CommitConflict):
         w.commit([msg])
@@ -386,9 +394,12 @@ def test_native_stream_writer_exactly_once(spark, tmp_path):
     assert TF.current_version(dst) == head
     # direct replay of batch 0 through the writer: txn guard drops it
     # and removes the duplicate shards
+    import pyarrow as pa
+
     w = TS._TableStreamWriter(
         {"path": dst}, TF.table_schema(dst), False)
-    msg = w.write(iter([(999,)]))
+    msg = w.write(iter([pa.record_batch(
+        [pa.array([999], pa.int64())], ["id"])]))
     w.commit([msg], batchId=0)  # batch 0 already applied by the stream
     assert TF.current_version(dst) == head
     assert sorted(r["id"] for r in TF.snapshot_read(spark, dst).collect()) \
