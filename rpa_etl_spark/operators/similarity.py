@@ -68,6 +68,52 @@ def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def same_cell_top1(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Each vector's exact cosine top-1 WITHIN its assigned cell, as one
+    grouped Arrow kernel per cell (round 14, guide §4.2).
+
+    Equivalent to the cell self-join + per-pair cosine + max_by shape it
+    replaces, but each vector crosses the Python boundary ONCE per side
+    of the gram matrix instead of once per candidate pair: at n vectors
+    per cell the join form ships n² pairs x 2 vectors (measured ~0.5 GB
+    through Arrow at a 2000-vector corpus in 8 cells) while this ships
+    n vectors and computes the n x n scores inside numpy.
+
+    Tie-break matches the join form's ``max_by(struct(score, -id))``:
+    candidates are ordered id-ascending, so ``argmax`` returns the
+    smallest neighbor id among exact float ties. A vector alone in its
+    cell has no candidates and is DROPPED (the join form's inner-join
+    semantics). Cost is Σ n_cell², the same candidate volume as the
+    join — this changes the constant, not the complexity; cells come
+    from an n_cells ~ √N codebook at scale (train_ivf_codebook)."""
+    out_schema = f"{id_col} long, nn_id long"
+
+    def top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({id_col: [], "nn_id": []}).astype(
+                {id_col: "int64", "nn_id": "int64"})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        dots = V @ V.T
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(denom > 0, dots / denom, 0.0)
+        np.fill_diagonal(scores, -np.inf)
+        best = np.argmax(scores, axis=1)  # first max → smallest id on ties
+        return pd.DataFrame({id_col: ids, "nn_id": ids[best]})
+
+    return assigned.groupBy(cell_col).applyInPandas(top1, out_schema)
+
+
 # brute_force_topk is the EXACT oracle baseline — quadratic by nature.
 # Above this corpus size the caller must opt in with exact=True (the same
 # philosophy as the plan gate that rejects corpus-side broadcasts: scale

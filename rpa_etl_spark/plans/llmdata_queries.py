@@ -2047,95 +2047,42 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed fraction — a data property no index sizing beats, stated
     honestly there. Here 8 cells ARE the ground-truth cluster count the
     oracle checks against."""
-    import numpy as np
-
     from rpa_etl_spark.operators import similarity as S
 
     G, DIM = 8, 64
-    jitter = [
-        (
-            (F.col("vec_id") * F.lit(2654435761) + F.lit(d * 1013904223))
-            % F.lit(2147483648)
-        ).cast("double")
-        / F.lit(2147483648.0)
-        for d in range(DIM)
-    ]
-    vec = F.array(
-        *[
-            F.when(F.col("vec_id") % G == d, F.lit(10.0)).otherwise(F.lit(0.0))
-            + jitter[d]
-            for d in range(DIM)
-        ]
-    )
-    # persist: the fixture feeds SIX evaluations (seed collect, two Lloyd
-    # assignment aggregates, cell assignment, IVF corpus + query scans) —
-    # caching the tiny derived table turns five recomputes of the 64-column
-    # projection into memory scans (measured 7.0 -> ~2.5s at sf0.1). At
-    # 100 TB the same job would checkpoint the fixture once for the same
-    # reason; training is already an eager, multi-action pipeline.
-    fixture = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", vec.alias("embedding"))
-        .transform(spread)
-        .persist()
-    )
+    # Round 14: the fixture is the shared Arrow kernel (linear-jitter
+    # variant) instead of 64 codegen'd column expressions, and it is NOT
+    # persisted any more — the kernel re-evaluates in ~0.1 s per
+    # consumer while the columnar cache build of the 64-wide array table
+    # alone cost more than all recomputes together (guide §5: cache only
+    # when recomputing costs more than the cache does).
+    fixture = _spiked_fixture(spark, sf_dir, G, DIM, quadratic=False)
     cmat = S.train_ivf_codebook(
         fixture, dim=DIM, n_cells=G, iters=2, oversample=16
     )
     # ONE assignment-kernel pass serves everything downstream: at
     # n_probe=1 a query's probe cell IS its assigned cell, so the IVF
-    # retrieval is a self-join of the assigned table on `cell` (exactly
-    # ivf_topk's probed-cell join, inlined to avoid re-running the Python
-    # kernel for corpus and query sides — 3 Arrow crossings → 1; the
-    # general operator stays oracle-covered by q_ann_ivf). persist: the
-    # assigned table feeds the window stats AND both join sides.
+    # retrieval is per-cell exact top-1 over the assigned table (the
+    # general probed-cell join operator stays oracle-covered by
+    # q_ann_ivf). Round 14: the cell self-join + per-pair pandas cosine
+    # + max_by became similarity.same_cell_top1 — one grouped Arrow
+    # kernel per cell that ships each vector once and runs the n x n
+    # cosine gram inside numpy (identical tie-break; measured the join
+    # form pushed ~0.5 GB of paired vectors through Arrow here).
     assigned = fixture.select(
         "vec_id",
         "embedding",
         F.element_at(S._nearest_cells_kernel(cmat, 1)(F.col("embedding")), 1).alias(
             "cell"
         ),
-    ).persist()
-    # materialize `assigned` now so the fixture cache can be RELEASED
-    # before returning (round-10 review: persists with no unpersist pile
-    # up across repeated invocations). The assigned cache itself stays —
-    # the returned lazy plan reads it three ways — but it is one narrow
-    # (id, vec, cell) table, not the fixture plus itself.
-    assigned.count()
-    fixture.unpersist()
+    )
     w = Window.partitionBy("cell")
     stats = assigned.select(
         "vec_id",
         F.min("vec_id").over(w).alias("cell_canonical"),
         F.count(F.lit(1)).over(w).alias("cell_size"),
     )
-    q_side = assigned.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        "cell",
-    )
-    scored = (
-        assigned.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_vec"),
-            "cell",
-        )
-        .join(q_side, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            S.cosine_pd(F.col("q_vec"), F.col("c_vec")).alias("score"),
-        )
-    )
-    # top-1 with the oracle's tie-break (score desc, neighbor asc) as a
-    # max_by aggregate — same shuffle key as a rank window, minus the sort
-    nn = scored.groupBy("query_id").agg(
-        F.max_by(
-            "neighbor_id",
-            F.struct(F.col("score"), (-F.col("neighbor_id")).alias("neg")),
-        ).alias("nn_id")
-    ).select(F.col("query_id").alias("vec_id"), "nn_id")
+    nn = S.same_cell_top1(assigned)
     return stats.join(nn, "vec_id").select(
         "vec_id",
         "cell_canonical",
@@ -2333,6 +2280,62 @@ def q_multimodal_mpeg_bframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mpeg1_motion_mbs(attach_mpeg1_bidi_media(docs))
 
 
+def _spiked_fixture(spark: SparkSession, sf_dir: str, clusters: int,
+                    dim: int, quadratic: bool) -> DataFrame:
+    """Closed-form clustered fixture evaluated in ONE Arrow kernel
+    (round 14, guide §4.2): spike 10.0 at dim (vec_id % clusters) plus
+    hash jitter quantized to 1/2^31.
+
+    The arithmetic is int64-exact (products bounded far below 2^63 at
+    every driver scale — guarded below with the same loud failure ANSI
+    mode gives the expression form) and the final division is by a
+    power of two, so the doubles are BIT-IDENTICAL to both the previous
+    64-column expression form and the DuckDB oracle's list_transform.
+    Why a kernel: the expression form compiled 64 deep codegen trees
+    per consumer (measured 2.5-3 s/pass of compile + columnar-cache
+    build at sf0.1 — far more than evaluating 2000x64 cells); the
+    kernel crosses one narrow vec_id column into Python and one ~1 MB
+    Arrow batch back, and stays ~0.1 s at any warmth. ``spread`` runs
+    BEFORE the kernel so the exchange carries only vec_id (guide §2.3)
+    and the kernel parallelizes across cores."""
+    import pyarrow as pa
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            n = len(ids)
+            if n and quadratic and int(np.abs(ids).max()) > 3_037_000:
+                # |id|^2 * 998244353 would exceed int64 — the expression
+                # form under ANSI mode throws here too, just less clearly
+                raise ArithmeticError(
+                    "fixture jitter overflows int64 for vec_id > 3.037e6")
+            d = np.arange(dim, dtype=np.int64)
+            jit = ids[:, None] * 2654435761 + d[None, :] * 1013904223
+            if quadratic:
+                jit = jit + ids[:, None] * (d[None, :] * 1000003) \
+                    + (ids * ids * 998244353)[:, None]
+            emb = (jit % 2147483648).astype(np.float64) / 2147483648.0
+            if n:
+                emb[np.arange(n), ids % clusters] += 10.0
+            off = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+            vals = pa.array(emb.reshape(-1))
+            yield pa.record_batch(
+                [b.column("vec_id"),
+                 pa.ListArray.from_arrays(off, vals)],
+                ["vec_id", "embedding"],
+            )
+
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .transform(spread)
+        .mapInArrow(gen, "vec_id long, embedding array<double>")
+    )
+
+
 def _clustered_embedding_fixture(spark: SparkSession, sf_dir: str,
                                  clusters: int = 8, dim: int = 64) -> DataFrame:
     """Closed-form clustered fixture (the construction q_ann_ivf_trained
@@ -2348,32 +2351,10 @@ def _clustered_embedding_fixture(spark: SparkSession, sf_dir: str,
     distances tie EXACTLY — which engines then break by ulp-level float
     noise, non-reproducibly. The quadratic term makes every pairwise
     difference depend on id SUM too; measured min gap between best and
-    second-best code distance is 6.8e-10 (vs ~1e-15 engine noise)."""
-    jitter = [
-        (
-            (
-                F.col("vec_id") * F.lit(2654435761)
-                + F.lit(d * 1013904223)
-                + F.col("vec_id") * F.lit(d * 1000003)
-                + F.col("vec_id") * F.col("vec_id") * F.lit(998244353)
-            )
-            % F.lit(2147483648)
-        ).cast("double")
-        / F.lit(2147483648.0)
-        for d in range(dim)
-    ]
-    vec = F.array(
-        *[
-            F.when(F.col("vec_id") % clusters == d, F.lit(10.0)).otherwise(F.lit(0.0))
-            + jitter[d]
-            for d in range(dim)
-        ]
-    )
-    return (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", vec.alias("embedding"))
-        .transform(spread)
-    )
+    second-best code distance is 6.8e-10 (vs ~1e-15 engine noise).
+    Since round 14 the construction runs as one Arrow kernel
+    (:func:`_spiked_fixture`) — same bits, no 64-tree codegen."""
+    return _spiked_fixture(spark, sf_dir, clusters, dim, quadratic=True)
 
 
 @query(
@@ -2480,42 +2461,41 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only; query side is bounded and broadcast; probe volume is
     |Q|·n_probe/n_cells of the corpus, scored at m gathers per candidate.
     Like q_sink_roundtrip/q_table_time_travel, CALLING this executes
-    eagerly (codebook collects + the ≤500-row bounded result) so the
-    fixture cache is released before returning.
+    eagerly (codebook collects + the ≤500-row bounded result).
     """
     from rpa_etl_spark.operators import similarity as SIM_
 
-    fixture = _clustered_embedding_fixture(spark, sf_dir).persist()
-    try:
-        scored = SIM_.ivf_pq_topk(
-            fixture,
-            fixture.where(F.col("vec_id") < 50),
-            dim=64,
-            k=10,
-            n_cells=8,
-            n_probe=2,
-            m=8,
-            ksub=16,
-            rank=False,
+    # Round 14: no persist — the fixture is the Arrow kernel now, and
+    # its three consumers (codebook head collect, corpus encode, query
+    # probe) re-evaluate it cheaper than the 64-wide columnar cache
+    # build cost (measured ~2.5-3 s/pass; guide §5)
+    fixture = _clustered_embedding_fixture(spark, sf_dir)
+    scored = SIM_.ivf_pq_topk(
+        fixture,
+        fixture.where(F.col("vec_id") < 50),
+        dim=64,
+        k=10,
+        n_cells=8,
+        n_probe=2,
+        m=8,
+        ksub=16,
+        rank=False,
+    )
+    out = scored.withColumn("adc_d2_r", F.round("adc_d2", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2_r").asc(), F.col("neighbor_id").asc()
+    )
+    # the result is BOUNDED by construction (≤ 50 queries x top-10):
+    # collect it eagerly (same pattern as q_table_time_travel's bounded
+    # aggregates)
+    rows = (
+        out.select(
+            "query_id", "neighbor_id", "cell", "adc_d2_r",
+            F.row_number().over(w).alias("rank"),
         )
-        out = scored.withColumn("adc_d2_r", F.round("adc_d2", 6))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc_d2_r").asc(), F.col("neighbor_id").asc()
-        )
-        # the result is BOUNDED by construction (≤ 50 queries x top-10):
-        # collect it eagerly so the fixture cache is released here rather
-        # than pinned behind a lazy plan (round-10 review; same pattern as
-        # q_table_time_travel's bounded aggregates)
-        rows = (
-            out.select(
-                "query_id", "neighbor_id", "cell", "adc_d2_r",
-                F.row_number().over(w).alias("rank"),
-            )
-            .where(F.col("rank") <= 10)
-            .collect()
-        )
-    finally:
-        fixture.unpersist()
+        .where(F.col("rank") <= 10)
+        .collect()
+    )
     return spark.createDataFrame(
         rows,
         "query_id long, neighbor_id long, cell long, adc_d2_r double, rank int",

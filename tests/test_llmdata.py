@@ -581,3 +581,58 @@ def test_ivf_pq_rejects_mismatched_codebook_shape(spark):
             df, df.limit(2), dim=64, n_cells=4, m=8, ksub=8,
             coarse_codebook=np.zeros((4, 64)), pq_codebooks=wrong,
         )
+
+
+def test_same_cell_top1_matches_join_form(spark):
+    """Round-14 kernel swap gate: similarity.same_cell_top1 (grouped
+    numpy gram per cell) must reproduce the cell self-join + per-pair
+    cosine + max_by(struct(score, -id)) shape it replaced — including
+    the smallest-id tie-break and the inner-join drop of vectors alone
+    in their cell."""
+    import numpy as np
+
+    from rpa_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 3 populated cells + one singleton cell (id 999 must vanish)
+    for k in range(3):
+        for j in range(40):
+            v = rng.normal(size=16)
+            rows.append((k * 100 + j, [float(x) for x in v], k))
+    rows.append((999, [float(x) for x in rng.normal(size=16)], 7))
+    # exact tie pair: two identical vectors in cell 8 plus a third copy —
+    # each must pick the SMALLEST other id among equal scores
+    tie = [float(x) for x in rng.normal(size=16)]
+    rows += [(2001, tie, 8), (2002, tie, 8), (2003, tie, 8)]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+
+    q_side = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"), "cell",
+    )
+    joined = (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"), "cell",
+        )
+        .join(q_side, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            S.cosine_pd(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+        .groupBy("query_id")
+        .agg(F.max_by(
+            "neighbor_id",
+            F.struct(F.col("score"), (-F.col("neighbor_id")).alias("neg")),
+        ).alias("nn_id"))
+    )
+    want = {(r["query_id"], r["nn_id"]) for r in joined.collect()}
+    got = {(r["vec_id"], r["nn_id"])
+           for r in S.same_cell_top1(assigned).collect()}
+    assert got == want
+    assert not any(q == 999 for q, _ in got)  # singleton cell dropped
+    assert (2002, 2001) in got and (2003, 2001) in got  # smallest-id tie
