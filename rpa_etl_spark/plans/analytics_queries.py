@@ -1526,18 +1526,30 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per snapshot): collect them eagerly so the temp table can be
         # removed here rather than leaking a directory per invocation
         # (round-9 review) — the snapshot scans themselves still run
-        # distributed; only five aggregate rows reach the driver
-        rows = []
-        for v in (0, 1, 2, 3, 4):
-            agg = (
-                TF.snapshot_read(spark, path, version=v)
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("doc_id").alias("sum_doc_id"),
-                )
-                .collect()[0]
+        # distributed; only five aggregate rows reach the driver.
+        # Round 14 (guide §2.6): the five snapshots aggregate in ONE
+        # job — a union of single-row aggregates — instead of five
+        # sequential collect round-trips; the five explicit-file-list
+        # scans now overlap on the executors.
+        from functools import reduce
+
+        per_v = [
+            TF.snapshot_read(spark, path, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("sum_doc_id"),
             )
-            rows.append((v, hist[v], agg["n_docs"], agg["sum_doc_id"]))
+            .select(F.lit(v).alias("v"), "n_docs", "sum_doc_id")
+            for v in (0, 1, 2, 3, 4)
+        ]
+        got = {
+            r["v"]: r
+            for r in reduce(lambda a, b: a.unionByName(b), per_v).collect()
+        }
+        rows = [
+            (v, hist[v], got[v]["n_docs"], got[v]["sum_doc_id"])
+            for v in (0, 1, 2, 3, 4)
+        ]
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
@@ -1644,8 +1656,15 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2, "renamed", TF.snapshot_read(spark, path, 2)),
             (3, "dropped", TF.snapshot_read(spark, path, 3)),
         ]
-        rows = []
-        for version, through, df in reads:
+        # Round 14 (guide §2.6): the five per-read aggregates run in ONE
+        # union-of-aggregates job instead of five sequential collect
+        # round-trips (a lang-less read contributes a literal 0 n_lang,
+        # exactly the value the loop form emitted for it); schema_str
+        # stays driver-side plan metadata.
+        from functools import reduce
+
+        per_read = []
+        for idx, (version, through, df) in enumerate(reads):
             scol = "quality" if "quality" in df.columns else "score"
             aggs = [
                 F.count(F.lit(1)).alias("n_docs"),
@@ -1654,18 +1673,29 @@ def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             if "lang" in df.columns:
                 aggs.append(F.count("lang").alias("n_lang"))
-            a = df.agg(*aggs).collect()[0]
-            rows.append(
-                (
-                    version,
-                    through,
-                    df.schema.simpleString(),
-                    a["n_docs"],
-                    a["sum_doc_id"],
-                    a["sum_score"],
-                    a["n_lang"] if "lang" in df.columns else 0,
-                )
+            agg_df = df.agg(*aggs)
+            if "lang" not in df.columns:
+                agg_df = agg_df.withColumn(
+                    "n_lang", F.lit(0).cast("long"))
+            per_read.append(agg_df.select(
+                F.lit(idx).alias("i"),
+                "n_docs", "sum_doc_id", "sum_score", "n_lang"))
+        got = {
+            r["i"]: r
+            for r in reduce(lambda a, b: a.unionByName(b), per_read).collect()
+        }
+        rows = [
+            (
+                version,
+                through,
+                df.schema.simpleString(),
+                got[idx]["n_docs"],
+                got[idx]["sum_doc_id"],
+                got[idx]["sum_score"],
+                got[idx]["n_lang"],
             )
+            for idx, (version, through, df) in enumerate(reads)
+        ]
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
@@ -1882,8 +1912,12 @@ def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         TF.overwrite(replacement, path, where="doc_id < 50")
 
-        upd = TF.read_changes(spark, path, 1, 1)
-        ev1 = upd.agg(
+        # Round 14 (guide §2.6): the three sequential read jobs (v1
+        # change-feed aggregate, v2 insert count, final per-lang
+        # aggregate) fuse into ONE job — the two single-row change-feed
+        # aggregates join onto the per-lang rows as 1-row broadcasts,
+        # the distributed rendering of the oracle's scalar subqueries.
+        ev1 = TF.read_changes(spark, path, 1, 1).agg(
             F.coalesce(
                 F.sum(F.when(F.col("_change_kind") == "update_preimage",
                              F.lit(1)).otherwise(F.lit(0))), F.lit(0)
@@ -1896,10 +1930,12 @@ def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("_change_kind") == "update_postimage",
                              F.col("n_chars"))), F.lit(0)
             ).alias("sum_post"),
-        ).collect()[0]
-        n_replaced = (
-            TF.read_changes(spark, path, 2, 2)
-            .where(F.col("_change_kind") == "insert").count()
+        )
+        ev2 = TF.read_changes(spark, path, 2, 2).agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_change_kind") == "insert",
+                             F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).cast("long").alias("n_replaced")
         )
         final = (
             TF.snapshot_read(spark, path)
@@ -1908,11 +1944,13 @@ def q_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_chars").alias("sum_n_chars"),
             )
+            .crossJoin(F.broadcast(ev1))
+            .crossJoin(F.broadcast(ev2))
             .collect()
         )
         rows = [
             (r["lang"], r["n_docs"], r["sum_n_chars"],
-             ev1["n_upd"], ev1["sum_pre"], ev1["sum_post"], n_replaced)
+             r["n_upd"], r["sum_pre"], r["sum_post"], r["n_replaced"])
             for r in final
         ]
     finally:
@@ -2016,26 +2054,36 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"sum_{suffix}"),
             ]
 
-        rows = []
-        for v in (0, 1, 2, 3):
-            # coalesce: an EMPTY version's sums are 0, not NULL, so the
-            # tiny-sf fixture (where the append range is empty) stays
-            # NULL/NaN-fold-free cross-engine
-            agg = (
-                TF.read_changes(spark, path, v, v)
-                .agg(
-                    *_kind_agg("insert", "ins"),
-                    *_kind_agg("update_preimage", "upd_pre"),
-                    *_kind_agg("update_postimage", "upd_post"),
-                )
-                .collect()[0]
+        # coalesce: an EMPTY version's sums are 0, not NULL, so the
+        # tiny-sf fixture (where the append range is empty) stays
+        # NULL/NaN-fold-free cross-engine. Round 14 (guide §2.6): all
+        # four versions' feeds aggregate in ONE union-of-aggregates job
+        # instead of four sequential collect round-trips.
+        from functools import reduce
+
+        per_v = [
+            TF.read_changes(spark, path, v, v)
+            .agg(
+                *_kind_agg("insert", "ins"),
+                *_kind_agg("update_preimage", "upd_pre"),
+                *_kind_agg("update_postimage", "upd_post"),
             )
-            rows.append((
+            .select(F.lit(v).alias("v"), "*")
+            for v in (0, 1, 2, 3)
+        ]
+        got = {
+            r["v"]: r
+            for r in reduce(lambda a, b: a.unionByName(b), per_v).collect()
+        }
+        rows = [
+            (
                 v, hist[v],
-                agg["n_ins"], agg["sum_ins"],
-                agg["n_upd_pre"], agg["sum_upd_pre"],
-                agg["n_upd_post"], agg["sum_upd_post"],
-            ))
+                got[v]["n_ins"], got[v]["sum_ins"],
+                got[v]["n_upd_pre"], got[v]["sum_upd_pre"],
+                got[v]["n_upd_post"], got[v]["sum_upd_post"],
+            )
+            for v in (0, 1, 2, 3)
+        ]
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
@@ -2223,17 +2271,28 @@ def q_table_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ok = no_rewrites and materialized
-        rows = []
-        for v in (0, 1, 2, 3):
-            agg = (
-                TF.snapshot_read(spark, path, version=v)
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.coalesce(F.sum("doc_id"), F.lit(0)).alias("sum_doc_id"),
-                )
-                .collect()[0]
+        # Round 14 (guide §2.6): the four snapshot aggregates run in ONE
+        # union-of-aggregates job instead of four sequential collect
+        # round-trips; the snapshot scans overlap on the executors.
+        from functools import reduce
+
+        per_v = [
+            TF.snapshot_read(spark, path, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).alias("sum_doc_id"),
             )
-            rows.append((v, agg["n_docs"], agg["sum_doc_id"], ok))
+            .select(F.lit(v).alias("v"), "n_docs", "sum_doc_id")
+            for v in (0, 1, 2, 3)
+        ]
+        got = {
+            r["v"]: r
+            for r in reduce(lambda a, b: a.unionByName(b), per_v).collect()
+        }
+        rows = [
+            (v, got[v]["n_docs"], got[v]["sum_doc_id"], ok)
+            for v in (0, 1, 2, 3)
+        ]
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
@@ -2474,8 +2533,10 @@ def q_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT lang, COUNT(*) AS n_docs, "
             f"SUM(n_chars) AS sum_n_chars FROM {view} GROUP BY lang"
         ).collect()
-        pinned_n = spark.sql(
-            f"SELECT COUNT(*) AS n FROM {view}").collect()[0]["n"]
+        # Round 14 (guide §2.6): the pinned view's COUNT(*) is the sum
+        # of its per-lang group counts — same view, same snapshot, one
+        # fewer sequential job than re-scanning for a separate COUNT
+        pinned_n = sum(r["n_docs"] for r in agg)
         TS.register_table(spark, view, path)  # advance to the head
         head_n = spark.sql(
             f"SELECT COUNT(*) AS n FROM {view}").collect()[0]["n"]
