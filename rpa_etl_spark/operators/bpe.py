@@ -42,6 +42,7 @@ the corpus is BMP-only and the tie-break assumes that.
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -184,15 +185,17 @@ def train_bpe_distributed(
     each merge round is (a) one pair-count aggregate — explode adjacent
     symbol pairs, freq-weighted sum, argmax via orderBy+limit(1), the only
     driver transfer being ONE (pair, count) row — and (b) one narrow
-    ``replace`` projection applying the merge. Per-round state is persisted
-    and the previous round unpersisted (the Lloyd-iteration pattern), so
-    cost is n_merges small keyed shuffles, independent of vocabulary size.
+    ``replace`` projection applying the merge, lazily localCheckpointed so
+    the NEXT round's count job materializes it as a side effect (one job
+    per round total) and the previous round's state is unpersisted (the
+    Lloyd-iteration pattern). Cost is n_merges small keyed shuffles,
+    independent of vocabulary size.
 
     Output is IDENTICAL to ``train_bpe(top_words=None)`` — same counting,
     same (count desc, marker-pair asc) tie-break, same sequential
     left-to-right replace semantics (property-tested in tests/test_bpe.py);
     ``top_words`` bounds the vocab identically when given. Trade-off vs the
-    driver loop: 3×n_merges extra small Spark jobs (measured: the driver
+    driver loop: n_merges extra small Spark jobs (measured: the driver
     loop wins below ~10⁵ distinct words, this wins above — and never holds
     vocab×freq rows in driver memory)."""
     wf = word_frequencies(docs, col)
@@ -217,31 +220,51 @@ def train_bpe_distributed(
         F.concat(F.regexp_replace(sym_src, sym_pat, _SYM + r"$1 ")).alias("s"),
         "freq",
     ).localCheckpoint()
+    # Adjacent-pair extraction as ONE anchored-lookahead regex (round 14,
+    # guide §1.2 per-task work): overlapping matches of two consecutive
+    # marker symbols, equivalent to the previous split → sequence →
+    # transform(concat_ws) expression tree but ~5× fewer plan nodes, which
+    # cuts the per-round analysis/codegen cost that dominated each tiny
+    # job at small vocab (measured below). The `(?<![^ ])` anchor admits a
+    # match only at a symbol start (begin-of-string or after the symbol
+    # separator space) — without it a literal marker byte INSIDE a
+    # symbol's content would seed a phantom pair. Symbol contents can
+    # never contain the separator space itself (words are split on the
+    # whitespace class; merges strip interior markers only), so `[^ ]*`
+    # spans exactly one symbol.
+    pair_pat = (
+        f"(?<![^ ])(?=((?:{re.escape(_SYM)}[^ ]* ){{2}}))"
+    )
     merges: list[tuple[str, str, int]] = []
-    since_ckpt = 0
-    last_ckpt = cur  # the checkpointed frame the current chain hangs off
+    prev_ckpt: DataFrame | None = None  # lazily-checkpointed predecessor
+    init_ckpt = cur
     try:
         for _ in range(n_merges):
-            syms = F.split(F.col("s"), " ")  # trailing "" after last sym
-            # guard: a 1-symbol word has size 2 and sequence(0, -1) would
-            # DESCEND (Spark infers step sign) — emit no pairs instead
-            pairs = F.when(
-                F.size(syms) >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(syms) - 3),
-                    lambda i: F.concat_ws(
-                        "", syms[i], F.lit(" "), syms[i + 1], F.lit(" ")
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
             best = (
-                cur.select(F.explode(pairs).alias("pair"), "freq")
+                cur.select(
+                    F.explode(
+                        F.regexp_extract_all(F.col("s"), F.lit(pair_pat), 1)
+                    ).alias("pair"),
+                    "freq",
+                )
                 .groupBy("pair")
                 .agg(F.sum("freq").alias("f"))
                 .orderBy(F.desc("f"), F.asc("pair"))
                 .limit(1)
                 .collect()
             )
+            # the collect above materialized cur's LAZY checkpoint (round
+            # 14, guide §2.4/§5): checkpointing every round with
+            # eager=False keeps the replace chain ≤1 deep — trivial
+            # per-round plans — while adding ZERO extra jobs (the eager
+            # every-6 cadence paid 1 materialization job per 6 rounds and
+            # carried a 6-deep chain into every count; measured 4.6 s →
+            # 3.1 s for 24 rounds at sf0.1). The predecessor is only
+            # unpersisted AFTER the checkpoint that hangs off it is
+            # materialized.
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+                prev_ckpt = None
             if not best:
                 break
             pair, cnt = best[0]["pair"], int(best[0]["f"])
@@ -252,23 +275,13 @@ def train_bpe_distributed(
                 F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"),
                 "freq",
             )
-            since_ckpt += 1
-            if since_ckpt >= 6:
-                # amortized lineage cut: a ≤6-deep replace chain re-executes
-                # cheaply inside each round's count job, and checkpointing
-                # every round would double the per-round job count (the
-                # dominant cost at small vocab — measured 5.3 s → 4.3 s at
-                # sf0.1 moving from every-round to every-6). Only the
-                # CHECKPOINTED ancestor is unpersisted — intermediate chain
-                # links hold no storage
-                cur = nxt.localCheckpoint()  # eager
-                last_ckpt.unpersist()
-                last_ckpt = cur
-                since_ckpt = 0
-            else:
-                cur = nxt
+            prev_ckpt = cur
+            cur = nxt.localCheckpoint(eager=False)
     finally:
-        last_ckpt.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        cur.unpersist()
+        init_ckpt.unpersist()
     return merges
 
 

@@ -110,6 +110,21 @@ def test_train_bpe_distributed_equals_driver_loop(spark, sf_dir):
     )
 
 
+def test_train_bpe_distributed_marker_byte_in_text(spark):
+    """A literal \\x02 (the internal symbol marker) INSIDE a word must not
+    seed phantom pairs: the round-14 anchored-lookahead pair regex admits
+    a match only at symbol starts, so a marker byte in symbol CONTENT is
+    inert — pinned by equality with the driver loop, whose pair counting
+    iterates real symbol lists and cannot be confused by content bytes."""
+    docs = spark.createDataFrame(
+        [("ab\x02ab ab\x02ab xy",), ("ab\x02ab \x02\x02 xy xy",), (None,)],
+        "text string",
+    )
+    assert B.train_bpe_distributed(docs, n_merges=6) == B.train_bpe(
+        docs, n_merges=6, top_words=None
+    )
+
+
 def test_attach_bpe_tokens_null_text(spark):
     """NULL text is an empty document (0 words, 0 tokens) — not the
     literal word 'None' (round-7 ADVICE fix)."""
