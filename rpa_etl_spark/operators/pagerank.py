@@ -46,6 +46,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     redistribute_dangling: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Rank every node of ``edges`` (columns ``src``, ``dst``).
 
@@ -72,12 +73,21 @@ def pagerank(
     # derivation, zero reuse) and the plan doubles per iteration at
     # higher iteration counts. localCheckpoint materializes the edge
     # partitions once on the executors — distributed, nothing collects.
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    # Round 14 (guide §2.4): ``assume_distinct`` lets callers whose edge
+    # derivation is provably duplicate-free (both declared queries end in
+    # .distinct()) skip a full defensive dedup shuffle of the edge set.
+    # (Also tried: .repartition("src") before the cut so rounds reuse a
+    # src-keyed layout — measured SLOWER at sf0.1: the extra full edge
+    # shuffle costs more than the per-round exchanges it saves at 3
+    # iterations, and AQE already right-sizes the tiny round shuffles.)
+    edges = edges.select("src", "dst")
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # fresh attribute names per consumer: nodes/outdeg/the per-round join
     # all descend from `edges`, and Spark's ambiguous-self-join detection
@@ -92,11 +102,20 @@ def pagerank(
     # nodes carry null and simply contribute nothing via the inner edge
     # join) — each iteration then costs one edges join + one dst-keyed
     # aggregate + the node-frame refresh, not an extra degree join.
-    nodes_deg = nodes.join(
-        outdeg, F.col("node") == F.col("od_src"), "left"
-    ).select("node", "out_deg")
+    # Round 14: checkpointed — nodes_deg anchors EVERY round's left join
+    # (and the initial rank frame); without the cut each round re-planned
+    # the nodes-union-distinct ⋈ out-degree subtree from the edge RDD.
+    nodes_deg = (
+        nodes.join(outdeg, F.col("node") == F.col("od_src"), "left")
+        .select("node", "out_deg")
+        .localCheckpoint(eager=False)
+    )
 
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # constant across rounds — one lazily-materialized 1-row frame
+    # instead of a per-round full nodes pass inside each round's plan
+    n_nodes = nodes_deg.agg(F.count(F.lit(1)).alias("n_nodes")).localCheckpoint(
+        eager=False
+    )
 
     ranks = nodes_deg.withColumn("rank_fp", F.lit(SCALE).cast("long"))
     for _ in range(iterations):

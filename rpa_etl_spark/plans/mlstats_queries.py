@@ -267,7 +267,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("a AS src", "b AS dst").union(
         pairs.selectExpr("b AS src", "a AS dst")
     )
-    return pagerank(edges, iterations=3).select("node", F.col("rank_fp"))
+    # assume_distinct: `pairs` is distinct and custkey < 1e9 ≤ offset
+    # suppkey ids, so the two union legs are disjoint — the defensive
+    # dedup shuffle inside pagerank() would be a no-op (guide §2.4)
+    return pagerank(edges, iterations=3, assume_distinct=True).select(
+        "node", F.col("rank_fp")
+    )
 
 
 # Dangling variant round: the damped operand gains the global scalar
@@ -332,9 +337,10 @@ def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pagerank(edges, iterations=3, redistribute_dangling=True).select(
-        "node", F.col("rank_fp")
-    )
+    # assume_distinct: the edge derivation itself ends in .distinct()
+    return pagerank(
+        edges, iterations=3, redistribute_dangling=True, assume_distinct=True
+    ).select("node", F.col("rank_fp"))
 
 
 _BLOOM_M = 65536  # 64 Ki bits = 1024 words; ~19% fill at sf0.1 ref size
