@@ -546,15 +546,37 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(spread)
     )
+    # STRING min/max buffers are variable-length, which disqualifies
+    # HashAggregate — keeping them in the multi-DISTINCT aggregate forced
+    # the whole ×(n_cols+1) Expand through SortAggregate (two full sorts
+    # of the expanded rows; measured as the query's dominant cost, r14).
+    # Fixed-buffer aggregates (counts + min/max over long/timestamp/
+    # decimal) stay in the expand agg as HashAggregate; the one string
+    # column's min/max runs as a keyless agg over a 1-column pruned scan
+    # and joins back as a 1-row broadcast. Same values, same one-pass
+    # scan for everything that expands.
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
             F.count(c).alias(f"cnt_{c}"),
             F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-            F.min(c).cast("string").alias(f"min_{c}"),
-            F.max(c).cast("string").alias(f"max_{c}"),
         ]
-    one = base.agg(*aggs)
+        if c != "o_orderpriority":
+            aggs += [
+                F.min(c).cast("string").alias(f"min_{c}"),
+                F.max(c).cast("string").alias(f"max_{c}"),
+            ]
+    mm = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .agg(
+            F.min("o_orderpriority").cast("string")
+            .alias("min_o_orderpriority"),
+            F.max("o_orderpriority").cast("string")
+            .alias("max_o_orderpriority"),
+        )
+    )
+    one = base.agg(*aggs).crossJoin(F.broadcast(mm))
     stack_args = ", ".join(
         f"'{c}', n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
     )
@@ -2354,16 +2376,23 @@ def q_table_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         TF.create_table(docs.where(F.col("doc_id") < 0), path)  # schema only
         TF.add_constraint(spark, path, "nonneg", "n_chars >= 0")
         for parity in (0, 1):
+            # coalesce (not repartition): same shard files, no round-robin
+            # Exchange in front of the write tasks (r14, guide §2.1)
             (docs.where((F.col("doc_id") < 40)
                         & (F.col("doc_id") % 2 == parity))
-             .repartition(2)
+             .coalesce(2)
              .write.format("tablefmt").option("path", path)
              .mode("append").save())
         n_before = TF.row_count(path)
         refused = False
         try:
-            bad = spark.createDataFrame(
-                [(99999, "xx", -5)], "doc_id long, lang string, n_chars long")
+            # literal SELECT, not createDataFrame(list): the list form
+            # parallelizes 1 row into defaultParallelism slices — 32
+            # Python write tasks for one row (31 empty); the LocalRelation
+            # is a single task (measured 3.2 s → 0.9 s, r14)
+            bad = spark.sql(
+                "SELECT CAST(99999 AS BIGINT) AS doc_id, 'xx' AS lang, "
+                "CAST(-5 AS BIGINT) AS n_chars")
             bad.write.format("tablefmt").option("path", path) \
                 .mode("append").save()
         except Exception as e:  # noqa: BLE001 — the refusal IS the check

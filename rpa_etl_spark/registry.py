@@ -54,11 +54,12 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # ======================= ROUND-14 WINDOW (50) =======================
-    # == tier A (11): the 3 NEW queries (executor-side native writes,
-    #    first-class partition columns, SQL-text views) + every
-    #    tablefmt/fileskip/table_source kernel consumer — all three
-    #    kernels changed this round (round-13 verdict #1/#2/#3/#7).
+    # ================= ROUND-14 WINDOW (50, re-rotated for the =========
+    # ================= optimization round's changed plans/kernels ======
+    # == tier A (11): the 3 round-14 queries + every tablefmt/fileskip/
+    #    table_source kernel consumer — all three kernels changed this
+    #    round (Arrow native paths, verb job cuts, DV collision fix,
+    #    native-write task shaping).
     "q_table_native_write",
     "q_table_partitioned_scan",
     "q_table_sql",
@@ -70,16 +71,58 @@ PRIORITY_ORDER = [
     "q_table_zorder_scan",
     "q_table_time_travel",
     "q_table_schema_evolution",
-    # == tier B (35): the ROUND-10-stale cohort (round-13 verdict #6's
-    #    named list) — every query whose latest driver-green verdict is
-    #    4 rounds old; all unchanged since (local replica green).
-    #    After r14 no verdict predates r11.
-    "q_fuzzy_match",
-    "q_tpch_q3_shape",
-    "q_tpch_q5_shape",
+    # == tier B (17): every other query whose plan or kernel the
+    #    optimization round touched (ANN/similarity kernels, distributed
+    #    BPE trainer, PageRank, the parse struct-UDF) — machine-enforced
+    #    by tests/test_rotation_policy.py against rotation_base.
+    "q_ann_ivf_trained",
+    "q_ann_ivf_pq",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_sim_topk",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_bpe_train_distributed",
+    "q_bpe_train",
+    "q_bpe_train_bytes",
+    "q_bpe_tokenize",
+    "q_bpe_tokenize_bytes",
+    "q_pack_sequences_bpe",
+    "q_domain_mix_bpe",
+    "q_pagerank",
+    "q_pagerank_dangling",
+    "q_parse_invoice",
+    # == tier C (22): stale-verdict queries that are also optimization
+    #    targets this round (pdf cohort r10, skew pair r10, TPC-H shapes
+    #    r10, recursive_cte r10, dedup_bloom r10, profile_stats r11,
+    #    dedup cohort r12, bm25 r12) — any further change stays in-window.
+    "q_pdf_extract",
+    "q_pdf_extract_hard",
+    "q_pdf_extract_passworded",
+    "q_pdf_extract_encrypted",
+    "q_recursive_cte",
+    "q_dedup_bloom",
+    "q_join_skew_salted",
+    "q_agg_skew_salted",
+    "q_tpch_q21_shape",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
-    "q_tpch_q21_shape",
+    "q_tpch_q5_shape",
+    "q_tpch_q3_shape",
+    "q_profile_stats",
+    "q_bm25",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_having_large_orders",
+    # ---------------- below the sampled window ----------------
+    # == demoted r10/r11-stale (unchanged since their green verdict;
+    #    local oracle sweep green) — window pressure from the changed-set
+    #    left no room; oldest-first so the next rotation picks them up.
+    "q_fuzzy_match",
     "q_window_rank",
     "q_window_running_sum",
     "q_window_ntile",
@@ -89,17 +132,11 @@ PRIORITY_ORDER = [
     "q_payload_analytics",
     "q_merge_upsert",
     "q_scd2_history",
-    "q_recursive_cte",
     "q_sample_hash",
-    "q_pdf_extract",
-    "q_pdf_extract_hard",
-    "q_pdf_extract_passworded",
-    "q_pdf_extract_encrypted",
     "q_sample_reservoir",
     "q_join_anti",
     "q_linear_regression",
     "q_cusum_changepoint",
-    "q_dedup_bloom",
     "q_stream_outer_join",
     "q_warc_extract_zst",
     "q_tar_extract_zst",
@@ -107,36 +144,20 @@ PRIORITY_ORDER = [
     "q_zip_extract",
     "q_user_totals_state",
     "q_stream_session_ttl",
-    "q_join_skew_salted",
-    "q_agg_skew_salted",
-    # == tier C (4): oldest r11-stale fill.
     "q_lateral_topk",
-    "q_profile_stats",
     "q_quantiles",
     "q_pii_redact",
-    # ---------------- below the sampled window ----------------
-    # == last driver-green in ROUND 11 ==
     "q_hll_sketch_merge",
     "q_tfidf_terms",
     "q_histogram",
     "q_sample_stratified",
     "q_funnel",
     "q_retention_cohort",
-    "q_having_large_orders",
     "q_outlier_zscore",
     "q_unpivot",
     "q_embedding_centroid",
     "q_repetition_stats",
     "q_join_asof",
-    "q_pagerank_dangling",
-    "q_pagerank",
-    "q_sim_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_ivf_trained",
-    "q_ann_ivf_pq",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
     "q_heavy_hitters_cms",
     "q_join_bucketed",
     "q_sink_roundtrip",
@@ -149,7 +170,6 @@ PRIORITY_ORDER = [
     "q_corr_stats",
     "q_daily_kpis",
     "q_date_funcs",
-    "q_dedup_clusters",
     "q_dedup_incremental",
     "q_dedup_lines",
     "q_domain_mix",
@@ -160,10 +180,8 @@ PRIORITY_ORDER = [
     "q_mode",
     "q_normalize_docs",
     "q_not_in_null_semantics",
-    # == last driver-green in ROUND 12 ==
     "q_zorder_code",
     "q_pack_sequences",
-    "q_parse_invoice",
     "q_percentile_disc",
     "q_quality_cascade",
     "q_set_ops_all",
@@ -175,24 +193,12 @@ PRIORITY_ORDER = [
     "q_window_lead_lag",
     "q_window_rank_ties",
     "q_wordcount",
-    "q_bm25",
-    "q_bpe_tokenize",
-    "q_bpe_tokenize_bytes",
-    "q_bpe_train",
-    "q_bpe_train_bytes",
-    "q_bpe_train_distributed",
     "q_cnpj_valid",
     "q_corpus_drift",
     "q_count_distinct",
     "q_cube",
     "q_curation_verdict",
-    "q_dedup_containment",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
     "q_distinct",
-    "q_domain_mix_bpe",
     "q_embedding_project",
     "q_filter_predicates",
     "q_gap_fill",
@@ -204,9 +210,6 @@ PRIORITY_ORDER = [
     "q_join_null_safe",
     "q_join_range",
     "q_join_semi",
-    "q_pack_sequences_bpe",
-    # == last driver-green in ROUND 13 (the freshest cohort sits at the
-    #    bottom by design) ==
     "q_scan_project",
     "q_topk",
     "q_rollup",
