@@ -986,12 +986,24 @@ def lsh_near_dup_pairs(
     the ROUNDED score (same convention and rationale as
     cosine_near_dup_pairs — raw float64 cosine at the boundary is
     engine-association-sensitive to ~1 ulp)."""
+    from rpa_etl_spark.tables import spread
+
     kernel = lsh_signatures_kernel(dim, num_planes, num_tables)
-    bk = df.select(
-        F.col(id_col).alias("pid"),
-        F.posexplode(kernel(F.col(vec_col))).alias("t", "bucket"),
-    )
-    a = bk.selectExpr("pid AS id_a", "t AS t_a", "bucket AS b_a")
+    # signatures computed ONCE and lineage-cut: both sides of the bucket
+    # self-join read the materialized (id, sigs) rows instead of each
+    # re-running the Arrow kernel subtree (r14, guide §4/§5 — the
+    # checkpoint is ids+signatures only, never the vectors)
+    sigs = df.select(
+        F.col(id_col).alias("pid"), kernel(F.col(vec_col)).alias("sigs")
+    ).localCheckpoint(eager=False)
+    bk = sigs.select("pid", F.posexplode("sigs").alias("t", "bucket"))
+    # spread the PROBE side: the tiny build side broadcasts, so the join
+    # output — Σ n_bucket² candidate rows, orders of magnitude more than
+    # the input — inherits the probe side's partitioning, and the
+    # dedup's partial aggregate must run at CPU parallelism, not at the
+    # checkpoint's partition count (r14, guide §2.2; measured 2x on the
+    # candidate+dedup stage)
+    a = spread(bk.selectExpr("pid AS id_a", "t AS t_a", "bucket AS b_a"))
     b = bk.selectExpr("pid AS id_b", "t AS t_b", "bucket AS b_b")
     cand = (
         a.join(
