@@ -404,6 +404,34 @@ def _gmul(a: int, b: int) -> int:
     return _GF_EXP[_GF_LOG[a] + _GF_LOG[b]]
 
 
+def _enc_ttables() -> tuple[list[int], ...]:
+    """T-table encryption round (r14, guide §4.3 "heavyweight init once"):
+    SubBytes+ShiftRows+MixColumns fused into 4 table lookups + 4 xors per
+    output column word, the classic software-AES formulation. Generated
+    from _SBOX/_gmul — same field arithmetic, so bit-identity with the
+    byte-wise round is structural (and pinned against it in tests). This
+    matters because ISO 32000-2's Algorithm 2.B KDF is ≥64 AES-CBC rounds
+    over a KB-scale buffer per password check: at ~76 µs/block the
+    byte-wise round made every cold KDF ~1-2 s of pure Python."""
+    t0, t1, t2, t3 = [], [], [], []
+    for x in range(256):
+        s = _SBOX[x]
+        g2, g3 = _gmul(s, 2), _gmul(s, 3)
+        t0.append((g2 << 24) | (s << 16) | (s << 8) | g3)
+        t1.append((g3 << 24) | (g2 << 16) | (s << 8) | s)
+        t2.append((s << 24) | (g3 << 16) | (g2 << 8) | s)
+        t3.append((s << 24) | (s << 16) | (g3 << 8) | g2)
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _enc_ttables()
+# decrypt round constants as direct lookup tables (no per-byte _gmul calls)
+_M9 = [_gmul(x, 9) for x in range(256)]
+_M11 = [_gmul(x, 11) for x in range(256)]
+_M13 = [_gmul(x, 13) for x in range(256)]
+_M14 = [_gmul(x, 14) for x in range(256)]
+
+
 def _aes_expand_key(key: bytes) -> list[bytes]:
     """AES-128/256 key schedule → Nr+1 round keys of 16 bytes."""
     nk = len(key) // 4  # 4 or 8 words
@@ -422,23 +450,54 @@ def _aes_expand_key(key: bytes) -> list[bytes]:
     return [bytes(sum(w[r * 4 : r * 4 + 4], [])) for r in range(nr + 1)]
 
 
+def _rk_words(rk: list[bytes]) -> list[tuple[int, int, int, int]]:
+    """Round keys as 4 big-endian column words each (T-table form)."""
+    return [
+        (
+            int.from_bytes(k[0:4], "big"),
+            int.from_bytes(k[4:8], "big"),
+            int.from_bytes(k[8:12], "big"),
+            int.from_bytes(k[12:16], "big"),
+        )
+        for k in rk
+    ]
+
+
 def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    nr = len(rk) - 1
-    s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, nr + 1):
-        s = [_SBOX[b] for b in s]
-        # ShiftRows on column-major byte order: byte index = 4*col + row
-        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < nr:
-            m = list(s)
-            for c in range(4):
-                col = m[4 * c : 4 * c + 4]
-                s[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
-                s[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
-                s[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
-                s[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
-        s = [b ^ k for b, k in zip(s, rk[rnd])]
-    return bytes(s)
+    return _aes_enc_words(_rk_words(rk), block)
+
+
+def _aes_enc_words(rkw: list[tuple[int, int, int, int]], block: bytes) -> bytes:
+    """T-table round (see _enc_ttables). State = 4 column words, row 0 in
+    the MSB; output column c reads row r of input column (c+r)%4 — the
+    ShiftRows of the column-major layout the rest of this module uses.
+    CBC loops convert the round keys to words ONCE and call this."""
+    nr = len(rkw) - 1
+    k0 = rkw[0]
+    w0 = int.from_bytes(block[0:4], "big") ^ k0[0]
+    w1 = int.from_bytes(block[4:8], "big") ^ k0[1]
+    w2 = int.from_bytes(block[8:12], "big") ^ k0[2]
+    w3 = int.from_bytes(block[12:16], "big") ^ k0[3]
+    T0, T1, T2, T3 = _T0, _T1, _T2, _T3
+    for rnd in range(1, nr):
+        k = rkw[rnd]
+        t0 = T0[w0 >> 24] ^ T1[(w1 >> 16) & 255] ^ T2[(w2 >> 8) & 255] ^ T3[w3 & 255] ^ k[0]
+        t1 = T0[w1 >> 24] ^ T1[(w2 >> 16) & 255] ^ T2[(w3 >> 8) & 255] ^ T3[w0 & 255] ^ k[1]
+        t2 = T0[w2 >> 24] ^ T1[(w3 >> 16) & 255] ^ T2[(w0 >> 8) & 255] ^ T3[w1 & 255] ^ k[2]
+        t3 = T0[w3 >> 24] ^ T1[(w0 >> 16) & 255] ^ T2[(w1 >> 8) & 255] ^ T3[w2 & 255] ^ k[3]
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    S = _SBOX
+    k = rkw[nr]
+    o0 = ((S[w0 >> 24] << 24) | (S[(w1 >> 16) & 255] << 16)
+          | (S[(w2 >> 8) & 255] << 8) | S[w3 & 255]) ^ k[0]
+    o1 = ((S[w1 >> 24] << 24) | (S[(w2 >> 16) & 255] << 16)
+          | (S[(w3 >> 8) & 255] << 8) | S[w0 & 255]) ^ k[1]
+    o2 = ((S[w2 >> 24] << 24) | (S[(w3 >> 16) & 255] << 16)
+          | (S[(w0 >> 8) & 255] << 8) | S[w1 & 255]) ^ k[2]
+    o3 = ((S[w3 >> 24] << 24) | (S[(w0 >> 16) & 255] << 16)
+          | (S[(w1 >> 8) & 255] << 8) | S[w2 & 255]) ^ k[3]
+    return (o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+            + o2.to_bytes(4, "big") + o3.to_bytes(4, "big"))
 
 
 def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
@@ -452,23 +511,11 @@ def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
         if rnd > 0:
             m = list(s)
             for c in range(4):
-                col = m[4 * c : 4 * c + 4]
-                s[4 * c + 0] = (
-                    _gmul(col[0], 14) ^ _gmul(col[1], 11)
-                    ^ _gmul(col[2], 13) ^ _gmul(col[3], 9)
-                )
-                s[4 * c + 1] = (
-                    _gmul(col[0], 9) ^ _gmul(col[1], 14)
-                    ^ _gmul(col[2], 11) ^ _gmul(col[3], 13)
-                )
-                s[4 * c + 2] = (
-                    _gmul(col[0], 13) ^ _gmul(col[1], 9)
-                    ^ _gmul(col[2], 14) ^ _gmul(col[3], 11)
-                )
-                s[4 * c + 3] = (
-                    _gmul(col[0], 11) ^ _gmul(col[1], 13)
-                    ^ _gmul(col[2], 9) ^ _gmul(col[3], 14)
-                )
+                a0, a1, a2, a3 = m[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
+                s[4 * c + 1] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
+                s[4 * c + 2] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
+                s[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
     return bytes(s)
 
 
@@ -490,14 +537,14 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rk = _aes_expand_key(key)
+    rkw = _rk_words(_aes_expand_key(key))
     pad = 16 - len(data) % 16
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _aes_encrypt_block(rk, blk)
+        prev = _aes_enc_words(rkw, blk)
         out += prev
     return bytes(out)
 
@@ -508,14 +555,20 @@ def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
     rk = _aes_expand_key(key)
     out = bytearray()
     prev = iv
+    if not decrypt:
+        rkw = _rk_words(rk)
+        ixor = int.from_bytes(prev, "big")
+        for i in range(0, len(data) - len(data) % 16, 16):
+            prev = _aes_enc_words(
+                rkw, (int.from_bytes(data[i : i + 16], "big") ^ ixor)
+                .to_bytes(16, "big"))
+            ixor = int.from_bytes(prev, "big")
+            out += prev
+        return bytes(out)
     for i in range(0, len(data) - len(data) % 16, 16):
         blk = data[i : i + 16]
-        if decrypt:
-            out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
-            prev = blk
-        else:
-            prev = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(blk, prev)))
-            out += prev
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
     return bytes(out)
 
 
