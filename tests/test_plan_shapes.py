@@ -71,7 +71,7 @@ def test_no_query_plans_quadratic_joins(spark, sf_dir):
     been rewritten into an equi-join (banding/bucketing/LSH). A BNLJ that
     appears here would be quadratic at 100 TB.
 
-    Three deliberate exceptions where BNLJ IS the right plan — the nested
+    Four deliberate exceptions where BNLJ IS the right plan — the nested
     side is a tiny bounded broadcast and the corpus side streams through
     without a shuffle (cost linear in the corpus):
     - q_join_range: 5-row interval-band table (theta-join demo)
@@ -79,8 +79,15 @@ def test_no_query_plans_quadratic_joins(spark, sf_dir):
     - q_pagerank_dangling: the per-round dangling-mass scalar (a 1-row
       aggregate cross-joined onto every node — the distributed rendering
       of a broadcast variable; operators/pagerank.py)
+    - q_profile_stats: the string-column min/max scalar (a 1-row keyless
+      aggregate broadcast onto the 1-row multi-DISTINCT stats aggregate —
+      both sides are single rows by construction, so the "nested loop" is
+      1x1; splitting the string aggregate out is what lets the x6 Expand
+      plan as HashAggregate instead of two full SortAggregate passes)
     """
-    allowed_bnlj = {"q_join_range", "q_sim_topk", "q_pagerank_dangling"}
+    allowed_bnlj = {
+        "q_join_range", "q_sim_topk", "q_pagerank_dangling", "q_profile_stats",
+    }
     offenders = {}
     for name in sorted(registry.QUERIES):
         if name in allowed_bnlj:
