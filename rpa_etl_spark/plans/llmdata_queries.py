@@ -1598,6 +1598,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "grams", F.array_min("grams").alias("min_gram"),
             F.size("grams").alias("n"),
         )
+        # materialize the shingled corpus ONCE: four consumers (probe side,
+        # inverted index, both gram join-backs) each re-evaluated the
+        # tokenize+shingle subtree — the plan scanned documents 8x and ran
+        # the regex/concat_ws shingle kernel 4x (guide §5: recompute cost
+        # >> materialization). Lazy: the first consumer's job materializes.
+        .localCheckpoint(eager=False)
     )
     # SLIM inverted index: only (gram, id) rides the explode+join shuffle;
     # the gram ARRAYS join back by id on the (small) candidate set — the
