@@ -38,11 +38,19 @@ def connected_components(
     Deterministic; singleton vertices never appear in ``pairs`` and keep
     themselves as canonical by construction downstream (left join + coalesce).
     """
+    # symmetrize IN-ROW (explode of both directions), not by union: a union
+    # of two selects evaluates the candidate-pair subtree twice — for LSH/
+    # sha-join producers that is the expensive part of the whole operator
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -86,7 +94,11 @@ def connected_components(
                 F.coalesce(F.col("_parent"), F.col("component")).alias("component"),
             )
         )
-        new_labels = compressed.localCheckpoint(eager=True)  # break lineage
+        # LAZY checkpoint: the convergence probe below is the round's one
+        # job and materializes it as a side effect — an eager checkpoint
+        # here was a second, redundant job per round (same rows computed,
+        # once to cache and once to compare)
+        new_labels = compressed.localCheckpoint(eager=False)  # break lineage
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
