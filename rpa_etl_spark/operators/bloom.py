@@ -84,10 +84,12 @@ def build(df: DataFrame, key_col: str, m_bits: int) -> DataFrame:
     surface as a NULL-group bitmap row and crash collect_words; a NULL
     key is also not a meaningful set member)."""
     pos = F.explode(F.array(*positions(F.col(key_col), m_bits))).alias("pos")
+    # no distinct before the aggregate: bit_or is idempotent, so duplicate
+    # positions change nothing — the distinct was a second full exchange
+    # (and a second evaluation of the hash columns) for identical words
     return (
         df.where(F.col(key_col).isNotNull())
         .select(pos)
-        .distinct()
         .groupBy(F.expr("pos DIV 64").alias("word_idx"))
         .agg(F.bit_or(_mask_at(F.col("pos"))).alias("word"))
     )
