@@ -36,6 +36,38 @@ _CNPJ_W2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
 _NFE_W = [2 + ((43 - i - 1) % 8) for i in range(43)]
 
 
+def _col_memo(fn):
+    """Memoize a Column-returning builder on its input expression's
+    canonical string (plus scalar args).
+
+    The checksum validators assemble hundreds of Column nodes — each one a
+    py4j round trip — so CONSTRUCTION costs ~0.3-0.9 s per call (measured),
+    re-paid identically on every query build. An unresolved Column is an
+    immutable expression tree: splicing the same tree into many plans is
+    exactly what reusing a `F.col(...)`-derived expression already means
+    (analysis resolves fresh copies per plan), so the built tree is the
+    re.compile() of this module — construct once per distinct input
+    expression, reuse forever. Keyed by the Catalyst toString of the input
+    (structurally identical inputs hit regardless of which DataFrame they
+    later bind to); scoped to the process, like any compiled artifact."""
+    import functools
+
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(col: Column, *args):
+        try:
+            key = (str(col), args)
+        except Exception:  # unstringable column: build uncached
+            return fn(col, *args)
+        hit = cache.get(key)
+        if hit is None:
+            hit = cache[key] = fn(col, *args)
+        return hit
+
+    return wrapped
+
+
 def digits_only(col: Column) -> Column:
     """Strip every non-digit (validators.py:72 semantics)."""
     return F.regexp_replace(col, r"[^0-9]", "")
@@ -79,6 +111,7 @@ def _mod11_check_digit(col: Column, weights: list[int]) -> Column:
     return F.when(r < 2, F.lit(0)).otherwise(F.lit(11) - r)
 
 
+@_col_memo
 def cnpj_is_valid(col: Column) -> Column:
     """V2 — CNPJ checksum validation (validators.py:65-122 semantics):
     14 digits, not all-same-digit, both mod-11 check digits correct."""
@@ -103,6 +136,7 @@ def cnpj_is_matriz(col: Column) -> Column:
     return F.substring(digits_only(col), 9, 4) == "0001"
 
 
+@_col_memo
 def cnpj_format(col: Column) -> Column:
     """Reformat 14 digits as XX.XXX.XXX/XXXX-XX (validators.py:116-120)."""
     return let1(
@@ -115,6 +149,7 @@ def cnpj_format(col: Column) -> Column:
     )
 
 
+@_col_memo
 def nfe_key_dv(col: Column) -> Column:
     """NF-e access-key check digit over the first 43 digits
     (validators.py:200-226 semantics): mod-11, weights 2..9 from the right;
@@ -123,6 +158,7 @@ def nfe_key_dv(col: Column) -> Column:
     return F.when(r <= 1, F.lit(0)).otherwise(F.lit(11) - r)
 
 
+@_col_memo
 def nfe_key_is_valid(col: Column) -> Column:
     """V3 — full NF-e 44-digit key validation (validators.py:126-234):
     44 digits; UF ∈ IBGE set; year 2008-2030; month 1-12; modelo ∈ {55,65};
@@ -150,6 +186,7 @@ def nfe_key_is_valid(col: Column) -> Column:
     return let1(digits_only(col), body)
 
 
+@_col_memo
 def nfe_key_format(col: Column) -> Column:
     """Group the 44-digit key in 4-digit blocks (validators.py:228)."""
     c = digits_only(col)
@@ -172,6 +209,7 @@ def money_strip_symbols(col: Column) -> Column:
     return F.regexp_replace(col, r"[^\d,.\-]", "")
 
 
+@_col_memo
 def money_normalized(col: Column) -> Column:
     """Separator-normalize to a dot-decimal string (validators.py:287-296):
     if the last separator is a comma → BR format (dots are thousands);
@@ -188,6 +226,7 @@ def money_normalized(col: Column) -> Column:
     return let1(money_strip_symbols(col), body)
 
 
+@_col_memo
 def money_parse(col: Column) -> Column:
     """Guarded decimal parse: DECIMAL(18,2) or NULL when invalid. Invalid =
     unparseable, negative, > 1e9, or more than 2 decimal places
@@ -204,6 +243,7 @@ def money_parse(col: Column) -> Column:
     return let1(money_normalized(col).try_cast("decimal(18,6)"), body)
 
 
+@_col_memo
 def money_is_valid(col: Column) -> Column:
     return money_parse(col).isNotNull()
 

@@ -41,39 +41,27 @@ def _issue(cond, code: str, field: str, severity: str):
     )
 
 
-def process_documents(df: DataFrame, text_col: str = "text",
-                      tenant_col: str | None = None) -> DataFrame:
-    """Run the full document pipeline over a corpus.
+import functools
 
-    Input: any DataFrame with a raw-text column (plus optional tenant).
-    Output columns: everything from the input, plus
-    ``raw_sha256, normalized_text, norm_sha256, reduction_ratio,
-    emission_date, competence_date, chave_acesso, issuer, recipient,
-    items, total, validation_issues, trust_score, status, route``.
-    """
-    # NORMALIZE (P8 chain) + O1 hashes + O5 reduction ratio
-    df = df.withColumn("raw_sha256", F.sha2(F.col(text_col), 256))
-    df = df.withColumn("normalized_text", T.normalize_text(F.col(text_col)))
-    df = df.withColumns(
-        {
-            "norm_sha256": F.sha2(F.col("normalized_text"), 256),
-            "reduction_ratio": F.when(
-                F.length(text_col) > 0,
-                F.round(F.lit(1) - F.length("normalized_text") / F.length(text_col), 2),
-            ).otherwise(F.lit(0.0)),
-        }
-    )
 
-    # PARSE (B1-B5) — the Arrow kernel (parsing_arrow), same choice as
-    # q_parse_invoice: the staged expression form (P.parse_invoices) is
-    # its machine-tested semantic twin (tests/test_parse_arrow.py) and
-    # the regex chain dominates the pipeline's cost — the kernel halves
-    # the full-chain wall time (measured 5.4s -> 2.5s at sf0.1)
-    from rpa_etl_spark.functions import parsing_arrow as PA
-
-    df = PA.parse_invoices_arrow(df, text_col="normalized_text")
-
-    # VALIDATE (V2/V3/V4 against parsed fields) → issues array (O2 table)
+@functools.lru_cache(maxsize=32)
+def _static_cols(text_col: str):
+    """The pipeline's input-independent Column trees, built once per
+    process (keyed by the raw-text column name). Construction of these
+    trees is hundreds of py4j round trips (~1.7 s measured before the
+    validator-level memo); an unresolved Column is an immutable
+    expression, so reuse across plans is exactly `re.compile` reuse."""
+    normalize = {
+        "raw_sha256": F.sha2(F.col(text_col), 256),
+        "normalized_text": T.normalize_text(F.col(text_col)),
+    }
+    post_norm = {
+        "norm_sha256": F.sha2(F.col("normalized_text"), 256),
+        "reduction_ratio": F.when(
+            F.length(text_col) > 0,
+            F.round(F.lit(1) - F.length("normalized_text") / F.length(text_col), 2),
+        ).otherwise(F.lit(0.0)),
+    }
     issuer_cnpj = F.col("issuer")["cnpj_cpf"]
     total = F.col("total")
     issues = F.array_compact(
@@ -95,9 +83,6 @@ def process_documents(df: DataFrame, text_col: str = "text",
             ),
         )
     )
-    df = df.withColumn("validation_issues", issues)
-
-    # SCORE (O2) + STATUS (O3)
     has = lambda code: F.exists(  # noqa: E731
         F.col("validation_issues"), lambda i: i["code"] == F.lit(code)
     )
@@ -108,25 +93,54 @@ def process_documents(df: DataFrame, text_col: str = "text",
         S.penalty(has("RECIPIENT_MISSING"), S.PENALTY_RECIPIENT_MISSING),
         S.penalty(has("NFE_KEY_INVALID"), S.PENALTY_KEY_INVALID),
     ).cast("decimal(4,2)")
-    df = df.withColumn("trust_score", score)
-    df = df.withColumn(
-        "status",
-        S.status_decision(
-            F.exists(F.col("validation_issues"), lambda i: i["severity"] == F.lit("error")),
-            F.size("validation_issues"),
-            F.col("trust_score"),
-        ),
+    status = S.status_decision(
+        F.exists(F.col("validation_issues"), lambda i: i["severity"] == F.lit("error")),
+        F.size("validation_issues"),
+        F.col("trust_score"),
     )
-
-    # ROUTE (R1 value threshold + R2 confidence)
     parsed_total = V.money_parse(F.col("total"))
-    df = df.withColumn(
-        "route",
+    route = (
         F.when(F.col("status") == "error", F.lit("revisao_manual"))
         .when(parsed_total.isNull(), F.lit("revisao_manual"))
         .when(parsed_total > AUDIT_THRESHOLD, F.lit("auditoria_fiscal"))
-        .otherwise(F.lit("processamento_normal")),
+        .otherwise(F.lit("processamento_normal"))
     )
+    return normalize, post_norm, issues, score, status, route
+
+
+def process_documents(df: DataFrame, text_col: str = "text",
+                      tenant_col: str | None = None) -> DataFrame:
+    """Run the full document pipeline over a corpus.
+
+    Input: any DataFrame with a raw-text column (plus optional tenant).
+    Output columns: everything from the input, plus
+    ``raw_sha256, normalized_text, norm_sha256, reduction_ratio,
+    emission_date, competence_date, chave_acesso, issuer, recipient,
+    items, total, validation_issues, trust_score, status, route``.
+    """
+    normalize, post_norm, issues, score, status, route = _static_cols(text_col)
+    # NORMALIZE (P8 chain) + O1 hashes + O5 reduction ratio
+    df = df.withColumns(dict(normalize))
+    df = df.withColumns(dict(post_norm))
+
+    # PARSE (B1-B5) — the Arrow kernel (parsing_arrow), same choice as
+    # q_parse_invoice: the staged expression form (P.parse_invoices) is
+    # its machine-tested semantic twin (tests/test_parse_arrow.py) and
+    # the regex chain dominates the pipeline's cost — the kernel halves
+    # the full-chain wall time (measured 5.4s -> 2.5s at sf0.1)
+    from rpa_etl_spark.functions import parsing_arrow as PA
+
+    df = PA.parse_invoices_arrow(df, text_col="normalized_text")
+
+    # VALIDATE (V2/V3/V4 against parsed fields) → issues array (O2 table)
+    df = df.withColumn("validation_issues", issues)
+
+    # SCORE (O2) + STATUS (O3)
+    df = df.withColumn("trust_score", score)
+    df = df.withColumn("status", status)
+
+    # ROUTE (R1 value threshold + R2 confidence)
+    df = df.withColumn("route", route)
     if tenant_col is None:
         df = df.withColumn("tenant_id", F.lit("unknown_tenant"))
     elif tenant_col != "tenant_id":
