@@ -40,3 +40,44 @@ def let(bindings: dict[str, Column], body: Callable[[dict[str, Column]], Column]
 def let1(binding: Column, body: Callable[[Column], Column]) -> Column:
     """Single-binding sugar: ``let1(expensive, lambda x: f(x, x))``."""
     return let({"v": binding}, lambda b: body(b["v"]))
+
+
+def col_memo(fn):
+    """Memoize a Column-returning builder on its input expressions'
+    canonical strings (plus scalar args).
+
+    Large builders assemble hundreds of Column nodes — each a py4j round
+    trip — so CONSTRUCTION costs up to ~0.9 s per call (measured on the
+    mod-11 validators), re-paid identically on every query build. An
+    unresolved Column is an immutable expression tree: splicing the same
+    tree into many plans is exactly what reusing an `F.col(...)`-derived
+    expression already means (analysis resolves fresh copies per plan).
+    The built tree is therefore this library's `re.compile()` — construct
+    once per distinct input expression, reuse for the process lifetime.
+    Keys use the Catalyst toString of Column args (structurally identical
+    inputs hit regardless of which DataFrame they later bind to); any
+    unhashable/unstringable argument silently disables the memo for that
+    call."""
+    import functools
+
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            key = (
+                tuple(str(a) if isinstance(a, Column) else a for a in args),
+                tuple(
+                    (k, str(v) if isinstance(v, Column) else v)
+                    for k, v in sorted(kwargs.items())
+                ),
+            )
+            hash(key)
+        except Exception:
+            return fn(*args, **kwargs)
+        hit = cache.get(key)
+        if hit is None:
+            hit = cache[key] = fn(*args, **kwargs)
+        return hit
+
+    return wrapped

@@ -18,7 +18,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, IntegerType
 
-from rpa_etl_spark.functions.exprs import let1
+from rpa_etl_spark.functions.exprs import col_memo, let1
 
 # IBGE UF codes valid in an NF-e access key (validators.py:126-234 semantics)
 IBGE_UF_CODES = [
@@ -36,36 +36,10 @@ _CNPJ_W2 = [6, 5, 4, 3, 2, 9, 8, 7, 6, 5, 4, 3, 2]
 _NFE_W = [2 + ((43 - i - 1) % 8) for i in range(43)]
 
 
-def _col_memo(fn):
-    """Memoize a Column-returning builder on its input expression's
-    canonical string (plus scalar args).
-
-    The checksum validators assemble hundreds of Column nodes — each one a
-    py4j round trip — so CONSTRUCTION costs ~0.3-0.9 s per call (measured),
-    re-paid identically on every query build. An unresolved Column is an
-    immutable expression tree: splicing the same tree into many plans is
-    exactly what reusing a `F.col(...)`-derived expression already means
-    (analysis resolves fresh copies per plan), so the built tree is the
-    re.compile() of this module — construct once per distinct input
-    expression, reuse forever. Keyed by the Catalyst toString of the input
-    (structurally identical inputs hit regardless of which DataFrame they
-    later bind to); scoped to the process, like any compiled artifact."""
-    import functools
-
-    cache: dict = {}
-
-    @functools.wraps(fn)
-    def wrapped(col: Column, *args):
-        try:
-            key = (str(col), args)
-        except Exception:  # unstringable column: build uncached
-            return fn(col, *args)
-        hit = cache.get(key)
-        if hit is None:
-            hit = cache[key] = fn(col, *args)
-        return hit
-
-    return wrapped
+# shared Column-construction memo (exprs.col_memo): the checksum builders
+# below cost ~0.3-0.9 s of py4j round trips per call (measured), re-paid on
+# every query build; see exprs.col_memo for the reuse-safety argument.
+_col_memo = col_memo
 
 
 def digits_only(col: Column) -> Column:

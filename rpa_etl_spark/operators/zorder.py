@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rpa_etl_spark.functions.exprs import col_memo
+
 # bits kept per dimension; 2 dims x 16 bits fits comfortably in a long
 _BITS = 16
 
@@ -36,6 +38,7 @@ def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     )
 
 
+@col_memo
 def morton2(
     col_a: Column,
     lo_a: float,

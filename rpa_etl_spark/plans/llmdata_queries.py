@@ -1678,15 +1678,27 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformity with the other double outputs. Narrow per-row projection —
     zero shuffle at any scale."""
     emb = load(spark, sf_dir, "embeddings")
+    return emb.select(*_jl_cols())
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _jl_cols():
+    """The 8 static JL projection Columns (built once per process — the
+    8x64-literal folds are ~600 py4j calls, ~0.5 s of construction that
+    is identical on every invocation; exprs.col_memo rationale).
+
+    Each projection is a strict left-to-right fold over zip(vector,
+    signs) — the same association as the oracle's explicit 64-term sum,
+    and a SHALLOW expression tree: an unrolled 64-term nested Add per
+    output column made Catalyst's analysis quadratic in tree size
+    (measured ~3s of DRIVER time for 2000 rows); the fold form plans in
+    milliseconds. Division by sqrt (both correctly-rounded IEEE ops,
+    identical across engines) — NOT multiplication by a precomputed
+    reciprocal, which rounds differently."""
     cols = [F.col("vec_id"), F.col("label")]
-    # Each projection is a strict left-to-right fold over zip(vector,
-    # signs) — the same association as the oracle's explicit 64-term sum,
-    # and a SHALLOW expression tree: an unrolled 64-term nested Add per
-    # output column made Catalyst's analysis quadratic in tree size
-    # (measured ~3s of DRIVER time for 2000 rows); the fold form plans in
-    # milliseconds. Division by sqrt (both correctly-rounded IEEE ops,
-    # identical across engines) — NOT multiplication by a precomputed
-    # reciprocal, which rounds differently.
     for j in range(_JL_OUT):
         signs = F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]])
         total = F.aggregate(
@@ -1695,7 +1707,7 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
         cols.append(F.round(total / F.sqrt(F.lit(float(_JL_OUT))), 6).alias(f"p{j}"))
-    return emb.select(*cols)
+    return tuple(cols)
 
 
 # ---------------------------------------------------------------------------
