@@ -1770,27 +1770,48 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats ride tiny aggregates/scalar subqueries (no constant-key join);
     the df join is broadcast-size by construction. The registered view is
     pre-spread — tokenization dominates and must run at CPU parallelism,
-    not the one-task single-row-group scan."""
-    spread(load(spark, sf_dir, "documents").select("doc_id", "text")).createOrReplaceTempView(
-        "documents"
+    not the one-task single-row-group scan.
+
+    Single-pass restructure (r14, guide §8 "decide with small rows"): the
+    previous CTE form re-evaluated the tokenizer FOUR times (the tf
+    explode, the df side, the per-doc dl, and the corpus-total scalar
+    subquery each re-planned `split(trim(text))`). Tokenization now runs
+    ONCE into a lazily checkpointed (doc_id, dl, tf per query term) frame
+    — per-term tf as `size(filter(toks, = term))`, value-identical to the
+    explode+COUNT since tf counts occurrences — and the tf rows unpivot
+    from it via stack. Same formula text, same types (tf cast to the
+    BIGINT the COUNT produced), same oracle."""
+    tok = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    terms = [t.strip(" '") for t in _BM25_TERMS.strip("()").split(",")]
+    base = (
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", tok.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            # closure factory, NOT a default-arg lambda: F.filter inspects
+            # the lambda's arity, and a second parameter (even defaulted)
+            # makes it pass (element, index) positionally
+            *[
+                F.size(F.filter("toks", (lambda t: lambda x: x == F.lit(t))(t)))
+                .cast("bigint")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=False)
     )
+    base.createOrReplaceTempView("bm25_base")
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
     return spark.sql(
         f"""
-        WITH tok AS (
-            SELECT doc_id,
-                   filter(split(trim(text), '\\\\s+'), x -> x != '') AS toks
-            FROM documents
-        ),
-        d AS (SELECT doc_id, size(toks) AS dl FROM tok),
-        stats AS (
-            SELECT COUNT(*) AS n_docs, SUM(size(toks)) AS total FROM tok
-        ),
-        t AS (
-            SELECT doc_id, tok FROM tok LATERAL VIEW explode(toks) x AS tok
+        WITH stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM bm25_base
         ),
         tf AS (
-            SELECT doc_id, tok, COUNT(*) AS tf FROM t
-            WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok
+            SELECT doc_id, dl, tok, tf FROM bm25_base
+            LATERAL VIEW stack({len(terms)}, {stack_args}) s AS tok, tf
+            WHERE tf > 0
         ),
         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
         SELECT tf.doc_id,
@@ -1800,12 +1821,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ln(((SELECT n_docs FROM stats) - df.df + 0.5) / (df.df + 0.5) + 1)
                    * (tf.tf * ({_BM25_K1} + 1))
                    / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
-                      * (d.dl / ((SELECT total FROM stats)
-                                 / CAST((SELECT n_docs FROM stats) AS DOUBLE)))))
+                      * (tf.dl / ((SELECT total FROM stats)
+                                  / CAST((SELECT n_docs FROM stats) AS DOUBLE)))))
                ), 6) AS bm25
         FROM tf
         JOIN df ON tf.tok = df.tok
-        JOIN d ON tf.doc_id = d.doc_id
         GROUP BY tf.doc_id
         """
     )
