@@ -190,9 +190,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-inlining anything (parity with the expression form pinned by
     # test_minhash_md5_arrow_matches_expression; the oracle recomputes the
     # same md5 windows in SQL either way)
-    signed = D.attach_minhash_md5_arrow(
-        docs.where(F.size("grams") > 0), num_hashes=16
-    ).transform(lambda d: spread(d, "doc_id"))
+    # materialize the signed corpus ONCE: the keyed exchange alone does not
+    # dedupe the three consumers — column pruning pushes different
+    # projections below each copy of the exchange, so ReuseExchange never
+    # fires and the shingle+signature kernel ran FOUR times (banding, both
+    # gram join-backs, plus the probe side; measured in the executed plan:
+    # 4 MapInPandas nodes). The lazy checkpoint evaluates it once.
+    signed = (
+        D.attach_minhash_md5_arrow(docs.where(F.size("grams") > 0), num_hashes=16)
+        .transform(lambda d: spread(d, "doc_id"))
+        .localCheckpoint(eager=False)
+    )
     pairs = D.lsh_candidate_pairs_md5(
         signed.select("doc_id", "minhash"), bands=8, sig_len=16
     )
