@@ -125,11 +125,17 @@ def salted_join(
             "dim replication would duplicate unmatched dim rows per salt"
         )
     if hot_threshold is not None:
+        # checkpoint the hot-key set: it is BOUNDED (skew means few hot
+        # keys) but feeds four consumers (hot/cold splits of both sides),
+        # and without a barrier each consumer re-runs the full fact
+        # count — the executed plan of q_join_skew_salted carried the
+        # detection aggregate (and the fact subtree under it) four times
         hot = (
             fact.groupBy(key)
             .agg(F.count(F.lit(1)).alias("_n"))
             .where(F.col("_n") > hot_threshold)
             .select(key)
+            .localCheckpoint(eager=False)
         )
         fact_hot = fact.join(F.broadcast(hot), key, "left_semi")
         fact_cold = fact.join(F.broadcast(hot), key, "left_anti")
