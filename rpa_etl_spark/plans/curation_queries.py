@@ -100,6 +100,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.word_shingles(F.col("text"), 5).alias("grams"),
             (_bucket_col() < 80).alias("is_train"),
         )
+        # materialize once: the train and test splits are two consumers of
+        # the same shingled frame, and each re-ran the 5-gram kernel
+        # (2 scans per side in the executed plan)
+        .localCheckpoint(eager=False)
     )
     train = (
         docs.where("is_train")
@@ -544,9 +548,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .transform(lambda d: spread(d, "doc_id"))
     )
+    # materialize the exploded (doc_id, gram) pairs once: the frequency
+    # aggregate and the join probe side are two consumers, and each re-ran
+    # the shingle kernel + explode (2 scans per side in the executed plan)
     g = docs.select(
         "doc_id", F.explode(D.word_shingles(F.col("text"), 5)).alias("gram")
-    )
+    ).localCheckpoint(eager=False)
     gc = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
     return (
