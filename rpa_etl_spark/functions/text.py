@@ -16,8 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from rpa_etl_spark.functions.exprs import col_memo
-
 # Brazilian UF codes + fiscal abbreviations the noise filter keeps even when
 # shorter than 3 chars — exact reference set (text_normalizer.py:33-38).
 KEEP_SHORT_TOKENS = [
@@ -95,7 +93,6 @@ def dedup_lines_preserve_order(lines: Column) -> Column:
     )
 
 
-@col_memo
 def normalize_text(col: Column) -> Column:
     """P8 — full normalization chain (text_normalizer.py:63-92):
     scrub → whitespace → digit-join → date-spacing → comma-fix → line split

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from rpa_etl_spark.functions.exprs import col_memo, let1
+from rpa_etl_spark.functions.exprs import let1
 
 MERSENNE_31 = (1 << 31) - 1
 
@@ -46,7 +46,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-@col_memo
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams (the near-dup unit). In-row transform — the
     shingle set never leaves the document row.

@@ -92,10 +92,17 @@ PRIORITY_ORDER = [
     "q_pagerank",
     "q_pagerank_dangling",
     "q_parse_invoice",
-    # == tier C (22): stale-verdict queries that are also optimization
-    #    targets this round (pdf cohort r10, skew pair r10, TPC-H shapes
-    #    r10, recursive_cte r10, dedup_bloom r10, profile_stats r11,
-    #    dedup cohort r12, bm25 r12) — any further change stays in-window.
+    # == tier C (22): every remaining query whose plan function or kernel
+    #    the optimization sessions changed since the rotation base —
+    #    machine-enforced by tests/test_rotation_policy.py: pdf cohort
+    #    (T-table AES), recursive_cte (anchor checkpoint), dedup_bloom
+    #    (distinct drop), skew pair (hot-key checkpoint), profile_stats
+    #    (hash-agg split), bm25/containment/minhash (single-pass +
+    #    checkpoints), clusters (components rework), contamination +
+    #    ngram_novelty (shingle checkpoint), embedding_project (memoized
+    #    JL folds), validators trio (construction memo), zorder_code
+    #    (morton2 memo), flagship + scan_project (tables.py schema memo,
+    #    pipeline.py static-tree memo).
     "q_pdf_extract",
     "q_pdf_extract_hard",
     "q_pdf_extract_passworded",
@@ -104,21 +111,36 @@ PRIORITY_ORDER = [
     "q_dedup_bloom",
     "q_join_skew_salted",
     "q_agg_skew_salted",
+    "q_profile_stats",
+    "q_bm25",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_contamination",
+    "q_ngram_novelty",
+    "q_embedding_project",
+    "q_cnpj_valid",
+    "q_nfe_key_valid",
+    "q_monetary_br",
+    "q_zorder_code",
+    "q_flagship",
+    "q_scan_project",
+    # ---------------- below the sampled window ----------------
+    # == demoted this session to make room for the changed set (their
+    #    kernels/plan functions are UNCHANGED since the rotation base and
+    #    the full 180/180 local oracle sweep is green on the final tree):
+    #    the five TPC-H shapes + q_having_large_orders (tpch_shapes.py
+    #    untouched) and the three dedup singles (dedup.py restored to the
+    #    base after the word_shingles memo was reverted).
     "q_tpch_q21_shape",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
     "q_tpch_q5_shape",
     "q_tpch_q3_shape",
-    "q_profile_stats",
-    "q_bm25",
-    "q_dedup_containment",
-    "q_dedup_minhash",
+    "q_having_large_orders",
     "q_dedup_exact",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_having_large_orders",
-    # ---------------- below the sampled window ----------------
     # == demoted r10/r11-stale (unchanged since their green verdict;
     #    local oracle sweep green) — window pressure from the changed-set
     #    left no room; oldest-first so the next rotation picks them up.
@@ -166,7 +188,6 @@ PRIORITY_ORDER = [
     "q_agg_group",
     "q_array_funcs",
     "q_chunk_documents",
-    "q_contamination",
     "q_corr_stats",
     "q_daily_kpis",
     "q_date_funcs",
@@ -180,7 +201,6 @@ PRIORITY_ORDER = [
     "q_mode",
     "q_normalize_docs",
     "q_not_in_null_semantics",
-    "q_zorder_code",
     "q_pack_sequences",
     "q_percentile_disc",
     "q_quality_cascade",
@@ -193,13 +213,11 @@ PRIORITY_ORDER = [
     "q_window_lead_lag",
     "q_window_rank_ties",
     "q_wordcount",
-    "q_cnpj_valid",
     "q_corpus_drift",
     "q_count_distinct",
     "q_cube",
     "q_curation_verdict",
     "q_distinct",
-    "q_embedding_project",
     "q_filter_predicates",
     "q_gap_fill",
     "q_grouping_sets",
@@ -210,7 +228,6 @@ PRIORITY_ORDER = [
     "q_join_null_safe",
     "q_join_range",
     "q_join_semi",
-    "q_scan_project",
     "q_topk",
     "q_rollup",
     "q_set_ops",
@@ -218,8 +235,6 @@ PRIORITY_ORDER = [
     "q_string_funcs",
     "q_map_funcs",
     "q_json_funcs",
-    "q_monetary_br",
-    "q_nfe_key_valid",
     "q_lang_quality",
     "q_session_window",
     "q_stream_tumbling",
@@ -227,7 +242,6 @@ PRIORITY_ORDER = [
     "q_stream_dedup",
     "q_stream_interval_join",
     "q_scalar_subquery",
-    "q_ngram_novelty",
     "q_unigram_logprob",
     "q_url_dedup",
     "q_multimodal_mpeg_pframes",
@@ -235,7 +249,6 @@ PRIORITY_ORDER = [
     "q_pipeline_e2e",
     "q_warc_extract",
     "q_tar_extract",
-    "q_flagship",
     "q_multimodal_meta",
     "q_multimodal_decode",
     "q_multimodal_frames",
