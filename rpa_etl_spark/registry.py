@@ -54,96 +54,18 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # commit the rebuild lands in — the test diffs plan/kernel files against
 # that base and fails if a changed query sits outside the sampled window.
 PRIORITY_ORDER = [
-    # ================= ROUND-14 WINDOW (50, re-rotated for the =========
-    # ================= optimization round's changed plans/kernels ======
-    # == tier A (11): the 3 round-14 queries + every tablefmt/fileskip/
-    #    table_source kernel consumer — all three kernels changed this
-    #    round (Arrow native paths, verb job cuts, DV collision fix,
-    #    native-write task shaping).
-    "q_table_native_write",
-    "q_table_partitioned_scan",
-    "q_table_sql",
-    "q_table_update",
-    "q_table_pruned_scan",
-    "q_table_time_pruned_scan",
-    "q_table_changes",
-    "q_table_delete_dv",
-    "q_table_zorder_scan",
-    "q_table_time_travel",
-    "q_table_schema_evolution",
-    # == tier B (17): every other query whose plan or kernel the
-    #    optimization round touched (ANN/similarity kernels, distributed
-    #    BPE trainer, PageRank, the parse struct-UDF) — machine-enforced
-    #    by tests/test_rotation_policy.py against rotation_base.
-    "q_ann_ivf_trained",
-    "q_ann_ivf_pq",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_sim_topk",
-    "q_dedup_embedding",
-    "q_dedup_embedding_lsh",
-    "q_bpe_train_distributed",
-    "q_bpe_train",
-    "q_bpe_train_bytes",
-    "q_bpe_tokenize",
-    "q_bpe_tokenize_bytes",
-    "q_pack_sequences_bpe",
-    "q_domain_mix_bpe",
-    "q_pagerank",
-    "q_pagerank_dangling",
-    "q_parse_invoice",
-    # == tier C (22): every remaining query whose plan function or kernel
-    #    the optimization sessions changed since the rotation base —
-    #    machine-enforced by tests/test_rotation_policy.py: pdf cohort
-    #    (T-table AES), recursive_cte (anchor checkpoint), dedup_bloom
-    #    (distinct drop), skew pair (hot-key checkpoint), profile_stats
-    #    (hash-agg split), bm25/containment/minhash (single-pass +
-    #    checkpoints), clusters (components rework), contamination +
-    #    ngram_novelty (shingle checkpoint), embedding_project (memoized
-    #    JL folds), validators trio (construction memo), zorder_code
-    #    (morton2 memo), flagship + scan_project (tables.py schema memo,
-    #    pipeline.py static-tree memo).
-    "q_pdf_extract",
-    "q_pdf_extract_hard",
-    "q_pdf_extract_passworded",
-    "q_pdf_extract_encrypted",
-    "q_recursive_cte",
-    "q_dedup_bloom",
-    "q_join_skew_salted",
-    "q_agg_skew_salted",
-    "q_profile_stats",
-    "q_bm25",
-    "q_dedup_containment",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_contamination",
-    "q_ngram_novelty",
-    "q_embedding_project",
-    "q_cnpj_valid",
-    "q_nfe_key_valid",
-    "q_monetary_br",
-    "q_zorder_code",
-    "q_flagship",
-    "q_scan_project",
-    # ---------------- below the sampled window ----------------
-    # == demoted this session to make room for the changed set (their
-    #    kernels/plan functions are UNCHANGED since the rotation base and
-    #    the full 180/180 local oracle sweep is green on the final tree):
-    #    the five TPC-H shapes + q_having_large_orders (tpch_shapes.py
-    #    untouched) and the three dedup singles (dedup.py restored to the
-    #    base after the word_shingles memo was reverted).
+    # ================= ROUND-15 WINDOW (50) =============================
+    # == tier A (27): every query whose most-recent driver verdict is
+    #    round 10 (computed from CORRECTNESS_r*.json — the oldest cohort;
+    #    the r13 verdict ordered these cleared and the r14 re-rotation
+    #    demoted them again). Oldest-first is the stated policy.
+    #    q_tpch_q21_shape leads: it is ALSO this round's single-scan
+    #    rewrite, so it needs a fresh verdict on two counts.
     "q_tpch_q21_shape",
     "q_tpch_q10_shape",
     "q_tpch_q14_shape",
     "q_tpch_q5_shape",
     "q_tpch_q3_shape",
-    "q_having_large_orders",
-    "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    # == demoted r10/r11-stale (unchanged since their green verdict;
-    #    local oracle sweep green) — window pressure from the changed-set
-    #    left no room; oldest-first so the next rotation picks them up.
     "q_fuzzy_match",
     "q_window_rank",
     "q_window_running_sum",
@@ -166,6 +88,20 @@ PRIORITY_ORDER = [
     "q_zip_extract",
     "q_user_totals_state",
     "q_stream_session_ttl",
+    # == tier B (5): queries whose KERNELS this optimization round
+    #    changed (sources/jpeg.py + sources/mpeg1.py: vectorized
+    #    quantize/IDCT, single symbol pass, direct closed-loop recon) —
+    #    machine-enforced by tests/test_rotation_policy.py.
+    "q_multimodal_mjpeg",
+    "q_multimodal_mpeg_iframes",
+    "q_multimodal_mpeg_pframes",
+    "q_multimodal_mpeg_bframes",
+    "q_multimodal_decode",
+    # == tier C (18): r11-stale fill, in their prior relative order —
+    #    18 of the 36 r11-verdict queries fit after tiers A and B; the
+    #    rest sit directly below the window, oldest-first, so any future
+    #    rotation picks them up next.
+    "q_having_large_orders",
     "q_lateral_topk",
     "q_quantiles",
     "q_pii_redact",
@@ -183,6 +119,9 @@ PRIORITY_ORDER = [
     "q_heavy_hitters_cms",
     "q_join_bucketed",
     "q_sink_roundtrip",
+    # ---------------- below the sampled window ----------------
+    # == r11-stale remainder (18 of 36; kernels/plans unchanged since
+    #    their green verdict, covered by the local 180/180 oracle sweep):
     "q_sink_orc_roundtrip",
     "q_ingest_malformed",
     "q_agg_group",
@@ -244,19 +183,14 @@ PRIORITY_ORDER = [
     "q_scalar_subquery",
     "q_unigram_logprob",
     "q_url_dedup",
-    "q_multimodal_mpeg_pframes",
-    "q_multimodal_mpeg_bframes",
     "q_pipeline_e2e",
     "q_warc_extract",
     "q_tar_extract",
     "q_multimodal_meta",
-    "q_multimodal_decode",
     "q_multimodal_frames",
     "q_multimodal_audio",
     "q_multimodal_png",
     "q_multimodal_resize",
-    "q_multimodal_mjpeg",
-    "q_multimodal_mpeg_iframes",
     "q_multimodal_g711",
     "q_multimodal_gif",
     "q_approx_count_distinct",
@@ -265,6 +199,62 @@ PRIORITY_ORDER = [
     "q_audit_events",
     "q_case_routing",
     "q_decimal_math",
+    # == freshest verdicts last: the entire round-14 window (all 50 green
+    #    in CORRECTNESS_r14.json) plus the three dedup singles (r12+);
+    #    their kernels are unchanged this round.
+    "q_dedup_exact",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_table_native_write",
+    "q_table_partitioned_scan",
+    "q_table_sql",
+    "q_table_update",
+    "q_table_pruned_scan",
+    "q_table_time_pruned_scan",
+    "q_table_changes",
+    "q_table_delete_dv",
+    "q_table_zorder_scan",
+    "q_table_time_travel",
+    "q_table_schema_evolution",
+    "q_ann_ivf_trained",
+    "q_ann_ivf_pq",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_sim_topk",
+    "q_dedup_embedding",
+    "q_dedup_embedding_lsh",
+    "q_bpe_train_distributed",
+    "q_bpe_train",
+    "q_bpe_train_bytes",
+    "q_bpe_tokenize",
+    "q_bpe_tokenize_bytes",
+    "q_pack_sequences_bpe",
+    "q_domain_mix_bpe",
+    "q_pagerank",
+    "q_pagerank_dangling",
+    "q_parse_invoice",
+    "q_pdf_extract",
+    "q_pdf_extract_hard",
+    "q_pdf_extract_passworded",
+    "q_pdf_extract_encrypted",
+    "q_recursive_cte",
+    "q_dedup_bloom",
+    "q_join_skew_salted",
+    "q_agg_skew_salted",
+    "q_profile_stats",
+    "q_bm25",
+    "q_dedup_containment",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_contamination",
+    "q_ngram_novelty",
+    "q_embedding_project",
+    "q_cnpj_valid",
+    "q_nfe_key_valid",
+    "q_monetary_br",
+    "q_zorder_code",
+    "q_flagship",
+    "q_scan_project",
 ]
 
 

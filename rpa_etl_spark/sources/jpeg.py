@@ -143,13 +143,14 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
 
 
 def _dht_segment(tc_th: int, lengths: dict[int, int]) -> bytes:
-    by_len: dict[int, list[int]] = {}
+    by_len: list[list[int]] = [[] for _ in range(17)]
     for s, ln in lengths.items():
-        by_len.setdefault(ln, []).append(s)
-    bits = bytes(len(by_len.get(ln, [])) for ln in range(1, 17))
-    vals = b"".join(bytes(sorted(by_len.get(ln, []))) for ln in range(1, 17))
-    body = bytes([tc_th]) + bits + vals
-    return struct.pack(">2sH", b"\xff\xc4", len(body) + 2) + body
+        by_len[ln].append(s)
+    body = bytearray([tc_th])
+    body.extend(len(by_len[ln]) for ln in range(1, 17))
+    for ln in range(1, 17):
+        body.extend(sorted(by_len[ln]))
+    return struct.pack(">2sH", b"\xff\xc4", len(body) + 2) + bytes(body)
 
 
 class _BitWriter:
@@ -181,27 +182,38 @@ def _block_symbols(coeffs: np.ndarray, prev_dc: int):
     dc = int(coeffs[0])
     diff = dc - prev_dc
     size = _category(diff)
+    # walk only the nonzero ACs (run-lengths fall out of the index gaps —
+    # same symbols as the per-k scan, without 63 Python iterations)
     ac_syms = []
-    run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if coeffs[k] != 0:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
+    nz = np.nonzero(coeffs[1:])[0]
+    prev_k = 0
+    for k in nz.tolist():
+        k += 1
+        run = k - prev_k - 1
+        prev_k = k
+        while run >= 16:
+            ac_syms.append((0xF0, (0, 0)))  # ZRL
+            run -= 16
         v = int(coeffs[k])
-        if v == 0:
-            run += 1
-            if run == 16:
-                ac_syms.append((0xF0, (0, 0)))  # ZRL
-                run = 0
-            continue
         s = _category(v)
         ac_syms.append(((run << 4) | s, (_extra_bits(v, s), s)))
-        run = 0
-    if last_nz < 63:
+    if len(nz) == 0 or nz[-1] + 1 < 63:
         ac_syms.append((0x00, (0, 0)))  # EOB
     return (size, (_extra_bits(diff, size), size)), ac_syms, dc
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    body = bytes([tq]) + bytes(int(v) for v in table.reshape(-1)[_ZIGZAG])
+    return struct.pack(">2sH", b"\xff\xdb", len(body) + 2) + body
+
+
+# constant segments hoisted out of jpeg_encode (the quant tables are module
+# constants, APP0/SOS carry no per-image fields)
+_DQT_BYTES = _dqt_segment(0, _QUANT_LUMA) + _dqt_segment(1, _QUANT_CHROMA)
+_APP0 = struct.pack(">2sH5sBBBHHBB", b"\xff\xe0", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0)
+_SOS = struct.pack(">2sHB", b"\xff\xda", 12, 3) + b"".join(
+    struct.pack("BB", cid, (0x00 if cid == 1 else 0x11)) for cid in (1, 2, 3)
+) + bytes([0, 63, 0])
 
 
 def jpeg_encode(arr: np.ndarray) -> bytes:
@@ -209,31 +221,47 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
     chroma quant table, image-optimal Huffman tables)."""
     h, w, _ = arr.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(arr.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    if ph == h and pw == w:
+        padded = arr.astype(np.float64)
+    else:
+        padded = np.pad(
+            arr.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+        )
     ycc = _rgb_to_ycbcr(padded)
 
-    comp_blocks: list[list[np.ndarray]] = [[], [], []]
+    # DCT + quantize every block of a component in ONE batched numpy pass
+    # (bit-identical to the per-block matmul form; block order (by, bx) is
+    # the same raster walk the MCU loop used)
     quants = [_QUANT_LUMA, _QUANT_CHROMA, _QUANT_CHROMA]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(3):
-                block = ycc[by : by + 8, bx : bx + 8, ci] - 128.0
-                coeff = _DCT @ block @ _DCT.T
-                q = np.round(coeff / quants[ci]).astype(np.int64)
-                comp_blocks[ci].append(q.reshape(-1)[_ZIGZAG])
+    nby, nbx = ph // 8, pw // 8
+    comp_blocks: list[np.ndarray] = []
+    for ci in range(3):
+        ch = ycc[..., ci] - 128.0
+        blocks = ch.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coeff = _DCT @ blocks @ _DCT.T
+        q = np.round(coeff / quants[ci]).astype(np.int64)
+        comp_blocks.append(q.reshape(-1, 64)[:, _ZIGZAG])
 
-    # gather symbol statistics (tables: 0=luma, 1=chroma)
+    # gather symbol statistics (tables: 0=luma, 1=chroma); the per-block
+    # symbol lists are kept so the write pass below does not recompute them
+    # (the DC-prediction chains of the two passes are identical by
+    # construction: 4:4:4 interleaves exactly one block per component per
+    # MCU, in the same raster order)
     dc_freq = [Counter(), Counter()]
     ac_freq = [Counter(), Counter()]
-    n_blocks = len(comp_blocks[0])
+    n_blocks = comp_blocks[0].shape[0]
+    comp_syms: list[list] = []
     for ci in range(3):
         t = 0 if ci == 0 else 1
         prev = 0
+        entries = []
         for blk in comp_blocks[ci]:
-            (dsym, _), acs, prev = _block_symbols(blk, prev)
+            (dsym, dpair), acs, prev = _block_symbols(blk, prev)
+            entries.append((dsym, dpair, acs))
             dc_freq[t][dsym] += 1
             for sym, _ in acs:
                 ac_freq[t][sym] += 1
+        comp_syms.append(entries)
     for t in range(2):
         dc_freq[t].setdefault(0, 1)
         ac_freq[t].setdefault(0x00, 1)
@@ -244,13 +272,10 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
 
     # entropy-coded data: interleaved MCUs (4:4:4 -> one block per comp)
     bw = _BitWriter()
-    prev_dc = [0, 0, 0]
     for bi in range(n_blocks):
         for ci in range(3):
             t = 0 if ci == 0 else 1
-            (dsym, (dbits, dsize)), acs, prev_dc[ci] = _block_symbols(
-                comp_blocks[ci][bi], prev_dc[ci]
-            )
+            dsym, (dbits, dsize), acs = comp_syms[ci][bi]
             c, ln = dc_code[t][dsym]
             bw.write(c, ln)
             if dsize:
@@ -262,28 +287,19 @@ def jpeg_encode(arr: np.ndarray) -> bytes:
                     bw.write(abits, asize)
     entropy = bw.finish()
 
-    def dqt(tq: int, table: np.ndarray) -> bytes:
-        body = bytes([tq]) + bytes(int(v) for v in table.reshape(-1)[_ZIGZAG])
-        return struct.pack(">2sH", b"\xff\xdb", len(body) + 2) + body
-
-    app0 = struct.pack(">2sH5sBBBHHBB", b"\xff\xe0", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0)
     sof0 = struct.pack(
         ">2sHBHHB", b"\xff\xc0", 17, 8, h, w, 3
     ) + b"".join(struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1) for cid in (1, 2, 3))
-    sos = struct.pack(">2sHB", b"\xff\xda", 12, 3) + b"".join(
-        struct.pack("BB", cid, (0x00 if cid == 1 else 0x11)) for cid in (1, 2, 3)
-    ) + bytes([0, 63, 0])
     return (
         b"\xff\xd8"
-        + app0
-        + dqt(0, _QUANT_LUMA)
-        + dqt(1, _QUANT_CHROMA)
+        + _APP0
+        + _DQT_BYTES
         + sof0
         + _dht_segment(0x00, dc_len[0])  # Tc=0 (DC), Th=0 (luma)
         + _dht_segment(0x10, ac_len[0])  # Tc=1 (AC), Th=0
         + _dht_segment(0x01, dc_len[1])  # Tc=0, Th=1 (chroma)
         + _dht_segment(0x11, ac_len[1])  # Tc=1, Th=1
-        + sos
+        + _SOS
         + entropy
         + b"\xff\xd9"
     )
@@ -413,33 +429,44 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     br = _BitReader(data[entropy_start:end])
 
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = np.zeros((ph, pw, 3), dtype=np.float64)
+    nby, nbx = ph // 8, pw // 8
+    n_blocks = nby * nbx
+    # entropy-decode every block's zigzag coefficients first (sequential by
+    # nature: Huffman + DC prediction), then dequantize + IDCT all blocks
+    # of each component in ONE batched numpy pass (bit-identical to the
+    # per-block matmul form)
+    comp_zz = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in range(3)]
     prev_dc = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(3):
-                dc_t, ac_t = comp_tables[ci]
-                dsym = _read_symbol(br, huff[0x00 | dc_t])
-                diff = _extend(br.read_bits(dsym), dsym) if dsym else 0
-                prev_dc[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, huff[0x10 | ac_t])
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    run, sz = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read_bits(sz), sz)
-                    k += 1
-                coeffs = np.zeros(64, dtype=np.float64)
-                coeffs[_ZIGZAG] = zz
-                block = coeffs.reshape(8, 8) * quant[comp_q[ci]]
-                planes[by : by + 8, bx : bx + 8, ci] = _DCT.T @ block @ _DCT + 128.0
+    for bi in range(n_blocks):
+        for ci in range(3):
+            dc_t, ac_t = comp_tables[ci]
+            dsym = _read_symbol(br, huff[0x00 | dc_t])
+            diff = _extend(br.read_bits(dsym), dsym) if dsym else 0
+            prev_dc[ci] += diff
+            zz = comp_zz[ci][bi]
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, huff[0x10 | ac_t])
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, sz = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.read_bits(sz), sz)
+                k += 1
+    plane_list = []
+    for ci in range(3):
+        coeffs = np.zeros((n_blocks, 64), dtype=np.float64)
+        coeffs[:, _ZIGZAG] = comp_zz[ci]
+        blocks = coeffs.reshape(-1, 8, 8) * quant[comp_q[ci]]
+        recon = _DCT.T @ blocks @ _DCT + 128.0
+        plane_list.append(
+            recon.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(ph, pw)
+        )
+    planes = np.stack(plane_list, axis=-1)
     return _ycbcr_to_rgb(planes)[:h, :w]

@@ -268,6 +268,16 @@ def _encode_intra_block(
 ) -> int:
     """DCT -> quantize -> DC diff + Table B.5 AC run/levels. Returns the
     new DC predictor (quantized DC)."""
+    return _encode_intra_block_levels(bs, block, pred, qscale, luma, qmat)[0]
+
+
+def _encode_intra_block_levels(
+    bs: _Bits, block: np.ndarray, pred: int, qscale: int, luma: bool,
+    qmat: np.ndarray,
+) -> tuple[int, np.ndarray]:
+    """_encode_intra_block, additionally returning the emitted quantized
+    levels (zigzag order, index 0 unused for AC purposes) so closed-loop
+    encoders can reconstruct without re-reading the bitstream."""
     coef = _DCT @ (block.astype(np.float64) - 0.0) @ _DCT.T
     # quantized DC = DC/8 ∈ [0, 255] for 8-bit samples (DC differential
     # size is capped at 8 bits, §2.4.3.7)
@@ -278,17 +288,20 @@ def _encode_intra_block(
     bs.put_str((_DC_SIZE_LUMA if luma else _DC_SIZE_CHROMA)[size])
     if size:
         bs.put(extra, size)
-    flat = coef.reshape(-1)
-    qflat = qmat.reshape(-1)
-    run = 0
-    for k in range(1, 64):
-        c = float(flat[_ZZ_FLAT[k]])
-        w = int(qflat[_ZZ_FLAT[k]])
-        level = int(np.rint(8.0 * c / (qscale * w)))
-        level = max(-255, min(255, level))
-        if level == 0:
-            run += 1
-            continue
+    # quantize all 63 ACs in one vectorized pass (bit-identical to the
+    # scalar per-k form: same float64 divide, same np.rint, same clamp),
+    # then walk only the nonzeros — the run-lengths fall out of the gaps
+    zz = coef.reshape(-1)[_ZZ_FLAT]
+    qzz = qmat.reshape(-1)[_ZZ_FLAT]
+    levels = np.rint(8.0 * zz / (qscale * qzz))
+    np.clip(levels, -255, 255, out=levels)
+    lv = levels.astype(np.int64)
+    prev_k = 0
+    for k in np.nonzero(lv[1:])[0].tolist():
+        k += 1
+        level = int(lv[k])
+        run = k - prev_k - 1
+        prev_k = k
         key = (run, abs(level))
         if key in _AC_VLC:
             bs.put_str(_AC_VLC[key])
@@ -304,9 +317,8 @@ def _encode_intra_block(
             else:
                 bs.put(0x80, 8)
                 bs.put(level & 0xFF, 8)
-        run = 0
     bs.put_str(_AC_EOB)
-    return dc_q
+    return dc_q, lv
 
 
 def _frame_to_blocks(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -676,17 +688,14 @@ def _quant_nonintra(
     (encoder side; includes the DC position, coded like any AC in
     non-intra blocks)."""
     coef = _DCT @ block.astype(np.float64) @ _DCT.T
-    flat = coef.reshape(-1)
-    qflat = nqmat.reshape(-1)
-    out = []
-    for k in range(64):
-        w = int(qflat[_ZZ_FLAT[k]])
-        c = float(flat[_ZZ_FLAT[k]])
-        level = int(np.trunc(8.0 * c / (qscale * w)))
-        level = max(-255, min(255, level))
-        if level:
-            out.append((k, level))
-    return out
+    # vectorized over all 64 positions (bit-identical to the scalar per-k
+    # form: same float64 divide, same np.trunc, same clamp)
+    zz = coef.reshape(-1)[_ZZ_FLAT]
+    qzz = nqmat.reshape(-1)[_ZZ_FLAT]
+    levels = np.trunc(8.0 * zz / (qscale * qzz))
+    np.clip(levels, -255, 255, out=levels)
+    lv = levels.astype(np.int64)
+    return [(int(k), int(lv[k])) for k in np.nonzero(lv)[0]]
 
 
 def _recon_nonintra(
@@ -857,19 +866,26 @@ def _encode_intra_block_recon(
     qmat: np.ndarray,
 ) -> tuple[int, np.ndarray]:
     """_encode_intra_block + the decoder-identical reconstruction (for
-    the closed encoding loop): re-derives the dequantized coefficients
-    exactly as _decode_intra_block would."""
-    mark = len(bs.buf) * 8 + bs.n
-    new_pred = _encode_intra_block(bs, block, pred, qscale, luma, qmat)
-    # re-decode the bits just written (cheap at fixture scale, and by
-    # construction identical to the decoder's arithmetic)
-    tmp = _Bits()
-    tmp.buf = bytearray(bs.buf)
-    tmp.acc, tmp.n = bs.acc, bs.n
-    tmp.align()
-    r = _Reader(bytes(tmp.buf), mark)
-    recon, dec_pred = _decode_intra_block(r, pred, qscale, luma, qmat)
-    assert dec_pred == new_pred
+    the closed encoding loop): dequantizes the EMITTED levels with the
+    exact arithmetic of _decode_intra_block (§2.4.4.2 truncation toward
+    zero + oddification). Table B.5 entropy coding is lossless, so
+    working from the emitted levels is identical to re-reading the
+    bitstream — without copying the whole stream per block."""
+    new_pred, lv = _encode_intra_block_levels(bs, block, pred, qscale, luma, qmat)
+    flat = np.zeros(64, dtype=np.int64)
+    flat[0] = new_pred * 8
+    qflat = qmat.reshape(-1)
+    for k in np.nonzero(lv[1:])[0].tolist():
+        k += 1
+        w = int(qflat[_ZZ_FLAT[k]])
+        prod = 2 * int(lv[k]) * qscale * w
+        v = abs(prod) // 16
+        if v % 2 == 0 and v != 0:
+            v -= 1
+        if prod < 0:
+            v = -v
+        flat[_ZZ_FLAT[k]] = max(-2048, min(2047, v))
+    recon = _DCT.T @ flat.reshape(8, 8).astype(np.float64) @ _DCT
     return new_pred, recon
 
 
@@ -1067,19 +1083,25 @@ def _mb_pred(ref: list, my: int, mx: int, dy: int, dx: int) -> list:
 
 def _quant_mb_residual(resid: list, qscale: int, nqmat: np.ndarray) -> list:
     """Residual MB → per-block nonzero level lists in cbp order
-    [Y0, Y1, Y2, Y3, Cb, Cr]."""
-    out = []
-    for by in range(2):
-        for bx in range(2):
-            out.append(
-                _quant_nonintra(
-                    resid[0][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8],
-                    qscale, nqmat,
-                )
-            )
-    out.append(_quant_nonintra(resid[1], qscale, nqmat))
-    out.append(_quant_nonintra(resid[2], qscale, nqmat))
-    return out
+    [Y0, Y1, Y2, Y3, Cb, Cr]. All 6 blocks go through ONE batched
+    DCT + quantize (bit-identical to the per-block _quant_nonintra form)."""
+    y = resid[0]
+    blocks = np.stack(
+        [
+            y[0:8, 0:8], y[0:8, 8:16], y[8:16, 0:8], y[8:16, 8:16],
+            resid[1], resid[2],
+        ]
+    )
+    coef = _DCT @ blocks.astype(np.float64) @ _DCT.T
+    zz = coef.reshape(6, 64)[:, _ZZ_FLAT]
+    qzz = nqmat.reshape(-1)[_ZZ_FLAT]
+    levels = np.trunc(8.0 * zz / (qscale * qzz))
+    np.clip(levels, -255, 255, out=levels)
+    lv = levels.astype(np.int64)
+    return [
+        [(int(k), int(lv[b, k])) for k in np.nonzero(lv[b])[0]]
+        for b in range(6)
+    ]
 
 
 def _apply_mb(

@@ -118,3 +118,77 @@ def test_spark_decode_stage_bounded_error(spark):
     for i in ids:
         exact = synth(i).astype(np.int64).mean()
         assert abs(got[i] - exact) < 20.0, (i, got[i], exact)
+
+
+def test_block_symbols_zrl_and_eob_semantics():
+    """round 15: _block_symbols walks only the nonzero ACs. Pin the
+    run-length semantics of the rewrite against T.81: runs >= 16 emit
+    ZRL(s), a nonzero at k=63 suppresses EOB, an all-zero AC block is a
+    bare EOB, and trailing zeros never emit ZRL."""
+    from rpa_etl_spark.sources.jpeg import _block_symbols
+
+    def syms(coeffs):
+        (_, _), acs, _ = _block_symbols(np.asarray(coeffs, dtype=np.int64), 0)
+        return acs
+
+    z = [0] * 64
+    # all-zero ACs -> bare EOB
+    assert syms(z) == [(0x00, (0, 0))]
+    # 16 zeros then 1 at k=17 -> one ZRL + (run 0, size 1) + EOB
+    c = list(z); c[17] = 1
+    assert syms(c) == [(0xF0, (0, 0)), (0x01, (1, 1)), (0x00, (0, 0))]
+    # 33 zeros then -1 at k=34 -> two ZRLs + (run 1, size 1, bits 0) + EOB
+    c = list(z); c[34] = -1
+    assert syms(c) == [(0xF0, (0, 0)), (0xF0, (0, 0)), (0x11, (0, 1)), (0x00, (0, 0))]
+    # nonzero at the LAST position (k=63): run 61 -> 3 ZRLs + run 13, no EOB
+    c = list(z); c[1] = 3; c[63] = 2
+    assert syms(c) == [
+        (0x02, (3, 2)),
+        (0xF0, (0, 0)), (0xF0, (0, 0)), (0xF0, (0, 0)),
+        ((13 << 4) | 2, (2, 2)),
+    ]
+    # trailing zeros after the last nonzero emit nothing but EOB
+    c = list(z); c[1] = 5
+    got = syms(c)
+    assert got == [(0x03, (5, 3)), (0x00, (0, 0))]
+
+
+def test_encode_batched_dct_matches_per_block_form():
+    """round 15: jpeg_encode quantizes all blocks of a component in one
+    batched matmul. Pin it to the per-block scalar walk on content with
+    every filter of block positions exercised (random, odd dims)."""
+    from rpa_etl_spark.sources.jpeg import (
+        _DCT,
+        _QUANT_CHROMA,
+        _QUANT_LUMA,
+        _ZIGZAG,
+        _rgb_to_ycbcr,
+    )
+
+    rng = np.random.default_rng(1503)
+    arr = rng.integers(0, 256, size=(23, 37, 3), dtype=np.uint8)
+    h, w, _ = arr.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        arr.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    )
+    ycc = _rgb_to_ycbcr(padded)
+    quants = [_QUANT_LUMA, _QUANT_CHROMA, _QUANT_CHROMA]
+    # scalar reference walk (the pre-round-15 form)
+    ref_blocks = [[], [], []]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(3):
+                block = ycc[by : by + 8, bx : bx + 8, ci] - 128.0
+                coeff = _DCT @ block @ _DCT.T
+                q = np.round(coeff / quants[ci]).astype(np.int64)
+                ref_blocks[ci].append(q.reshape(-1)[_ZIGZAG])
+    # batched form (what jpeg_encode now does)
+    nby, nbx = ph // 8, pw // 8
+    for ci in range(3):
+        ch = ycc[..., ci] - 128.0
+        blocks = ch.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coeff = _DCT @ blocks @ _DCT.T
+        q = np.round(coeff / quants[ci]).astype(np.int64)
+        got = q.reshape(-1, 64)[:, _ZIGZAG]
+        assert np.array_equal(got, np.stack(ref_blocks[ci]))

@@ -521,3 +521,65 @@ def test_b_without_anchors_skipped_gracefully():
     spliced2 = bits[:p2] + bits[b3:]  # I then B (P removed): B needs 2
     n2, out2 = M.mpeg1_decode_frames(spliced2)
     assert n2 == 2 and [p for _, p, _ in out2] == ["I"]
+
+
+# ---------------------------------------------------------------------------
+# round 15: the per-coefficient quantize loops were vectorized and the
+# closed-loop reconstruction stopped re-reading the bitstream. Pin the
+# vectorized forms to the scalar reference semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_vectorized_quant_mb_residual_matches_scalar_form():
+    """_quant_mb_residual (one batched DCT over all 6 blocks) must emit
+    exactly the per-block _quant_nonintra entries, in cbp order."""
+    rng = np.random.default_rng(1501)
+    for qscale in (1, 8, 31):
+        y = rng.uniform(-256, 256, size=(16, 16))
+        cb = rng.uniform(-256, 256, size=(8, 8))
+        cr = rng.uniform(-256, 256, size=(8, 8))
+        nqmat = M.DEFAULT_NONINTRA_Q
+        got = M._quant_mb_residual([y, cb, cr], qscale, nqmat)
+        want = [
+            M._quant_nonintra(y[0:8, 0:8], qscale, nqmat),
+            M._quant_nonintra(y[0:8, 8:16], qscale, nqmat),
+            M._quant_nonintra(y[8:16, 0:8], qscale, nqmat),
+            M._quant_nonintra(y[8:16, 8:16], qscale, nqmat),
+            M._quant_nonintra(cb, qscale, nqmat),
+            M._quant_nonintra(cr, qscale, nqmat),
+        ]
+        assert got == want
+
+
+def test_intra_recon_matches_bitstream_redecode():
+    """_encode_intra_block_recon dequantizes the EMITTED levels directly;
+    that must equal decoding the bits it just wrote (the pre-round-15
+    implementation), including DC prediction and the ±2048 clamp."""
+    from rpa_etl_spark.sources.mpeg1 import (
+        _Bits,
+        _Reader,
+        _decode_intra_block,
+        _encode_intra_block_recon,
+    )
+
+    rng = np.random.default_rng(1502)
+    qmat = M.DEFAULT_INTRA_Q
+    for qscale in (1, 8, 31):
+        pred = 128
+        bs = _Bits()
+        marks = []
+        blocks = [rng.uniform(0, 256, size=(8, 8)) for _ in range(8)]
+        recons = []
+        for blk in blocks:
+            marks.append(len(bs.buf) * 8 + bs.n)
+            pred, recon = _encode_intra_block_recon(
+                bs, blk, pred, qscale, True, qmat
+            )
+            recons.append(recon)
+        bs.align()
+        data = bs.bytes()
+        r = _Reader(data, marks[0])
+        pred2 = 128
+        for blk_recon in recons:
+            dec, pred2 = _decode_intra_block(r, pred2, qscale, True, qmat)
+            assert np.array_equal(dec, blk_recon)
