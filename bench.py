@@ -126,6 +126,32 @@ def main() -> None:
             pipe_sec = dt if pipe_sec is None else min(pipe_sec, dt)
     docs_per_sec_per_core = round(n_docs / pipe_sec / n_cores, 2)
 
+    # CPU-scaling sentinel (round-14 verdict #7): at sf0.1 most declared
+    # queries are floor-bound (job submission + plan + bounded collects),
+    # so their low-core/high-core wall ratios sit near 1 and the driver
+    # cannot tell "harness ignored $SPARK_GRAFT_CPUS" from "workload has
+    # no data parallelism to give". This sentinel is a FIXED amount of
+    # embarrassingly parallel JVM compute (no Python, no shuffle, no I/O;
+    # 128 partitions regardless of core count) whose wall time scales
+    # ~linearly with cores — its ratio is the harness's core-count proof.
+    # It is reported alongside the declared queries (additions-only) and
+    # NOT folded into the total.
+    sentinel_sec = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1_200_000_000, 1, 128)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        dt = time.perf_counter() - t0
+        if i > 0:  # pass 0 warms codegen
+            sentinel_sec = dt if sentinel_sec is None else min(sentinel_sec, dt)
+    sentinel_sec = round(sentinel_sec, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Deltas go FIRST and both streams are flushed before the JSON lines:
     # the driver captures merged stdout+stderr, keeps only the LAST 2000
@@ -152,6 +178,9 @@ def main() -> None:
         "pipeline_sec": round(pipe_sec, 3),
         "pipeline_cores": n_cores,
         "docs_per_sec_per_core": docs_per_sec_per_core,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": n_cores,
+        "sentinel_cpu_scaling": sentinel_sec,
     }
     # Persist the full record locally: the driver's tail capture truncates
     # the per-query dicts (>2000 chars since round 3), so round-over-round
@@ -193,12 +222,19 @@ def main() -> None:
             "pipeline_sec",
             "pipeline_cores",
             "docs_per_sec_per_core",
+            "cpus",
+            "default_parallelism",
+            "sentinel_cpu_scaling",
         )
     }
     # "queries" stays a real {name: sec} dict (slowest-5 mins) so driver
     # code that iterates parsed["queries"] keeps working; the full dicts
-    # are on the previous line and in BENCH_LOCAL.json.
-    headline["queries"] = slowest5_min
+    # are on the previous line and in BENCH_LOCAL.json. The CPU-scaling
+    # sentinel rides along as an extra entry (additions-only) so the
+    # driver's low-core/high-core per-query ratio check always has one
+    # genuinely CPU-bound data point.
+    headline["queries"] = dict(slowest5_min)
+    headline["queries"]["sentinel_cpu_scaling"] = sentinel_sec
     headline["queries_median"] = slowest5_med
     headline["queries_note"] = "slowest-5 only; full dicts on previous stdout line"
     print(json.dumps(headline, separators=(",", ":")), flush=True)

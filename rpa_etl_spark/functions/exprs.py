@@ -57,13 +57,29 @@ def col_memo(fn):
     Keys use the Catalyst toString of Column args (structurally identical
     inputs hit regardless of which DataFrame they later bind to); any
     unhashable/unstringable argument silently disables the memo for that
-    call."""
-    import functools
+    call.
 
-    cache: dict = {}
+    The cache is scoped to the active py4j GATEWAY (WeakKeyDictionary, the
+    same discipline as tables.py's per-session schema memo): a cached
+    Column holds a JVM object reference, so after a gateway restart
+    (spark.stop() + fresh JVM in a long-lived harness) the old entries are
+    dead — a fresh gateway gets a fresh cache, and the dead one is
+    collected with the dead gateway."""
+    import functools
+    import weakref
+
+    caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is None:
+            return fn(*args, **kwargs)
+        cache = caches.get(gw)
+        if cache is None:
+            cache = caches[gw] = {}
         try:
             key = (
                 tuple(str(a) if isinstance(a, Column) else a for a in args),

@@ -86,6 +86,7 @@ def salted_join(
     how: str = "inner",
     salt_cols: list[str] | None = None,
     hot_threshold: int | None = None,
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Replicate-and-salt equi-join for a skewed fact key: each fact row
     gets a deterministic salt in [0, n_salts); the dim side is replicated
@@ -140,12 +141,22 @@ def salted_join(
         fact_hot = fact.join(F.broadcast(hot), key, "left_semi")
         fact_cold = fact.join(F.broadcast(hot), key, "left_anti")
         dim_hot = dim.join(F.broadcast(hot), key, "left_semi")
+        # the hot dim slice is bounded by |hot keys| x n_salts BY THE
+        # DEFINITION of skew (few hot keys), so broadcasting it is the
+        # deliberate strategy — size ESTIMATES after the semi join are
+        # unreliable (guide: use an explicit hint when smallness is
+        # structural), and without the hint the hot partition falls back
+        # to a sort-merge join exactly where the skew lives. Gated by
+        # tests/test_scale_patterns.py with auto-broadcast disabled.
         hot_part = salted_join(
-            fact_hot, dim_hot, key, n_salts=n_salts, how=how, salt_cols=salt_cols
+            fact_hot, dim_hot, key, n_salts=n_salts, how=how,
+            salt_cols=salt_cols, broadcast_dim=True,
         )
         cold_part = fact_cold.join(dim, key, how)
         return hot_part.unionByName(cold_part)
     salted_fact = with_salt(fact, n_salts, "_salt", salt_cols=salt_cols)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     replicated_dim = dim.select("*", salts)
+    if broadcast_dim:
+        replicated_dim = F.broadcast(replicated_dim)
     return salted_fact.join(replicated_dim, [key, "_salt"], how).drop("_salt")

@@ -41,16 +41,18 @@ def _issue(cond, code: str, field: str, severity: str):
     )
 
 
-import functools
+from rpa_etl_spark.functions.exprs import col_memo
 
 
-@functools.lru_cache(maxsize=32)
+@col_memo
 def _static_cols(text_col: str):
     """The pipeline's input-independent Column trees, built once per
     process (keyed by the raw-text column name). Construction of these
     trees is hundreds of py4j round trips (~1.7 s measured before the
     validator-level memo); an unresolved Column is an immutable
-    expression, so reuse across plans is exactly `re.compile` reuse."""
+    expression, so reuse across plans is exactly `re.compile` reuse.
+    col_memo (round 15) scopes the cache to the live py4j gateway, so a
+    JVM restart cannot serve dead Column references."""
     normalize = {
         "raw_sha256": F.sha2(F.col(text_col), 256),
         "normalized_text": T.normalize_text(F.col(text_col)),

@@ -1689,14 +1689,15 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(*_jl_cols())
 
 
-import functools
+from rpa_etl_spark.functions.exprs import col_memo as _col_memo
 
 
-@functools.lru_cache(maxsize=1)
+@_col_memo
 def _jl_cols():
     """The 8 static JL projection Columns (built once per process — the
     8x64-literal folds are ~600 py4j calls, ~0.5 s of construction that
-    is identical on every invocation; exprs.col_memo rationale).
+    is identical on every invocation; exprs.col_memo rationale; round 15
+    moved it onto col_memo itself so the cache is gateway-scoped).
 
     Each projection is a strict left-to-right fold over zip(vector,
     signs) — the same association as the oracle's explicit 64-term sum,
@@ -1722,7 +1723,15 @@ def _jl_cols():
 # q_bm25 — lexical retrieval scoring
 # ---------------------------------------------------------------------------
 
-_BM25_TERMS = "('the', 'table', 'row', 'spark', 'hash')"
+# The Python tuple is the source of truth; the SQL literal renders from
+# it. The guard makes a term that would corrupt the strip/split parsing
+# inside q_bm25 (comma, quote, whitespace) a LOUD import-time error
+# instead of silently wrong tf columns (round-14 ADVICE).
+_BM25_TERM_LIST = ("the", "table", "row", "spark", "hash")
+assert all(
+    t and not set(t) & set("',\" \t\n()") for t in _BM25_TERM_LIST
+), "BM25 terms must be quote/comma/paren/whitespace-free"
+_BM25_TERMS = "(" + ", ".join(f"'{t}'" for t in _BM25_TERM_LIST) + ")"
 _BM25_K1, _BM25_B = "1.2", "0.75"
 
 _BM25_ORACLE = f"""

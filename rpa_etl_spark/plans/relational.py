@@ -517,7 +517,6 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every shuffle moves O(n/p) rows per task; the only 'global' data is
     the partition-count table (p rows, broadcast). This is the plan that
     survives a 100× scale-up."""
-    k = 4
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", dec("c_acctbal").alias("bal")
     )
@@ -528,10 +527,29 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ranged.withColumn("lrn", F.row_number().over(wloc))
 
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # Prefix-sum the per-partition counts in ONE O(p) expression fold over a
-    # p-row array (p = #partitions, never data rows): collect → sort by pid
-    # → aggregate-fold accumulating the running total. No BNLJ self-join
-    # (quadratic in p), no unpartitioned window.
+    folded, out_cols = _ntile_static_cols(4)
+    offsets = (
+        counts.agg(folded.alias("f"))
+        .select(F.explode("f.offs").alias("o"), F.col("f.tot").alias("n"))
+        .select("o.pid", "o.offset", "n")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(*out_cols)
+
+
+from rpa_etl_spark.functions.exprs import col_memo as _col_memo
+
+
+@_col_memo
+def _ntile_static_cols(k: int):
+    """q_window_ntile's input-independent Column trees (~170 ms of py4j
+    construction per build — the round-15 construction profile's #1
+    non-eager entry), built once per (k, gateway); pure extraction of the
+    expressions that lived inline, reference-only on column names.
+
+    The prefix-sum fold: ONE O(p) expression fold over a p-row array
+    (p = #partitions, never data rows): collect → sort by pid →
+    aggregate-fold accumulating the running total. No BNLJ self-join
+    (quadratic in p), no unpartitioned window."""
     zero = F.struct(
         F.array().cast("array<struct<pid:int,offset:bigint>>").alias("offs"),
         F.lit(0).cast("bigint").alias("tot"),
@@ -549,12 +567,6 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (acc["tot"] + x["cnt"]).alias("tot"),
         ),
     )
-    offsets = (
-        counts.agg(folded.alias("f"))
-        .select(F.explode("f.offs").alias("o"), F.col("f.tot").alias("n"))
-        .select("o.pid", "o.offset", "n")
-    )
-
     rn = F.col("lrn") + F.col("offset")
     n = F.col("n")
     base = F.floor(n / k)  # rows per small bucket
@@ -563,12 +575,13 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile = F.when(
         rn <= rem * big, F.floor((rn - 1) / big) + 1
     ).otherwise(rem + F.floor((rn - rem * big - 1) / F.greatest(base, F.lit(1))) + 1)
-    return local.join(F.broadcast(offsets), "pid").select(
-        "c_custkey",
+    out_cols = (
+        F.col("c_custkey"),
         ntile.cast("int").alias("balance_quartile"),
         ((rn - 1).cast("double") / (n - 1)).alias("pct_rank"),
         (rn.cast("double") / n).alias("cume"),
     )
+    return folded, out_cols
 
 
 @query(

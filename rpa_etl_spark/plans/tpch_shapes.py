@@ -228,40 +228,52 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate > orderdate + 1900 days (the synthetic tables carry no
     receipt/commit dates; the classic query's shape is unchanged).
 
-    Shape: the EXISTS/NOT EXISTS pair becomes a LeftSemi + LeftAnti
-    self-join of the late set, both hashing on l_orderkey — the key every
-    side already shuffles on, so AQE coalesces into co-partitioned stages.
-    No correlated re-execution at any scale; the supplier dim broadcasts.
+    Shape (round 15, single-scan rewrite): both correlated subqueries
+    depend only on the per-order distinct-supplier sets — "another
+    supplier exists" ⟺ the order has >1 distinct supplier, and "no other
+    late supplier" ⟺ the order's distinct LATE-supplier set is exactly
+    {this row's supplier} (size 1, since the row itself is late). Those
+    sets come from ONE window over l_orderkey, so lineitem is scanned
+    once and shuffled once — the r14 semi+anti self-join form scanned it
+    three times. The set size per order is bounded by lines-per-order
+    (≤7 in TPC-H), so collect_set over the window is O(1) per row at any
+    scale. orders joins LEFT so unmatched line items still count toward
+    the EXISTS side, exactly as the subquery (over bare lineitem) does;
+    the supplier dim broadcasts.
     """
+    from pyspark.sql import Window
+
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
 
-    late = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1900 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    li = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 1900 DAYS")
+            ).alias("is_late"),
+        )
     )
-    all_pairs = lineitem.select(
-        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
     )
-    # EXISTS: some other supplier on the same order
-    with_other = late.join(
-        all_pairs,
-        (F.col("l_orderkey") == F.col("p_orderkey"))
-        & (F.col("l_suppkey") != F.col("p_suppkey")),
-        "left_semi",
-    )
-    # NOT EXISTS: no other LATE supplier on the same order
-    other_late = late.select(
-        F.col("l_orderkey").alias("q_orderkey"), F.col("l_suppkey").alias("q_suppkey")
-    )
-    sole_late = with_other.join(
-        other_late,
-        (F.col("l_orderkey") == F.col("q_orderkey"))
-        & (F.col("l_suppkey") != F.col("q_suppkey")),
-        "left_anti",
-    )
+    sole_late = flagged.where(
+        F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey", "l_suppkey")
     return (
         sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -97,8 +97,17 @@ PRIORITY_ORDER = [
     "q_multimodal_mpeg_pframes",
     "q_multimodal_mpeg_bframes",
     "q_multimodal_decode",
-    # == tier C (18): r11-stale fill, in their prior relative order —
-    #    18 of the 36 r11-verdict queries fit after tiers A and B; the
+    # == tier B' (4): consumers of the gateway-scoped col_memo rework
+    #    (functions/exprs.py + pipeline.py — ADVICE items) and of the
+    #    salted_join hot-side broadcast hint (operators/skew.py — r14
+    #    verdict #6); kernel-consumer rule pulls them in.
+    "q_parse_invoice",
+    "q_flagship",
+    "q_join_skew_salted",
+    "q_agg_skew_salted",
+    "q_scan_project",
+    # == tier C (13): r11-stale fill, in their prior relative order —
+    #    13 of the 36 r11-verdict queries fit after tiers A and B; the
     #    rest sit directly below the window, oldest-first, so any future
     #    rotation picks them up next.
     "q_having_large_orders",
@@ -115,13 +124,13 @@ PRIORITY_ORDER = [
     "q_unpivot",
     "q_embedding_centroid",
     "q_repetition_stats",
+    # ---------------- below the sampled window ----------------
+    # == r11-stale remainder (22 of 36; kernels/plans unchanged since
+    #    their green verdict, covered by the local 180/180 oracle sweep):
     "q_join_asof",
     "q_heavy_hitters_cms",
     "q_join_bucketed",
     "q_sink_roundtrip",
-    # ---------------- below the sampled window ----------------
-    # == r11-stale remainder (18 of 36; kernels/plans unchanged since
-    #    their green verdict, covered by the local 180/180 oracle sweep):
     "q_sink_orc_roundtrip",
     "q_ingest_malformed",
     "q_agg_group",
@@ -232,15 +241,12 @@ PRIORITY_ORDER = [
     "q_domain_mix_bpe",
     "q_pagerank",
     "q_pagerank_dangling",
-    "q_parse_invoice",
     "q_pdf_extract",
     "q_pdf_extract_hard",
     "q_pdf_extract_passworded",
     "q_pdf_extract_encrypted",
     "q_recursive_cte",
     "q_dedup_bloom",
-    "q_join_skew_salted",
-    "q_agg_skew_salted",
     "q_profile_stats",
     "q_bm25",
     "q_dedup_containment",
@@ -253,8 +259,6 @@ PRIORITY_ORDER = [
     "q_nfe_key_valid",
     "q_monetary_br",
     "q_zorder_code",
-    "q_flagship",
-    "q_scan_project",
 ]
 
 

@@ -83,7 +83,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
         st = os.stat(path)
-        key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+        # memoize REGULAR FILES only: for a directory-style dataset the
+        # dir's (mtime, size) does not track part-file rewrites, so a
+        # stale schema could be served (round-14 ADVICE). The driver's
+        # tables are single files; anything else re-infers every call.
+        import stat as _stat
+
+        if _stat.S_ISREG(st.st_mode):
+            key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+        else:
+            key = None
     except OSError:
         key = None  # non-local/odd path: fall through, no memo
     memo = _SCHEMA_MEMO.setdefault(spark, {}) if key is not None else None

@@ -31,6 +31,22 @@ import argparse
 import json
 import os
 
+# Measured per-query cost floors at sf0.1 on this box (round 14 probes):
+# a bare Spark job round-trip is ~86 ms and every query pays at least one;
+# a DSv2-Python save costs ~0.9 s of framework round-trips (NOOP Python
+# DataSource control). The floor-adjusted column subtracts the job floor
+# so optimization targets are ranked by REAL headroom, not raw seconds —
+# a 0.9 s query that is 0.8 s floor has less to win than a 1.2 s query
+# that is one 86 ms job plus 1.1 s of compute (round-14 verdict #8).
+JOB_FLOOR_SEC = 0.086
+DSV2_SAVE_FLOOR_SEC = 0.9
+DSV2_SAVE_QUERIES = {"q_table_native_write": 3}  # saves per query
+
+
+def _floor_adjusted(name: str, sec: float) -> float:
+    base = JOB_FLOOR_SEC + DSV2_SAVE_FLOOR_SEC * DSV2_SAVE_QUERIES.get(name, 0)
+    return round(max(0.0, sec - base), 3)
+
 
 def compare(old: dict, new: dict, threshold: float, floor: float,
             allow: set[str]) -> dict:
@@ -58,7 +74,8 @@ def compare(old: dict, new: dict, threshold: float, floor: float,
             continue
         ratio = b / a
         rec = {"query": name, "old_sec": a, "new_sec": b,
-               "ratio": round(ratio, 3)}
+               "ratio": round(ratio, 3),
+               "new_floor_adjusted_sec": _floor_adjusted(name, b)}
         if ratio > threshold:
             if name in allow:
                 report["allowed_movers"].append(rec)
@@ -69,6 +86,20 @@ def compare(old: dict, new: dict, threshold: float, floor: float,
         elif ratio < 1.0 / threshold:
             report["improvements"].append(rec)
     report["regressions"].sort(key=lambda r: -r["ratio"])
+    # headroom ranking: where the remaining optimization budget actually
+    # is, with the measured per-query floors subtracted
+    report["top_headroom"] = sorted(
+        (
+            {
+                "query": n,
+                "new_sec": nq[n],
+                "floor_adjusted_sec": _floor_adjusted(n, nq[n]),
+            }
+            for n in nq
+            if isinstance(nq[n], (int, float)) and nq[n] > 0
+        ),
+        key=lambda r: -r["floor_adjusted_sec"],
+    )[:15]
     return report
 
 

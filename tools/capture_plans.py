@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for every declared query to plans/r14/.
+"""Dump .explain("formatted") for every declared query to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [only_prefix...]
-Writes plans/r14/<query>_<suffix>.txt (suffix = before|after).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r15; suffix = before|after).
 
 Plan capture only — no noop execution — so it is cheap; queries whose
 *call* performs eager work (table-format lifecycles, trained ANN) still
@@ -30,7 +30,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_NO_PROGRESS", "1")
     spark = get_spark("rpa-etl-spark-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    outdir = os.path.join(HERE, "plans", "r14")
+    outdir = os.path.join(HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"))
     os.makedirs(outdir, exist_ok=True)
     names = sorted(registry.QUERIES)
     if only:
