@@ -140,9 +140,9 @@ def main() -> None:
     for i in range(3):
         t0 = time.perf_counter()
         (
-            spark.range(0, 1_200_000_000, 1, 128)
+            spark.range(0, 4_800_000_000, 1, 128)
             .select(F.xxhash64("id").alias("h"))
-            .agg(F.sum("h"))
+            .agg(F.expr("bit_xor(h)"))
             .write.mode("overwrite")
             .format("noop")
             .save()

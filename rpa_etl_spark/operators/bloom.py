@@ -14,8 +14,10 @@ Implementation is engine-neutral integer arithmetic end-to-end:
 - k=5 hash positions per key = five disjoint 6-hex-char slices of
   md5(key), each mod m (m a power of two ≤ 2^24 divides 16^6 evenly in
   the slice range, so positions are uniform).
-- Build: explode keys → 5 positions → distinct → groupBy (pos DIV 64)
-  → BIT_OR(1 << (pos MOD 64)) — at most m/64 rows of (word_idx, word),
+- Build: explode keys → 5 positions → groupBy (pos DIV 64)
+  → BIT_OR(1 << (pos MOD 64)) — no distinct step: bit_or is idempotent
+  over duplicate positions, so dedup would only add a second exchange
+  (removed round 14) — at most m/64 rows of (word_idx, word),
   the bitmap as a DataFrame. One shuffle of at most k·N tiny rows that
   partial-aggregates map-side; the result is ≤ m/64 rows regardless of
   corpus size.

@@ -94,10 +94,17 @@ def connected_components(
                 F.coalesce(F.col("_parent"), F.col("component")).alias("component"),
             )
         )
-        # LAZY checkpoint: the convergence probe below is the round's one
-        # job and materializes it as a side effect — an eager checkpoint
-        # here was a second, redundant job per round (same rows computed,
-        # once to cache and once to compare)
+        # LAZY checkpoint: the convergence probe below materializes it as
+        # a side effect — an eager checkpoint here was a second, redundant
+        # job per round (same rows computed, once to cache and once to
+        # compare). Precisely: the probe's limit(1).count() can early-exit
+        # before touching every partition, in which case
+        # LocalRDDCheckpointData launches a bounded FOLLOW-UP job for the
+        # partitions the probe skipped (round-14 ADVICE). Accepted over
+        # dropping limit(1): without it every CHANGED round's probe counts
+        # all label mismatches instead of stopping at the first, and the
+        # converged round (which must scan everything to prove 0 changes)
+        # already materializes every partition either way.
         new_labels = compressed.localCheckpoint(eager=False)  # break lineage
         changed = (
             new_labels.alias("n")

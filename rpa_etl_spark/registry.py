@@ -123,10 +123,10 @@ PRIORITY_ORDER = [
     "q_outlier_zscore",
     "q_unpivot",
     "q_embedding_centroid",
-    "q_repetition_stats",
     # ---------------- below the sampled window ----------------
-    # == r11-stale remainder (22 of 36; kernels/plans unchanged since
+    # == r11-stale remainder (23 of 36; kernels/plans unchanged since
     #    their green verdict, covered by the local 180/180 oracle sweep):
+    "q_repetition_stats",
     "q_join_asof",
     "q_heavy_hitters_cms",
     "q_join_bucketed",

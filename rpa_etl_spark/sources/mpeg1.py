@@ -479,6 +479,18 @@ _AC_WALK[(len(_AC_ESCAPE), int(_AC_ESCAPE, 2))] = "esc"
 def _decode_intra_block(
     r: _Reader, pred: int, qscale: int, luma: bool, qmat: np.ndarray
 ) -> tuple[np.ndarray, int]:
+    flat, dc = _decode_intra_block_flat(r, pred, qscale, luma, qmat)
+    coef = flat.reshape(8, 8).astype(np.float64)
+    return _DCT.T @ coef @ _DCT, dc
+
+
+def _decode_intra_block_flat(
+    r: _Reader, pred: int, qscale: int, luma: bool, qmat: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize ONE intra block, WITHOUT the IDCT —
+    callers that decode whole pictures batch the IDCT over all collected
+    blocks in one matmul (bit-identical; the per-block form above wraps
+    this)."""
     size = r.vlc(_DC_LUMA_DEC if luma else _DC_CHROMA_DEC, max_len=9)
     diff = 0
     if size:
@@ -520,9 +532,7 @@ def _decode_intra_block(
         if prod < 0:
             v = -v
         flat[_ZZ_FLAT[k]] = max(-2048, min(2047, v))
-    coef = flat.reshape(8, 8).astype(np.float64)
-    blk = _DCT.T @ coef @ _DCT
-    return blk, dc
+    return flat, dc
 
 
 def mpeg1_decode_iframes(data: bytes) -> tuple[int, list]:
@@ -1275,6 +1285,10 @@ def _decode_intra_planes(
     done = 0
     pos = after_slice_start
     code = slice_code
+    # entropy walk first (sequential: VLCs + DC prediction), IDCT deferred —
+    # all blocks of the picture go through ONE batched matmul per plane
+    # (bit-identical to the per-block form; round 15)
+    flats: list = []  # (plane_idx, row, col, dequantized flat)
     while done < total_mbs:
         r = _Reader(data, pos * 8)
         qscale = r.bits(5)
@@ -1307,19 +1321,28 @@ def _decode_intra_planes(
             my, mx = (addr // mbw) * 16, (addr % mbw) * 16
             for by in range(2):
                 for bx in range(2):
-                    blk, pred_y = _decode_intra_block(r, pred_y, qscale, True, qmat)
-                    y[my + 8 * by : my + 8 * by + 8,
-                      mx + 8 * bx : mx + 8 * bx + 8] = blk
-            blk, pred_cb = _decode_intra_block(r, pred_cb, qscale, False, qmat)
-            cb[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
-            blk, pred_cr = _decode_intra_block(r, pred_cr, qscale, False, qmat)
-            cr[my // 2 : my // 2 + 8, mx // 2 : mx // 2 + 8] = blk
+                    flat, pred_y = _decode_intra_block_flat(
+                        r, pred_y, qscale, True, qmat
+                    )
+                    flats.append((0, my + 8 * by, mx + 8 * bx, flat))
+            flat, pred_cb = _decode_intra_block_flat(r, pred_cb, qscale, False, qmat)
+            flats.append((1, my // 2, mx // 2, flat))
+            flat, pred_cr = _decode_intra_block_flat(r, pred_cr, qscale, False, qmat)
+            flats.append((2, my // 2, mx // 2, flat))
             done += 1
         if done < total_mbs:
             ncode, npos = _next_start(data, (r.pos // 8))
             if not (_SLICE_MIN <= ncode <= _SLICE_MAX):
                 raise ValueError("mpeg1: picture ended before all MBs decoded")
             code, pos = ncode, npos
+    if flats:
+        coefs = (
+            np.stack([f for _, _, _, f in flats]).reshape(-1, 8, 8).astype(np.float64)
+        )
+        blks = _DCT.T @ coefs @ _DCT
+        planes = (y, cb, cr)
+        for i, (pi, ry, cx, _) in enumerate(flats):
+            planes[pi][ry : ry + 8, cx : cx + 8] = blks[i]
     return [y, cb, cr]
 
 

